@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec, ...}, "sf": ...}.
+
+Each query is executed once as a full action (count on the result) after a
+warm-up of the session; wall-clock includes plan + execution, not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_sql_dsv2_extension_spark.registry import load_all
+from spark_sql_dsv2_extension_spark.session import get_spark
+
+# Headline set: one representative per operator family (full inventory would
+# dominate with fixture-write overhead, not engine time).
+HEADLINE = [
+    "scan_parquet",
+    "scan_filter_pushdown",
+    "count_star_fastpath",
+    "join_multi_key_chain",
+    "join_inner_equi",
+    "join_left_anti",
+    "join_asof_time",
+    "join_broadcast_hint",
+    "agg_hash_group",
+    "agg_rollup",
+    "agg_count_distinct",
+    "win_running_sum_rows",
+    "topk_per_group",
+    "set_except",
+    "fn_string",
+    "fn_json",
+    "subq_exists_correlated",
+    "udaf_pandas_grouped",
+    "stream_tumbling_agg",
+    "ext_exact_dedup",
+    "ext_near_dedup_minhash",
+    "ext_knn_cosine",
+    "ext_tfidf_topterms",
+    "ext_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    specs = load_all()
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footer caches with a trivial action.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        spec = specs.get(key)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[key] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

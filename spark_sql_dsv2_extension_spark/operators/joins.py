@@ -1,0 +1,256 @@
+"""Join operators (SURVEY §2B "Joins").
+
+The reference delegates all joins to Catalyst (SURVEY §0); our engine
+expresses each join kind declaratively and lets Catalyst/AQE pick the
+physical strategy. Scale posture per key:
+
+- equi-joins on big tables → sort-merge with AQE skew splitting;
+- dimension joins → ``F.broadcast`` (no shuffle of the fact table);
+- theta/range joins → keep the build side tiny (BNLJ is quadratic) or
+  bucketize the range key first;
+- as-of join → union + window (O(n log n) per key), never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import dsum, load, sql_dsum
+
+
+def flagship_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: scan → filter → 3-way join → agg → sort → limit.
+
+    customer is broadcast (small dim); orders⋈lineitem is a shuffle join on
+    the order key. At 100 TB, AQE turns the orders side into a broadcast if
+    the date filter is selective enough.
+    """
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "join_multi_key_chain",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def join_multi_key_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3+ table star join (TPC-H Q3) — the flagship plan."""
+    return flagship_q3(spark, sf_dir)
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Catalyst picks broadcast for the 25-row dim."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "inner").select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 12),
+         supp AS (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_nationkey > 8)
+    SELECT c_custkey, c_nationkey, s_suppkey, s_nationkey
+    FROM cust FULL OUTER JOIN supp ON c_nationkey = s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with unmatched rows on BOTH sides by construction."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 12)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") > 8)
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_custkey", "c_nationkey", "s_suppkey", "s_nationkey"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a semi join — never duplicates the left side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as an anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — bounded to dims (5×25). At scale a cross join is
+    only ever acceptable with a broadcast-sized side."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, n_nationkey
+    FROM supplier JOIN nation ON s_nationkey < n_nationkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join → BroadcastNestedLoopJoin. Bounded build side;
+    at scale, bucketize the range key into an equi-join prefilter instead."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s.s_nationkey < n.n_nationkey).select(
+        "s_suppkey", "n_nationkey"
+    )
+
+
+@query(
+    "join_broadcast_hint",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join (tests assert BroadcastHashJoin in the
+    physical plan) — the fact side never shuffles."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_asof_time",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, tag,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+      FROM u
+    )
+    SELECT event_id, asof_click_id FROM m WHERE tag = 1
+    """,
+)
+def join_asof_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every non-click event, the most recent prior-or-equal
+    'click' event of the same user.
+
+    Implemented as union + running ``last(ignorenulls)`` window — one shuffle
+    on the key, O(n log n) per key. The naive formulation (inequality join +
+    max) is a per-key cross product; this shape survives 100 TB. Ties at the
+    same timestamp are broken deterministically (clicks first, then id).
+    """
+    ev = load(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "asof_click_id")
+    )

@@ -1,0 +1,87 @@
+"""Fixture table loading + deterministic-comparison helpers.
+
+The driver compares every query against a DuckDB oracle by row-count,
+schema, and order-insensitive value-hash (``__spark_entry__.py`` docstring).
+Floating-point aggregation order differs between engines, so any SUM/AVG of
+doubles must be made bit-deterministic. The pattern used engine-wide:
+
+    round(x * 10^s) -> bigint -> exact integer SUM -> / 10.0^s
+
+Both engines compute ``x * 10^s`` on identical IEEE-754 doubles (same bits),
+round a value that is never near a .5 boundary (the fixtures carry <= 4
+decimal digits), sum exactly in int64, and perform one identical final
+division. Helpers below encode that pattern for the Spark side; oracle SQL
+mirrors it textually.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (columnar parquet scan; Catalyst prunes
+    columns/filters — the vectorized equivalent of the reference's
+    row-at-a-time SerDe reader, HiveFilePartitionReaderFactory.scala:57-64).
+
+    ``events.ts`` is stored as INT64 TIMESTAMP(NANOS); Spark timestamps are
+    µs, so it arrives as a nanosecond long (``nanosAsLong`` conf) and is
+    floored to µs here — the same truncation DuckDB applies, keeping oracle
+    comparisons exact. Integer division (``DIV``) is deliberate: ns epochs
+    (~1.7e18) exceed double's exact-integer range.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql queries)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-insensitive-deterministic SUM of a double column.
+
+    Exact int64 arithmetic; value equals SUM(round(x, scale)) as double.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * F.lit(10**scale)).cast("long")) / F.lit(float(10**scale))
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Deterministic AVG: exact integer sum divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = F.round(c * F.lit(10**scale)).cast("long")
+    return F.sum(scaled) / (F.count(scaled) * F.lit(float(10**scale)))
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """DuckDB oracle text mirroring :func:`dsum`."""
+    return f"SUM(CAST(round(({expr}) * {10**scale}) AS BIGINT)) / {float(10**scale)}"
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    """DuckDB oracle text mirroring :func:`davg`."""
+    scaled = f"CAST(round(({expr}) * {10**scale}) AS BIGINT)"
+    return f"SUM({scaled}) / (COUNT({scaled}) * {float(10**scale)})"
