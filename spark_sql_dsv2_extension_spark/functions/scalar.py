@@ -1,1 +1,296 @@
-"""stub — filled in by build plan."""
+"""Scalar function families (SURVEY §2B "Scalar functions").
+
+One query key per family, each exercising several functions in one
+projection. All are JVM-side, codegen'd expressions (never Python UDFs) —
+at 100 TB these run inside WholeStageCodegen at scan speed.
+
+Dialect notes baked into the oracles (verified against DuckDB 1.x):
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all; ``log`` is base-10 (Spark's natural log ↔ ``ln``).
+- DuckDB double→int CAST rounds, Spark truncates — casts below only go
+  through values where both agree (integral doubles) or use floor/round
+  explicitly.
+- Epoch seconds: Spark ``unix_timestamp`` floors; DuckDB ``epoch`` keeps
+  fractions → ``CAST(floor(epoch(ts)) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, '|', c_mktsegment) AS tagged,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS lo,
+           CAST(length(c_name) AS INT) AS name_len,
+           substring(c_name, 1, 8) AS prefix,
+           trim('  pad  ') AS trimmed,
+           replace(c_mktsegment, 'U', '_') AS replaced,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_padded,
+           string_split(c_name, '#')[1] AS name_head
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/substring/upper/lower/trim/length/replace/lpad/split."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("tagged"),
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.replace(F.col("c_mktsegment"), F.lit("U"), F.lit("_")).alias("replaced"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nat_padded"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_head"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_type, '^(PROMO|ECONOMY)$') AS is_cheap_tier
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace (replace-all) / rlike."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_type").rlike("^(PROMO|ECONOMY)$").alias("is_cheap_tier"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day, date_add, datediff, date_trunc, formatting, epoch."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity / 7.0, 2) AS qty_sevenths,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+           ((CAST(l_orderkey AS INT) % 7) + 7) % 7 AS key_mod,
+           power(l_quantity, 2.0) AS qty_sq,
+           sqrt(l_extendedprice) AS price_root,
+           round(ln(l_extendedprice), 4) AS price_ln,
+           CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/pmod/pow/sqrt/log/sign — all bit-deterministic
+    per-row (quantity/7 never lands on a representable .5 boundary)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") / 7.0, 2).alias("qty_sevenths"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k_floor"),
+        F.pmod(F.col("l_orderkey").cast("int"), F.lit(7)).alias("key_mod"),
+        F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_root"),
+        # libm natural-log differs by ~1 ulp between JVM and DuckDB —
+        # rounded to 4 decimals so the comparison is implementation-proof.
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000.0 THEN 'big'
+                WHEN o_totalprice > 100000.0 THEN 'mid'
+                ELSE 'small' END AS size_tier,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           greatest(o_totalprice, 150000.0) AS price_floor150k,
+           least(o_totalprice, 150000.0) AS price_cap150k
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / greatest / least."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000.0, "big")
+        .when(F.col("o_totalprice") > 100000.0, "mid")
+        .otherwise("small")
+        .alias("size_tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("price_floor150k"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("price_cap150k"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS INT) AS qty_int,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+           CAST(CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS VARCHAR) AS ship_day
+    FROM lineitem
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across int/double/string/decimal/date. double→int only on
+    integral doubles (DuckDB rounds, Spark truncates — they agree only
+    there); double→string goes through DECIMAL so both engines format
+    identically."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_dec_str"),
+        F.to_date(F.date_format("l_shipdate", "yyyy-MM-dd")).cast("string").alias("ship_day"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT p_partkey,
+           [p_brand, p_type] AS tags,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           list_contains(string_split(p_name, ' '), 'green') AS has_green,
+           list_sort(string_split(p_name, ' ')) AS sorted_words,
+           string_split(p_name, ' ')[1:2] AS first_two
+    FROM part
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array literal, size, array_contains, sort_array, slice."""
+    p = load(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array(F.col("p_brand"), F.col("p_type")).alias("tags"),
+        F.size(words).cast("int").alias("n_words"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.sort_array(words).alias("sorted_words"),
+        F.slice(words, 1, 2).alias("first_two"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    WHERE p_size <= 5
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (lateral array unnest) — the row-generating array op."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT o_orderkey,
+           ['price', 'status_len'] AS mkeys,
+           [o_totalprice, CAST(length(o_orderstatus) AS DOUBLE)] AS mvals,
+           o_totalprice AS price_val
+    FROM orders
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access, projected to sorted key/value arrays
+    (SURVEY flags DuckDB's map hashing as dialect-divergent; arrays make the
+    comparison exact instead of dropping to rows-only)."""
+    o = load(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("price"),
+        F.col("o_totalprice"),
+        F.lit("status_len"),
+        F.length("o_orderstatus").cast("double"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, "price").alias("price_val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object + typed extraction from the events.props JSON column."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )

@@ -1,1 +1,266 @@
-"""stub — filled in by build plan."""
+"""Aggregation operators (SURVEY §2B "Aggregations").
+
+All keys are hash aggregates with map-side partial aggregation (Spark plans
+``HashAggregate(partial) → shuffle on keys → HashAggregate(final)``), so the
+shuffle carries one row per (partition, group), not per input row — the shape
+that survives 100 TB. Double sums use the integer-scaled pattern from
+``tables.dsum`` for oracle determinism; at true 100 TB scale the same
+aggregates would instead use ``decimal(38, s)`` accumulators (int64 scaled
+sums overflow past ~9e18/10^s).
+
+The reference delegates all aggregation to Catalyst (SURVEY §0); its own
+aggregate-adjacent machinery is only table-size stats (CatalogUtil.scala:13-48),
+covered by the catalog module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import davg, dsum, load, sql_davg, sql_dsum
+
+
+@query(
+    "agg_hash_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", 0)} AS sum_qty,
+           {sql_dsum("l_extendedprice", 2)} AS sum_base_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+           {sql_davg("l_quantity", 0)} AS avg_qty,
+           {sql_davg("l_extendedprice", 2)} AS avg_price,
+           {sql_davg("l_discount", 2)} AS avg_disc,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped sum/avg/min/max/count over the fact table."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 0).alias("sum_qty"),
+        dsum("l_extendedprice", 2).alias("sum_base_price"),
+        dsum(disc, 4).alias("sum_disc_price"),
+        dsum(disc * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+        davg("l_quantity", 0).alias("avg_qty"),
+        davg("l_extendedprice", 2).alias("avg_price"),
+        davg("l_discount", 2).alias("avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT {sql_dsum("o_totalprice", 2)} AS total_revenue,
+           {sql_davg("o_totalprice", 2)} AS avg_order,
+           min(o_totalprice) AS min_order,
+           max(o_totalprice) AS max_order,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-group (global) aggregate — one partial row per partition, then a
+    single-row final stage."""
+    return load(spark, sf_dir, "orders").agg(
+        dsum("o_totalprice", 2).alias("total_revenue"),
+        davg("o_totalprice", 2).alias("avg_order"),
+        F.min("o_totalprice").alias("min_order"),
+        F.max("o_totalprice").alias("max_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (Catalyst expands to a two-level aggregate —
+    distinct keys are shuffled once, never collected)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates in one query (Catalyst plans an Expand —
+    one shuffle per distinct set, fan-out bounded by #distinct clauses)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", 2)} AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — runs after the final aggregate,
+    never rescans the input."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", 0)} AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; ``grouping()`` disambiguates rollup NULLs from
+    data NULLs."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 0).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_extendedprice", 2)} AS sum_price,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations (2^k expansion happens in the Expand node —
+    input is read once)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_extendedprice", 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dsum("o_totalprice", 2)} AS spend,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (same Expand-based plan as rollup/cube)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {sql_dsum("o_totalprice", 2)} AS spend,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (weaker check: sketch differs from DuckDB's).
+
+    The scale path: a fixed-size sketch per group replaces the exact
+    distinct's shuffle of every distinct key — at 100 TB this is the only
+    affordable distinct-count.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation, sorted for determinism (collect_list order is
+    partition-dependent; sort_array makes it canonical)."""
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+    )

@@ -1,1 +1,65 @@
-"""stub — filled in by build plan."""
+"""Subqueries (SURVEY §2B "Subqueries") — Catalyst's decorrelation surface.
+
+Correlated subqueries are rewritten by Catalyst into joins (scalar → left
+outer + aggregate, EXISTS → left semi, IN → left semi with null handling),
+so at 100 TB they cost exactly what the equivalent join costs — these keys
+prove the rewrite produces join-equivalent results.
+
+The SQL text is written in the common dialect subset so the SAME string runs
+on Spark SQL (over temp views) and DuckDB (the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..tables import load, sql_davg
+
+_SCALAR_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (SELECT {sql_davg("o_totalprice", 2)} FROM orders)
+"""
+
+_IN_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) AND o_orderstatus = 'O'
+"""
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+)
+"""
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str, names: tuple[str, ...]) -> DataFrame:
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
+@query("subq_scalar", oracle=_SCALAR_SQL)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in WHERE (uncorrelated → broadcast of one value).
+    The threshold uses the deterministic avg so both engines agree bit-exactly."""
+    return _run(spark, sf_dir, _SCALAR_SQL, ("orders",))
+
+
+@query("subq_in", oracle=_IN_SQL)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → left semi join after decorrelation."""
+    return _run(spark, sf_dir, _IN_SQL, ("orders", "customer"))
+
+
+@query("subq_exists_correlated", oracle=_EXISTS_SQL)
+def subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → left semi join on the correlation key."""
+    return _run(spark, sf_dir, _EXISTS_SQL, ("orders", "customer"))

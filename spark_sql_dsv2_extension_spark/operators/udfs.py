@@ -1,1 +1,147 @@
-"""stub — filled in by build plan."""
+"""UDF / UDAF / UDTF surface (SURVEY §2B "UDF / UDAF / UDTF").
+
+The reference has no UDF surface of its own (SURVEY §2A coverage notes);
+this is the PySpark-native extension point. Performance ladder, which these
+keys demonstrate in order:
+
+1. ``udf_python_scalar`` — row-at-a-time Python UDF: per-row pickle
+   round-trip, the SLOW path; present for API completeness only.
+2. ``udf_pandas_scalar`` — Arrow-vectorized Pandas UDF: ~10-100× faster,
+   the correct Python hot path at 100 TB.
+3. ``udaf_pandas_grouped`` — GROUPED_AGG Pandas UDF: whole group as a
+   Series; group cardinality must fit executor memory per key.
+4. ``udtf_python`` — Spark 4 Python UDTF (table function).
+
+Oracles re-express the Python logic in SQL, proving the UDF results equal
+the declarative equivalent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0 THEN 'A'
+                WHEN o_totalprice >= 100000.0 THEN 'B'
+                ELSE 'C' END AS bracket
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (deliberately the slow path — each row
+    crosses the JVM↔Python boundary individually)."""
+
+    @F.udf(T.StringType())
+    def bracket(price: float) -> str:
+        if price >= 300000.0:
+            return "A"
+        if price >= 100000.0:
+            return "B"
+        return "C"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", bracket("o_totalprice").alias("bracket"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge_vec
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Pandas UDF — whole columns cross the boundary as Arrow
+    buffers; numpy does the arithmetic (bit-identical to the SQL oracle
+    because IEEE-754 double ops are per-element)."""
+
+    @pandas_udf(T.DoubleType())
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge_vec"),
+    )
+
+
+@query(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / (COUNT(*) * 1e2) AS mean_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDAF. The mean is computed on integer cents
+    so the result doesn't depend on the (shuffle-nondeterministic) row order
+    within each group — the same discipline tables.dsum applies engine-wide."""
+
+    @pandas_udf(T.DoubleType())
+    def mean_cents(qty: pd.Series) -> float:
+        cents = (qty * 100).round().astype("int64")
+        return float(cents.sum()) / (len(cents) * 100.0)
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() — the count is a second pandas UDAF.
+    @pandas_udf(T.LongType())
+    def n_rows(qty: pd.Series) -> int:
+        return len(qty)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        mean_cents("l_quantity").alias("mean_qty"),
+        n_rows("l_quantity").alias("n"),
+    )
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT o_orderkey, unnest(['hi', 'lo']) AS half,
+           unnest([o_totalprice * 0.75, o_totalprice * 0.25]) AS amount
+    FROM orders
+    WHERE o_totalprice > 450000.0
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → several output
+    rows with computed columns. Runs per-partition; no driver involvement."""
+
+    @udtf(returnType="half: string, amount: double")
+    class SplitAmount:
+        def eval(self, price: float):
+            yield "hi", price * 0.75
+            yield "lo", price * 0.25
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    # lateral-join the UDTF against each input row via the SQL surface
+    o.createOrReplaceTempView("big_orders")
+    spark.udtf.register("split_amount", SplitAmount)
+    return spark.sql(
+        """
+        SELECT o_orderkey, s.half, s.amount
+        FROM big_orders, LATERAL split_amount(o_totalprice) s
+        """
+    )

@@ -1,1 +1,177 @@
-"""stub — filled in by build plan."""
+"""Window functions (SURVEY §2B "Window functions").
+
+Each window shuffles once on its partition key then sorts within partitions
+— at 100 TB the partition key's cardinality must exceed executor count and
+no single partition may exceed executor memory (skewed keys → pre-aggregate
+or salt). Frame aggregates over doubles use integer-scaled values so the
+result is identical whether the engine evaluates frames incrementally
+(Spark) or with a segment tree (DuckDB).
+
+Every ORDER BY carries a unique tie-break column — row_number/lag/lead over
+a non-total order would be nondeterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "win_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking by position within a total per-partition order."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT) AS rk,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT) AS drk
+    FROM part
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank — gap vs no-gap tie handling (ties are semantic here,
+    so no tie-break needed: equal inputs get equal ranks)."""
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return load(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           lag(o_totalprice, 2, -1.0) OVER w AS prev2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets with and without default values."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+    )
+
+
+@query(
+    "win_running_sum_rows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 1e2 AS running_spend,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_n
+    FROM orders
+    """,
+)
+def win_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running total (integer-scaled so frame evaluation order
+    can't perturb float bits)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_spend"),
+        F.count(F.lit(1)).over(w).cast("long").alias("running_n"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT p_partkey, p_size,
+           SUM(CAST(round(p_retailprice * 100) AS BIGINT)) OVER (
+             ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+           ) / 1e2 AS nearby_price,
+           CAST(count(*) OVER (
+             ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS nearby_n
+    FROM part
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key — the frame is value-defined, so
+    peers (equal p_size) share results and no tie-break is needed."""
+    w = Window.orderBy("p_size").rangeBetween(-5, Window.currentRow)
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("nearby_price"),
+        F.count(F.lit(1)).over(w).cast("long").alias("nearby_n"),
+    )
+
+
+@query(
+    "win_ntile_first_last",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           first_value(c_custkey) OVER w AS top_cust,
+           last_value(c_custkey) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS bottom_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + first/last value; last_value gets the full-partition frame
+    (the default frame ends at CURRENT ROW, which would return each row
+    itself — a classic window pitfall both engines share)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("c_custkey").over(w).alias("top_cust"),
+        F.last("c_custkey").over(w_full).alias("bottom_cust"),
+    )

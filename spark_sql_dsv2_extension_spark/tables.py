@@ -77,11 +77,15 @@ def davg(col: Column | str, scale: int = 2) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB oracle text mirroring :func:`dsum`."""
-    return f"SUM(CAST(round(({expr}) * {10**scale}) AS BIGINT)) / {float(10**scale)}"
+    """SQL text mirroring :func:`dsum` — valid in BOTH DuckDB and Spark SQL.
+
+    ``1e{scale}`` is a double literal in both dialects (a plain ``100.0``
+    would parse as DECIMAL(4,1) in Spark SQL and change the result type).
+    """
+    return f"SUM(CAST(round(({expr}) * {10**scale}) AS BIGINT)) / 1e{scale}"
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
-    """DuckDB oracle text mirroring :func:`davg`."""
+    """SQL text mirroring :func:`davg` (DuckDB- and Spark-SQL-compatible)."""
     scaled = f"CAST(round(({expr}) * {10**scale}) AS BIGINT)"
-    return f"SUM({scaled}) / (COUNT({scaled}) * {float(10**scale)})"
+    return f"SUM({scaled}) / (COUNT({scaled}) * 1e{scale})"
