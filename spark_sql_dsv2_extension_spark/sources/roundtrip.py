@@ -1,1 +1,133 @@
-"""stub — filled in by build plan."""
+"""Write-path round-trip keys (SURVEY §2B "Scans / sources / sinks",
+reference A17-A23).
+
+Each key WRITES through the engine's sink path into a scratch directory,
+reads the result back, and returns the read-back DataFrame; the oracle is
+plain SQL over the original table — so a value surviving the round trip
+proves both the writer and the reader. This is the same proof shape the
+reference's write path would get from INSERT-then-SELECT on a live Hive
+cluster (it shipped with zero tests, SURVEY §5).
+
+Scale notes: the partitioned writes here are exactly the 100 TB layout —
+``partitionBy`` on a low-cardinality column gives partition pruning on read
+(A16 equivalent), and dynamic overwrite replaces only the partitions that
+receive rows (A18/A19/A23 — Spark's committer does the staging-dir dance
+natively).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+def _scratch(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"engine_{tag}_")
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → schema'd read-back (reference A22 CsvProviderFileWriteBuilder;
+    atomic types only, matching its validator CsvProviderFileWriteBuilder.scala:47-51).
+    Doubles survive because Spark writes shortest-round-trip decimal text."""
+    out = os.path.join(_scratch("csv"), "customer")
+    (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out)
+    )
+    return spark.read.schema(
+        "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, c_acctbal DOUBLE"
+    ).option("header", "true").csv(out)
+
+
+@query(
+    "scan_json",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           json_extract_string(props, '$.k') AS k
+    FROM events
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON write → schema'd read-back (reference A22 JsonProviderFileWriteBuilder;
+    nested types allowed per its validator — the struct column exercises that)."""
+    out = os.path.join(_scratch("json"), "events")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.struct(F.get_json_object("props", "$.k").alias("k")).alias("payload"),
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, "
+        "payload STRUCT<k: STRING>"
+    ).json(out)
+    return back.select(
+        "event_id", "user_id", "event_type", "value", F.col("payload.k").alias("k")
+    )
+
+
+@query(
+    "scan_partition_prune",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write then partition-pruned read (reference A16: the HMS
+    prunes partitions server-side; here the directory layout prunes — the
+    plan's PartitionFilters skip non-matching dirs without listing files)."""
+    out = os.path.join(_scratch("prune"), "lineitem")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+
+
+@query(
+    "sink_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2 ELSE o_totalprice END
+             AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    """,
+)
+def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (A18/A19/A23): write all partitions, then
+    overwrite ONLY the 'O' partition with doubled prices. The read-back
+    equals base data for untouched partitions + patched data for 'O' —
+    exactly the reference's two-phase commit semantics, minus the metastore."""
+    out = os.path.join(_scratch("dyn"), "orders")
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    patch = base.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    # partitionOverwriteMode=dynamic is set session-wide (session.py)
+    patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return spark.read.parquet(out)
