@@ -1,1 +1,250 @@
-"""stub — filled in by build plan."""
+"""Structured Streaming operators (SURVEY §2B "Streaming").
+
+The reference explicitly has NO streaming capabilities (V2Table.scala:45-47
+lists batch-only); this module is the engine's extension of the same tables
+to streams, per the north star. Every key drives a real streaming query —
+file-stream source over the events table, ``availableNow`` trigger, memory
+sink — and returns the sink contents as a DataFrame.
+
+Event-time mechanics under test:
+- tumbling/sliding windows (complete mode — no watermark needed, oracle is
+  epoch-floor bucketing),
+- session windows + watermark (append mode; a far-future SENTINEL file is
+  appended to the scratch source dir so the watermark passes every real
+  session and append mode emits them — the standard "flush" idiom for
+  bounded replays of unbounded operators),
+- streaming dedup keyed by (user_id, event_type) (exact oracle: the emitted
+  key-set is DISTINCT regardless of which arrival wins).
+
+Scale posture: all state here is keyed and bounded by watermark — the same
+code runs against a Kafka source on a 1000-executor cluster; state store
+size is (#keys in watermark horizon), never (#events).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table_path
+
+_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+SENTINEL_USER = -1
+
+
+def _stream_source(spark: SparkSession, sf_dir: str, with_sentinel: bool = False):
+    """Copy the events file into a scratch dir (file-stream sources read
+    directories) and open it as a stream; ts arrives as ns-long and is
+    floored to a µs timestamp exactly like the batch path (tables.load)."""
+    src_dir = tempfile.mkdtemp(prefix="engine_stream_")
+    shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
+    if with_sentinel:
+        # one far-future row: advances the watermark past all real data so
+        # append-mode emits every real session/window before the query stops
+        batch = spark.read.schema(_RAW_SCHEMA).parquet(src_dir)
+        max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        spark.createDataFrame(
+            [(-1, max_ts + 10**15, SENTINEL_USER, "sentinel", 0.0, "{}")],
+            _RAW_SCHEMA,
+        ).write.mode("append").parquet(src_dir)
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def _run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    name = "sink_" + uuid.uuid4().hex
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT (epoch_us(ts) // 300000000) * 300 AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(round(value * 10000) AS BIGINT)) / 1e4 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window count/sum, run as a real streaming query and
+    compared to batch epoch-floor bucketing (streaming/batch consistency —
+    the core Structured Streaming guarantee)."""
+    ev = _stream_source(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 10000).cast("long")) / F.lit(1e4)).alias(
+            "total_value"
+        ),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    WITH buckets AS (
+      SELECT user_id, value,
+             unnest([
+               (epoch_us(ts) // 300000000) * 300,
+               (epoch_us(ts) // 300000000) * 300 - 300
+             ]) AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(round(value * 10000) AS BIGINT)) / 1e4 AS total_value
+    FROM buckets
+    GROUP BY 1
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide) — every event lands in
+    exactly two windows; the oracle enumerates both buckets per row."""
+    ev = _stream_source(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "10 minutes", "5 minutes")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 10000).cast("long")) / F.lit(1e4)).alias(
+            "total_value"
+        ),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= 300000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           (epoch_us(min(ts)) // 1000000) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5-minute gap) per user, emitted in append
+    mode once the watermark passes them (sentinel flush guarantees that for
+    the bounded replay). Oracle = classic gaps-and-islands SQL."""
+    ev = _stream_source(spark, sf_dir, with_sentinel=True)
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_table(agg, "append")
+    return out.filter(F.col("user_id") != SENTINEL_USER).select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) under a watermark.
+    Which arrival wins is arrival-order-dependent, so only the KEY columns
+    are projected — that set is deterministic and exactly DISTINCT."""
+    ev = _stream_source(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "10 minutes").dropDuplicates(["user_id", "event_type"])
+    out = _run_to_table(dedup, "append")
+    return out.select("user_id", "event_type")
+
+
+@query("stream_watermark_late_drop", oracle=None)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven late-data drop (weaker/rows-only per SURVEY §2B —
+    semantics depend on arrival order by design).
+
+    The scratch source is split into two files processed as separate
+    micro-batches (maxFilesPerTrigger=1): batch 1 is the NEWEST half of the
+    data and pushes the watermark high; batch 2 replays the OLDEST half,
+    which now arrives later than watermark − delay and must be dropped from
+    the aggregation state. The result therefore under-counts the batch
+    equivalent — proving drops actually happen."""
+    src_dir = tempfile.mkdtemp(prefix="engine_late_")
+    batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
+    med = batch.approxQuantile("ts", [0.5], 0.0)[0]
+    newest = batch.filter(F.col("ts") >= med)
+    oldest = batch.filter(F.col("ts") < med)
+    newest.coalesce(1).write.parquet(os.path.join(src_dir, "f1"))
+    oldest.coalesce(1).write.parquet(os.path.join(src_dir, "f2"))
+    # file source orders batches by modification time: f1 first
+    os.utime(_one_file(src_dir, "f1"), (1_000_000, 1_000_000))
+    os.utime(_one_file(src_dir, "f2"), (2_000_000, 2_000_000))
+
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(agg, "update")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"), "n"
+    )
+
+
+def _one_file(root: str, sub: str) -> str:
+    d = os.path.join(root, sub)
+    return next(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
