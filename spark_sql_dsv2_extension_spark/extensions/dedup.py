@@ -1,1 +1,317 @@
-"""stub — filled in by build plan."""
+"""Deduplication operators (SURVEY §2C; north-star LLM-pipeline surface).
+
+Four dedup families over the ``documents`` table, in increasing
+sophistication. Scale posture is the whole point here:
+
+- **exact** — one hash-groupBy shuffle; at 100 TB this is the cheapest
+  possible dedup (shuffle carries (hash, doc_id), never the text).
+- **MinHash + LSH** — the production near-dup path: O(n · shingles · k)
+  signature computation, candidates from band-bucket equi-joins (shuffle on
+  band signature), exact-Jaccard verification ONLY on candidates. Never a
+  cross join. 128 hashes / 32 bands of 4 ⇒ P(catch | J=0.8) ≈ 1−5e-8,
+  so the exact-Jaccard oracle at threshold 0.8 agrees with the LSH output
+  up to negligible probability.
+- **n-gram Jaccard** — the brute-force baseline (pairs sharing a shingle);
+  correct at any sf, quadratic in collisions — the thing LSH replaces.
+- **SimHash** — 64-bit signed-projection sketch; hamming-≤3 pairs found by
+  pigeonhole over 4 16-bit chunks (band equi-join again). Spark's xxhash64
+  isn't reproducible in DuckDB, so this key is rows-only (SURVEY flags it
+  weaker).
+
+Fixture note: documents' near-dups sit at Jaccard ≥ 0.9 (one pair ~0.79;
+everything unrelated < 0.3 — measured), so the 0.8 threshold has a wide
+margin on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+N_HASHES = 128
+N_BANDS = 32  # rows per band r = 4
+JACCARD_THRESHOLD = 0.8
+
+
+@query(
+    "ext_exact_dedup",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS content_hash,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_doc_id,
+           doc_id > min(doc_id) OVER (PARTITION BY sha256(text)) AS is_duplicate
+    FROM documents
+    """,
+)
+def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: every doc is assigned its group's
+    deterministic keeper (min doc_id); ``is_duplicate`` marks the rows a
+    pipeline would drop. One shuffle of (hash, id) pairs — at 100 TB the
+    text itself never moves, only 32-byte hashes."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .withColumn("keeper_doc_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") > F.col("keeper_doc_id"))
+    )
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with distinct word n-grams per document."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("w")[i],
+                        F.col("w")[i + 1],
+                        F.col("w")[i + 2],
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_EXACT_JACCARD_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE i * 1.0 / (s1.n + s2.n - i) >= {{thr}}
+"""
+
+
+@query(
+    "ext_near_dedup_minhash",
+    oracle=_EXACT_JACCARD_SQL.format(thr=JACCARD_THRESHOLD),
+)
+def ext_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
+
+    Pipeline (all DataFrame ops, shuffle only on band signatures and
+    candidate keys):
+      1. distinct 3-word shingles per doc;
+      2. 128 minhashes per doc: min over shingles of xxhash64(i ⊕ shingle);
+      3. 32 bands × 4 rows; band signature = hash of the 4 minhashes;
+      4. candidates = docs sharing any (band, signature) bucket;
+      5. exact Jaccard on candidates only; keep pairs ≥ 0.8.
+
+    The oracle computes exact Jaccard over ALL pairs sharing a shingle —
+    LSH recall at J ≥ 0.8 is 1 − (1 − 0.8⁴)³² ≈ 1 − 5e-8, so outputs agree.
+    At 100 TB only this LSH path survives; the oracle's shape is the
+    brute-force baseline (see ext_ngram_jaccard).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+
+    # one row per doc: array of distinct shingles
+    doc_sh = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+
+    # 128 minhashes: for permutation i, min over shingles of xxhash64(i, s)
+    sig = doc_sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.xxhash64(i.cast("string"), s),
+                )
+            ),
+        ).alias("mh"),
+    )
+
+    # 32 bands of 4 minhashes; signature = xxhash64 of the band's values
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.xxhash64(F.slice(F.col("mh"), b * 4 + 1, 4).cast("string")),
+            )
+        ).alias("band", "band_sig"),
+    )
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
+        .distinct()
+    )
+
+    # exact verification on candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        candidates.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("d2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    jac = (
+        inter.join(n1, F.col("d1") == F.col("n1.doc_id"))
+        .join(n2, F.col("d2") == F.col("n2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") * 1.0 / (F.col("n1.n") + F.col("n2.n") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query(
+    "ext_ngram_jaccard",
+    oracle=_EXACT_JACCARD_SQL.format(thr=0.5),
+)
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram Jaccard near-dup pairs (threshold 0.5) — the exact
+    baseline MinHash approximates. Cost is quadratic in docs sharing a
+    shingle; correct at any sf, affordable only below ~1e6 docs. Kept as the
+    reference implementation and small-sf verifier for the LSH path."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    return (
+        inter.join(n1, F.col("d1") == F.col("n1.doc_id"))
+        .join(n2, F.col("d2") == F.col("n2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") * 1.0 / (F.col("n1.n") + F.col("n2.n") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query("ext_near_dedup_simhash", oracle=None)
+def ext_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (weaker/rows-only: Spark's xxhash64 has
+    no DuckDB equivalent, so the sketch isn't SQL-reproducible).
+
+    64-bit SimHash per doc: bit i is the sign of Σ over tokens of
+    (±1 by token-hash bit i). Pairs within hamming distance ≤ 3 are found
+    via pigeonhole banding: split the 64 bits into 4 chunks of 16 — any pair
+    at distance ≤ 3 agrees exactly on ≥ 1 chunk, so candidates come from a
+    chunk equi-join (one shuffle), then the true hamming distance filters.
+    Same cost shape as MinHash-LSH: linear sketch + bucket join, no cross
+    product — the 100 TB path for token-frequency-weighted near-dup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+
+    # per doc: for each of 64 bits, sum of +1/-1; bit set iff sum > 0
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                # shiftleft keeps bit 63 in long range (1 << 63 overflows a literal)
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            (
+                F.when(
+                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            for i in range(64)
+        ).alias("simhash"),
+    )
+
+    # 4 chunks of 16 bits → pigeonhole candidates for hamming <= 3
+    chunks = simhash.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("d1"),
+            F.col("r.doc_id").alias("d2"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.select("d1", "d2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )

@@ -1,1 +1,144 @@
-"""stub — filled in by build plan."""
+"""Multimodal column operators (SURVEY §2C; north-star LLM-pipeline surface).
+
+Multimodal data in a Spark pipeline = opaque ``binary`` payload columns +
+typed metadata structs, processed by Arrow-batched Python (``mapInPandas``)
+because media codecs live in Python libraries, not in Catalyst. This module
+makes all the Spark-side plumbing real — schema, batch iteration,
+partitioning, struct propagation — and stubs ONLY the codec call, exactly
+as the task prescribes (image/audio libs are not in this container):
+
+- ``ext_multimodal_struct`` — a struct{text, meta{lang, source, n_chars},
+  embedding} column assembled from documents ⋈ embeddings and carried
+  through filter/aggregate (exact oracle: the struct is projected back to
+  scalar columns for comparison).
+- ``ext_multimodal_decode`` — binary payloads "decoded" by a deterministic
+  stub feature-extractor over ``mapInPandas``. The stub stands in for e.g.
+  PIL/librosa; swap ``_decode_stub`` for a real codec and NOTHING else
+  changes. Exact oracle: the stub's features are arithmetic on bytes that
+  DuckDB can reproduce.
+
+Scale notes: payloads stay columnar Arrow end-to-end; ``mapInPandas``
+streams batches (never materializes a partition); decode parallelism =
+partition count, so a 100 TB media table is repartitioned to
+(cluster cores × small factor) before decode; metadata-only queries never
+touch the payload column thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "ext_multimodal_struct",
+    oracle="""
+    SELECT d.doc_id,
+           d.text AS doc_text,
+           d.lang AS meta_lang,
+           d.source AS meta_source,
+           CAST(d.n_chars AS BIGINT) AS meta_n_chars,
+           CAST(len(e.embedding) AS INT) AS emb_dim
+    FROM documents d JOIN read_parquet AS e ON d.doc_id = e.vec_id
+    """.replace("read_parquet", "embeddings"),
+)
+def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record = struct{text, meta{...}, embedding} assembled,
+    carried through a filterless pipeline, then projected back to scalars
+    (nested access ``rec.meta.lang``) — proving struct columns survive
+    joins/shuffles losslessly. The oracle sees the flat projection."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    rec = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("text"),
+                F.struct(
+                    F.col("lang"), F.col("source"), F.col("n_chars")
+                ).alias("meta"),
+                F.col("embedding"),
+            ).alias("rec"),
+        )
+    )
+    return rec.select(
+        "doc_id",
+        F.col("rec.text").alias("doc_text"),
+        F.col("rec.meta.lang").alias("meta_lang"),
+        F.col("rec.meta.source").alias("meta_source"),
+        F.col("rec.meta.n_chars").alias("meta_n_chars"),
+        F.size("rec.embedding").cast("int").alias("emb_dim"),
+    )
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Deterministic stand-in for a media codec (PIL.Image.open /
+    librosa.load — not available in this container).
+
+    A real deployment replaces this function body with the codec call and
+    keeps the signature; the Spark plumbing (Arrow batches, schema,
+    partitioning) is identical. Raises on empty payloads the way a codec
+    raises on corrupt media.
+    """
+    if not payload:
+        raise NotImplementedError("real codec required for empty/corrupt payloads")
+    return {
+        "n_bytes": len(payload),
+        "checksum": sum(payload) % 65536,
+        "fake_width": payload[0] % 64 + 1,
+        "fake_height": payload[-1] % 64 + 1,
+    }
+
+
+# decode oracle: the stub's features are byte arithmetic DuckDB reproduces
+# from the source text (ASCII corpus: len == octet_length, ascii == byte)
+_DECODE_ORACLE = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(
+                  range(1, length(text) + 1),
+                  i -> ascii(substring(text, CAST(i AS INT), 1)))) % 65536
+                AS BIGINT) AS checksum,
+           CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INT) AS fake_width,
+           CAST(ascii(substring(text, length(text), 1)) % 64 + 1 AS INT) AS fake_height
+    FROM documents
+"""
+
+
+@query("ext_multimodal_decode", oracle=_DECODE_ORACLE)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload feature extraction over Arrow-batched mapInPandas,
+    with the codec stubbed deterministically (see _decode_stub)."""
+    docs = load(spark, sf_dir, "documents")
+    # payload: binary column (here derived from text; in production this IS
+    # the image/audio bytes read from object storage)
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    ).repartition(8, "doc_id")  # decode parallelism knob
+
+    out_schema = (
+        "doc_id BIGINT, n_bytes BIGINT, checksum BIGINT, "
+        "fake_width INT, fake_height INT"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "checksum": [f["checksum"] for f in feats],
+                    "fake_width": [f["fake_width"] for f in feats],
+                    "fake_height": [f["fake_height"] for f in feats],
+                }
+            )
+
+    return with_payload.mapInPandas(decode_batches, out_schema)

@@ -1,1 +1,209 @@
-"""stub — filled in by build plan."""
+"""Embedding similarity search (SURVEY §2C; north-star LLM-pipeline surface).
+
+Operators over the ``embeddings`` table (64-dim float vectors):
+
+- ``ext_knn_cosine`` — brute-force top-k cosine: the exact baseline. The
+  query set is broadcast; the corpus streams once; per-row top-k via
+  window. Exact oracle (cosine folds are bit-identical across engines —
+  verified: Spark zip_with/aggregate double fold == DuckDB
+  list_dot_product on DOUBLE[]).
+- ``ext_knn_lsh`` — random-hyperplane LSH ANN: the 100 TB path. Signature =
+  sign bits of projections onto pseudo-random planes derived from xxhash64
+  (not reproducible in DuckDB → rows-only, as SURVEY flags the scale
+  variant).
+- ``ext_embedding_near_dup`` — cosine near-duplicate pairs within
+  label blocks (blocked all-pairs: the blocking key bounds the quadratic
+  term — the standard scale pattern when a natural partition exists).
+
+Scale notes: brute-force kNN is O(|queries| × |corpus|) — fine when the
+query side broadcasts; LSH buckets cut the corpus side to
+O(|corpus| / 2^bits) per query at the cost of recall; IVF (k-means
+routing) would slot in the same join shape with learned centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_PLANES = 6  # 2^6 buckets suits the 500-5000-vector fixtures; scale with corpus
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with a sequential left-to-right double fold (bit-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+               AS cosine_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+"""
+
+
+@query("ext_knn_cosine", oracle=_KNN_ORACLE)
+def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: each query vector (broadcast) against the
+    full corpus, ranked per query with deterministic tie-break."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@query("ext_knn_lsh", oracle=None)
+def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via random-hyperplane LSH (rows-only check: the plane
+    derivation uses Spark's xxhash64).
+
+    Plane p's component j is a deterministic pseudo-random value in
+    [-0.5, 0.5) derived from xxhash64(p, j) — reproducible across runs and
+    executors with no driver-side randomness. Signature = N_PLANES sign
+    bits; candidates share the full signature bucket; top-k ranks candidates
+    by exact cosine. At 100 TB the bucket join replaces the corpus scan per
+    query with ~|corpus|/2^N_PLANES candidates (recall tunable via
+    multi-probe / more hash tables; plane count scales with corpus size)."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def projection(vec: Column, p: Column) -> Column:
+        # Σ_j vec[j] * plane(p, j); plane components are pseudo-random in
+        # [-0.5, 0.5) derived from xxhash64(p, j)
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, j: x.cast("double")
+                * (
+                    F.pmod(
+                        F.xxhash64(p.cast("string"), j.cast("string")), F.lit(10**6)
+                    ).cast("double")
+                    / F.lit(1e6)
+                    - F.lit(0.5)
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    def signature(vec: Column) -> Column:
+        # fold over planes: acc*2 + sign_bit(projection)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc * 2
+            + F.when(projection(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    sigs = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("sig"))
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
+    )
+    cand = sigs.join(
+        F.broadcast(q),
+        (F.col("sig") == F.col("q_sig")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+_NEAR_DUP_ORACLE = """
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+             AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+"""
+
+
+@query("ext_embedding_near_dup", oracle=_NEAR_DUP_ORACLE)
+def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks.
+
+    Blocking on ``label`` turns the all-pairs O(n²) into Σ O(n_b²) — the
+    standard scale move when a cheap partition key exists (at 100 TB the
+    block would be an LSH bucket instead; same join shape)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.35)
+    )

@@ -1,1 +1,305 @@
-"""stub — filled in by build plan."""
+"""Text analysis operators (SURVEY §2C; north-star LLM-pipeline surface).
+
+All keys run over the ``documents`` table as pure JVM-side expressions
+(split/regexp/aggregate lambdas — zero Python UDFs), so at 100 TB they
+execute inside WholeStageCodegen at scan throughput. Each is a standard
+training-data-pipeline stage:
+
+- ``ext_text_stats``     — corpus profile per (lang, source)
+- ``ext_token_count``    — whitespace + regex ("BPE-ish") token counts
+- ``ext_quality_score``  — length/punctuation/stopword heuristics
+- ``ext_langid``         — marker-token language ID (n-gram heuristic)
+- ``ext_tfidf_topterms`` — TF-IDF top terms per document
+- ``ext_fingerprint``    — rolling-hash document fingerprint (Rabin-Karp
+  over 8-char grams, min-sampled — winnowing's core)
+
+Every key has an exact DuckDB oracle: the heuristics are integer/ratio
+arithmetic, and the fingerprint uses explicit polynomial hashing (not an
+engine hash) so both engines compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# tiny per-language marker vocabularies for the lang-ID heuristic
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "und", "die", "ist", "das"),
+    "fr": ("le", "et", "la", "est", "les"),
+    "es": ("el", "y", "la", "es", "los"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+_STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
+
+
+@query(
+    "ext_text_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_len_consistent
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): doc/token/char counts, and a
+    cross-check that the precomputed n_chars column equals length(text)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(
+            F.when(F.length("text").cast("long") == F.col("n_chars"), 1).otherwise(0)
+        ).cast("long").alias("n_len_consistent"),
+    )
+
+
+@query(
+    "ext_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split, and a BPE-ish regex
+    (alpha runs | digit runs | single punctuation) — the usual cheap proxy
+    for tokenizer budgeting before the real tokenizer runs."""
+    docs = load(spark, sf_dir, "documents")
+    bpe_re = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        # idx=0 = whole match (Spark defaults to group 1; DuckDB to 0)
+        F.size(F.regexp_extract_all("text", F.lit(bpe_re), 0)).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "ext_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             length(text) AS n_char,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                             w -> list_contains({list(_STOPWORDS)!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           n_tok * 1.0 / n_char AS tok_density,
+           n_stop * 1.0 / n_tok AS stopword_ratio,
+           CASE WHEN n_char >= 100 AND n_char <= 2000
+                     AND n_stop * 1.0 / n_tok >= 0.05 THEN 1 ELSE 0 END AS quality_pass
+    FROM feats
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token density, stopword ratio, and a
+    pass/fail gate (length window + minimum stopword ratio) — the shape of
+    a Gopher/C4-style quality filter, as exact integer/ratio arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_char"),
+        F.size(words).alias("n_tok"),
+        n_stop.alias("n_stop"),
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        (F.col("n_tok") * 1.0 / F.col("n_char")).alias("tok_density"),
+        (F.col("n_stop") * 1.0 / F.col("n_tok")).alias("stopword_ratio"),
+        F.when(
+            (F.col("n_char") >= 100)
+            & (F.col("n_char") <= 2000)
+            & (F.col("n_stop") * 1.0 / F.col("n_tok") >= 0.05),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+def _marker_count_sql(lang: str) -> str:
+    toks = list(_LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> list_contains({toks!r}, w)))"
+    )
+
+
+@query(
+    "ext_langid",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_marker_count_sql('en')} AS s_en,
+             {_marker_count_sql('de')} AS s_de,
+             {_marker_count_sql('fr')} AS s_fr,
+             {_marker_count_sql('es')} AS s_es,
+             {_marker_count_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang
+    FROM scores
+    """,
+)
+def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score each language by occurrences of its
+    top stopwords, argmax with a fixed precedence order for ties, 'und'
+    when no marker hits (the fixture corpus is synthetic shared-vocabulary
+    text, so 'und'/'en' dominate — the operator contract is the
+    deterministic heuristic, not fixture accuracy)."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def score(lang: str) -> Column:
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+        score("es").alias("s_es"),
+        score("zh").alias("s_zh"),
+    )
+    others = lambda *cols: F.greatest(*[F.col(c) for c in cols])  # noqa: E731
+    pred = (
+        F.when(F.greatest("s_en", "s_de", "s_fr", "s_es", "s_zh") == 0, "und")
+        .when(F.col("s_en") >= others("s_de", "s_fr", "s_es", "s_zh"), "en")
+        .when(F.col("s_de") >= others("s_fr", "s_es", "s_zh"), "de")
+        .when(F.col("s_fr") >= others("s_es", "s_zh"), "fr")
+        .when(F.col("s_es") >= F.col("s_zh"), "es")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "actual_lang", pred.alias("pred_lang"))
+
+
+@query(
+    "ext_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document in pure DataFrame ops: explode →
+    term frequencies → doc frequencies (one small aggregate, broadcast
+    back) → smoothed idf → per-doc top-k window. The idf is rounded to 6
+    decimals because JVM and DuckDB ``ln`` differ by 1 ulp."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension, embedded as a literal
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+_MOD = 2_147_483_647  # 2^31 - 1; fold stays far inside int64
+_BASE = 131
+_GRAM = 8
+
+
+@query(
+    "ext_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(length(text) - {_GRAM} + 2, 2)),
+             p -> list_reduce(
+                    list_prepend(CAST(7 AS BIGINT),
+                      list_transform(range(0, {_GRAM}),
+                        k -> CAST(ascii(substring(text, CAST(p + k AS INT), 1)) AS BIGINT))),
+                    (acc, c) -> (acc * {_BASE} + c) % {_MOD})
+           )) AS fingerprint
+    FROM documents
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial (Rabin-Karp) hash of every 8-char
+    gram, min-sampled — the core of MOSS-style winnowing. Explicit modular
+    arithmetic (base 131, mod 2³¹−1) instead of an engine hash so the oracle
+    reproduces it bit-for-bit. All inside one JVM expression tree."""
+    docs = load(spark, sf_dir, "documents")
+
+    def gram_hash(p: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_GRAM - 1)),
+                lambda k: F.ascii(F.col("text").substr(p + k, F.lit(1))).cast("long"),
+            ),
+            F.lit(7).cast("long"),
+            lambda acc, c: (acc * _BASE + c) % _MOD,
+        )
+
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (_GRAM - 1), F.lit(1))
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(positions, gram_hash)).alias("fingerprint"),
+    )
