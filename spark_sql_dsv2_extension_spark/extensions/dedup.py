@@ -8,7 +8,7 @@ sophistication. Scale posture is the whole point here:
 - **MinHash + LSH** — the production near-dup path: O(n · shingles · k)
   signature computation, candidates from band-bucket equi-joins (shuffle on
   band signature), exact-Jaccard verification ONLY on candidates. Never a
-  cross join. 128 hashes / 32 bands of 4 ⇒ P(catch | J=0.8) ≈ 1−5e-8,
+  cross join. 96 hashes / 24 bands of 4 ⇒ P(catch | J=0.8) ≈ 1−3e-6,
   so the exact-Jaccard oracle at threshold 0.8 agrees with the LSH output
   up to negligible probability.
 - **n-gram Jaccard** — the brute-force baseline (pairs sharing a shingle);
@@ -31,8 +31,8 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load
 
-N_HASHES = 128
-N_BANDS = 32  # rows per band r = 4
+N_HASHES = 96
+N_BANDS = 24  # rows per band r = 4
 JACCARD_THRESHOLD = 0.8
 
 
@@ -117,43 +117,38 @@ def ext_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline (all DataFrame ops, shuffle only on band signatures and
     candidate keys):
       1. distinct 3-word shingles per doc;
-      2. 128 minhashes per doc: min over shingles of xxhash64(i ⊕ shingle);
-      3. 32 bands × 4 rows; band signature = hash of the 4 minhashes;
+      2. 96 minhashes per doc: min over shingles of xxhash64(i ⊕ shingle);
+      3. 24 bands × 4 rows; band signature = hash of the 4 minhashes;
       4. candidates = docs sharing any (band, signature) bucket;
       5. exact Jaccard on candidates only; keep pairs ≥ 0.8.
 
     The oracle computes exact Jaccard over ALL pairs sharing a shingle —
-    LSH recall at J ≥ 0.8 is 1 − (1 − 0.8⁴)³² ≈ 1 − 5e-8, so outputs agree.
+    LSH recall at J ≥ 0.8 is 1 − (1 − 0.8⁴)²⁴ ≈ 1 − 3e-6, so outputs agree.
     At 100 TB only this LSH path survives; the oracle's shape is the
     brute-force baseline (see ext_ngram_jaccard).
     """
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
 
-    # one row per doc: array of distinct shingles
-    doc_sh = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-
-    # 128 minhashes: for permutation i, min over shingles of xxhash64(i, s)
-    sig = doc_sh.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s: F.xxhash64(i.cast("string"), s),
-                )
-            ),
-        ).alias("mh"),
+    # 96 minhashes as 96 wide MIN aggregates — every xxhash64 runs inside
+    # whole-stage-codegen'd partial aggregation with zero array allocation
+    # (an array-of-arrays formulation was ~3× slower at sf0.1)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
     )
 
-    # 32 bands of 4 minhashes; signature = xxhash64 of the band's values
+    # 24 bands of 4 minhashes; signature = xxhash64 of the band's values
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.xxhash64(F.slice(F.col("mh"), b * 4 + 1, 4).cast("string")),
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"h{b * 4 + j}") for j in range(4)])
+                    for b in range(N_BANDS)
+                ]
             )
         ).alias("band", "band_sig"),
     )

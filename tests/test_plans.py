@@ -1,0 +1,94 @@
+"""Plan audits: the 100 TB properties must be visible in the physical plan.
+
+These tests pin the *shape* of the plan, not results — a regression here
+means a query silently got a scale-hostile strategy (lost pushdown, lost
+broadcast, gained a cartesian) even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_sql_dsv2_extension_spark.plans.explain import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_hash_join,
+    has_cartesian,
+    physical_plan,
+    pushed_filters,
+    read_schema,
+)
+from spark_sql_dsv2_extension_spark.registry import load_all
+from spark_sql_dsv2_extension_spark.tables import load
+
+SPECS = load_all()
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = SPECS["scan_projection_pushdown"].fn(spark, sf_dir)
+    rs = read_schema(df)
+    assert "l_orderkey" in rs and "l_extendedprice" in rs
+    # none of the other 9 lineitem columns may be read
+    for col in ("l_quantity", "l_discount", "l_shipdate", "l_partkey"):
+        assert col not in rs, f"column {col} not pruned: {rs}"
+
+
+def test_filter_reaches_parquet(spark, sf_dir):
+    df = SPECS["scan_filter_pushdown"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, f"filter not pushed: {pf}"
+
+
+def test_broadcast_hint_produces_broadcast_join(spark, sf_dir):
+    df = SPECS["join_broadcast_hint"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+
+
+def test_flagship_join_strategies(spark, sf_dir):
+    df = SPECS["join_multi_key_chain"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan  # customer dim is broadcast
+    assert not has_cartesian(df)
+    # top-k must not be a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = SPECS["topk_limit"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    df = SPECS["agg_hash_group"].fn(spark, sf_dir)
+    # map-side partial + final = two HashAggregate nodes around one shuffle
+    assert physical_plan(df).count("HashAggregate") >= 2
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    df = SPECS["join_asof_time"].fn(spark, sf_dir)
+    assert not has_cartesian(df), "as-of join must not be a nested-loop join"
+    assert count_exchanges(df) <= 1  # one hash exchange on user_id
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    df = SPECS["ext_near_dedup_minhash"].fn(spark, sf_dir)
+    assert not has_cartesian(df), "LSH dedup must never cross-join documents"
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    df = SPECS["ext_knn_cosine"].fn(spark, sf_dir)
+    # query side is broadcast → the corpus never shuffles for the join
+    assert "BroadcastNestedLoopJoin" in physical_plan(df) or has_broadcast_hash_join(df)
+
+
+def test_count_star_reads_no_columns(spark, sf_dir):
+    df = SPECS["count_star_fastpath"].fn(spark, sf_dir)
+    rs = read_schema(df)
+    assert "struct<>" in rs.replace(" ", ""), f"count(*) should read zero columns: {rs}"
+
+
+def test_formatted_plan_smoke(spark, sf_dir):
+    # .explain('formatted') support for every registered batch key
+    df = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 1).select("l_orderkey")
+    text = formatted_plan(df)
+    assert "PushedFilters" in text and "ReadSchema" in text
