@@ -1,0 +1,150 @@
+"""Python DataSource connector (PySpark 4 ``pyspark.sql.datasource``).
+
+Structural twin of the reference's DSv2 stack, on the public Python API:
+
+| reference (Scala DSv2)                              | here |
+|-----------------------------------------------------|------|
+| ``V2ExternalCatalog.loadTable`` → ``V2Table``       | options (catalog root/ns/table) → ``EngineTableDataSource`` |
+| ``newScanBuilder`` (V2Table.scala:51-68)            | ``reader()`` |
+| ``ExternalCatalogFileIndex.listFiles`` — partition  | ``EngineTableReader.partitions()`` — prunes partition dirs |
+|   pruning in the METASTORE before file listing      |   from the catalog registry BEFORE listing files |
+| ``HiveFilePartitionReaderFactory.buildReader``      | ``read(partition)`` — one Arrow-batched reader per file |
+|   (one SerDe reader per PartitionedFile)            |   (pyarrow, zero-copy into Spark) |
+| partition values appended to each row               | partition column re-attached per batch |
+
+The reference reads rows one at a time through Hive SerDes
+(HiveFilePartitionReaderFactory.scala:57-64); this connector yields Arrow
+record batches — the Python-API equivalent of a vectorized reader.
+
+Scale notes: ``partitions()`` returns one InputPartition per data FILE, so
+read parallelism matches the file count (like Spark's own FilePartition
+planning); pruning happens driver-side from directory names only — no data
+IO; executors read only their file. The slow part of any Python data source
+is Python itself — batches are Arrow end-to-end to keep the per-row cost
+zero.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "engine_table"
+
+
+@dataclass
+class _FileSplit(InputPartition):
+    path: str
+    partition_values: dict  # partition column -> string value
+
+
+def _list_partition_files(
+    table_dir: str, partition_columns: list[str], prune: dict[str, str]
+) -> list[_FileSplit]:
+    """Directory-name partition pruning, then per-file splits.
+
+    Mirrors ExternalCatalogFileIndex.scala:41-76: the prune spec filters
+    partitions BEFORE any file listing, so a pruned read never stats
+    non-matching directories.
+    """
+    splits: list[_FileSplit] = []
+
+    def walk(d: str, depth: int, acc: dict[str, str]) -> None:
+        if depth == len(partition_columns):
+            if os.path.isdir(d):
+                for fn in sorted(os.listdir(d)):
+                    if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                        splits.append(_FileSplit(os.path.join(d, fn), dict(acc)))
+            return
+        col = partition_columns[depth]
+        if not os.path.isdir(d):
+            return
+        for entry in sorted(os.listdir(d)):
+            if not entry.startswith(f"{col}="):
+                continue
+            value = entry.split("=", 1)[1]
+            if col in prune and prune[col] != value:
+                continue  # pruned: never descended into
+            acc[col] = value
+            walk(os.path.join(d, entry), depth + 1, acc)
+            acc.pop(col, None)
+
+    walk(table_dir, 0, {})
+    return splits
+
+
+class EngineTableReader(DataSourceReader):
+    """Batch reader: one Arrow-batched parquet reader per file split
+    (reference A15's per-PartitionedFile reader, vectorized)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.table_dir = options["path"]
+        self.partition_columns = [
+            c for c in options.get("partitioncolumns", "").split(",") if c
+        ]
+        # partition prune spec: option "prune.<col>" = "<value>"
+        self.prune = {
+            key[len("prune."):]: value
+            for key, value in options.items()
+            if key.startswith("prune.")
+        }
+
+    def partitions(self) -> list[InputPartition]:
+        if not self.partition_columns:
+            return [
+                _FileSplit(os.path.join(self.table_dir, fn), {})
+                for fn in sorted(os.listdir(self.table_dir))
+                if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+            ]
+        return _list_partition_files(
+            self.table_dir, self.partition_columns, self.prune
+        )
+
+    def read(self, partition: _FileSplit):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data_fields = [
+            f for f in self.schema.fields if f.name not in partition.partition_values
+        ]
+        table = pq.read_table(partition.path, columns=[f.name for f in data_fields])
+        n = table.num_rows
+        # re-attach partition values as constant columns, trailing —
+        # PartitionReaderWithPartitionValues semantics (reference A15)
+        for col in self.partition_columns:
+            table = table.append_column(
+                col, pa.array([partition.partition_values[col]] * n, pa.string())
+            )
+        yield from table.to_batches(max_chunksize=8192)
+
+
+class EngineTableDataSource(DataSource):
+    """``spark.read.format("engine_table")`` — options:
+
+    - ``path``: table directory (possibly hive-partitioned)
+    - ``partitionColumns``: comma-separated trailing partition columns
+    - ``prune.<col>``: static partition filter applied before file listing
+    - user-provided ``.schema(...)`` is required (schema-on-write, like the
+      reference's HMS-declared schemas — no inference)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        raise NotImplementedError(
+            "engine_table requires an explicit .schema(...) — schemas live "
+            "in the catalog registry (schema-on-write), not in inference"
+        )
+
+    def reader(self, schema: StructType) -> EngineTableReader:
+        return EngineTableReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(EngineTableDataSource)

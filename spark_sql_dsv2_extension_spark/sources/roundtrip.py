@@ -106,6 +106,42 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the engine's Python DataSource connector (PySpark 4
+    ``pyspark.sql.datasource``) — the structural twin of the reference's
+    DSv2 stack (scan builder → metastore-side partition pruning → one
+    reader per file; see sources/datasource.py). The ``prune.l_returnflag``
+    option prunes partitions BEFORE file listing, like the reference's
+    HMS-side ``listPartitionsByFilter`` (ExternalCatalogFileIndex.scala:51-63).
+    """
+    from .datasource import register
+
+    out = os.path.join(_scratch("pyds"), "lineitem")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    register(spark)
+    return (
+        spark.read.format("engine_table")
+        .schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING")
+        .option("path", out)
+        .option("partitionColumns", "l_returnflag")
+        .option("prune.l_returnflag", "A")
+        .load()
+    )
+
+
+@query(
     "sink_overwrite_dynamic",
     oracle="""
     SELECT o_orderkey,
