@@ -142,3 +142,42 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_payload.mapInPandas(decode_batches, out_schema)
+
+
+_FRAME_BYTES = 100  # stub "frame" size; a real video codec sets this
+
+_FRAMES_ORACLE = f"""
+    SELECT doc_id,
+           unnest(range(0, CAST(ceil(length(text) / {_FRAME_BYTES}.0) AS BIGINT)))
+             AS frame_idx,
+           CAST(length(substring(text, CAST(unnest(range(0,
+                CAST(ceil(length(text) / {_FRAME_BYTES}.0) AS BIGINT)))
+                * {_FRAME_BYTES} + 1 AS INT), {_FRAME_BYTES})) AS INT) AS frame_bytes
+    FROM documents
+"""
+
+
+@query("ext_multimodal_frames", oracle=_FRAMES_ORACLE)
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one input payload → N frame rows (video → frames,
+    audio → windows) via mapInPandas with a 1→N row fan-out. The codec is
+    stubbed as fixed-size byte chunking; a real decoder replaces the chunk
+    loop and keeps the iterator shape. Oracle: the chunk arithmetic is
+    reproducible from the source text."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx in range(0, (len(payload) + _FRAME_BYTES - 1) // _FRAME_BYTES):
+                    chunk = payload[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        sample_frames, "doc_id BIGINT, frame_idx BIGINT, frame_bytes INT"
+    )

@@ -169,6 +169,100 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+
+_IVF_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) /
+                        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))) DESC,
+                        c.centroid_id ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ), clustered AS (
+      SELECT vec_id, embedding, centroid_id FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+      FROM clustered WHERE vec_id < {N_QUERIES}
+    ), sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+              sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+               AS cosine_sim
+      FROM q JOIN clustered e
+        ON e.centroid_id = q.centroid_id AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+"""
+
+
+@query("ext_knn_ivf", oracle=_IVF_ORACLE)
+def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate kNN: route every vector to its nearest
+    centroid (deterministic codebook: the first N_CENTROIDS corpus vectors
+    stand in for trained k-means centroids), then search only the query's
+    cell. Fully deterministic → exact oracle, unlike hash-based ANN.
+
+    Scale shape: assignment is a broadcast join against the codebook (tiny),
+    the search is an equi-join on centroid_id — the corpus is effectively
+    partitioned into cells, and a query touches |corpus|/C vectors (nprobe=1
+    here; production raises nprobe and trains real centroids — the join
+    shape is identical)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    clustered = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "c_sim")
+    )
+    q = clustered.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id").alias("q_centroid"),
+    )
+    sims = clustered.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("q_centroid"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
 _NEAR_DUP_ORACLE = """
     SELECT a.vec_id AS v1, b.vec_id AS v2,
            list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

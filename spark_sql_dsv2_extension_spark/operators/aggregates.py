@@ -233,6 +233,83 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 0)} AS qty_O,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 0)} AS qty_F,
+           {sql_dsum("CASE WHEN l_linestatus = 'P' THEN l_quantity END", 0)} AS qty_P
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per l_linestatus value. With the value list given
+    explicitly, Spark plans a single-pass conditional aggregation (the same
+    CASE-WHEN shape as the oracle) — no extra distinct-values job."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F", "P"])
+        .agg((F.sum(cents) / F.lit(1.0)).alias("q"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+            F.col("P").alias("qty_P"),
+        )
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val
+    FROM (
+      SELECT c_custkey,
+             unnest(['acctbal', 'nationkey']) AS metric,
+             unnest([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS val
+      FROM customer
+    )
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide → long via the unpivot operator (Expand node —
+    input scanned once, rows fan out columnar-side)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, [0.25, 0.75])[1] AS p25_price,
+           quantile_cont(l_extendedprice, [0.25, 0.75])[2] AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines linearly interpolate on
+    the sorted values → identical doubles). At 100 TB the exact form
+    requires a sort per group — approx_percentile (t-digest sketch, one
+    pass, mergeable) is the scale substitute, same call shape."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        F.percentile("l_extendedprice", 0.75).alias("p75_price"),
+    )
+
+
 @query("agg_approx_count_distinct", oracle=None)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (weaker check: sketch differs from DuckDB's).

@@ -113,6 +113,55 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_grouped_map_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS cents,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)) AS cents_sq,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           (l.l_quantity - s.cents / (s.n * 1e2)) /
+           sqrt(s.cents_sq / (s.n * 1e4) - (s.cents / (s.n * 1e2)) * (s.cents / (s.n * 1e2)))
+             AS qty_z
+    FROM lineitem l JOIN stats s USING (l_returnflag)
+    """,
+)
+def udaf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-MAP pandas transform (applyInPandas): whole group in, whole
+    group out — per-group z-score normalization, the shape windowless
+    per-group feature engineering takes. Moments are computed on integer
+    cents (Σc, Σc²) so the result is independent of row order within the
+    group and matches the SQL oracle bit-for-bit."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["l_quantity"] * 100).round().astype("int64")
+        n = len(cents)
+        mean = int(cents.sum()) / (n * 1e2)
+        var = int((cents * cents).sum()) / (n * 1e4) - mean * mean
+        std = var**0.5
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "qty_z": (pdf["l_quantity"] - mean) / std,
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, qty_z DOUBLE",
+    )
+
+
+@query(
     "udtf_python",
     oracle="""
     SELECT o_orderkey, unnest(['hi', 'lo']) AS half,

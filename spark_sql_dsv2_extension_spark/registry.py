@@ -40,6 +40,7 @@ _MODULES = (
     "spark_sql_dsv2_extension_spark.functions.scalar",
     "spark_sql_dsv2_extension_spark.sources.roundtrip",
     "spark_sql_dsv2_extension_spark.streaming.windows",
+    "spark_sql_dsv2_extension_spark.streaming.stateful",
     "spark_sql_dsv2_extension_spark.extensions.dedup",
     "spark_sql_dsv2_extension_spark.extensions.similarity",
     "spark_sql_dsv2_extension_spark.extensions.text",
