@@ -209,6 +209,64 @@ def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALTS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 25 END
+               AS hot_key,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT n_name,
+           {sql_dsum("l_extendedprice", 2)} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM fact JOIN nation ON hot_key = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: the fact side is deliberately skewed (~70% of
+    rows map to key 0), the classic shape where one shuffle partition
+    receives most of the data and a 1000-executor cluster waits on one task.
+
+    Mitigation: salt the skewed side with a random-free deterministic salt
+    (pmod of the row id), replicate the dimension side once per salt value,
+    and join on (key, salt) — the hot key fans out over N_SALTS partitions.
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is the portable fix when a single key exceeds what AQE can
+    split. Semantics are identical to the unsalted join (the oracle is the
+    plain join)."""
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 25)
+        .cast("int")
+        .alias("hot_key"),
+        "l_extendedprice",
+        F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)).cast("int").alias("f_salt"),
+    )
+    dim_salted = nation.withColumn(
+        "d_salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)]))
+    )
+    return (
+        fact.join(
+            dim_salted,
+            (F.col("hot_key") == F.col("n_nationkey"))
+            & (F.col("f_salt") == F.col("d_salt")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum("l_extendedprice", 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 @query(
     "join_asof_time",
     oracle="""
