@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import fan_out, load
 
 N_HASHES = 96
 N_BANDS = 24  # rows per band r = 4
@@ -61,7 +61,13 @@ def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with distinct word n-grams per document."""
+    """(doc_id, shingle) with distinct word n-grams per document.
+
+    The input is fanned out across all cores first (see tables.fan_out):
+    a single parquet split would serialize the CPU-heavy explode into one
+    task.
+    """
+    docs = fan_out(docs)
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     return (
         words.select(
@@ -140,7 +146,9 @@ def ext_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    # 24 bands of 4 minhashes; signature = xxhash64 of the band's values
+    # 24 bands of 4 minhashes; signature = xxhash64 of the band's values.
+    # Cached: the self-join below consumes it twice, and without the cache
+    # the whole 96-hash signature aggregation would execute once per side.
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -151,7 +159,7 @@ def ext_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "band_sig"),
-    )
+    ).cache()
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -248,7 +256,7 @@ def ext_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same cost shape as MinHash-LSH: linear sketch + bucket join, no cross
     product — the 100 TB path for token-frequency-weighted near-dup.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).withColumn("h", F.xxhash64("w"))
@@ -289,7 +297,7 @@ def ext_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("chunk_idx", "chunk"),
-    )
+    ).cache()  # consumed twice by the self-join; avoids recomputing the sketch
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

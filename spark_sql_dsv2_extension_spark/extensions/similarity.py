@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import fan_out, load
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -80,8 +80,12 @@ _KNN_ORACLE = f"""
 @query("ext_knn_cosine", oracle=_KNN_ORACLE)
 def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: each query vector (broadcast) against the
-    full corpus, ranked per query with deterministic tie-break."""
-    emb = load(spark, sf_dir, "embeddings")
+    full corpus, ranked per query with deterministic tie-break.
+
+    The corpus is fanned out (tables.fan_out) because the broadcast join is
+    narrow — without it a single-split corpus computes every cosine in one
+    task."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -114,7 +118,7 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     by exact cosine. At 100 TB the bucket join replaces the corpus scan per
     query with ~|corpus|/2^N_PLANES candidates (recall tunable via
     multi-probe / more hash tables; plane count scales with corpus size)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
 
     def projection(vec: Column, p: Column) -> Column:
         # Σ_j vec[j] * plane(p, j); plane components are pseudo-random in
@@ -145,7 +149,11 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(projection(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)),
         )
 
-    sigs = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("sig"))
+    # cached: consumed by both the query side and the corpus side of the
+    # bucket join — without it the 6×64-projection signature runs twice
+    sigs = emb.select(
+        "vec_id", "embedding", signature(F.col("embedding")).alias("sig")
+    ).cache()
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -221,7 +229,7 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned into cells, and a query touches |corpus|/C vectors (nprobe=1
     here; production raises nprobe and trains real centroids — the join
     shape is identical)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
@@ -239,7 +247,7 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .drop("rn", "c_sim")
-    )
+    ).cache()  # consumed by both sides of the cell join; assignment runs once
     q = clustered.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -284,7 +292,7 @@ def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on ``label`` turns the all-pairs O(n²) into Σ O(n_b²) — the
     standard scale move when a cheap partition key exists (at 100 TB the
     block would be an LSH bucket instead; same join shape)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     a = emb.alias("a")
     b = emb.alias("b")
     sim = cosine(F.col("a.embedding"), F.col("b.embedding"))

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import fan_out, load
 
 # tiny per-language marker vocabularies for the lang-ID heuristic
 _LANG_MARKERS = {
@@ -55,7 +55,7 @@ _STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile per (lang, source): doc/token/char counts, and a
     cross-check that the precomputed n_chars column equals length(text)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
@@ -83,7 +83,7 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split, and a BPE-ish regex
     (alpha runs | digit runs | single punctuation) — the usual cheap proxy
     for tokenizer budgeting before the real tokenizer runs."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     bpe_re = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
     return docs.select(
         "doc_id",
@@ -119,7 +119,7 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: token density, stopword ratio, and a
     pass/fail gate (length window + minimum stopword ratio) — the shape of
     a Gopher/C4-style quality filter, as exact integer/ratio arithmetic."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
@@ -181,7 +181,7 @@ def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     when no marker hits (the fixture corpus is synthetic shared-vocabulary
     text, so 'und'/'en' dominate — the operator contract is the
     deterministic heuristic, not fixture accuracy)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     words = F.split("text", " ")
 
     def score(lang: str) -> Column:
@@ -240,7 +240,8 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     back) → smoothed idf → per-doc top-k window. The idf is rounded to 6
     decimals because JVM and DuckDB ``ln`` differ by 1 ulp."""
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar dimension, embedded as a literal
+    n_docs = docs.count()  # scalar dimension, embedded as a literal (pre-fan_out:
+    docs = fan_out(docs)   # the count is metadata-cheap on the raw scan)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -284,7 +285,7 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram, min-sampled — the core of MOSS-style winnowing. Explicit modular
     arithmetic (base 131, mod 2³¹−1) instead of an engine hash so the oracle
     reproduces it bit-for-bit. All inside one JVM expression tree."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
 
     def gram_hash(p: Column) -> Column:
         return F.aggregate(

@@ -54,6 +54,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism before CPU-heavy per-row
+    work (shingling, hashing, vector math).
+
+    Small tables (and any small-file ingest) can arrive as a single parquet
+    split, which would serialize everything downstream into one task. The
+    shuffle moves only the input rows — cheap relative to the compute it
+    parallelizes. At 100 TB the scan already yields thousands of splits, so
+    this becomes a rebalance, not a bottleneck; keep it OFF simple
+    scan/filter/agg paths where Catalyst's split planning is already right.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql queries)."""
     for name in TABLE_NAMES:
