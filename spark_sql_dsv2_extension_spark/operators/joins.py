@@ -13,11 +13,18 @@ physical strategy. Scale posture per key:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import dsum, load, sql_dsum
+
+
+def _bucket_scratch() -> str:
+    return tempfile.mkdtemp(prefix="engine_bucketed_")
 
 
 def flagship_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,6 +267,62 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("f_salt") == F.col("d_salt")),
         )
         .groupBy("n_name")
+        .agg(
+            dsum("l_extendedprice", 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+N_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum("l_extendedprice", 2)} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketing (the pre-partitioning the
+    reference gets from Hive bucketed tables; its write path explicitly
+    REJECTS bucketed writes — HiveFileFormatWriteBuilder.scala:124-136 — so
+    this is a capability the Spark-native engine adds, not ports).
+
+    Both sides are written bucketed+sorted by the join key into the same
+    bucket count; the sort-merge join then reads bucket i against bucket i
+    with ZERO exchange — at 100 TB this is the difference between shuffling
+    two fact tables (twice the data over the network) and a pure map-side
+    merge. The only shuffle left in the plan is the final aggregation
+    (asserted in tests/test_plans.py). Bucket count 8 fits the fixture; a
+    real deployment sizes buckets so each is one HDFS-block-ish file.
+    """
+    scratch = _bucket_scratch()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(scratch, "lineitem_b"))
+        .saveAsTable("eng_bkt_lineitem")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(scratch, "orders_b"))
+        .saveAsTable("eng_bkt_orders")
+    )
+    bl = spark.table("eng_bkt_lineitem")
+    bo = spark.table("eng_bkt_orders")
+    return (
+        bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
         .agg(
             dsum("l_extendedprice", 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),

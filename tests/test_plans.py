@@ -70,6 +70,15 @@ def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     assert count_exchanges(df) <= 1  # one hash exchange on user_id
 
 
+def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
+    df = SPECS["join_bucketed_colocated"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    # the ONLY shuffle is the final aggregation; the join reads co-located
+    # buckets directly (bucket i ⋈ bucket i, no exchange on either side)
+    assert count_exchanges(df) == 1, plan
+
+
 def test_minhash_lsh_no_cartesian(spark, sf_dir):
     df = SPECS["ext_near_dedup_minhash"].fn(spark, sf_dir)
     assert not has_cartesian(df), "LSH dedup must never cross-join documents"
