@@ -318,3 +318,74 @@ def ext_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("d1", "d2", hamming.alias("hamming")).filter(
         F.col("hamming") <= 3
     )
+
+
+MAX_CC_ITERS = 12
+
+
+@query(
+    "ext_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      {_EXACT_JACCARD_SQL.format(thr=JACCARD_THRESHOLD)}
+    ), bidir AS (
+      SELECT d1 AS a, d2 AS b FROM base
+      UNION ALL
+      SELECT d2, d1 FROM base
+    ), nodes AS (
+      SELECT DISTINCT a AS doc_id FROM bidir
+    ), reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.doc_id, bidir.b FROM reach JOIN bidir ON reach.r = bidir.a
+    )
+    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph, so an entire dup-group collapses to one representative
+    (min doc_id) — what a dedup pipeline actually needs when A≈B and B≈C
+    but A~C alone misses the threshold.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; fixpoint when no label changes.
+    Rounds needed = graph diameter (near-dup components are tiny chains, so
+    a handful). The driver pulls ONE scalar (changed-count) per round —
+    the data never leaves the cluster; at 100 TB swap in the large-star/
+    small-star variant (Kiveris et al., "Connected Components in MapReduce"),
+    which is the same join shape with O(log n) rounds guaranteed.
+
+    Oracle: DuckDB recursive CTE computing min reachable id per node over
+    the exact-Jaccard pair graph.
+    """
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    bidir = pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))).cache()
+    labels = bidir.select(F.col("d1").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    ).cache()
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            bidir.join(labels, bidir.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

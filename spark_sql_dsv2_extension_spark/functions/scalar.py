@@ -294,3 +294,34 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 16 AS b_or,
+           xor(l_orderkey, l_partkey) AS b_xor,
+           ~l_orderkey AS b_not,
+           l_orderkey << 2 AS b_shl,
+           l_orderkey >> 3 AS b_shr,
+           CAST(bit_count(l_orderkey) AS INT) AS b_popcnt
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (AND/OR/XOR/NOT, shifts, popcount) — used by
+    the engine's own sketches (SimHash chunks, LSH band signatures)."""
+    li = load(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(16)).alias("b_or"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("b_xor"),
+        F.bitwise_not(k).alias("b_not"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k).alias("b_popcnt"),
+    )

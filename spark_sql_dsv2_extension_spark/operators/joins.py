@@ -196,6 +196,73 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BAND_DAYS = 3  # match window: l_shipdate ∈ [o_orderdate, o_orderdate + 3]
+BUCKET_DAYS = BAND_DAYS + 1  # bucket width ≥ band+1 ⇒ an interval spans ≤ 2 buckets
+
+
+@query(
+    "join_range_banded",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS od
+      FROM orders WHERE o_orderkey % 32 = 0
+    ), l AS (
+      SELECT datediff('day', DATE '1970-01-01', l_shipdate) AS sd
+      FROM lineitem
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM o JOIN l ON l.sd BETWEEN o.od AND o.od + {BAND_DAYS}
+    GROUP BY o_orderpriority
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (bucketized) range join — the scale path that replaces the
+    BNLJ of ``join_theta_range`` when BOTH sides are big.
+
+    Every interval [od, od+{band}] is exploded onto the ≤ 2 day-buckets of
+    width band+1 it can overlap; the probe side maps each point to its one
+    bucket; the range predicate then runs AFTER an equi-join on bucket id.
+    Each matching pair meets in exactly one bucket (the one containing the
+    point), so no dedup is needed. Cost: a hash shuffle on bucket id plus a
+    ≤2× replication of the interval side — instead of |O|×|L| nested-loop
+    comparisons. This is how production range joins (event sessionization,
+    IP-range lookups, genomics intervals) survive at 100 TB.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 32 == 0)
+        .select(
+            "o_orderpriority",
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("od"),
+        )
+    )
+    o_b = o.withColumn(
+        "bkt",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"od DIV {BUCKET_DAYS}"),
+                    F.expr(f"(od + {BAND_DAYS}) DIV {BUCKET_DAYS}"),
+                )
+            )
+        ),
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        F.datediff("l_shipdate", F.lit("1970-01-01")).cast("long").alias("sd")
+    ).withColumn("bkt", F.expr(f"sd DIV {BUCKET_DAYS}"))
+    return (
+        l.join(
+            o_b,
+            (l.bkt == o_b.bkt)
+            & (F.col("sd") >= F.col("od"))
+            & (F.col("sd") <= F.col("od") + BAND_DAYS),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 @query(
     "join_broadcast_hint",
     oracle="""

@@ -175,3 +175,28 @@ def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("top_cust"),
         F.last("c_custkey").over(w_full).alias("bottom_cust"),
     )
+
+
+@query(
+    "win_cume_percent",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def win_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: cume_dist + percent_rank. Rounded to 6
+    decimals — both are ratios of small integers, identical across engines
+    except for 1-ulp division differences."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

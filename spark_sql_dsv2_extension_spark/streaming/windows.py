@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table_path
+from ..tables import load, table_path
 
 _RAW_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
@@ -241,6 +241,37 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"), "n"
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           SUM(CAST(round(value * 10000) AS BIGINT)) / 1e4 AS total_value
+    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join: the event stream joins a broadcast
+    static dimension per micro-batch (stateless — no join state store), then
+    aggregates. This is the canonical streaming-ETL enrichment shape; at
+    100 TB/day the dimension is broadcast once per batch and the stream
+    never shuffles for the join — only the final keyed aggregation holds
+    state (bounded by #dimension keys)."""
+    ev = _stream_source(spark, sf_dir)
+    nation = load(spark, sf_dir, "nation")
+    joined = ev.withColumn("nk", F.pmod("user_id", F.lit(25))).join(
+        F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 10000).cast("long")) / F.lit(1e4)).alias(
+            "total_value"
+        ),
+    )
+    return _run_to_table(agg, "complete")
 
 
 def _one_file(root: str, sub: str) -> str:

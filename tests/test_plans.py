@@ -79,6 +79,14 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
     assert count_exchanges(df) == 1, plan
 
 
+def test_banded_range_join_is_equi_join(spark, sf_dir):
+    df = SPECS["join_range_banded"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the whole point: bucketization turns the range predicate into an
+    # equi-join on bucket id — a nested-loop join here means it regressed
+    assert "BroadcastNestedLoopJoin" not in plan and not has_cartesian(df), plan
+
+
 def test_minhash_lsh_no_cartesian(spark, sf_dir):
     df = SPECS["ext_near_dedup_minhash"].fn(spark, sf_dir)
     assert not has_cartesian(df), "LSH dedup must never cross-join documents"
