@@ -325,3 +325,26 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("b_shr"),
         F.bit_count(k).alias("b_popcnt"),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT o_orderkey,
+           md5(o_orderstatus || CAST(o_orderkey AS VARCHAR)) AS h_md5,
+           sha256(o_orderpriority) AS h_sha256,
+           length(md5(o_orderstatus)) AS md5_len
+    FROM orders
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash family (md5, sha2-256) — the primitives under
+    content-addressed dedup and fingerprinting; hex output is identical
+    across engines."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.md5(F.concat(F.col("o_orderstatus"), F.col("o_orderkey").cast("string"))).alias("h_md5"),
+        F.sha2("o_orderpriority", 256).alias("h_sha256"),
+        F.length(F.md5("o_orderstatus")).alias("md5_len"),
+    )

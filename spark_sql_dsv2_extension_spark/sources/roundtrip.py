@@ -167,3 +167,69 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitionOverwriteMode=dynamic is set session-wide (session.py)
     patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read-back. The reference's write path treats ORC
+    specially (compression exempt at its layer —
+    HiveFileFormatWriteBuilder.scala:208-223); Spark's native ORC sink
+    replaces that plumbing with a columnar writer. Round-trip against the
+    original table proves writer and reader jointly."""
+    out = os.path.join(_scratch("orc"), "part")
+    (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return spark.read.orc(out)
+
+
+@query(
+    "sink_sorted_layout",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, sorted-within-partitions parquet layout, read back
+    with a range filter.
+
+    ``repartitionByRange(o_orderdate).sortWithinPartitions(o_orderdate)``
+    yields files whose parquet min/max footer statistics are disjoint date
+    ranges — at 100 TB a date-range query then skips whole files and whole
+    row groups instead of scanning everything. This is the write-side half
+    of partition pruning: the reference gets it from HMS-registered
+    partitions (ExternalCatalogFileIndex.scala:41-76); columnar engines get
+    the same effect from sorted file layout + footer stats."""
+    out = os.path.join(_scratch("sorted"), "orders")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
