@@ -31,6 +31,8 @@ HEADLINE = [
     "join_left_anti",
     "join_asof_time",
     "join_broadcast_hint",
+    "join_skew_salted",
+    "join_range_banded",
     "agg_hash_group",
     "agg_rollup",
     "agg_count_distinct",
