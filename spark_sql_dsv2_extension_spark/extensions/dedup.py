@@ -13,10 +13,10 @@ sophistication. Scale posture is the whole point here:
   up to negligible probability.
 - **n-gram Jaccard** — the brute-force baseline (pairs sharing a shingle);
   correct at any sf, quadratic in collisions — the thing LSH replaces.
-- **SimHash** — 64-bit signed-projection sketch; hamming-≤3 pairs found by
-  pigeonhole over 4 16-bit chunks (band equi-join again). Spark's xxhash64
-  isn't reproducible in DuckDB, so this key is rows-only (SURVEY flags it
-  weaker).
+- **SimHash** — signed-projection sketch; hamming-≤3 pairs found by
+  pigeonhole over 4 16-bit chunks (band equi-join again). The token hash is
+  an explicit polynomial (not an engine hash), so the sketch is reproduced
+  bit-for-bit by the DuckDB oracle — exact check.
 
 Fixture note: documents' near-dups sit at Jaccard ≥ 0.9 (one pair ~0.79;
 everything unrelated < 0.3 — measured), so the 0.8 threshold has a wide
@@ -243,34 +243,100 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_near_dedup_simhash", oracle=None)
-def ext_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (weaker/rows-only: Spark's xxhash64 has
-    no DuckDB equivalent, so the sketch isn't SQL-reproducible).
+_SH_MOD = 2_147_483_647  # 2^31 - 1
+_SH_BITS = 62  # two 31-bit polynomial hashes stacked
 
-    64-bit SimHash per doc: bit i is the sign of Σ over tokens of
-    (±1 by token-hash bit i). Pairs within hamming distance ≤ 3 are found
-    via pigeonhole banding: split the 64 bits into 4 chunks of 16 — any pair
-    at distance ≤ 3 agrees exactly on ≥ 1 chunk, so candidates come from a
+
+def _sh_poly_sql(base: int, seed: int) -> str:
+    """DuckDB text of the per-token polynomial hash (mirrors _sh_poly)."""
+    return f"""list_reduce(
+        list_prepend(CAST({seed} AS BIGINT),
+          list_transform(range(1, length(w) + 1),
+            i -> CAST(ascii(substring(w, CAST(i AS INT), 1)) AS BIGINT))),
+        (acc, c) -> (acc * {base} + c) % {_SH_MOD})"""
+
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), th AS (
+      SELECT doc_id,
+             {_sh_poly_sql(131, 7)} AS p1,
+             {_sh_poly_sql(137, 11)} AS p2
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, b.i AS i,
+             CASE WHEN ((CASE WHEN b.i < 31 THEN p1 >> CAST(b.i AS INT)
+                              ELSE p2 >> CAST(b.i - 31 AS INT) END) & 1) = 1
+                  THEN 1 ELSE -1 END AS v
+      FROM th, range(0, {_SH_BITS}) b(i)
+    ), sums AS (
+      SELECT doc_id, i, sum(v) AS s FROM bits GROUP BY 1, 2
+    ), sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << CAST(i AS INT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM sums GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, simhash, c.k AS k,
+             (simhash >> CAST(c.k * 16 AS INT)) & 65535 AS chunk
+      FROM sh, range(0, 4) c(k)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+             l.simhash AS s1, r.simhash AS s2
+      FROM chunks l JOIN chunks r
+        ON l.k = r.k AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+"""
+
+
+@query("ext_near_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def ext_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates — with an EXACT oracle.
+
+    The per-token hash is an explicit polynomial (two 31-bit rolling hashes,
+    bases 131/137, mod 2³¹−1, stacked into a 62-bit sketch) instead of an
+    engine hash, so DuckDB reproduces the sketch bit-for-bit — integer
+    arithmetic has no cross-engine variance.
+
+    SimHash per doc: bit i is the sign of Σ over tokens of (±1 by
+    token-hash bit i). Pairs within hamming distance ≤ 3 are found via
+    pigeonhole banding: split the bits into 4 chunks of 16 — any pair at
+    distance ≤ 3 agrees exactly on ≥ 1 chunk, so candidates come from a
     chunk equi-join (one shuffle), then the true hamming distance filters.
     Same cost shape as MinHash-LSH: linear sketch + bucket join, no cross
     product — the 100 TB path for token-frequency-weighted near-dup.
     """
     docs = fan_out(load(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
 
-    # per doc: for each of 64 bits, sum of +1/-1; bit set iff sum > 0
+    def poly(base: int, seed: int):
+        # per-char fold over the token: (acc * base + ascii) % (2^31-1)
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.ascii(F.col("w").substr(i, F.lit(1))).cast("long"),
+            ),
+            F.lit(seed).cast("long"),
+            lambda acc, c: (acc * base + c) % _SH_MOD,
+        )
+
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .withColumn("p1", poly(131, 7))
+        .withColumn("p2", poly(137, 11))
+    )
+
+    def bit(i: int):
+        src = F.shiftright("p1", i) if i < 31 else F.shiftright("p2", i - 31)
+        return src.bitwiseAND(F.lit(1))
+
+    # per doc: for each bit, sum of +1/-1; bit set iff sum > 0
     bit_sums = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                # shiftleft keeps bit 63 in long range (1 << 63 overflows a literal)
-                F.when(
-                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(_SH_BITS)
         ]
     )
     simhash = bit_sums.select(
@@ -281,7 +347,7 @@ def ext_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
                 ).otherwise(F.lit(0).cast("long"))
             )
-            for i in range(64)
+            for i in range(_SH_BITS)
         ).alias("simhash"),
     )
 

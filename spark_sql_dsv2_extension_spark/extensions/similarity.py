@@ -8,9 +8,9 @@ Operators over the ``embeddings`` table (64-dim float vectors):
   verified: Spark zip_with/aggregate double fold == DuckDB
   list_dot_product on DOUBLE[]).
 - ``ext_knn_lsh`` — random-hyperplane LSH ANN: the 100 TB path. Signature =
-  sign bits of projections onto pseudo-random planes derived from xxhash64
-  (not reproducible in DuckDB → rows-only, as SURVEY flags the scale
-  variant).
+  sign bits of projections onto pseudo-random planes derived from an
+  explicit minstd LCG (integer arithmetic both engines reproduce
+  bit-identically → exact oracle).
 - ``ext_embedding_near_dup`` — cosine near-duplicate pairs within
   label blocks (blocked all-pairs: the blocking key bounds the quadratic
   term — the standard scale pattern when a natural partition exists).
@@ -106,33 +106,74 @@ def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_knn_lsh", oracle=None)
+_LSH_A = 48271  # minstd multiplier
+_LSH_B = 7919
+_LSH_M = 2_147_483_647  # 2^31 - 1
+
+
+_LSH_ORACLE = f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, {N_PLANES}),
+               p -> CASE WHEN list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(0, 64),
+                          j -> embedding[CAST(j + 1 AS INT)] *
+                               (((p * 64 + j) * {_LSH_A} + {_LSH_B}) % {_LSH_M}
+                                / {_LSH_M}.0 - 0.5))),
+                      (acc, v) -> acc + v) > 0
+                    THEN 1 << CAST({N_PLANES} - 1 - p AS INT) ELSE 0 END))
+               AS BIGINT) AS sig
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, sig AS q_sig
+      FROM sigs WHERE vec_id < {N_QUERIES}
+    ), sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+              sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+               AS cosine_sim
+      FROM q JOIN sigs e ON e.sig = q.q_sig AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+"""
+
+
+@query("ext_knn_lsh", oracle=_LSH_ORACLE)
 def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN via random-hyperplane LSH (rows-only check: the plane
-    derivation uses Spark's xxhash64).
+    """Approximate kNN via random-hyperplane LSH — with an EXACT oracle.
 
     Plane p's component j is a deterministic pseudo-random value in
-    [-0.5, 0.5) derived from xxhash64(p, j) — reproducible across runs and
-    executors with no driver-side randomness. Signature = N_PLANES sign
-    bits; candidates share the full signature bucket; top-k ranks candidates
-    by exact cosine. At 100 TB the bucket join replaces the corpus scan per
-    query with ~|corpus|/2^N_PLANES candidates (recall tunable via
-    multi-probe / more hash tables; plane count scales with corpus size)."""
+    [-0.5, 0.5) from an explicit minstd LCG: ((p·64+j)·48271 + 7919) mod
+    (2³¹−1), scaled — pure integer arithmetic both engines compute
+    bit-identically (no engine hash), and the projection is a sequential
+    double fold, so the sign bits and hence the buckets agree exactly.
+    Signature = N_PLANES sign bits; candidates share the full signature
+    bucket; top-k ranks candidates by exact cosine. At 100 TB the bucket
+    join replaces the corpus scan per query with ~|corpus|/2^N_PLANES
+    candidates (recall tunable via multi-probe / more hash tables; plane
+    count scales with corpus size)."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
 
     def projection(vec: Column, p: Column) -> Column:
-        # Σ_j vec[j] * plane(p, j); plane components are pseudo-random in
-        # [-0.5, 0.5) derived from xxhash64(p, j)
+        # Σ_j vec[j] * plane(p, j); plane(p, j) ∈ [-0.5, 0.5) via minstd LCG
         return F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda x, j: x.cast("double")
                 * (
-                    F.pmod(
-                        F.xxhash64(p.cast("string"), j.cast("string")), F.lit(10**6)
-                    ).cast("double")
-                    / F.lit(1e6)
+                    F.pmod((p * 64 + j) * _LSH_A + _LSH_B, F.lit(_LSH_M)).cast(
+                        "double"
+                    )
+                    / F.lit(float(_LSH_M))
                     - F.lit(0.5)
                 ),
             ),
