@@ -304,3 +304,107 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_min(F.transform(positions, gram_hash)).alias("fingerprint"),
     )
+
+
+_SPLIT_A = 2654435761  # Knuth multiplicative constant
+_SPLIT_M = 2_147_483_647
+
+
+@query(
+    "ext_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             (doc_id * {_SPLIT_A} + 12345) % {_SPLIT_M} % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by multiplicative hash
+    of the document id — the reproducible alternative to random sampling
+    that every training pipeline needs: stable across runs, cluster sizes,
+    and engines (explicit integer arithmetic, exact oracle). At 100 TB this
+    is a pure map — no shuffle, no state, trivially parallel."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_A + 12345) % _SPLIT_M % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "ext_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+           CAST(length(text) -
+                length(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'))
+                AS BIGINT) AS email_chars_removed
+    FROM documents
+    """,
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email and phone patterns replaced with placeholder
+    tokens (the C4/RefinedWeb-style redaction pass), plus a removed-chars
+    audit column. Pure JVM regexp_replace — runs at scan throughput inside
+    codegen; the regexes are POSIX-compatible so DuckDB applies them
+    identically (its regexp_replace needs the 'g' flag to match Spark's
+    replace-all)."""
+    docs = load(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", email_re, ""))
+        ).cast("long").alias("email_chars_removed"),
+    )
+
+
+@query(
+    "ext_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS norm_len
+    FROM documents
+    """,
+)
+def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase → strip non-alphanumerics →
+    collapse whitespace → trim. The standard pre-shingling/pre-tokenizing
+    cleanup; composing it before ``ext_near_dedup_minhash`` catches
+    formatting-only near-dups. Pure codegen string ops."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

@@ -200,3 +200,58 @@ def win_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+SESSION_GAP_S = 300
+
+
+@query(
+    "win_session_gaps",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, floor(epoch(ts)) AS sec FROM events
+    ), marked AS (
+      SELECT user_id, sec,
+             CASE WHEN sec - lag(sec) OVER w > {SESSION_GAP_S}
+                  OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ), sess AS (
+      SELECT user_id, sec,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY sec
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(min(sec) AS BIGINT) AS session_start,
+           CAST(max(sec) AS BIGINT) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def win_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when
+    the gap to the previous event exceeds 5 minutes; session id = running
+    count of starts. One hash shuffle on user_id; both window functions
+    share the same partitioning, so Catalyst plans a single exchange + sort
+    — the batch twin of ``stream_session_window``."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts")).alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > SESSION_GAP_S)
+            | F.lag("sec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("sec").alias("session_start"),
+        F.max("sec").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
