@@ -33,6 +33,8 @@ HEADLINE = [
     "join_broadcast_hint",
     "join_skew_salted",
     "join_range_banded",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_volume",
     "agg_hash_group",
     "agg_rollup",
     "agg_count_distinct",

@@ -37,6 +37,7 @@ _MODULES = (
     "spark_sql_dsv2_extension_spark.operators.setops",
     "spark_sql_dsv2_extension_spark.operators.subqueries",
     "spark_sql_dsv2_extension_spark.operators.udfs",
+    "spark_sql_dsv2_extension_spark.operators.workloads",
     "spark_sql_dsv2_extension_spark.functions.scalar",
     "spark_sql_dsv2_extension_spark.sources.roundtrip",
     "spark_sql_dsv2_extension_spark.streaming.windows",
