@@ -279,3 +279,32 @@ def _one_file(root: str, sub: str) -> str:
     return next(
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
     )
+
+
+@query(
+    "stream_sink_files",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink with checkpointed exactly-once commit,
+    read back and compared to the batch table — the streaming analog of the
+    reference's two-phase file⊕metastore commit (HiveFileBatchWrite.scala:
+    20-69): Spark's file-sink manifest (_spark_metadata) plays the
+    metastore's role, so a re-run after failure never double-counts a file.
+    Append mode, no state — pure exactly-once transport."""
+    ev = _stream_source(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="engine_stream_sink_")
+    out, chk = os.path.join(root, "data"), os.path.join(root, "chk")
+    q = (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
