@@ -164,8 +164,11 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     patch = base.filter(F.col("o_orderstatus") == "O").withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
     )
-    # partitionOverwriteMode=dynamic is set session-wide (session.py)
-    patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # per-write option, not session conf: must hold in ANY harness session
+    # (static overwrite would silently DELETE the untouched partitions)
+    patch.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("o_orderstatus").parquet(out)
     return spark.read.parquet(out)
 
 

@@ -45,6 +45,9 @@ def _stream_source(spark: SparkSession, sf_dir: str, with_sentinel: bool = False
     """Copy the events file into a scratch dir (file-stream sources read
     directories) and open it as a stream; ts arrives as ns-long and is
     floored to a µs timestamp exactly like the batch path (tables.load)."""
+    # defensive for harness-provided sessions (see tables.load): the events
+    # parquet carries INT64 TIMESTAMP(NANOS) and Spark 4 needs this conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_stream_")
     shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
     if with_sentinel:
@@ -214,6 +217,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     which now arrives later than watermark − delay and must be dropped from
     the aggregation state. The result therefore under-counts the batch
     equivalent — proving drops actually happen."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_late_")
     batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
     med = batch.approxQuantile("ts", [0.5], 0.0)[0]

@@ -48,6 +48,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons exact. Integer division (``DIV``) is deliberate: ns epochs
     (~1.7e18) exceed double's exact-integer range.
     """
+    # Defensive session confs: the harness may hand us a session built
+    # without them. Both are dynamically settable. UTC keeps timestamp
+    # rendering/epoch math identical to the (timezone-naive) DuckDB oracle;
+    # nanosAsLong is required or Spark 4 refuses events' INT64
+    # TIMESTAMP(NANOS) parquet column (PARQUET_TYPE_ILLEGAL).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
