@@ -98,6 +98,22 @@ def test_knn_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in physical_plan(df) or has_broadcast_hash_join(df)
 
 
+def test_tpch_q1_pushdown_and_partial_agg(spark, sf_dir):
+    df = SPECS["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "l_shipdate" in pushed_filters(df), "date filter must reach parquet"
+    assert plan.count("HashAggregate") >= 2  # map-side partial aggregation
+    # only the needed 7 of 11 lineitem columns may be read
+    assert "l_partkey" not in read_schema(df)
+
+
+def test_tpch_q5_star_join_broadcasts_dims(spark, sf_dir):
+    df = SPECS["tpch_q5_local_volume"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian(df)
+
+
 def test_count_star_reads_no_columns(spark, sf_dir):
     df = SPECS["count_star_fastpath"].fn(spark, sf_dir)
     rs = read_schema(df)
