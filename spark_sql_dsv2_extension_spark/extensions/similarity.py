@@ -350,3 +350,118 @@ def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_sim") >= 0.35)
     )
+
+
+K_CLUSTERS = 4
+KMEANS_ITERS = 2
+
+
+def _sqdist_sql(vec: str, cent: str) -> str:
+    return f"""list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(0, 64),
+            j -> ({vec}[CAST(j + 1 AS INT)]::DOUBLE - {cent}[CAST(j + 1 AS INT)]) *
+                 ({vec}[CAST(j + 1 AS INT)]::DOUBLE - {cent}[CAST(j + 1 AS INT)]))),
+        (acc, v) -> acc + v)"""
+
+
+def _kmeans_iter_sql(prev: str, n: int) -> str:
+    """One unrolled Lloyd iteration: assign to nearest centroid (squared
+    euclidean, tie-break cid asc), then per-dimension scaled-integer mean."""
+    return f"""a{n} AS (
+      SELECT e.vec_id, e.embedding, cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sqdist_sql("e.embedding", "c")} ASC, cid ASC) AS rn
+      FROM embeddings e CROSS JOIN {prev}
+    ), m{n} AS (
+      SELECT vec_id, embedding, cid FROM a{n} WHERE rn = 1
+    ), comp{n} AS (
+      SELECT cid, t.j AS dim,
+             SUM(CAST(round(embedding[CAST(t.j + 1 AS INT)] * 1e6) AS BIGINT))
+               / 1e6 / count(*) AS comp,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM m{n}, range(0, 64) t(j) GROUP BY cid, t.j
+    ), c{n} AS (
+      SELECT cid, list(comp ORDER BY dim) AS c FROM comp{n} GROUP BY cid
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH c0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}
+    SELECT cid AS centroid_id, CAST(dim AS BIGINT) AS dim, comp AS component,
+           n_members
+    FROM comp2
+"""
+
+
+@query("ext_kmeans_train", oracle=_KMEANS_ORACLE)
+def ext_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means centroid training (2 Lloyd iterations, deterministic init =
+    first K vectors) entirely in DataFrame ops — the training half of IVF
+    indexing (``ext_knn_ivf`` is the serving half; its stand-in codebook
+    would be replaced by these centroids).
+
+    Each iteration: broadcast the K centroids, assign every vector to its
+    nearest (squared euclidean, sequential fold → bit-identical across
+    engines), recompute each centroid dimension as a scaled-integer mean
+    (exact int64 sum, one identical double division chain) — so the 2nd
+    iteration's assignments, and hence the final centroids, match the
+    DuckDB oracle exactly despite being float math.
+
+    Scale shape: per iteration one broadcast join + one (cid, dim) shuffle
+    of 64·n rows of (long, double) — no driver materialization, no
+    quadratic term; iterations are a driver-side loop exactly like
+    ``ext_dedup_clusters``. Output: (centroid_id, dim, component,
+    n_members) — 4×64 rows."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+
+    def sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cent = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    comp = None
+    for _ in range(KMEANS_ITERS):
+        w = Window.partitionBy("vec_id").orderBy(F.col("sqd").asc(), F.col("cid").asc())
+        members = (
+            emb.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id", "embedding", "cid",
+                sqdist(F.col("embedding"), F.col("c")).alias("sqd"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        comp = (
+            members.select("cid", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("x").cast("double") * F.lit(1e6)).cast("long"))
+                    / F.lit(1e6)
+                    / F.count(F.lit(1))
+                ).alias("comp"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+        cent = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda s: s["comp"],
+            ).alias("c")
+        )
+    return comp.select(
+        F.col("cid").alias("centroid_id"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("comp").alias("component"),
+        "n_members",
+    )
