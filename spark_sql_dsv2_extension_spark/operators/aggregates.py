@@ -341,3 +341,63 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_regionkey")
         .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
     )
+
+
+@query(
+    "agg_stats_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS sx,
+             SUM(CAST(round(l_discount * 1e4) AS BIGINT)) AS sy,
+             SUM(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+             SUM(CAST(round(l_discount * 1e4) AS BIGINT)
+                 * CAST(round(l_discount * 1e4) AS BIGINT)) AS syy,
+             SUM(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_discount * 1e4) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_disc,
+           CAST(n * sxy - sx * sy AS DOUBLE) / n / (n - 1) / 1e4
+             AS covar_samp_qty_disc,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1))
+             AS stddev_qty
+    FROM s
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Pearson correlation, sample covariance,
+    sample stddev) per group, via explicit scaled-integer moment sums —
+    Spark's built-in corr/covar_samp/stddev use order-dependent double
+    accumulation, so the moments are taken exactly in int64 (quantity is
+    integer-valued; discount is scaled by 1e4) and the identical closed-form
+    division chain runs on both engines. Correlation is scale-invariant, so
+    the scaling does not change the statistic. One map-side-combined
+    aggregation — the same one-shuffle shape as agg_hash_group."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 1e4).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = (n * sxy - sx * sy).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (num / F.sqrt((n * sxx - sx * sx).cast("double")
+                      * (n * syy - sy * sy).cast("double"))).alias("corr_qty_disc"),
+        (num / n / (n - 1) / F.lit(1e4)).alias("covar_samp_qty_disc"),
+        F.sqrt((n * sxx - sx * sx).cast("double") / n / (n - 1)).alias("stddev_qty"),
+    )
