@@ -408,3 +408,71 @@ def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+PACK_CAPACITY = 256  # tokens per packed sequence
+PACK_SHARDS = 8
+
+
+@query(
+    "ext_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS part,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+             row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), rec AS (
+      SELECT part, rn, doc_id, t, t AS fill, CAST(1 AS BIGINT) AS bin
+      FROM tok WHERE rn = 1
+      UNION ALL
+      SELECT tok.part, tok.rn, tok.doc_id, tok.t,
+             CASE WHEN rec.fill + tok.t > {PACK_CAPACITY}
+                  THEN tok.t ELSE rec.fill + tok.t END,
+             CASE WHEN rec.fill + tok.t > {PACK_CAPACITY}
+                  THEN rec.bin + 1 ELSE rec.bin END
+      FROM rec JOIN tok ON tok.part = rec.part AND tok.rn = rec.rn + 1
+    )
+    SELECT doc_id, CAST(part AS BIGINT) AS part, t AS n_tokens,
+           bin AS bin_id
+    FROM rec
+    """,
+)
+def ext_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-capacity token
+    bins (the packing step before LLM training batches), sharded so each
+    worker packs its own hash shard in doc_id order — packing is inherently
+    sequential, so the scale move is to bound the sequential scope to a
+    shard, exactly how production packers shard by file/partition.
+
+    The sequential greedy loop runs in an Arrow-batched grouped-map pandas
+    UDF (``applyInPandas``) — the designed use of the escape hatch: per-key
+    imperative logic the relational algebra can't express. The oracle
+    reproduces the same state machine as a DuckDB recursive CTE, so the
+    check is exact."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("part"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if b == 0 or fill + t > PACK_CAPACITY:
+                b += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf
+
+    return tok.groupBy("part").applyInPandas(
+        pack, "doc_id long, part long, n_tokens long, bin_id long"
+    )
