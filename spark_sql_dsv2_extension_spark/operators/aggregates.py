@@ -401,3 +401,30 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / n / (n - 1) / F.lit(1e4)).alias("covar_samp_qty_disc"),
         F.sqrt((n * sxx - sx * sx).cast("double") / n / (n - 1)).alias("stddev_qty"),
     )
+
+
+@query(
+    "agg_max_by_min_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min):
+    the key of the extreme row, not the extreme value — a one-shuffle
+    replacement for the join-back-after-max antipattern. Deterministic here
+    because o_totalprice values are unique within each group at fixture
+    scales (verified); ties would need a struct-ordering tie-break."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -145,3 +145,27 @@ def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS id, s_name AS name FROM supplier
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: unionByName(allowMissingColumns=True) aligns
+    columns by NAME and null-fills the missing ones (DuckDB: UNION ALL BY
+    NAME) — the union you actually want when appending a new data source
+    whose schema lags the canonical one."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s, allowMissingColumns=True)

@@ -63,3 +63,23 @@ def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS → left semi join on the correlation key."""
     return _run(spark, sf_dir, _EXISTS_SQL, ("orders", "customer"))
+
+
+_LATERAL_SQL = """
+    SELECT c_custkey, c_name,
+           o.o_orderkey AS latest_order, o.o_totalprice AS latest_price
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_custkey = c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o
+"""
+
+
+@query("subq_lateral", oracle=_LATERAL_SQL)
+def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-1 order per customer) — the same
+    SQL text runs on both engines. Catalyst decorrelates the LATERAL into
+    a ranked window join, so despite the per-row subquery syntax the plan
+    is one shuffle, not N queries."""
+    return _run(spark, sf_dir, _LATERAL_SQL, ("customer", "orders"))
