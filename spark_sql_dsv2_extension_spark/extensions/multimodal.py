@@ -181,3 +181,62 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         sample_frames, "doc_id BIGINT, frame_idx BIGINT, frame_bytes INT"
     )
+
+
+_RESIZE_MAX = 32  # stub target box; a real pipeline passes the model's input size
+
+
+_RESIZE_ORACLE = f"""
+    WITH dims AS (
+      SELECT doc_id,
+             ascii(substring(text, 1, 1)) % 64 + 1 AS src_w,
+             ascii(substring(text, length(text), 1)) % 64 + 1 AS src_h
+      FROM documents
+    )
+    SELECT doc_id, CAST(src_w AS INT) AS src_w, CAST(src_h AS INT) AS src_h,
+           CAST(CASE WHEN greatest(src_w, src_h) <= {_RESIZE_MAX} THEN src_w
+                ELSE greatest(1, (src_w * {_RESIZE_MAX}) // greatest(src_w, src_h))
+                END AS INT) AS out_w,
+           CAST(CASE WHEN greatest(src_w, src_h) <= {_RESIZE_MAX} THEN src_h
+                ELSE greatest(1, (src_h * {_RESIZE_MAX}) // greatest(src_w, src_h))
+                END AS INT) AS out_h
+    FROM dims
+"""
+
+
+@query("ext_multimodal_resize", oracle=_RESIZE_ORACLE)
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over mapInPandas: source dims come
+    from the stubbed decode (payload byte arithmetic), the target box fit is
+    pure integer math (floor-div, min-1 clamp) a real resizer (PIL
+    ``thumbnail``) performs before touching pixels. Mirrors the
+    decode→transform→write stage of an image pipeline; swap the body for
+    the codec call and the Spark plumbing is unchanged. 1 row in → 1 row
+    out, Arrow-batched, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    ).repartition(8, "doc_id")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "src_w": [], "src_h": [], "out_w": [], "out_h": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = payload[0] % 64 + 1
+                h = payload[-1] % 64 + 1
+                mx = max(w, h)
+                if mx <= _RESIZE_MAX:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, (w * _RESIZE_MAX) // mx)
+                    oh = max(1, (h * _RESIZE_MAX) // mx)
+                rows["doc_id"].append(doc_id)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+            yield pd.DataFrame(rows)
+
+    return with_payload.mapInPandas(
+        resize_batches, "doc_id BIGINT, src_w INT, src_h INT, out_w INT, out_h INT"
+    )
