@@ -236,3 +236,65 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
     )
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice * 2 AS new_price
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), merged AS (
+      SELECT o.o_orderkey,
+             coalesce(u.new_price, o.o_totalprice) AS o_totalprice,
+             o.o_orderstatus
+      FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    )
+    SELECT * FROM merged
+    UNION ALL
+    SELECT -1, 0.0, 'N'
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) on parquet via partition-scoped rewrite — the update
+    path the reference lacks entirely (its only write verbs are INSERT
+    INTO/OVERWRITE, A17-A19).
+
+    Upserts = UPDATE every 5th order's price + INSERT one new row with a
+    new partition value. Only the partitions that receive updates are
+    rewritten: read target restricted to affected partition values (static
+    pruning), left-anti out the updated keys, union the new versions, write
+    with per-write dynamic partition overwrite — untouched partitions'
+    files are never read or written. At 100 TB this is the difference
+    between rewriting a table and rewriting the handful of date partitions
+    a CDC batch touches (Delta/Iceberg MERGE does the same dance with a
+    transaction log on top).
+    """
+    out = os.path.join(_scratch("merge"), "orders")
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+
+    target = spark.read.parquet(out)
+    upserts = (
+        target.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 0.0, "N")], "o_orderkey LONG, o_totalprice DOUBLE, o_orderstatus STRING"
+            )
+        )
+    )
+    # partitions touched by this CDC batch — tiny driver-side value list,
+    # the moral equivalent of the reference's HMS partition enumeration (A18)
+    parts = [r[0] for r in upserts.select("o_orderstatus").distinct().collect()]
+    merged_parts = (
+        target.filter(F.col("o_orderstatus").isin(parts))
+        .join(upserts.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(upserts)
+    )
+    merged_parts.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("o_orderstatus").parquet(out)
+    return spark.read.parquet(out)
