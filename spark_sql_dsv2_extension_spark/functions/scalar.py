@@ -348,3 +348,43 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("o_orderpriority", 256).alias("h_sha256"),
         F.length(F.md5("o_orderstatus")).alias("md5_len"),
     )
+
+
+@query(
+    "fn_json_nested",
+    oracle="""
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_totalprice AS price,
+           unnest([o_orderkey % 3, o_orderkey % 5]) AS tag
+    FROM orders
+    """,
+)
+def fn_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON round trip: build a nested document with
+    ``to_json(struct(..., struct(...), array(...)))``, parse it back with
+    ``from_json`` under an explicit nested schema, then flatten the inner
+    array with ``explode`` — serialize → parse → flatten, the full
+    semi-structured lifecycle (reference's JSON provider handles nested
+    types per its validator, JsonProviderFileWriteBuilder.scala:47-56).
+    The oracle verifies the survived SEMANTICS straight from the base
+    table, no JSON needed."""
+    o = load(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("info"),
+            F.array(F.col("o_orderkey") % 3, F.col("o_orderkey") % 5).alias("tags"),
+        )
+    )
+    schema = "id BIGINT, info STRUCT<st: STRING, price: DOUBLE>, tags ARRAY<BIGINT>"
+    parsed = o.select(F.from_json(doc, schema).alias("j"))
+    return parsed.select(
+        F.col("j.id").alias("id"),
+        F.col("j.info.st").alias("status"),
+        F.col("j.info.price").alias("price"),
+        F.explode("j.tags").alias("tag"),
+    )

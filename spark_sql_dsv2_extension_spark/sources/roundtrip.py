@@ -298,3 +298,31 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("o_orderstatus").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "scan_ignore_corrupt",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def scan_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file tolerance (reference A15: the SerDe reader wraps every
+    record in try/catch honoring ``spark.files.ignoreCorruptFiles``,
+    HiveFilePartitionReaderFactory.scala:96-107). Same conf, Spark-native
+    path: a garbage file is planted in the table directory; with
+    ``ignoreCorruptFiles`` the scan skips it and yields exactly the valid
+    rows — at 100 TB a single rotted object no longer kills the job. Set
+    per-read via option, not session conf, so it works in any harness
+    session."""
+    out = os.path.join(_scratch("corrupt"), "nation")
+    load(spark, sf_dir, "nation").select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(out)
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(out)
+        .select("n_nationkey", "n_name")
+    )
