@@ -1,0 +1,98 @@
+"""Property-based differential testing: Hypothesis generates random query
+fragments (predicates, group-bys, projections) and both engines must agree.
+
+This is the fuzzing layer on top of the fixed oracle inventory: instead of
+checking N curated queries, it samples the (filter × aggregate × group-key)
+space and asserts Spark ≡ DuckDB on every sample. All generated aggregates
+follow the repo's determinism conventions (integer/count aggregates only —
+no raw double SUMs, which are order-dependent by construction).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    from spark_sql_dsv2_extension_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+
+# numeric lineitem columns safe for integer-exact comparisons
+NUM_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+STR_COLS = ("l_returnflag", "l_linestatus")
+OPS = ("<", "<=", ">", ">=", "=", "<>")
+
+predicates = st.lists(
+    st.tuples(
+        st.sampled_from(NUM_COLS),
+        st.sampled_from(OPS),
+        st.integers(min_value=0, max_value=2000),
+    ),
+    min_size=1,
+    max_size=3,
+)
+connectors = st.sampled_from(("AND", "OR"))
+
+
+def _where(preds, conn) -> str:
+    return f" {conn} ".join(f"{c} {op} {v}" for c, op, v in preds)
+
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(preds=predicates, conn=connectors)
+@settings(**_SETTINGS)
+def test_random_filter_counts_agree(spark, duck, preds, conn):
+    sql = f"SELECT count(*) AS n FROM lineitem WHERE {_where(preds, conn)}"
+    assert spark.sql(sql).collect()[0][0] == duck.sql(sql).fetchone()[0]
+
+
+@given(
+    preds=predicates,
+    conn=connectors,
+    key=st.sampled_from(STR_COLS),
+    agg_col=st.sampled_from(NUM_COLS),
+)
+@settings(**_SETTINGS)
+def test_random_grouped_int_aggregates_agree(spark, duck, preds, conn, key, agg_col):
+    sql = f"""
+        SELECT {key}, count(*) AS n,
+               CAST(sum({agg_col}) AS BIGINT) AS s,
+               min({agg_col}) AS mn, max({agg_col}) AS mx
+        FROM lineitem WHERE {_where(preds, conn)}
+        GROUP BY {key}
+    """
+    a = sorted(str(tuple(r)) for r in spark.sql(sql).collect())
+    b = sorted(str(tuple(r)) for r in duck.sql(sql).fetchall())
+    assert a == b
+
+
+@given(
+    lo=st.integers(min_value=0, max_value=500),
+    width=st.integers(min_value=1, max_value=500),
+    key=st.sampled_from(("o_orderstatus", "o_orderpriority")),
+)
+@settings(**_SETTINGS)
+def test_random_join_aggregate_agrees(spark, duck, lo, width, key):
+    sql = f"""
+        SELECT {key}, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey BETWEEN {lo} AND {lo + width}
+        GROUP BY {key}
+    """
+    a = sorted(str(tuple(r)) for r in spark.sql(sql).collect())
+    b = sorted(str(tuple(r)) for r in duck.sql(sql).fetchall())
+    assert a == b
+
+
+def test_property_views_registered(spark):
+    assert spark.sql("SELECT count(*) FROM lineitem").collect()[0][0] > 0
