@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import fan_out, load
+from .dedup import _shingles as _dedup_shingles
 
 # tiny per-language marker vocabularies for the lang-ID heuristic
 _LANG_MARKERS = {
@@ -475,4 +476,64 @@ def ext_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tok.groupBy("part").applyInPandas(
         pack, "doc_id long, part long, n_tokens long, bin_id long"
+    )
+
+
+@query(
+    "ext_decontamination",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN (doc_id * {_SPLIT_A} + 12345) % {_SPLIT_M} % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, split, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM split
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.split,
+             a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    )
+    SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+           CAST(count(*) AS BIGINT) AS shared_shingles
+    FROM sh e JOIN sh t ON e.shingle = t.shingle
+    WHERE e.split = 'eval' AND t.split = 'train'
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find eval-split documents sharing ≥5
+    distinct 3-gram shingles with any train-split document (the
+    GPT-3/PaLM-style n-gram overlap check run before training). Composes
+    the deterministic hash split with the dedup shingle machinery; the
+    join is shingle-keyed (one shuffle), never eval×train. At 100 TB the
+    shingle column would be hashed (ext_fingerprint) so the shuffle carries
+    int64s, and the HAVING threshold is the standard 'contaminated if ≥N
+    colliding n-grams' rule."""
+    docs = load(spark, sf_dir, "documents")
+    split = docs.withColumn(
+        "split",
+        F.when(
+            (F.col("doc_id") * _SPLIT_A + 12345) % _SPLIT_M % 100 < 80, "train"
+        ).otherwise("eval"),
+    )
+    sh = _dedup_shingles(split.select("doc_id", "text")).join(
+        split.select("doc_id", "split"), "doc_id"
+    )
+    ev = sh.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= 5)
     )

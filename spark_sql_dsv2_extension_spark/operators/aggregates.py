@@ -428,3 +428,32 @@ def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_heavy,
+           CAST(sum(CASE WHEN l_discount > 0.05
+                         THEN CAST(round(l_quantity) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS qty_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (FILTER clause / count_if / conditional sum):
+    several differently-filtered measures in ONE pass over the fact table —
+    the one-scan replacement for N filtered subqueries. All integer-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_heavy"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05, F.round("l_quantity").cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("qty_discounted"),
+    )
