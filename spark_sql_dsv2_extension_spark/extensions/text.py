@@ -537,3 +537,40 @@ def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= 5)
     )
+
+
+@query(
+    "ext_validate_rules",
+    oracle="""
+    SELECT doc_id,
+           CAST(text IS NULL OR length(text) = 0 AS BOOLEAN) AS v_empty,
+           CAST(n_chars <> length(text) AS BOOLEAN) AS v_meta_mismatch,
+           CAST(lang NOT IN ('en','de','fr','es','zh') AS BOOLEAN) AS v_bad_lang,
+           CAST(length(text) > 2000 AS BOOLEAN) AS v_too_long,
+           CAST((text IS NULL OR length(text) = 0)
+                OR n_chars <> length(text)
+                OR lang NOT IN ('en','de','fr','es','zh')
+                OR length(text) > 2000 AS BOOLEAN) AS rejected
+    FROM documents
+    """,
+)
+def ext_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: per-row rule evaluation (empty text,
+    metadata/payload mismatch, unknown language code, length ceiling) with
+    one boolean column per rule plus the combined verdict — the audit table
+    an ingest pipeline writes BEFORE dropping rows, so rejects are
+    explainable. Pure codegen predicates; at 100 TB this runs at scan speed
+    and the audit aggregates by rule for monitoring."""
+    docs = load(spark, sf_dir, "documents")
+    v_empty = F.col("text").isNull() | (F.length("text") == 0)
+    v_meta = F.col("n_chars") != F.length("text")
+    v_lang = ~F.col("lang").isin("en", "de", "fr", "es", "zh")
+    v_long = F.length("text") > 2000
+    return docs.select(
+        "doc_id",
+        v_empty.alias("v_empty"),
+        v_meta.alias("v_meta_mismatch"),
+        v_lang.alias("v_bad_lang"),
+        v_long.alias("v_too_long"),
+        (v_empty | v_meta | v_lang | v_long).alias("rejected"),
+    )
