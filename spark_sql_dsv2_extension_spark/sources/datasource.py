@@ -29,7 +29,13 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "engine_table"
@@ -122,6 +128,81 @@ class EngineTableReader(DataSourceReader):
         yield from table.to_batches(max_chunksize=8192)
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged_path: str
+
+
+class EngineTableWriter(DataSourceWriter):
+    """Batch writer with a two-phase commit, the structural twin of the
+    reference's write path (A17-A23): each task writes its rows to a
+    STAGING file and returns its path as the commit message
+    (WriteTaskResult); the driver's ``commit`` publishes all staged files
+    atomically-enough into the table directory (HiveFileBatchWrite.scala:
+    20-69's file-commit half; the reference's second, metastore phase maps
+    to the catalog registry here); ``abort`` discards the staging dir, so a
+    failed job never leaves partial data visible."""
+
+    # Spark type -> Arrow type for the supported (atomic) write surface,
+    # mirroring the reference's CSV validator philosophy (atomic types only,
+    # CsvProviderFileWriteBuilder.scala:47-51)
+    _PA_TYPES = {"bigint": "int64", "int": "int32", "double": "float64",
+                 "string": "string", "boolean": "bool"}
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.table_dir = options["path"]
+        self.overwrite = overwrite
+        self.staging_dir = os.path.join(self.table_dir, "_staging")
+        for f in schema.fields:
+            if f.dataType.simpleString() not in self._PA_TYPES:
+                raise ValueError(
+                    f"engine_table writes atomic types only; got {f.dataType}"
+                )
+        os.makedirs(self.staging_dir, exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _StagedFile("")
+        names = [f.name for f in self.schema.fields]
+        pa_schema = pa.schema(
+            [(f.name, self._PA_TYPES[f.dataType.simpleString()]) for f in self.schema.fields]
+        )
+        pdf = pd.DataFrame(rows, columns=names)
+        path = os.path.join(self.staging_dir, f"stage-{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=pa_schema, preserve_index=False), path
+        )
+        return _StagedFile(path)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for fn in os.listdir(self.table_dir):
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    os.remove(os.path.join(self.table_dir, fn))
+        for i, m in enumerate(messages):
+            if m is not None and m.staged_path:
+                shutil.move(
+                    m.staged_path,
+                    os.path.join(self.table_dir, f"part-{i:05d}.parquet"),
+                )
+        shutil.rmtree(self.staging_dir, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging_dir, ignore_errors=True)
+
+
 class EngineTableDataSource(DataSource):
     """``spark.read.format("engine_table")`` — options:
 
@@ -144,6 +225,9 @@ class EngineTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> EngineTableReader:
         return EngineTableReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> EngineTableWriter:
+        return EngineTableWriter(schema, self.options, overwrite)
 
 
 def register(spark) -> None:

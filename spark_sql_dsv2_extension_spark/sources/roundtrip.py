@@ -326,3 +326,31 @@ def scan_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("n_nationkey", "n_name")
     )
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the engine's Python DataSource WRITER (PySpark 4
+    ``DataSourceWriter``) and read back natively — exercising the
+    two-phase staged commit (task → staging file → commit message → driver
+    publish; see sources/datasource.py EngineTableWriter, the structural
+    twin of reference A23's file⊕metastore commit)."""
+    from .datasource import register
+
+    out = os.path.join(_scratch("pyds_w"), "supplier")
+    os.makedirs(out, exist_ok=True)
+    register(spark)
+    (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .write.format("engine_table")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    return spark.read.parquet(out)
