@@ -574,3 +574,123 @@ def ext_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_long.alias("v_too_long"),
         (v_empty | v_meta | v_lang | v_long).alias("rejected"),
     )
+
+
+_BM25_TERMS = ("data", "query", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "ext_bm25",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('data', 'query', 'join') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+               * 1e6) AS BIGINT) AS sc
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, SUM(sc) / 1e6 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking for a fixed query — the standard lexical
+    retrieval scorer a training-data pipeline uses for quality/relevance
+    filtering. Pure DataFrame composition: tokenize → per-doc term
+    frequency → document frequency (tiny, broadcast) → length-normalized
+    score → global top-20. Per-term scores are scaled to int64 *before*
+    the per-doc SUM so the (order-nondeterministic) aggregation is exact;
+    the one ``ln`` is inside the rounded expression (1-ulp-safe at 1e-6).
+    At 100 TB: tf is a map-side-combining aggregate over the token
+    explode; df and the corpus stats are scalar broadcasts; no cross join
+    of anything large."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.col("dl").cast("long")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    term_score = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", F.round(term_score * 1e6).cast("long").alias("sc")
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.sum("sc") / F.lit(1e6)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_SAMPLE_RATES = {"en": 120, "fr": 400, "es": 400, "de": 400, "zh": 400}
+
+
+@query(
+    "ext_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
+          CASE lang WHEN 'en' THEN 120 ELSE 400 END
+    """,
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-language rates rebalance a
+    corpus dominated by one language (en kept at ~12%, the rest at ~40%).
+    The sampling decision is a pure function of doc_id (minstd LCG mod
+    2^31, then mod 1000), so the sample is reproducible across engines,
+    runs, and partitionings — the property that matters when the corpus is
+    100 TB and the sample must be re-derivable. Embarrassingly parallel:
+    a filter over the scan, no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
+    rate = F.when(F.col("lang") == "en", 120).otherwise(400)
+    return docs.filter(bucket < rate).select("doc_id", "lang")

@@ -388,3 +388,48 @@ def fn_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.info.price").alias("price"),
         F.explode("j.tags").alias("tag"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             min(struct_pack(p := o_totalprice, k := o_orderkey)) AS s,
+             max(struct_pack(p := o_totalprice, k := o_orderkey)) AS t
+      FROM orders
+      WHERE (o_orderstatus, o_orderpriority) >= ('O', '3-MEDIUM')
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           s.p AS min_price, CAST(s.k AS BIGINT) AS min_key,
+           t.p AS max_price, CAST(t.k AS BIGINT) AS max_key
+    FROM m
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct values as first-class data: lexicographic struct comparison
+    in the filter (row-value semantics — identical in both engines) and
+    min/max over struct columns as a deterministic argmin/argmax (the
+    (price, key) tuple is unique, so ties are impossible). The structs
+    exist only inside the aggregate; the output is projected flat because
+    the oracle comparison works on scalar columns."""
+    o = load(spark, sf_dir, "orders")
+    pair = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    bound = F.struct(
+        F.lit("O").alias("o_orderstatus"), F.lit("3-MEDIUM").alias("o_orderpriority")
+    )
+    return (
+        o.filter(F.struct("o_orderstatus", "o_orderpriority") >= bound)
+        .groupBy("o_orderstatus")
+        .agg(F.min(pair).alias("s"), F.max(pair).alias("t"))
+        .select(
+            "o_orderstatus",
+            F.col("s.p").alias("min_price"),
+            F.col("s.k").cast("long").alias("min_key"),
+            F.col("t.p").alias("max_price"),
+            F.col("t.k").cast("long").alias("max_key"),
+        )
+    )

@@ -15,7 +15,7 @@ covered by the catalog module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -456,4 +456,73 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_discount") > 0.05, F.round("l_quantity").cast("long")
             ).otherwise(F.lit(0).cast("long"))
         ).alias("qty_discounted"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor((c_acctbal + 1000.0) / 1000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 1e2 AS total_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket semantics by explicit floor
+    arithmetic — identical IEEE ops in both engines, so bucket edges are
+    bit-exact). The bucketing expression is a plain projection, so at scale
+    this is one map-side-combining hash aggregate over the scan."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.floor((F.col("c_acctbal") + 1000.0) / 1000.0)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("c_acctbal", 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority ASC) AS rk
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group, with a deterministic
+    lexicographic tie-break — count-then-rank, the distributed idiom for
+    mode (a direct MODE() agg is nondeterministic on ties). Two shuffles:
+    the count aggregate, then a tiny ranked window over (status, priority)
+    pairs."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
     )

@@ -83,3 +83,23 @@ def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ranked window join, so despite the per-row subquery syntax the plan
     is one shuffle, not N queries."""
     return _run(spark, sf_dir, _LATERAL_SQL, ("customer", "orders"))
+
+
+_NOT_IN_SQL = """
+SELECT c_custkey, c_name
+FROM (
+  SELECT c_custkey, c_name, nullif(c_nationkey, 3) AS nk FROM customer
+) c
+WHERE nk NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+"""
+
+
+@query("subq_not_in_null", oracle=_NOT_IN_SQL)
+def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with NULLs on the outer side — SQL's three-valued-logic trap.
+    ``NULL NOT IN (...)`` is UNKNOWN, so every nation-3 customer (nulled by
+    the nullif) is excluded even though 3 may be absent from the list.
+    Catalyst plans this as a null-aware anti join (the reference leans on
+    the same rewrite for its Q16-style filters); both engines implement
+    ANSI semantics, so the oracle is the identical SQL text."""
+    return _run(spark, sf_dir, _NOT_IN_SQL, ("customer", "nation"))

@@ -255,3 +255,34 @@ def win_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_epoch
+    FROM orders
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with an explicit ROWS frame: each order sees the price of
+    its customer's 2nd-oldest order so far (NULL until two are visible).
+    The frame is spelled out because the engines' default frames differ;
+    ROWS UNBOUNDED PRECEDING..CURRENT ROW pins identical semantics. The
+    tie-break on o_orderkey makes the 'nth' row unique, hence exact."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.unix_timestamp("o_orderdate").alias("od_epoch"),
+    )

@@ -145,3 +145,139 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("s_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: the classic shipping-priority top-k — segment-filtered
+    customer broadcast into orders, fact-fact join to lineitem, grouped
+    revenue, global top-10 (TakeOrderedAndProject, no full sort). Both
+    date filters push to the parquet scans; the only shuffle is
+    orders⋈lineitem on the order key. o_orderdate is projected as an epoch
+    bigint (temporal outputs as numbers keeps the oracle comparison exact).
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue ranking — quarter-filtered orders
+    joined to return-flagged lineitems, nation broadcast onto the customer
+    dimension, top-20 customers by lost revenue. The o_orderdate range and
+    l_returnflag equality both reach PushedFilters; AQE sizes the
+    orders⋈lineitem shuffle from runtime stats."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 1e2 AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume-customer — an aggregated HAVING subquery
+    feeding a semi join back onto the same fact table, then a second
+    grouped aggregate. The qualifying-order set is tiny after the HAVING
+    cut, so it broadcasts into the semi join; the quantity threshold is
+    compared in exact int64 (scaled) so both engines make the identical
+    cut. One logical lineitem scan serves both sides (same parquet
+    splits; Spark reuses the exchange under AQE where possible)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    qscaled = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qscaled.alias("q"))
+        .filter(F.col("q") > 30000)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg((qscaled / F.lit(1e2)).alias("sum_qty"))
+    )
