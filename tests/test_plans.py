@@ -125,3 +125,31 @@ def test_formatted_plan_smoke(spark, sf_dir):
     df = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 1).select("l_orderkey")
     text = formatted_plan(df)
     assert "PushedFilters" in text and "ReadSchema" in text
+
+
+def test_tpch_q3_topk_and_broadcast(spark, sf_dir):
+    df = SPECS["tpch_q3_shipping_priority"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-10 must not be a global sort
+    assert "BroadcastHashJoin" in plan  # segment-filtered customer broadcasts
+    assert "o_orderdate" in pushed_filters(df) or "l_shipdate" in pushed_filters(df)
+
+
+def test_tpch_q18_semi_join_broadcasts(spark, sf_dir):
+    df = SPECS["tpch_q18_large_volume"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan  # HAVING subquery becomes a semi join
+    assert not has_cartesian(df)
+
+
+def test_bm25_broadcasts_stats_sides(spark, sf_dir):
+    df = SPECS["ext_bm25"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # df-per-term and the corpus stats are scalar-sized: both broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    df = SPECS["ext_stratified_sample"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0, "hash-sample must be a pure filter, no shuffle"
