@@ -442,3 +442,24 @@ def join_asof_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tag") == 1)
         .select("event_id", "asof_click_id")
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 5000.0
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control via hint: SHUFFLE_HASH forces a shuffled hash
+    join instead of sort-merge — the right call when one side is too big
+    to broadcast but small enough to hash per-partition, and it skips both
+    sorts. Results are strategy-invariant (same SQL oracle); the plan
+    audit asserts ShuffledHashJoin actually got picked."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    return o.join(c.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )

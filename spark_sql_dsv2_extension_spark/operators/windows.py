@@ -286,3 +286,46 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.unix_timestamp("o_orderdate").alias("od_epoch"),
     )
+
+
+@query(
+    "win_fill_forward",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): error events have
+    no reading, so each row takes the most recent non-null value for its
+    user — ``last_value IGNORE NULLS`` over an explicit ROWS frame, the
+    canonical time-series gap-fill. One shuffle on user_id; the frame is
+    running, so execution is a single pass per partition. Rows before a
+    user's first reading stay NULL in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )

@@ -312,3 +312,60 @@ def stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 120 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join with a time-range condition: purchases
+    joined to any click by the same user in the preceding 2 hours —
+    the attribution-join shape. Both sides carry watermarks and the join
+    condition bounds the event-time distance, so each side's state store
+    retains only a watermark-plus-range horizon of rows (state is bounded
+    at any input rate; this is what makes the join viable on an unbounded
+    Kafka pair). Inner-join matches are emitted as found (append mode),
+    so a full availableNow replay equals the batch join — the oracle.
+    Both engines compare µs-truncated timestamps, keeping the ±interval
+    boundary exact."""
+    clicks = (
+        _stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 120 MINUTES"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        "purchase_value",
+    )
+    return _run_to_table(joined, "append")

@@ -153,3 +153,8 @@ def test_bm25_broadcasts_stats_sides(spark, sf_dir):
 def test_stratified_sample_no_shuffle(spark, sf_dir):
     df = SPECS["ext_stratified_sample"].fn(spark, sf_dir)
     assert count_exchanges(df) == 0, "hash-sample must be a pure filter, no shuffle"
+
+
+def test_shuffle_hash_hint_picks_shj(spark, sf_dir):
+    df = SPECS["join_shuffle_hash_hint"].fn(spark, sf_dir)
+    assert "ShuffledHashJoin" in physical_plan(df), "hint must force SHJ over SMJ"
