@@ -526,3 +526,27 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
+
+
+@query(
+    "agg_bool_countif",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0)   AS all_over_1k,
+           bool_or(o_orderstatus = 'F')      AS any_finished,
+           CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: bool_and/bool_or (ANSI EVERY/ANY) and count_if
+    — the predicates-over-groups idiom used constantly in data-quality
+    checks. All three are plain associative aggregates with map-side
+    partials."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 200000.0).cast("long").alias("n_big"),
+    )

@@ -169,3 +169,22 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection keeps min(multiplicity) copies of
+    each value (vs INTERSECT's set semantics, `set_intersect`). Spark
+    plans it as a counted aggregate on each side plus a join — one shuffle
+    per side on the value, no row explosion."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(r)
