@@ -34,7 +34,10 @@ HEADLINE = [
     "join_skew_salted",
     "join_range_banded",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     "agg_hash_group",
     "agg_rollup",
     "agg_count_distinct",
@@ -51,6 +54,8 @@ HEADLINE = [
     "ext_knn_cosine",
     "ext_tfidf_topterms",
     "ext_text_stats",
+    "ext_bm25",
+    "ext_stratified_sample",
 ]
 
 

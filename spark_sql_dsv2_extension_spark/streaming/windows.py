@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -369,3 +370,79 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return _run_to_table(joined, "append")
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 120 MINUTE
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream LEFT OUTER join: every click, null-extended when no
+    purchase follows within 2 hours. Outer emission is watermark-driven —
+    an unmatched left row is only released once the watermark proves no
+    match can still arrive — so the replay appends a far-future sentinel
+    row to EACH side (watermark = min across inputs) after the real file;
+    the no-data micro-batch then flushes all remaining state and the
+    result equals the batch LEFT JOIN. This is the sentinel idiom from
+    ``stream_session_window`` extended to two inputs. State per side stays
+    bounded by the watermark-plus-range horizon at any input rate."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="engine_stream_")
+    shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
+    batch = spark.read.schema(_RAW_SCHEMA).parquet(src_dir)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    # Two sentinel files, strictly later mod-times: the watermark computed
+    # from sentinel file N is *applied* while processing file N+1 (a
+    # stopped availableNow replay gets no trailing no-data batch), so the
+    # second file is what flushes every real outer row from state.
+    for i, off in enumerate((10**15, 2 * 10**15)):
+        spark.createDataFrame(
+            [
+                (-1 - 10 * i, max_ts + off, SENTINEL_USER, "click", 0.0, "{}"),
+                (-2 - 10 * i, max_ts + off, SENTINEL_USER, "purchase", 0.0, "{}"),
+            ],
+            _RAW_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.2)  # distinct mtimes => deterministic file order
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    ).withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 120 MINUTES"
+        ),
+        "leftOuter",
+    )
+    # the sentinel filter must stay OUTSIDE the streaming plan: placed
+    # before the sink it is pushed below the EventTimeWatermark node and
+    # the sentinel click then never advances the left watermark (leaving
+    # the last ~2h of unmatched clicks stuck in state forever)
+    out = _run_to_table(joined, "append")
+    return out.filter(F.col("user_id") != SENTINEL_USER).select(
+        "user_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+    )
