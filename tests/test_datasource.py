@@ -70,3 +70,29 @@ def test_schema_required(spark, fact_table):
     register(spark)
     with pytest.raises(Exception, match="schema"):
         spark.read.format("engine_table").option("path", fact_table).load().collect()
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_sql_dsv2_extension_spark.sources.roundtrip import compact_partitioned
+    from spark_sql_dsv2_extension_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    root = tempfile.mkdtemp(prefix="engine_compact_test_")
+    small, compact = os.path.join(root, "small"), os.path.join(root, "compact")
+    ev.repartition(16).write.partitionBy("day").parquet(small)
+    compact_partitioned(spark, small, compact, "day")
+    n_small = len(glob.glob(small + "/day=*/*.parquet"))
+    n_compact = len(glob.glob(compact + "/day=*/*.parquet"))
+    n_days = len(glob.glob(small + "/day=*"))
+    assert n_compact == n_days, "tiny partitions must collapse to one file each"
+    assert n_small > 10 * n_compact
+    # content survives
+    a = spark.read.parquet(small).select("event_id", "value")
+    b = spark.read.parquet(compact).select("event_id", "value")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
