@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -229,6 +230,68 @@ class EngineTableDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> EngineTableWriter:
         return EngineTableWriter(schema, self.options, overwrite)
 
+    def simpleStreamReader(self, schema: StructType) -> "EngineTableStreamReader":
+        return EngineTableStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(EngineTableDataSource)
+
+
+class EngineTableStreamReader(SimpleDataSourceStreamReader):
+    """Streaming read of an append-only table directory (PySpark 4
+    ``SimpleDataSourceStreamReader``).
+
+    The offset is the sorted list of files already consumed — each
+    micro-batch reads only files that appeared since the last offset, the
+    same progression Spark's own FileStreamSource tracks in its
+    metadata log. The reference table format has no streaming capability
+    at all (V2Table.scala:45-47: batch-only); this extends the identical
+    table layout to incremental consumption. Replays between committed
+    offsets (``readBetweenOffsets``) re-derive the file delta, so restart
+    recovery is exactly-once as long as files are immutable (they are:
+    parquet parts are written once and never appended)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("engine_table stream requires option 'path'")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows(self, files: list[str]) -> list:
+        import pyarrow.parquet as pq
+
+        cols = [f.name for f in self.schema.fields]
+        rows: list = []
+        for path in files:
+            for batch in pq.ParquetFile(path).iter_batches(columns=cols):
+                rows.extend(zip(*(batch.column(c).to_pylist() for c in cols)))
+        # materialized (not a generator): the simple-reader protocol
+        # prefetches on the driver and pickles the batch for replay, so the
+        # per-batch delta must fit driver memory — the simple API's
+        # documented trade; high-volume sources use the partition-planning
+        # DataSourceStreamReader instead
+        return rows
+
+    def read(self, start: dict):
+        seen = set(start["files"])
+        files = self._files()
+        new = [f for f in files if f not in seen]
+        return self._rows(new), {"files": files}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start["files"])
+        return self._rows([f for f in end["files"] if f not in seen])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are pure file lists; nothing to clean up

@@ -424,3 +424,49 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_partitioned(spark, small, compact, "day")
     out = spark.read.parquet(compact)
     return out.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "scan_python_stream_source",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def scan_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read through the engine's Python DataSource
+    (``SimpleDataSourceStreamReader``): the events table lands in a
+    scratch dir as two separate parquet files, and the source consumes
+    them as two file-delta micro-batches under availableNow — proving the
+    offset tracking (consumed-file list) actually advances. The reference
+    is batch-only (V2Table.scala:45-47); this is the connector's streaming
+    extension. Exactly-once: immutable files + deterministic delta
+    replay."""
+    import uuid as _uuid
+
+    from .datasource import register
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = os.path.join(_scratch("pystream"), "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(out)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    register(spark)
+    stream = (
+        spark.readStream.format("engine_table")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("path", out)
+        .load()
+    )
+    name = "sink_" + _uuid.uuid4().hex
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
