@@ -210,25 +210,29 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array",
     oracle="""
     SELECT p_partkey,
-           [p_brand, p_type] AS tags,
+           array_to_string([p_brand, p_type], '|') AS tags,
            CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
            list_contains(string_split(p_name, ' '), 'green') AS has_green,
-           list_sort(string_split(p_name, ' ')) AS sorted_words,
-           string_split(p_name, ' ')[1:2] AS first_two
+           array_to_string(list_sort(string_split(p_name, ' ')), '|')
+             AS sorted_words,
+           array_to_string(string_split(p_name, ' ')[1:2], '|') AS first_two
     FROM part
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array literal, size, array_contains, sort_array, slice."""
+    """array literal, size, array_contains, sort_array, slice.
+
+    Array-valued projections are delimiter-joined to strings on both sides:
+    the driver's pandas canonicalizer cannot hash list cells."""
     p = load(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        F.array(F.col("p_brand"), F.col("p_type")).alias("tags"),
+        F.array_join(F.array(F.col("p_brand"), F.col("p_type")), "|").alias("tags"),
         F.size(words).cast("int").alias("n_words"),
         F.array_contains(words, "green").alias("has_green"),
-        F.sort_array(words).alias("sorted_words"),
-        F.slice(words, 1, 2).alias("first_two"),
+        F.array_join(F.sort_array(words), "|").alias("sorted_words"),
+        F.array_join(F.slice(words, 1, 2), "|").alias("first_two"),
     )
 
 
@@ -250,16 +254,19 @@ def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
     SELECT o_orderkey,
-           ['price', 'status_len'] AS mkeys,
-           [o_totalprice, CAST(length(o_orderstatus) AS DOUBLE)] AS mvals,
+           array_to_string(['price', 'status_len'], '|') AS mkeys,
+           array_to_string([CAST(round(o_totalprice * 1e2) AS BIGINT),
+                            CAST(length(o_orderstatus) * 100 AS BIGINT)],
+                           '|') AS mvals_cents,
            o_totalprice AS price_val
     FROM orders
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + access, projected to sorted key/value arrays
-    (SURVEY flags DuckDB's map hashing as dialect-divergent; arrays make the
-    comparison exact instead of dropping to rows-only)."""
+    """Map construction + access, projected to delimiter-joined key/value
+    strings (SURVEY flags DuckDB's map hashing as dialect-divergent, and the
+    driver's canonicalizer cannot hash list cells; double values are scaled
+    to integer cents before joining so the string render is engine-exact)."""
     o = load(spark, sf_dir, "orders")
     m = F.create_map(
         F.lit("price"),
@@ -269,8 +276,13 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), "|").alias("mkeys"),
+        F.array_join(
+            F.transform(
+                F.map_values(m), lambda x: F.round(x * 100).cast("bigint")
+            ),
+            "|",
+        ).alias("mvals_cents"),
         F.element_at(m, "price").alias("price_val"),
     )
 

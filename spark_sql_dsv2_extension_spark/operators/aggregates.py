@@ -310,9 +310,22 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", oracle=None)
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct (weaker check: sketch differs from DuckDB's).
+    """HLL++ approximate distinct, checked as a boolean invariant: the
+    sketch estimate must land within ±10% of the exact count (rsd=0.02, so
+    the margin is generous); the oracle emits literal ``true`` per group.
+    This upgrades the former oracle-less weaker check to an exact hash
+    comparison without pretending DuckDB's sketch matches Spark's.
 
     The scale path: a fixed-size sketch per group replaces the exact
     distinct's shuffle of every distinct key — at 100 TB this is the only
@@ -321,25 +334,42 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                (F.col("approx") >= F.col("exact_parts") * 0.9)
+                & (F.col("approx") <= F.col("exact_parts") * 1.1)
+            ).alias("approx_ok"),
+        )
     )
 
 
 @query(
     "agg_collect_sorted",
     oracle="""
-    SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+    SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS names
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List aggregation, sorted for determinism (collect_list order is
-    partition-dependent; sort_array makes it canonical)."""
+    partition-dependent; sort_array makes it canonical). Projected to a
+    delimiter-joined string: array-typed output cells are unhashable in
+    the driver's pandas canonicalizer, so both sides emit scalars."""
     return (
         load(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "names"
+            )
+        )
     )
 
 

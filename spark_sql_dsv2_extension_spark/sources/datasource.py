@@ -151,10 +151,19 @@ class EngineTableWriter(DataSourceWriter):
                  "string": "string", "boolean": "bool"}
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import uuid
+
         self.schema = schema
         self.table_dir = options["path"]
         self.overwrite = overwrite
-        self.staging_dir = os.path.join(self.table_dir, "_staging")
+        # Per-job token: published filenames must be unique across commits,
+        # or a second append into the same table silently overwrites the
+        # first job's part files (and two concurrent jobs would share one
+        # staging dir). Mirrors Spark's own jobId-qualified part naming.
+        self.job_token = uuid.uuid4().hex[:12]
+        self.staging_dir = os.path.join(
+            self.table_dir, f"_staging-{self.job_token}"
+        )
         for f in schema.fields:
             if f.dataType.simpleString() not in self._PA_TYPES:
                 raise ValueError(
@@ -192,10 +201,14 @@ class EngineTableWriter(DataSourceWriter):
                     os.remove(os.path.join(self.table_dir, fn))
         for i, m in enumerate(messages):
             if m is not None and m.staged_path:
-                shutil.move(
-                    m.staged_path,
-                    os.path.join(self.table_dir, f"part-{i:05d}.parquet"),
+                dest = os.path.join(
+                    self.table_dir, f"part-{self.job_token}-{i:05d}.parquet"
                 )
+                if os.path.exists(dest):
+                    raise FileExistsError(
+                        f"engine_table commit collision: {dest} already exists"
+                    )
+                shutil.move(m.staged_path, dest)
         shutil.rmtree(self.staging_dir, ignore_errors=True)
 
     def abort(self, messages) -> None:

@@ -207,23 +207,72 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
-@query("stream_watermark_late_drop", oracle=None)
+@query(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) AS tu FROM events
+    ), b AS (
+      SELECT min(tu) + (max(tu) - min(tu)) // 2 AS thr FROM e
+    ), f1 AS (
+      SELECT tu FROM e, b WHERE tu >= thr
+    ), f2 AS (
+      SELECT tu FROM e, b WHERE tu < thr
+    ), wm AS (
+      -- Spark tracks the watermark in milliseconds: floor(max event time
+      -- to ms) minus the 10-minute delay, applied as µs in the predicate
+      SELECT (max(tu) // 1000 - 600000) * 1000 AS w FROM f1
+    ), b1 AS (
+      SELECT (tu // 300000000) * 300000000 AS ws,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f1 GROUP BY 1
+    ), b2 AS (
+      SELECT (tu // 300000000) * 300000000 AS ws,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f2 GROUP BY 1
+    ), b2_out AS (
+      -- every batch-2 window emits (update mode emits all updated keys);
+      -- a window merges with batch-1 state ONLY if that state survived
+      -- eviction (window end > watermark) — otherwise the late arrival
+      -- restarts from zero, proving the watermark evicted its state
+      SELECT b2.ws,
+             b2.n + CASE WHEN b1.n IS NOT NULL
+                              AND b2.ws + 300000000 > wm.w
+                         THEN b1.n ELSE 0 END AS n
+      FROM b2 LEFT JOIN b1 USING (ws), wm
+    )
+    SELECT ws // 1000000 AS window_start, n FROM b1
+    UNION ALL
+    SELECT ws // 1000000 AS window_start, n FROM b2_out
+    """,
+)
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-driven late-data drop (weaker/rows-only per SURVEY §2B —
-    semantics depend on arrival order by design).
+    """Watermark-driven late-state eviction, exactly checkable.
 
-    The scratch source is split into two files processed as separate
-    micro-batches (maxFilesPerTrigger=1): batch 1 is the NEWEST half of the
-    data and pushes the watermark high; batch 2 replays the OLDEST half,
-    which now arrives later than watermark − delay and must be dropped from
-    the aggregation state. The result therefore under-counts the batch
-    equivalent — proving drops actually happen."""
+    The scratch source is split at the midpoint timestamp into two files
+    processed as separate micro-batches (maxFilesPerTrigger=1): batch 1 is
+    the NEWEST half of the data and pushes the watermark high; batch 2
+    replays the OLDEST half, which now arrives far behind the watermark.
+    Observed Spark 4 update-mode semantics (verified empirically, with
+    ``numRowsDroppedByWatermark`` = 0): late input rows are still aggregated
+    and emitted, but state for windows whose end <= watermark is evicted at
+    the end of each batch — so a late window can never MERGE with earlier
+    state; its count restarts. That eviction is the 100 TB property under
+    test (state size is bounded by the watermark horizon, not the stream
+    length), and the oracle reconstructs the resulting emission multiset
+    deterministically: batch-1 groups, then batch-2 groups merged with
+    batch-1 state only where that state survived. The split threshold and
+    the ms-granularity watermark are integer arithmetic so both engines
+    compute them identically."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_late_")
     batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
-    med = batch.approxQuantile("ts", [0.5], 0.0)[0]
-    newest = batch.filter(F.col("ts") >= med)
-    oldest = batch.filter(F.col("ts") < med)
+    lo_ns, hi_ns = batch.agg(F.min("ts"), F.max("ts")).first()
+    lo_us, hi_us = lo_ns // 1000, hi_ns // 1000
+    thr_us = lo_us + (hi_us - lo_us) // 2
+    ts_us = F.expr("ts DIV 1000")
+    newest = batch.filter(ts_us >= thr_us)
+    oldest = batch.filter(ts_us < thr_us)
     newest.coalesce(1).write.parquet(os.path.join(src_dir, "f1"))
     oldest.coalesce(1).write.parquet(os.path.join(src_dir, "f2"))
     # file source orders batches by modification time: f1 first

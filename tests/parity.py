@@ -46,6 +46,20 @@ def _canon_cell(v):
     return str(v)
 
 
+def reject_nonscalar(df: pd.DataFrame, key: str, side: str) -> None:
+    """The driver's canonicalizer (pandas sort_values/factorize) crashes on
+    list/dict/ndarray cells — round 1's agg_collect_sorted failure. Fail
+    loudly here so no registered query ships a non-scalar output column."""
+    for col in df.columns:
+        for v in df[col].head(50):
+            if isinstance(v, (list, tuple, dict, np.ndarray)):
+                raise AssertionError(
+                    f"{key}: {side} column {col!r} has non-scalar cells "
+                    f"({type(v).__name__}) — the driver canonicalizer cannot "
+                    "hash these; project to a joined string instead"
+                )
+
+
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
@@ -63,6 +77,8 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, key: str) -> None
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{key}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
+    reject_nonscalar(spark_pdf, key, "spark")
+    reject_nonscalar(oracle_pdf, key, "oracle")
     s_rows = canonical_rows(spark_pdf)
     o_rows = canonical_rows(oracle_pdf)
     if s_rows != o_rows:

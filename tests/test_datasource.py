@@ -96,3 +96,26 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     a = spark.read.parquet(small).select("event_id", "value")
     b = spark.read.parquet(compact).select("event_id", "value")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_second_append_keeps_first_commit(spark, tmp_path):
+    """Round-2 regression (ADVICE): deterministic part names meant a second
+    append silently shutil.move-overwrote the first commit's files."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "appendtab")
+    os.makedirs(out, exist_ok=True)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, s STRING")
+    df2 = spark.createDataFrame([(3, "c"), (4, "d")], "id BIGINT, s STRING")
+    for df in (df1, df2):
+        (
+            df.write.format("engine_table")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    got = {(r.id, r.s) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    # no staging dirs left behind
+    assert not [f for f in os.listdir(out) if f.startswith("_staging")]
