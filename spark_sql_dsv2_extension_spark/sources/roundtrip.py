@@ -365,6 +365,7 @@ def compact_partitioned(
     dst_path: str,
     part_col: str,
     target_bytes: int = TARGET_FILE_BYTES,
+    key_cols: list[str] | None = None,
 ) -> None:
     """Small-file compaction for a partitioned parquet table: rewrite each
     partition into ceil(partition_bytes / target_bytes) files.
@@ -393,9 +394,14 @@ def compact_partitioned(
             for x in (kv[0], max(1, -(-kv[1] // target_bytes)))
         ]
     )
-    slot = F.pmod(
-        F.xxhash64(F.col("event_id")), n_files[F.col(part_col).cast("string")]
-    )
+    # File-slot hash over the caller's key columns, defaulting to every
+    # non-partition column — the compactor must work for any table shape,
+    # not just ones with an event_id (round-2 ADVICE fix). Partitions whose
+    # value misses the sizes map (nulls, escaped values) fall back to one
+    # file via coalesce(slot_count, 1).
+    keys = key_cols or [c for c in df.columns if c != part_col]
+    slot_count = F.coalesce(n_files[F.col(part_col).cast("string")], F.lit(1))
+    slot = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), slot_count)
     (
         df.repartition(F.col(part_col), slot)
         .write.mode("overwrite")

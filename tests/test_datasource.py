@@ -119,3 +119,26 @@ def test_second_append_keeps_first_commit(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
     # no staging dirs left behind
     assert not [f for f in os.listdir(out) if f.startswith("_staging")]
+
+
+def test_compaction_generic_key_columns(spark, sf_dir, tmp_path):
+    """Round-2 ADVICE fix: the file-slot hash must not assume an event_id
+    column — compacting any table (here supplier, partitioned by nation)
+    works, deriving the slot from all non-partition columns."""
+    import glob
+    import os
+
+    from spark_sql_dsv2_extension_spark.sources.roundtrip import compact_partitioned
+    from spark_sql_dsv2_extension_spark.tables import load
+
+    sup = load(spark, sf_dir, "supplier")
+    small = str(tmp_path / "sup_small")
+    compact = str(tmp_path / "sup_compact")
+    sup.repartition(8).write.partitionBy("s_nationkey").parquet(small)
+    compact_partitioned(spark, small, compact, "s_nationkey")
+    n_parts = len(glob.glob(small + "/s_nationkey=*"))
+    n_compact = len(glob.glob(compact + "/s_nationkey=*/*.parquet"))
+    assert n_compact == n_parts
+    a = spark.read.parquet(small).select("s_suppkey", "s_name")
+    b = spark.read.parquet(compact).select("s_suppkey", "s_name")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
