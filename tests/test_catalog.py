@@ -141,3 +141,155 @@ def test_catalog_isolation(spark, tmp_path):
     # registry persists across instances (like HMS across sessions)
     c1b = EngineCatalog(spark, "cat1", str(tmp_path))
     assert c1b.list_tables("default") == ["only_in_1"]
+
+
+# -- round-2 additions: A4/A6/A22/A26 + SQL addressing ----------------------
+
+
+def test_alter_table_full_surface(cat, spark):
+    """A6 (V2ExternalCatalog.scala:204-234): properties, schema add/rename,
+    comment, owner, location — with data re-read after each schema change."""
+    cat.create_table("default", "t6", "id BIGINT, name STRING")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, name STRING")
+    cat.insert("default", "t6", df)
+
+    cat.alter_table("default", "t6", set_properties={"k": "v"},
+                    comment="c1", owner="teamX")
+    meta = cat._table_meta("default", "t6")
+    assert meta.properties["k"] == "v"
+    assert meta.comment == "c1" and meta.owner == "teamX"
+    cat.alter_table("default", "t6", unset_properties=["k"])
+    assert "k" not in cat._table_meta("default", "t6").properties
+
+    # add column: old files read the new column as typed NULL
+    cat.alter_table("default", "t6", add_columns="score DOUBLE")
+    out = cat.load_table("default", "t6")
+    assert out.columns == ["id", "name", "score"]
+    assert all(r.score is None for r in out.collect())
+    # new inserts carry the added column; both generations coexist
+    cat.insert("default", "t6", spark.createDataFrame(
+        [(3, "c", 1.5)], "id BIGINT, name STRING, score DOUBLE"))
+    rows = {(r.id, r.score) for r in cat.load_table("default", "t6").collect()}
+    assert rows == {(1, None), (2, None), (3, 1.5)}
+
+    # rename column: old physical name still readable, new name declared
+    cat.alter_table("default", "t6", rename_column=("name", "label"))
+    out = cat.load_table("default", "t6")
+    assert out.columns == ["id", "label", "score"]
+    assert {(r.id, r.label) for r in out.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")}
+    with pytest.raises(CatalogError):
+        cat.alter_table("default", "t6", rename_column=("missing", "x"))
+    with pytest.raises(CatalogError):
+        cat.alter_table("default", "t6", add_columns="label STRING")
+
+
+def test_alter_rename_then_insert_mixed_generations(cat, spark):
+    cat.create_table("default", "t6b", "id BIGINT, name STRING")
+    cat.insert("default", "t6b",
+               spark.createDataFrame([(1, "a")], "id BIGINT, name STRING"))
+    cat.alter_table("default", "t6b", rename_column=("name", "label"))
+    cat.insert("default", "t6b",
+               spark.createDataFrame([(2, "b")], "id BIGINT, label STRING"))
+    rows = {(r.id, r.label) for r in cat.load_table("default", "t6b").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+
+def test_invalidate_refreshes_only_target(cat, spark):
+    """A4 fix: invalidation uses refreshByPath, not a global clearCache —
+    an unrelated cached DataFrame must stay cached."""
+    cat.create_table("default", "t4", "id BIGINT")
+    cat.insert("default", "t4", spark.range(5).selectExpr("id"))
+    other = spark.range(100).selectExpr("id * 2 AS v").cache()
+    other.count()  # materialize
+    cat.invalidate_table("default", "t4")
+    assert other.storageLevel.useMemory, "unrelated cache was evicted"
+    other.unpersist()
+
+
+def test_write_side_validation(cat, spark):
+    """A22 (CsvProviderFileWriteBuilder.scala:46-52,
+    JsonProviderFileWriteBuilder.scala:47-56): duplicate columns rejected
+    everywhere; csv rejects nested types at declare AND insert time."""
+    with pytest.raises(CatalogError, match="duplicate"):
+        cat.create_table("default", "bad1", "id BIGINT, ID STRING",
+                         provider="csv")
+    with pytest.raises(CatalogError, match="atomic"):
+        cat.create_table("default", "bad2", "id BIGINT, xs ARRAY<INT>",
+                         provider="csv")
+    # json accepts nested-of-atomic
+    cat.create_table("default", "okj", "id BIGINT, xs ARRAY<INT>",
+                     provider="json")
+    # write-time check: inserting nested data into a csv table fails fast
+    cat.create_table("default", "okc", "id BIGINT, s STRING", provider="csv")
+    nested = spark.createDataFrame([(1, ["a"])], "id BIGINT, s ARRAY<STRING>")
+    with pytest.raises(CatalogError, match="atomic"):
+        cat.insert("default", "okc", nested)
+
+
+def test_typed_partition_values(cat, spark):
+    """A26 (V2Table.scala:108-113): partition values cast to declared types."""
+    import datetime
+
+    cat.create_table("default", "tp", "v DOUBLE, n INT, d DATE",
+                     partition_by=["n", "d"])
+    df = spark.createDataFrame(
+        [(1.5, 7, datetime.date(2024, 3, 1)),
+         (2.5, 9, datetime.date(2024, 3, 2))],
+        "v DOUBLE, n INT, d DATE")
+    cat.insert("default", "tp", df)
+    specs = cat.list_partitions_typed("default", "tp")
+    assert {(s["n"], s["d"]) for s in specs} == {
+        (7, datetime.date(2024, 3, 1)), (9, datetime.date(2024, 3, 2))}
+    assert all(isinstance(s["n"], int) for s in specs)
+
+
+def test_sql_three_part_names(cat, spark):
+    """Reference headline UX (README.md:54-60):
+    SELECT ... FROM {catalog}.{db}.{table} through the resolver shim."""
+    from spark_sql_dsv2_extension_spark.catalog import engine_sql, resolve
+
+    cat.create_namespace("db1")
+    cat.create_table("db1", "orders9", "id BIGINT, amt DOUBLE")
+    cat.insert("db1", "orders9", spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id BIGINT, amt DOUBLE"))
+    df = resolve(spark, "hive1_external.db1.orders9")
+    assert df.count() == 3
+    out = engine_sql(
+        spark,
+        "SELECT count(*) AS n, sum(amt) AS total "
+        "FROM hive1_external.db1.orders9 WHERE id >= 2",
+    ).collect()[0]
+    assert out.n == 2 and out.total == 50.0
+    # join between a catalog table and an inline view
+    spark.range(4).selectExpr("id", "id * 1.0 AS w").createOrReplaceTempView(
+        "dim9")
+    j = engine_sql(
+        spark,
+        "SELECT t.id, t.amt FROM hive1_external.db1.orders9 t "
+        "JOIN dim9 d ON t.id = d.id",
+    )
+    assert j.count() == 3
+
+
+def test_static_overwrite_vanilla_session(cat, spark):
+    """Static overwrite must truncate untouched partitions via the per-write
+    option (no session-conf mutation)."""
+    cat.create_table("default", "ts", "id BIGINT, dt STRING",
+                     partition_by=["dt"])
+    cat.insert("default", "ts", spark.createDataFrame(
+        [(1, "d1"), (2, "d2")], "id BIGINT, dt STRING"))
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    cat.insert("default", "ts", spark.createDataFrame(
+        [(9, "d1")], "id BIGINT, dt STRING"), overwrite=True, dynamic=False)
+    rows = {(r.id, r.dt) for r in cat.load_table("default", "ts").collect()}
+    assert rows == {(9, "d1")}, "static overwrite must drop d2 too"
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    assert before == after, "insert must not mutate session conf"
+    # and dynamic overwrite keeps untouched partitions
+    cat.insert("default", "ts", spark.createDataFrame(
+        [(1, "d1"), (2, "d2")], "id BIGINT, dt STRING"))
+    cat.insert("default", "ts", spark.createDataFrame(
+        [(5, "d1")], "id BIGINT, dt STRING"), overwrite=True, dynamic=True)
+    rows = {(r.id, r.dt) for r in cat.load_table("default", "ts").collect()}
+    assert (5, "d1") in rows and any(dt == "d2" for _, dt in rows)
