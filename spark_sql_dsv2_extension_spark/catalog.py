@@ -91,6 +91,10 @@ class TableMeta:
     # declared column name -> physical name in already-written files, for
     # columns renamed after data landed (A6 rename-column support)
     physical_names: dict[str, str] = field(default_factory=dict)
+    # canonical spec string "col1=v1/col2=v2" -> custom directory, for
+    # partitions registered with an explicit location (A18/A24 support:
+    # HiveFileFormatWriteBuilder.scala:73-79, V2Table.scala:80-86)
+    partition_locations: dict[str, str] = field(default_factory=dict)
 
 
 def _json_supports(dt) -> bool:
@@ -169,9 +173,20 @@ class EngineCatalog:
 
     def __init__(self, spark: SparkSession, name: str, warehouse: str,
                  options: dict[str, str] | None = None):
+        from .conf import EngineConf, resolve_conf_file
+
         self.spark = spark
         self.name = name
-        self.options = dict(options or {})
+        # A30: merge options loaded from an optional conf.path file
+        # (explicit options win), then expose the typed A29 view
+        self.options = resolve_conf_file(dict(options or {}))
+        self.conf = EngineConf(
+            overrides={
+                k: v for k, v in self.options.items()
+                if k in ("write.dynamic-overwrite", "write.target-file-mb",
+                         "partition.add-batch-size")
+            }
+        )
         self.root = os.path.join(warehouse, name)
         os.makedirs(self.root, exist_ok=True)
         self._meta_path = os.path.join(self.root, _META_FILE)
@@ -319,35 +334,58 @@ class EngineCatalog:
         data_fields = [
             f for f in struct.fields if f.name not in meta.partition_columns
         ]
-        if not _has_data_files(path):
+        def make_reader():
+            reader = self.spark.read.format(meta.provider)
+            if meta.provider == "csv":
+                # csv is positional under an explicit schema: renames are
+                # free, added trailing columns read as NULL from older files
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in data_fields
+                )
+                reader = reader.schema(ddl).option("header", "true")
+            elif meta.provider == "json":
+                pass  # inferred by name; declared-type cast happens below
+            else:
+                reader = reader.option("mergeSchema", "true")
+            return reader
+
+        def select_declared(df: DataFrame) -> DataFrame:
+            # present columns in declared order, partition cols trailing
+            # (V2Table.scala:37-38)
+            cols = []
+            for f in struct.fields:
+                phys = meta.physical_names.get(f.name, f.name)
+                present = [
+                    c for c in dict.fromkeys((f.name, phys)) if c in df.columns
+                ]
+                if len(present) == 2:
+                    expr = F.coalesce(F.col(present[0]), F.col(present[1]))
+                elif present:
+                    expr = F.col(present[0])
+                else:  # added after all existing data was written
+                    expr = F.lit(None)
+                cols.append(expr.cast(f.dataType).alias(f.name))
+            return df.select(*cols)
+
+        parts: list[DataFrame] = []
+        if _has_data_files(path):
+            parts.append(select_declared(make_reader().load(path)))
+        # custom-located partitions (A18/A24): read each registered dir and
+        # attach the partition values as typed literals
+        for key, loc in meta.partition_locations.items():
+            if not _has_data_files(loc):
+                continue
+            spec = dict(kv.split("=", 1) for kv in key.split("/"))
+            sub = make_reader().load(loc)
+            for col, val in spec.items():
+                sub = sub.withColumn(col, F.lit(val))
+            parts.append(select_declared(sub))
+        if not parts:
             return self.spark.createDataFrame([], meta.schema_ddl)
-        reader = self.spark.read.format(meta.provider)
-        if meta.provider == "csv":
-            # csv is positional under an explicit schema: renames are free,
-            # added trailing columns read as NULL from older files
-            ddl = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in data_fields
-            )
-            reader = reader.schema(ddl).option("header", "true")
-        elif meta.provider == "json":
-            pass  # inferred by name; declared-type cast happens below
-        else:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.load(path)
-        # present columns in declared order, partition cols trailing
-        # (V2Table.scala:37-38)
-        cols = []
-        for f in struct.fields:
-            phys = meta.physical_names.get(f.name, f.name)
-            present = [c for c in dict.fromkeys((f.name, phys)) if c in df.columns]
-            if len(present) == 2:
-                expr = F.coalesce(F.col(present[0]), F.col(present[1]))
-            elif present:
-                expr = F.col(present[0])
-            else:  # added after all existing data was written
-                expr = F.lit(None)
-            cols.append(expr.cast(f.dataType).alias(f.name))
-        return df.select(*cols)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def invalidate_table(self, ns: str, table: str) -> None:
         """Reference A4 — drop cached file listings / plans for the target
@@ -455,7 +493,7 @@ class EngineCatalog:
 
     # -- writes (A17-A23) ----------------------------------------------------
     def insert(self, ns: str, table: str, df: DataFrame, overwrite: bool = False,
-               dynamic: bool = True) -> None:
+               dynamic: bool | None = None) -> None:
         """Partitioned write with dynamic-partition overwrite.
 
         The reference implements staging-dir + two-phase metastore commit by
@@ -464,10 +502,33 @@ class EngineCatalog:
         same natively under ``partitionOverwriteMode=dynamic``: only
         partitions receiving rows are replaced, atomically per directory.
         """
+        if dynamic is None:
+            dynamic = self.conf.get("write.dynamic-overwrite")  # A29 typed conf
         meta = self._table_meta(ns, table)
         validate_write_schema(meta.provider, df.schema)  # A22, at write time
         path = self._table_dir(ns, table)
         mode = "overwrite" if overwrite else "append"
+        # A18: rows destined for custom-located partitions are carved out
+        # and written to their registered directories (the reference
+        # enumerates HMS partitions to collect custom locations,
+        # HiveFileFormatWriteBuilder.scala:73-79+87-103)
+        for key, loc in meta.partition_locations.items():
+            spec = dict(kv.split("=", 1) for kv in key.split("/"))
+            cond = None
+            for col, val in spec.items():
+                c = F.col(col).cast("string") == val
+                cond = c if cond is None else (cond & c)
+            part_rows = df.filter(cond).drop(*spec.keys())
+            sub = part_rows.write.format(meta.provider).mode(mode)
+            if meta.provider in ("csv", "json"):
+                sub = sub.option("header", "true")
+            if not overwrite or dynamic:
+                # dynamic semantics: only replace this dir if rows arrive
+                if part_rows.isEmpty():
+                    continue
+                sub = sub.mode("overwrite" if overwrite else "append")
+            sub.save(loc)
+            df = df.filter(~cond)
         writer = df.write.format(meta.provider).mode(mode)
         if meta.provider in ("csv", "json"):
             writer = writer.option("header", "true")
@@ -525,20 +586,45 @@ class EngineCatalog:
                     acc.pop(col, None)
 
         walk(base, 0, {})
+        # custom-located partitions are not under the table dir — add them
+        # from the registry (A18/A24)
+        for key in meta.partition_locations:
+            spec = dict(kv.split("=", 1) for kv in key.split("/"))
+            if spec not in specs:
+                specs.append(spec)
         if partial_spec:
             specs = [s for s in specs
                      if all(s.get(k) == v for k, v in partial_spec.items())]
         return specs
 
-    def create_partition(self, ns: str, table: str, spec: dict[str, str]) -> None:
-        """Reference A24 — ignoreIfExists semantics; empty dir materialized."""
+    @staticmethod
+    def _spec_key(meta: TableMeta, spec: dict[str, str]) -> str:
+        return "/".join(f"{c}={spec[c]}" for c in meta.partition_columns)
+
+    def _partition_dir(self, ns: str, table: str, spec: dict[str, str]) -> str:
+        """Partition directory, honoring a registered custom location."""
         meta = self._table_meta(ns, table)
-        if list(spec) != meta.partition_columns:
-            raise CatalogError(f"partition spec {spec} != {meta.partition_columns}")
+        custom = meta.partition_locations.get(self._spec_key(meta, spec))
+        if custom:
+            return custom
         d = self._table_dir(ns, table)
         for col in meta.partition_columns:
             d = os.path.join(d, f"{col}={spec[col]}")
-        os.makedirs(d, exist_ok=True)
+        return d
+
+    def create_partition(self, ns: str, table: str, spec: dict[str, str],
+                         location: str | None = None) -> None:
+        """Reference A24 — ignoreIfExists semantics; empty dir materialized;
+        an explicit ``location`` registers a custom partition directory
+        (V2Table.scala:80-86 honors the per-partition location prop)."""
+        meta = self._table_meta(ns, table)
+        if list(spec) != meta.partition_columns:
+            raise CatalogError(f"partition spec {spec} != {meta.partition_columns}")
+        if location is not None:
+            meta.partition_locations[self._spec_key(meta, spec)] = location
+            self._meta["tables"][self._table_key(ns, table)] = meta.__dict__
+            self._save()
+        os.makedirs(self._partition_dir(ns, table, spec), exist_ok=True)
         self.update_table_stats(ns, table)
 
     def drop_partition(self, ns: str, table: str, spec: dict[str, str],
@@ -548,14 +634,15 @@ class EngineCatalog:
         meta = self._table_meta(ns, table)
         if list(spec) != meta.partition_columns:
             raise CatalogError("drop_partition requires an exact partition spec")
-        d = self._table_dir(ns, table)
-        for col in meta.partition_columns:
-            d = os.path.join(d, f"{col}={spec[col]}")
+        d = self._partition_dir(ns, table, spec)
         if not os.path.isdir(d):
             return False
         retain = meta.external if retain_data is None else retain_data
         if not retain:
             shutil.rmtree(d)
+        if meta.partition_locations.pop(self._spec_key(meta, spec), None):
+            self._meta["tables"][self._table_key(ns, table)] = meta.__dict__
+            self._save()
         self.update_table_stats(ns, table)
         return True
 
@@ -569,13 +656,14 @@ class EngineCatalog:
     def update_table_stats(self, ns: str, table: str) -> int:
         """Reference A28 calculateTotalSize — sum of visible data files
         (SPARK-21079), persisted for CBO-style size checks."""
-        path = self._table_dir(ns, table)
-        total = 0
-        for dirpath, _dirs, files in os.walk(path):
-            for fn in files:
-                if not fn.startswith("_") and not fn.startswith("."):
-                    total += os.path.getsize(os.path.join(dirpath, fn))
         meta = self._table_meta(ns, table)
+        roots = [self._table_dir(ns, table), *meta.partition_locations.values()]
+        total = 0
+        for root in roots:
+            for dirpath, _dirs, files in os.walk(root):
+                for fn in files:
+                    if not fn.startswith("_") and not fn.startswith("."):
+                        total += os.path.getsize(os.path.join(dirpath, fn))
         meta.size_in_bytes = total
         self._meta["tables"][self._table_key(ns, table)] = meta.__dict__
         self._save()

@@ -293,3 +293,94 @@ def test_static_overwrite_vanilla_session(cat, spark):
         [(5, "d1")], "id BIGINT, dt STRING"), overwrite=True, dynamic=True)
     rows = {(r.id, r.dt) for r in cat.load_table("default", "ts").collect()}
     assert (5, "d1") in rows and any(dt == "d2" for _, dt in rows)
+
+
+def test_typed_conf_registry_and_folk(tmp_path):
+    """A29 (conf/V2SqlConf.scala:10-90): typed entries, validation, and
+    folk() clone-with-overrides; A30 (internal/ConfHelper.scala:9-49):
+    options resolved from a conf.path file, explicit options winning."""
+    import json
+
+    from spark_sql_dsv2_extension_spark.conf import (
+        ConfError,
+        EngineConf,
+        resolve_conf_file,
+    )
+
+    conf = EngineConf()
+    assert conf.get("write.dynamic-overwrite") is True
+    assert conf.get("write.target-file-mb") == 128
+    conf.set("write.target-file-mb", "256")  # string coerced to int
+    assert conf.get("write.target-file-mb") == 256
+    forked = conf.folk(**{"write.dynamic-overwrite": "false"})
+    assert forked.get("write.dynamic-overwrite") is False
+    assert conf.get("write.dynamic-overwrite") is True  # original untouched
+    assert forked.get("write.target-file-mb") == 256  # override carried
+    with pytest.raises(ConfError):
+        conf.set("write.target-file-mb", "not-a-number")
+    with pytest.raises(ConfError):
+        conf.get("no.such.key")
+
+    # A30 file resolution: directory path appends the default file name
+    cdir = tmp_path / "confdir"
+    cdir.mkdir()
+    (cdir / "catalog-conf.json").write_text(
+        json.dumps({"write.target-file-mb": 64, "extra": "fromfile"}))
+    merged = resolve_conf_file(
+        {"conf.path": str(cdir), "extra": "explicit"})
+    assert merged["write.target-file-mb"] == 64
+    assert merged["extra"] == "explicit"  # explicit option wins
+
+
+def test_catalog_conf_drives_insert_default(spark, tmp_path):
+    """The catalog's typed conf supplies the default overwrite mode."""
+    cat = EngineCatalog(spark, "confcat", str(tmp_path),
+                        options={"write.dynamic-overwrite": "false"})
+    cat.create_table("default", "t", "id BIGINT, dt STRING",
+                     partition_by=["dt"])
+    cat.insert("default", "t", spark.createDataFrame(
+        [(1, "d1"), (2, "d2")], "id BIGINT, dt STRING"))
+    # overwrite with conf-driven static mode truncates untouched partitions
+    cat.insert("default", "t", spark.createDataFrame(
+        [(9, "d1")], "id BIGINT, dt STRING"), overwrite=True)
+    rows = {(r.id, r.dt) for r in cat.load_table("default", "t").collect()}
+    assert rows == {(9, "d1")}
+
+
+def test_custom_partition_location_roundtrip(cat, spark, tmp_path):
+    """A18/A24 (HiveFileFormatWriteBuilder.scala:73-79, V2Table.scala:80-86):
+    a partition registered with an explicit location receives its writes
+    there, reads back transparently, and lists alongside normal ones."""
+    import os
+
+    cat.create_table("default", "tloc", "id BIGINT, dt STRING",
+                     partition_by=["dt"])
+    custom = str(tmp_path / "elsewhere" / "dt_special")
+    cat.create_partition("default", "tloc", {"dt": "special"},
+                         location=custom)
+    cat.insert("default", "tloc", spark.createDataFrame(
+        [(1, "normal"), (2, "special"), (3, "special")],
+        "id BIGINT, dt STRING"))
+    # rows for the custom partition landed in its directory, not the table dir
+    assert any(f.endswith(".parquet")
+               for f in os.listdir(custom)), "custom dir got no data"
+    table_dir = cat._table_dir("default", "tloc")
+    assert not os.path.exists(os.path.join(table_dir, "dt=special"))
+    # read-back sees both generations with correct partition values
+    rows = {(r.id, r.dt) for r in cat.load_table("default", "tloc").collect()}
+    assert rows == {(1, "normal"), (2, "special"), (3, "special")}
+    # listing includes the relocated partition; stats count its bytes
+    specs = cat.list_partitions("default", "tloc")
+    assert {"dt": "special"} in specs and {"dt": "normal"} in specs
+    assert cat.table_size("default", "tloc") > 0
+    # dynamic overwrite replaces only partitions receiving rows
+    cat.insert("default", "tloc", spark.createDataFrame(
+        [(9, "special")], "id BIGINT, dt STRING"), overwrite=True,
+        dynamic=True)
+    rows = {(r.id, r.dt) for r in cat.load_table("default", "tloc").collect()}
+    assert rows == {(1, "normal"), (9, "special")}
+    # drop removes the custom dir (managed table: data not retained)
+    assert cat.drop_partition("default", "tloc", {"dt": "special"})
+    assert not os.path.exists(custom)
+    rows = {(r.id, r.dt) for r in cat.load_table("default", "tloc").collect()}
+    assert rows == {(1, "normal")}
