@@ -506,6 +506,16 @@ class EngineCatalog:
             dynamic = self.conf.get("write.dynamic-overwrite")  # A29 typed conf
         meta = self._table_meta(ns, table)
         validate_write_schema(meta.provider, df.schema)  # A22, at write time
+        # store assignment: cast incoming columns to the declared types so
+        # every file generation carries the table schema (SQL literals would
+        # otherwise land as INT/DECIMAL and break parquet schema merging)
+        declared = StructType.fromDDL(meta.schema_ddl)
+        missing = [f.name for f in declared.fields if f.name not in df.columns]
+        if missing:
+            raise CatalogError(f"insert is missing table columns: {missing}")
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+        )
         path = self._table_dir(ns, table)
         mode = "overwrite" if overwrite else "append"
         # A18: rows destined for custom-located partitions are carved out
@@ -694,24 +704,120 @@ def resolve(spark: SparkSession, qualified: str) -> DataFrame:
     if len(parts) != 3:
         raise CatalogError(f"expected catalog.namespace.table, got: {qualified!r}")
     cat_name, ns, table = parts
+    return _get_catalog(spark, cat_name).load_table(ns, table)
+
+
+def _get_catalog(spark: SparkSession, cat_name: str) -> "EngineCatalog":
     if cat_name not in _SQL_CATALOGS:
         raise CatalogError(f"no such catalog: {cat_name}")
     cat = _SQL_CATALOGS[cat_name]
     if cat.spark is not spark:
         cat = EngineCatalog(spark, cat.name, os.path.dirname(cat.root), cat.options)
-    return cat.load_table(ns, table)
+    return cat
 
 
-def engine_sql(spark: SparkSession, query: str) -> DataFrame:
-    """Run SQL containing 3-part ``catalog.namespace.table`` references to
-    registered :class:`EngineCatalog` tables — the reference's headline UX
-    (``SELECT * FROM hive1_external.db.t``, README.md:54-60).
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(\w+)\.(\w+)\.(\w+)\s*"
+    r"\((?P<schema>.*?)\)\s*"
+    r"(?:USING\s+(?P<provider>\w+)\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
+    r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\.(\w+)\.(\w+)\s*$",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\.(\w+)\.(\w+)\s*"
+    r"(?:PARTITION\s*\((?P<spec>[^)]*)\)\s*)?"
+    r"(?P<select>SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"PARTITION\s*\((?P<spec>[^)]*)\)\s*(?:LOCATION\s+'(?P<loc>[^']*)')?\s*$",
+    re.IGNORECASE,
+)
 
-    Each referenced table is registered as a session temp view under a
-    mangled name and the query text is rewritten to use it; everything else
-    is passed to ``spark.sql`` untouched. A text-level rewrite (not a
-    parser) — identifiers inside string literals would be rewritten too,
-    which is acceptable for the shim."""
+
+def _parse_spec(text: str) -> dict[str, str]:
+    spec: dict[str, str] = {}
+    for kv in text.split(","):
+        k, v = kv.split("=", 1)
+        spec[k.strip()] = v.strip().strip("'\"")
+    return spec
+
+
+def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
+    """Run SQL addressing registered :class:`EngineCatalog` tables by
+    3-part ``catalog.namespace.table`` names — the reference's headline UX
+    (README.md:54-60) covering the §3 lifecycle end-to-end:
+
+    - ``SELECT ... FROM cat.db.t`` (§3.1) — each referenced table is
+      registered as a mangled temp view and the query rewritten onto it;
+    - ``INSERT INTO/OVERWRITE cat.db.t [PARTITION (c=v, ...)] SELECT ...``
+      (§3.2) — the SELECT is evaluated (3-part names allowed inside it),
+      static partition values become literal columns, and the write goes
+      through :meth:`EngineCatalog.insert` (dynamic overwrite: only the
+      addressed partitions are replaced);
+    - ``CREATE [EXTERNAL] TABLE cat.db.t (...) [USING p] [PARTITIONED BY
+      (...)] [LOCATION '...']`` / ``DROP TABLE`` /
+      ``ALTER TABLE ... ADD PARTITION (...) [LOCATION '...']`` (§3.3).
+
+    DDL/DML statements return None, like ``spark.sql`` returns an empty
+    DataFrame for them. A text-level rewrite (not a parser) — identifiers
+    inside string literals would be rewritten too, acceptable for a shim.
+    """
+    m = _CREATE_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        parts = [p.strip() for p in (m.group("parts") or "").split(",") if p.strip()]
+        schema = m.group("schema").strip()
+        part_decls = [p for p in parts if " " in p]
+        if part_decls:  # Hive-style typed PARTITIONED BY columns
+            schema = schema + ", " + ", ".join(part_decls)
+            parts = [p.split()[0] for p in parts]
+        cat.create_table(
+            m.group(2), m.group(3), schema,
+            partition_by=parts or None,
+            provider=(m.group("provider") or "parquet").lower(),
+            location=m.group("loc"),
+        )
+        return None
+    m = _DROP_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        if "IF EXISTS" in query.upper() and not cat.table_exists(
+            m.group(2), m.group(3)
+        ):
+            return None
+        cat.drop_table(m.group(2), m.group(3))
+        return None
+    m = _ADD_PART_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        cat.create_partition(
+            m.group(2), m.group(3), _parse_spec(m.group("spec")),
+            location=m.group("loc"),
+        )
+        return None
+    m = _INSERT_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(2))
+        ns, table = m.group(3), m.group(4)
+        df = engine_sql(spark, m.group("select"))
+        if m.group("spec"):
+            meta = cat._table_meta(ns, table)
+            types = {
+                f.name: f.dataType
+                for f in StructType.fromDDL(meta.schema_ddl).fields
+            }
+            for col, val in _parse_spec(m.group("spec")).items():
+                df = df.withColumn(col, F.lit(val).cast(types[col]))
+        cat.insert(ns, table, df,
+                   overwrite=m.group("mode").upper() == "OVERWRITE")
+        return None
     rewritten = query
     for cat_name in _SQL_CATALOGS:
         pattern = re.compile(

@@ -384,3 +384,66 @@ def test_custom_partition_location_roundtrip(cat, spark, tmp_path):
     assert not os.path.exists(custom)
     rows = {(r.id, r.dt) for r in cat.load_table("default", "tloc").collect()}
     assert rows == {(1, "normal")}
+
+
+def test_sql_full_lifecycle(cat, spark, tmp_path):
+    """Reference §3 lifecycle end-to-end through SQL with 3-part names:
+    CREATE TABLE (§3.3) → INSERT OVERWRITE PARTITION (§3.2) →
+    SELECT with partition filter (§3.1) → ALTER ADD PARTITION → DROP."""
+    from spark_sql_dsv2_extension_spark.catalog import engine_sql
+
+    engine_sql(spark, """
+        CREATE TABLE hive1_external.default.sales (
+            id BIGINT, amt DOUBLE
+        ) USING parquet PARTITIONED BY (dt STRING)
+    """)
+    assert cat.table_exists("default", "sales")
+    assert cat._table_meta("default", "sales").partition_columns == ["dt"]
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id BIGINT, amt DOUBLE"
+    ).createOrReplaceTempView("staged_sales")
+    engine_sql(spark, """
+        INSERT OVERWRITE hive1_external.default.sales PARTITION (dt='d1')
+        SELECT id, amt FROM staged_sales
+    """)
+    engine_sql(spark, """
+        INSERT INTO hive1_external.default.sales PARTITION (dt='d2')
+        SELECT id + 10 AS id, amt * 2 AS amt FROM staged_sales
+    """)
+    out = engine_sql(spark, """
+        SELECT dt, count(*) AS n, sum(amt) AS total
+        FROM hive1_external.default.sales GROUP BY dt ORDER BY dt
+    """).collect()
+    assert [(r.dt, r.n, r.total) for r in out] == [
+        ("d1", 2, 30.0), ("d2", 2, 60.0)]
+
+    # INSERT OVERWRITE PARTITION replaces only the addressed partition
+    engine_sql(spark, """
+        INSERT OVERWRITE hive1_external.default.sales PARTITION (dt='d1')
+        SELECT 99 AS id, 1.0 AS amt
+    """)
+    rows = {(r.dt, r.id)
+            for r in cat.load_table("default", "sales").collect()}
+    assert (("d1", 99) in rows and ("d2", 11) in rows
+            and ("d1", 1) not in rows)
+
+    # INSERT ... SELECT reading another 3-part name
+    engine_sql(spark, """
+        CREATE TABLE hive1_external.default.sales_copy (
+            id BIGINT, amt DOUBLE, dt STRING
+        )
+    """)
+    engine_sql(spark, """
+        INSERT INTO hive1_external.default.sales_copy
+        SELECT id, amt, dt FROM hive1_external.default.sales
+    """)
+    assert cat.load_table("default", "sales_copy").count() == 3
+
+    engine_sql(spark, "ALTER TABLE hive1_external.default.sales "
+                      "ADD PARTITION (dt='d9')")
+    assert {"dt": "d9"} in cat.list_partitions("default", "sales")
+
+    engine_sql(spark, "DROP TABLE hive1_external.default.sales_copy")
+    assert not cat.table_exists("default", "sales_copy")
+    engine_sql(spark, "DROP TABLE IF EXISTS hive1_external.default.nope")
