@@ -694,3 +694,116 @@ def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
     rate = F.when(F.col("lang") == "en", 120).otherwise(400)
     return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+@query(
+    "ext_corpus_pipeline",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+             length(text) AS n_char,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                             w -> list_contains({list(_STOPWORDS)!r}, w)))
+               AS n_stop
+      FROM documents
+    ), gated AS (
+      SELECT * FROM feats
+      WHERE n_char BETWEEN 100 AND 2000
+        AND n_stop * 1.0 / n_tok >= 0.05
+        AND length(norm) >= 1
+    ), hashed AS (
+      SELECT *, list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(norm) + 1),
+                   i -> CAST(ascii(substring(norm, CAST(i AS INT), 1))
+                             AS BIGINT))),
+               (acc, c) -> (acc * {_BASE} + c) % {_MOD}) AS h
+      FROM gated
+    ), dedup AS (
+      SELECT * FROM hashed
+      QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    ), assigned AS (
+      SELECT *, CASE WHEN (doc_id * 2654435761 + 12345)
+                          % 2147483647 % 100 < 80 THEN 'train'
+                     WHEN (doc_id * 2654435761 + 12345)
+                          % 2147483647 % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM dedup
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(norm, ' '))) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation in ONE declarative plan — the composed
+    shape a real training-data pipeline runs nightly:
+
+      normalize → quality gate → exact dedup → train/val/test split
+      → per-(split, lang) document and token accounting.
+
+    Every stage reuses this suite's deterministic primitives (normalization
+    from ``ext_text_normalize``, the Gopher-style gate from
+    ``ext_quality_score``, the polynomial full-text hash in the
+    ``ext_fingerprint`` family, the multiplicative split from
+    ``ext_hash_split``), so the whole pipeline stays exact against the
+    DuckDB oracle.
+
+    Scale shape: stages 1-4 are pure map/filter over the scan (no Python,
+    all codegen); the only shuffles are the dedup's hash partition (one
+    row_number window over the text hash — equivalent to the min-doc-per-
+    hash pattern in ``ext_exact_dedup``) and the final small aggregation.
+    At 100 TB that is one wide exchange on a 64-bit key, which is the
+    theoretical minimum for global exact dedup."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        norm.alias("norm"),
+        F.length("text").alias("n_char"),
+        F.size(words).alias("n_tok"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias(
+            "n_stop"
+        ),
+    )
+    gated = feats.filter(
+        (F.col("n_char") >= 100)
+        & (F.col("n_char") <= 2000)
+        & (F.col("n_stop") * 1.0 / F.col("n_tok") >= 0.05)
+        & (F.length("norm") >= 1)
+    )
+    poly = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("norm")),
+            lambda i: F.ascii(F.col("norm").substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * _BASE + c) % _MOD,
+    )
+    hashed = gated.withColumn("h", poly)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    dedup = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    bucket = (F.col("doc_id") * 2654435761 + 12345) % 2147483647 % 100
+    assigned = dedup.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("norm", " "))).cast("long").alias("total_tokens"),
+    )

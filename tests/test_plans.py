@@ -158,3 +158,14 @@ def test_stratified_sample_no_shuffle(spark, sf_dir):
 def test_shuffle_hash_hint_picks_shj(spark, sf_dir):
     df = SPECS["join_shuffle_hash_hint"].fn(spark, sf_dir)
     assert "ShuffledHashJoin" in physical_plan(df), "hint must force SHJ over SMJ"
+
+
+def test_corpus_pipeline_all_jvm_bounded_shuffles(spark, sf_dir):
+    """The composed corpus pipeline must stay whole-plan JVM (no Python
+    boundary) and shuffle only for the dedup window + final agg (+ the
+    deliberate fan-out repartition): 3 exchanges, no cartesian."""
+    df = SPECS["ext_corpus_pipeline"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Python" not in plan, "pipeline dropped out of codegen into Python"
+    assert not has_cartesian(df)
+    assert count_exchanges(df) <= 3, plan
