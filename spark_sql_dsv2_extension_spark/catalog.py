@@ -734,6 +734,15 @@ _INSERT_RE = re.compile(
     r"(?P<select>SELECT\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+(\w+)\.(\w+)\s*$", re.IGNORECASE
+)
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(\w+)\.(\w+)\.(\w+)\s*$", re.IGNORECASE
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\.(\w+)\.(\w+)\s*$", re.IGNORECASE
+)
 _ADD_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"PARTITION\s*\((?P<spec>[^)]*)\)\s*(?:LOCATION\s+'(?P<loc>[^']*)')?\s*$",
@@ -785,6 +794,29 @@ def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
             location=m.group("loc"),
         )
         return None
+    m = _SHOW_TABLES_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        rows = [(m.group(2), t) for t in cat.list_tables(m.group(2))]
+        return spark.createDataFrame(rows or [], "namespace STRING, tableName STRING")
+    m = _SHOW_PARTS_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        meta = cat._table_meta(m.group(2), m.group(3))
+        specs = cat.list_partitions(m.group(2), m.group(3))
+        rows = [("/".join(f"{c}={s[c]}" for c in meta.partition_columns),)
+                for s in specs]
+        return spark.createDataFrame(rows or [], "partition STRING")
+    m = _DESCRIBE_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        meta = cat._table_meta(m.group(2), m.group(3))
+        rows = [
+            (f.name, f.dataType.simpleString(),
+             "partition" if f.name in meta.partition_columns else "data")
+            for f in StructType.fromDDL(meta.schema_ddl).fields
+        ]
+        return spark.createDataFrame(rows, "col_name STRING, data_type STRING, role STRING")
     m = _DROP_RE.match(query)
     if m:
         cat = _get_catalog(spark, m.group(1))

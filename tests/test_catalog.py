@@ -447,3 +447,22 @@ def test_sql_full_lifecycle(cat, spark, tmp_path):
     engine_sql(spark, "DROP TABLE hive1_external.default.sales_copy")
     assert not cat.table_exists("default", "sales_copy")
     engine_sql(spark, "DROP TABLE IF EXISTS hive1_external.default.nope")
+
+
+def test_sql_show_and_describe(cat, spark):
+    from spark_sql_dsv2_extension_spark.catalog import engine_sql
+
+    engine_sql(spark, "CREATE TABLE hive1_external.default.meta_t "
+                      "(id BIGINT, v DOUBLE) PARTITIONED BY (dt STRING)")
+    cat.insert("default", "meta_t", spark.createDataFrame(
+        [(1, 1.0, "d1"), (2, 2.0, "d2")], "id BIGINT, v DOUBLE, dt STRING"))
+    tabs = engine_sql(spark, "SHOW TABLES IN hive1_external.default").collect()
+    assert ("default", "meta_t") in {(r.namespace, r.tableName) for r in tabs}
+    parts = engine_sql(
+        spark, "SHOW PARTITIONS hive1_external.default.meta_t").collect()
+    assert {r.partition for r in parts} == {"dt=d1", "dt=d2"}
+    desc = engine_sql(
+        spark, "DESCRIBE TABLE hive1_external.default.meta_t").collect()
+    assert [(r.col_name, r.data_type, r.role) for r in desc] == [
+        ("id", "bigint", "data"), ("v", "double", "data"),
+        ("dt", "string", "partition")]
