@@ -56,6 +56,7 @@ HEADLINE = [
     "ext_text_stats",
     "ext_bm25",
     "ext_stratified_sample",
+    "ext_corpus_pipeline",
 ]
 
 
