@@ -96,3 +96,52 @@ def test_random_join_aggregate_agrees(spark, duck, lo, width, key):
 
 def test_property_views_registered(spark):
     assert spark.sql("SELECT count(*) FROM lineitem").collect()[0][0] > 0
+
+
+# -- round-2 additions: catalog-layer properties ----------------------------
+
+part_values = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.dates(),
+    st.booleans(),
+)
+
+
+@given(v=part_values)
+@settings(max_examples=25, deadline=None)
+def test_partition_value_cast_roundtrip(v):
+    """A26: directory-string rendering then typed cast is the identity for
+    every supported partition type."""
+    import datetime
+
+    from pyspark.sql.types import BooleanType, DateType, LongType
+
+    from spark_sql_dsv2_extension_spark.catalog import _cast_partition_value
+
+    if isinstance(v, bool):
+        assert _cast_partition_value(str(v).lower(), BooleanType()) == v
+    elif isinstance(v, int):
+        assert _cast_partition_value(str(v), LongType()) == v
+    elif isinstance(v, datetime.date):
+        assert _cast_partition_value(v.isoformat(), DateType()) == v
+
+
+@given(
+    mb=st.integers(min_value=1, max_value=10**6),
+    dyn=st.booleans(),
+)
+@settings(max_examples=20, deadline=None)
+def test_conf_folk_isolation(mb, dyn):
+    """A29: folk() layers overrides without mutating the parent, and typed
+    coercion accepts string renderings of each value."""
+    from spark_sql_dsv2_extension_spark.conf import EngineConf
+
+    base = EngineConf()
+    forked = base.folk(**{
+        "write.target-file-mb": str(mb),
+        "write.dynamic-overwrite": str(dyn).lower(),
+    })
+    assert forked.get("write.target-file-mb") == mb
+    assert forked.get("write.dynamic-overwrite") is dyn
+    assert base.get("write.target-file-mb") == 128
+    assert base.get("write.dynamic-overwrite") is True
