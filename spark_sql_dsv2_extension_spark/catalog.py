@@ -81,7 +81,7 @@ class TableMeta:
 
     schema_ddl: str  # Spark DDL string, e.g. "id BIGINT, dt STRING"
     partition_columns: list[str] = field(default_factory=list)  # trailing cols
-    provider: str = "parquet"  # parquet | csv | json
+    provider: str = "parquet"  # parquet | csv | json | orc
     external: bool = False  # EXTERNAL iff explicit location (A5 semantics)
     location: str | None = None
     properties: dict[str, str] = field(default_factory=dict)
@@ -296,8 +296,9 @@ class EngineCatalog:
         if bucket_by is not None:
             # HiveFileFormatWriteBuilder.scala:124-136 — bucketed writes rejected
             raise CatalogError("bucketed tables are not supported")
-        if provider not in ("parquet", "csv", "json"):
-            # V2Table.scala:62-67 dispatch — anything else rejected
+        if provider not in ("parquet", "csv", "json", "orc"):
+            # V2Table.scala:62-67 dispatch (json/csv/hive; hive covers
+            # parquet+orc SerDes) — anything else rejected
             raise CatalogError(f"unsupported provider: {provider}")
         part_cols = list(partition_by or [])
         struct = StructType.fromDDL(schema_ddl)

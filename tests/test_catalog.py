@@ -466,3 +466,20 @@ def test_sql_show_and_describe(cat, spark):
     assert [(r.col_name, r.data_type, r.role) for r in desc] == [
         ("id", "bigint", "data"), ("v", "double", "data"),
         ("dt", "string", "partition")]
+
+
+def test_orc_provider_roundtrip(cat, spark):
+    """A12/A21: the reference's hive dispatch also serves ORC tables."""
+    cat.create_table("default", "t_orc", "id BIGINT, name STRING, dt STRING",
+                     provider="orc", partition_by=["dt"])
+    cat.insert("default", "t_orc", spark.createDataFrame(
+        [(1, "x", "d1"), (2, "y", "d2")], "id BIGINT, name STRING, dt STRING"))
+    back = cat.load_table("default", "t_orc")
+    assert {(r.id, r.name, r.dt) for r in back.collect()} == {
+        (1, "x", "d1"), (2, "y", "d2")}
+    # dynamic overwrite works for orc too
+    cat.insert("default", "t_orc", spark.createDataFrame(
+        [(9, "z", "d1")], "id BIGINT, name STRING, dt STRING"),
+        overwrite=True, dynamic=True)
+    rows = {(r.id, r.dt) for r in cat.load_table("default", "t_orc").collect()}
+    assert rows == {(9, "d1"), (2, "d2")}
