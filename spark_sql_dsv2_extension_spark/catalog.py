@@ -283,12 +283,44 @@ class EngineCatalog:
     def table_exists(self, ns: str, table: str) -> bool:
         return self._table_key(ns, table) in self._meta["tables"]
 
+    # hive STORED AS file formats this engine can serve natively; the rest
+    # of HiveSerDe.sourceToSerDe's table (avro, rcfile, sequencefile,
+    # textfile) needs real SerDes and is rejected like the reference
+    # rejects unknown formats (V2ExternalCatalog.scala:133-142)
+    _STORED_AS = {"parquet": "parquet", "orc": "orc"}
+
+    def _infer_provider(self, provider: str | None,
+                        properties: dict[str, str]) -> str:
+        """Reference A5 provider inference (V2ExternalCatalog.scala:119-173):
+        an explicit provider wins; else ``hive.stored-as`` infers the
+        format; else serde/format-class options are rejected (no SerDe
+        machinery here); else the default data source (parquet)."""
+        if provider is not None:
+            return provider
+        stored_as = properties.get("hive.stored-as")
+        if stored_as is not None:
+            fmt = self._STORED_AS.get(stored_as.lower())
+            if fmt is None:
+                raise CatalogError(
+                    f"STORED AS with file format {stored_as!r} is invalid"
+                )
+            return fmt
+        if any(k in properties for k in
+               ("hive.serde", "hive.input-format", "hive.output-format")):
+            raise CatalogError(
+                "custom SerDe / format classes are not supported; use "
+                "hive.stored-as with parquet|orc or an explicit provider"
+            )
+        return "parquet"
+
     def create_table(self, ns: str, table: str, schema_ddl: str,
-                     partition_by: list[str] | None = None, provider: str = "parquet",
+                     partition_by: list[str] | None = None,
+                     provider: str | None = None,
                      location: str | None = None, properties: dict[str, str] | None = None,
                      bucket_by: Any = None) -> None:
-        """Reference A5 — provider inference reduced to {parquet,csv,json};
-        EXTERNAL iff location given; partition columns forced trailing."""
+        """Reference A5 — provider inference ({parquet,csv,json,orc} via
+        explicit provider or ``hive.stored-as``); EXTERNAL iff location
+        given; partition columns forced trailing."""
         if not self.namespace_exists(ns):
             raise NoSuchNamespaceError(ns)
         if self.table_exists(ns, table):
@@ -296,6 +328,7 @@ class EngineCatalog:
         if bucket_by is not None:
             # HiveFileFormatWriteBuilder.scala:124-136 — bucketed writes rejected
             raise CatalogError("bucketed tables are not supported")
+        provider = self._infer_provider(provider, dict(properties or {}))
         if provider not in ("parquet", "csv", "json", "orc"):
             # V2Table.scala:62-67 dispatch (json/csv/hive; hive covers
             # parquet+orc SerDes) — anything else rejected

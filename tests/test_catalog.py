@@ -483,3 +483,23 @@ def test_orc_provider_roundtrip(cat, spark):
         overwrite=True, dynamic=True)
     rows = {(r.id, r.dt) for r in cat.load_table("default", "t_orc").collect()}
     assert rows == {(9, "d1"), (2, "d2")}
+
+
+def test_provider_inference_from_stored_as(cat, spark):
+    """A5 (V2ExternalCatalog.scala:119-173): hive.stored-as infers the
+    format; unknown formats and SerDe classes are rejected."""
+    cat.create_table("default", "t_sa", "id BIGINT",
+                     properties={"hive.stored-as": "ORC"})
+    assert cat._table_meta("default", "t_sa").provider == "orc"
+    cat.create_table("default", "t_sa2", "id BIGINT")  # default
+    assert cat._table_meta("default", "t_sa2").provider == "parquet"
+    with pytest.raises(CatalogError, match="invalid"):
+        cat.create_table("default", "bad_sa", "id BIGINT",
+                         properties={"hive.stored-as": "rcfile"})
+    with pytest.raises(CatalogError, match="SerDe"):
+        cat.create_table("default", "bad_serde", "id BIGINT",
+                         properties={"hive.serde": "org.example.MySerde"})
+    # explicit provider wins over stored-as
+    cat.create_table("default", "t_sa3", "id BIGINT", provider="json",
+                     properties={"hive.stored-as": "orc"})
+    assert cat._table_meta("default", "t_sa3").provider == "json"
