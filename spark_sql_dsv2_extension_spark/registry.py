@@ -116,6 +116,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- 50-key window boundary (round 2) ---
     # next-up: remaining round-1-untested keys, for the round-3 window
     "ext_corpus_pipeline",
+    "stream_sink_catalog_table",
     "scan_python_datasource",
     "scan_python_stream_source",
     "sink_python_datasource",

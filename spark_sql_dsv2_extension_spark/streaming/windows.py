@@ -495,3 +495,60 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("click_ts").alias("click_epoch"),
         F.unix_timestamp("p_ts").alias("purchase_epoch"),
     )
+
+
+@query(
+    "stream_sink_catalog_table",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_sink_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO a catalog table: each micro-batch lands through
+    ``EngineCatalog.insert`` via ``foreachBatch``, so the write picks up the
+    catalog's write path (store-assignment casts, partitioned layout,
+    A28 stats refresh) and the table is immediately addressable by 3-part
+    SQL names. This is the streaming half of the reference's two-phase
+    file⊕metastore commit (HiveFileBatchWrite.scala:20-69): the streaming
+    checkpoint provides batch-level exactly-once, the catalog registry
+    plays the metastore. The result is read back THROUGH the catalog and
+    aggregated — proving ingest ⊕ catalog read round-trip exactly."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from ..catalog import EngineCatalog, engine_sql
+
+    ev = _stream_source(spark, sf_dir)
+    cat_name = "streamcat_" + _uuid.uuid4().hex[:8]
+    cat = EngineCatalog(spark, cat_name, _tf.mkdtemp(prefix="engine_scat_"))
+    cat.create_table(
+        "default", "events_ingest",
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING",
+        partition_by=["event_type"],
+    )
+
+    def sink_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        cat.insert(
+            "default", "events_ingest",
+            batch_df.select("event_id", "user_id", "value", "event_type"),
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(sink_batch)
+        .option(
+            "checkpointLocation", _tf.mkdtemp(prefix="engine_scat_chk_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return engine_sql(
+        spark,
+        f"SELECT event_type, count(*) AS n, "
+        f"count(DISTINCT user_id) AS n_users "
+        f"FROM {cat_name}.default.events_ingest GROUP BY event_type",
+    )
