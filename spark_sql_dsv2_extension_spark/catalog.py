@@ -421,6 +421,33 @@ class EngineCatalog:
             out = out.unionByName(p)
         return out
 
+    def load_table_stream(self, ns: str, table: str) -> DataFrame:
+        """Streaming read of a catalog table (append-only directory).
+
+        The reference's tables are batch-only (A11, V2Table.scala:45-47);
+        this engine extends the identical surface with Structured Streaming:
+        new files appearing under the table directory become micro-batches,
+        with the declared schema (schema-on-write, like batch loads).
+        Parquet/orc only — csv/json streaming would need header handling
+        per file. Custom-located partitions are not watched (file streams
+        track one root); reject if any are registered."""
+        meta = self._table_meta(ns, table)
+        if meta.provider not in ("parquet", "orc"):
+            raise CatalogError(
+                f"streaming read supports parquet/orc tables, not {meta.provider}"
+            )
+        if meta.partition_locations:
+            raise CatalogError(
+                "streaming read does not support custom-located partitions"
+            )
+        struct = StructType.fromDDL(meta.schema_ddl)
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in struct.fields)
+        return (
+            self.spark.readStream.schema(ddl)
+            .format(meta.provider)
+            .load(self._table_dir(ns, table))
+        )
+
     def invalidate_table(self, ns: str, table: str) -> None:
         """Reference A4 — drop cached file listings / plans for the target
         table only (V2ExternalCatalog.scala:116 refreshes the single

@@ -503,3 +503,31 @@ def test_provider_inference_from_stored_as(cat, spark):
     cat.create_table("default", "t_sa3", "id BIGINT", provider="json",
                      properties={"hive.stored-as": "orc"})
     assert cat._table_meta("default", "t_sa3").provider == "json"
+
+
+def test_catalog_table_streaming_read(cat, spark):
+    """A11 extension: catalog tables are streamable — new files appended
+    between runs arrive as new micro-batches with the declared schema."""
+    import uuid
+
+    cat.create_table("default", "t_stream", "id BIGINT, dt STRING",
+                     partition_by=["dt"])
+    cat.insert("default", "t_stream", spark.createDataFrame(
+        [(1, "d1"), (2, "d2")], "id BIGINT, dt STRING"))
+
+    def drain() -> set:
+        name = "catstream_" + uuid.uuid4().hex
+        q = (cat.load_table_stream("default", "t_stream")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.id, r.dt) for r in spark.table(name).collect()}
+
+    assert drain() == {(1, "d1"), (2, "d2")}
+    cat.insert("default", "t_stream", spark.createDataFrame(
+        [(3, "d3")], "id BIGINT, dt STRING"))
+    assert drain() == {(1, "d1"), (2, "d2"), (3, "d3")}
+    # csv tables refuse streaming reads
+    cat.create_table("default", "t_stream_csv", "id BIGINT", provider="csv")
+    with pytest.raises(CatalogError, match="streaming"):
+        cat.load_table_stream("default", "t_stream_csv")
