@@ -117,6 +117,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # next-up: remaining round-1-untested keys, for the round-3 window
     "ext_corpus_pipeline",
     "stream_sink_catalog_table",
+    "ext_embedding_quantize",
     "scan_python_datasource",
     "scan_python_stream_source",
     "sink_python_datasource",
