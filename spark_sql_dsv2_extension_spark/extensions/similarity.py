@@ -527,3 +527,80 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, c: acc + c,
         ).alias("l1_codes"),
     )
+
+
+@query(
+    "ext_knn_int8",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(-127, least(127,
+                      CAST(round(CAST(x AS DOUBLE) *
+                        (127.0 / list_max(list_transform(embedding,
+                           y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT)))) AS c
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, c AS qc FROM codes
+      WHERE vec_id < {N_QUERIES}
+    ), dots AS (
+      SELECT q.query_id, codes.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qc) + 1),
+               i -> qc[i] * c[i])) AS BIGINT) AS int_dot
+      FROM q JOIN codes ON codes.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, int_dot, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY int_dot DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM dots
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def ext_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over int8-quantized embeddings — the serving side of
+    ``ext_embedding_quantize``: integer dot products instead of float
+    cosine (4× less memory traffic; SIMD int8 kernels in a real serving
+    stack). Rankings approximate the float ordering; the CHECK is exact
+    because integer arithmetic has no rounding at all — both engines
+    quantize and accumulate identically.
+
+    Same scale shape as ``ext_knn_cosine``: queries broadcast, corpus
+    fanned out, one window per query for top-k. No float comparisons
+    anywhere past quantization."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    inv_scale = F.lit(127.0) / mx
+    codes = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(x.cast("double") * inv_scale).cast("long"),
+                ),
+            ),
+        ).alias("c"),
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    )
+    dots = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with("qc", "c", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("int_dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("int_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dots.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )

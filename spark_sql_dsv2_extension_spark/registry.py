@@ -118,6 +118,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_corpus_pipeline",
     "stream_sink_catalog_table",
     "ext_embedding_quantize",
+    "ext_knn_int8",
     "scan_python_datasource",
     "scan_python_stream_source",
     "sink_python_datasource",
