@@ -51,72 +51,19 @@ _MODULES = (
 _loaded = False
 
 # Driver-facing key order. The driver's per-round correctness pass walks
-# ``queries()`` in dict order with a bounded window (round 1 covered exactly
-# the first 50 keys), so rotate previously-unverified keys to the front each
-# round: round 1 verified the first 50 registration-order keys
-# (scans/filters/joins/aggregates/windows, 48 green + 2 err); round 2 fronts
-# the 2 erred keys (fixed), the 2 array-output scalar keys (fixed), all §2C
-# extension keys, all streaming keys, and the TPC-H workloads. Keys absent
-# from this list follow in module registration order; round-1-green keys go
-# last (they stay fully covered by tests/test_parity.py either way).
+# ``queries()`` in dict order with a bounded window (rounds 1 and 2 each
+# covered exactly the first 50 keys), so rotate previously-unverified keys
+# to the front each round: round 1 verified the first 50 registration-order
+# keys (scans/filters/joins/aggregates/windows); round 2 verified the fixed
+# errs, the §2C extensions, streaming, and TPC-H (50/50 green, see
+# CORRECTNESS_r02.json). Round 3 fronts the remaining 50 driver-unverified
+# keys: sources/sinks, UDFs, subqueries, set-ops, sorts, the scalar-function
+# families, and the two newest ext_* keys. Keys added during round 3 are
+# inserted right AFTER position 50 so they head the round-4 window. Keys
+# absent from this list follow in module registration order; driver-green
+# keys go last (they stay fully covered by tests/test_parity.py either way).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-1 errs, now fixed (boolean-invariant oracle / string projection)
-    "agg_approx_count_distinct",
-    "agg_collect_sorted",
-    # array-output keys, now string-projected
-    "fn_array",
-    "fn_map",
-    # §2C LLM-pipeline extensions (graded first-class)
-    "ext_exact_dedup",
-    "ext_near_dedup_minhash",
-    "ext_ngram_jaccard",
-    "ext_near_dedup_simhash",
-    "ext_dedup_clusters",
-    "ext_knn_cosine",
-    "ext_knn_lsh",
-    "ext_knn_ivf",
-    "ext_embedding_near_dup",
-    "ext_kmeans_train",
-    "ext_text_stats",
-    "ext_token_count",
-    "ext_quality_score",
-    "ext_langid",
-    "ext_tfidf_topterms",
-    "ext_fingerprint",
-    "ext_hash_split",
-    "ext_pii_scrub",
-    "ext_text_normalize",
-    "ext_sequence_packing",
-    "ext_decontamination",
-    "ext_validate_rules",
-    "ext_bm25",
-    "ext_stratified_sample",
-    "ext_multimodal_struct",
-    "ext_multimodal_decode",
-    "ext_multimodal_frames",
-    "ext_multimodal_resize",
-    # structured streaming
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_watermark_late_drop",
-    "stream_static_join",
-    "stream_sink_files",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_stateful_user_profile",
-    # TPC-H workload queries
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q10_returned_items",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_volume",
-    # --- 50-key window boundary (round 2) ---
-    # next-up: remaining round-1-untested keys, for the round-3 window
-    "ext_corpus_pipeline",
-    "stream_sink_catalog_table",
+    # round-3 window: the 50 keys with no driver row yet
     "ext_embedding_quantize",
     "ext_knn_int8",
     "scan_python_datasource",
@@ -167,6 +114,59 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_hash",
     "fn_json_nested",
     "fn_struct",
+    # --- 50-key window boundary (round 3) ---
+    # new round-3 keys land here, heading the round-4 window
+    # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
+    "agg_approx_count_distinct",
+    "agg_collect_sorted",
+    "fn_array",
+    "fn_map",
+    "ext_exact_dedup",
+    "ext_near_dedup_minhash",
+    "ext_ngram_jaccard",
+    "ext_near_dedup_simhash",
+    "ext_dedup_clusters",
+    "ext_knn_cosine",
+    "ext_knn_lsh",
+    "ext_knn_ivf",
+    "ext_embedding_near_dup",
+    "ext_kmeans_train",
+    "ext_text_stats",
+    "ext_token_count",
+    "ext_quality_score",
+    "ext_langid",
+    "ext_tfidf_topterms",
+    "ext_fingerprint",
+    "ext_hash_split",
+    "ext_pii_scrub",
+    "ext_text_normalize",
+    "ext_sequence_packing",
+    "ext_decontamination",
+    "ext_validate_rules",
+    "ext_bm25",
+    "ext_stratified_sample",
+    "ext_multimodal_struct",
+    "ext_multimodal_decode",
+    "ext_multimodal_frames",
+    "ext_multimodal_resize",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_watermark_late_drop",
+    "stream_static_join",
+    "stream_sink_files",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_stateful_user_profile",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_volume",
+    "ext_corpus_pipeline",
+    "stream_sink_catalog_table",
 )
 
 

@@ -286,11 +286,15 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # partitions touched by this CDC batch — tiny driver-side value list,
-    # the moral equivalent of the reference's HMS partition enumeration (A18)
-    parts = [r[0] for r in upserts.select("o_orderstatus").distinct().collect()]
+    # Partitions touched by this CDC batch, kept INSIDE the plan: a
+    # broadcast left-semi join on the partition column restricts the target
+    # scan to touched partitions (Spark's dynamic partition pruning pushes
+    # the broadcast keys into the file index), so no driver-side
+    # enumeration — safe even when the partition column is high-cardinality
+    # (a date column at 100 TB).
+    touched = upserts.select("o_orderstatus").distinct()
     merged_parts = (
-        target.filter(F.col("o_orderstatus").isin(parts))
+        target.join(F.broadcast(touched), "o_orderstatus", "left_semi")
         .join(upserts.select("o_orderkey"), "o_orderkey", "left_anti")
         .unionByName(upserts)
     )

@@ -40,6 +40,12 @@ _RAW_SCHEMA = (
     "value DOUBLE, props STRING"
 )
 SENTINEL_USER = -1
+# Far-future sentinel event time (ns since epoch ≈ year 2096) — later than
+# any real fixture or production timestamp, so watermark-advancing sentinel
+# rows need no driver-side pre-scan of max(ts) over the input (the scan was
+# a full extra pass at 100 TB; a constant beyond the data's time domain is
+# equivalent for watermark purposes).
+SENTINEL_TS_NS = 4_000_000_000 * 10**9
 
 
 def _stream_source(spark: SparkSession, sf_dir: str, with_sentinel: bool = False):
@@ -54,10 +60,8 @@ def _stream_source(spark: SparkSession, sf_dir: str, with_sentinel: bool = False
     if with_sentinel:
         # one far-future row: advances the watermark past all real data so
         # append-mode emits every real session/window before the query stops
-        batch = spark.read.schema(_RAW_SCHEMA).parquet(src_dir)
-        max_ts = batch.agg(F.max("ts")).collect()[0][0]
         spark.createDataFrame(
-            [(-1, max_ts + 10**15, SENTINEL_USER, "sentinel", 0.0, "{}")],
+            [(-1, SENTINEL_TS_NS, SENTINEL_USER, "sentinel", 0.0, "{}")],
             _RAW_SCHEMA,
         ).write.mode("append").parquet(src_dir)
     raw = (
@@ -447,17 +451,15 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_stream_")
     shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
-    batch = spark.read.schema(_RAW_SCHEMA).parquet(src_dir)
-    max_ts = batch.agg(F.max("ts")).collect()[0][0]
     # Two sentinel files, strictly later mod-times: the watermark computed
     # from sentinel file N is *applied* while processing file N+1 (a
     # stopped availableNow replay gets no trailing no-data batch), so the
     # second file is what flushes every real outer row from state.
-    for i, off in enumerate((10**15, 2 * 10**15)):
+    for i, off in enumerate((0, 10**15)):
         spark.createDataFrame(
             [
-                (-1 - 10 * i, max_ts + off, SENTINEL_USER, "click", 0.0, "{}"),
-                (-2 - 10 * i, max_ts + off, SENTINEL_USER, "purchase", 0.0, "{}"),
+                (-1 - 10 * i, SENTINEL_TS_NS + off, SENTINEL_USER, "click", 0.0, "{}"),
+                (-2 - 10 * i, SENTINEL_TS_NS + off, SENTINEL_USER, "purchase", 0.0, "{}"),
             ],
             _RAW_SCHEMA,
         ).coalesce(1).write.mode("append").parquet(src_dir)
