@@ -29,9 +29,13 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import fan_out, load
 
+# Defaults sized for the 500-5000-vector fixtures; every ANN entry point
+# accepts them as keyword parameters, and the oracles are generated from the
+# same constants. At production scale: n_planes ≈ log2(corpus / target
+# bucket size) (e.g. 20+ planes for 10^9 vectors), n_centroids ≈ sqrt(corpus).
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
-N_PLANES = 6  # 2^6 buckets suits the 500-5000-vector fixtures; scale with corpus
+N_PLANES = 6  # 2^6 buckets
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -78,7 +82,12 @@ _KNN_ORACLE = f"""
 
 
 @query("ext_knn_cosine", oracle=_KNN_ORACLE)
-def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_knn_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
     """Brute-force cosine top-k: each query vector (broadcast) against the
     full corpus, ranked per query with deterministic tie-break.
 
@@ -86,7 +95,7 @@ def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow — without it a single-split corpus computes every cosine in one
     task."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     sims = (
@@ -102,7 +111,7 @@ def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sims.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= top_k)
     )
 
 
@@ -147,7 +156,13 @@ _LSH_ORACLE = f"""
 
 
 @query("ext_knn_lsh", oracle=_LSH_ORACLE)
-def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_knn_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = N_PLANES,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
     """Approximate kNN via random-hyperplane LSH — with an EXACT oracle.
 
     Plane p's component j is a deterministic pseudo-random value in
@@ -184,7 +199,7 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def signature(vec: Column) -> Column:
         # fold over planes: acc*2 + sign_bit(projection)
         return F.aggregate(
-            F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
             F.lit(0).cast("long"),
             lambda acc, p: acc * 2
             + F.when(projection(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)),
@@ -195,7 +210,7 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = emb.select(
         "vec_id", "embedding", signature(F.col("embedding")).alias("sig")
     ).cache()
-    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+    q = sigs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("sig").alias("q_sig"),
@@ -214,7 +229,7 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
         )
         .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= top_k)
     )
 
 
@@ -259,7 +274,13 @@ _IVF_ORACLE = f"""
 
 
 @query("ext_knn_ivf", oracle=_IVF_ORACLE)
-def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
     """IVF-style approximate kNN: route every vector to its nearest
     centroid (deterministic codebook: the first N_CENTROIDS corpus vectors
     stand in for trained k-means centroids), then search only the query's
@@ -271,7 +292,7 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; production raises nprobe and trains real centroids — the join
     shape is identical)."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -289,7 +310,7 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "c_sim")
     ).cache()  # consumed by both sides of the cell join; assignment runs once
-    q = clustered.filter(F.col("vec_id") < N_QUERIES).select(
+    q = clustered.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("centroid_id").alias("q_centroid"),
@@ -308,7 +329,7 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sims.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= top_k)
     )
 
 
@@ -397,40 +418,35 @@ _KMEANS_ORACLE = f"""
 """
 
 
-@query("ext_kmeans_train", oracle=_KMEANS_ORACLE)
-def ext_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means centroid training (2 Lloyd iterations, deterministic init =
-    first K vectors) entirely in DataFrame ops — the training half of IVF
-    indexing (``ext_knn_ivf`` is the serving half; its stand-in codebook
-    would be replaced by these centroids).
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as a sequential double fold (bit-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
-    Each iteration: broadcast the K centroids, assign every vector to its
+
+def train_kmeans(
+    emb: DataFrame, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over the embedding column, deterministic init = first
+    ``k`` vectors; returns ``(components, centroids)`` where components is
+    (cid, dim, comp, n_members) and centroids is (cid, c: array<double>).
+
+    Per iteration: broadcast the K centroids, assign every vector to its
     nearest (squared euclidean, sequential fold → bit-identical across
     engines), recompute each centroid dimension as a scaled-integer mean
-    (exact int64 sum, one identical double division chain) — so the 2nd
-    iteration's assignments, and hence the final centroids, match the
-    DuckDB oracle exactly despite being float math.
-
-    Scale shape: per iteration one broadcast join + one (cid, dim) shuffle
-    of 64·n rows of (long, double) — no driver materialization, no
-    quadratic term; iterations are a driver-side loop exactly like
-    ``ext_dedup_clusters``. Output: (centroid_id, dim, component,
-    n_members) — 4×64 rows."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
-
-    def sqdist(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    cent = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
+    (exact int64 sum, one identical double division chain) — so iteration
+    N's assignments, and hence the final centroids, match the DuckDB
+    oracle exactly despite being float math. One broadcast join + one
+    (cid, dim) shuffle per iteration; no driver materialization."""
+    cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
         F.transform("embedding", lambda x: x.cast("double")).alias("c"),
     )
     comp = None
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         w = Window.partitionBy("vec_id").orderBy(F.col("sqd").asc(), F.col("cid").asc())
         members = (
             emb.crossJoin(F.broadcast(cent))
@@ -459,11 +475,115 @@ def ext_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["comp"],
             ).alias("c")
         )
+    return comp, cent
+
+
+@query("ext_kmeans_train", oracle=_KMEANS_ORACLE)
+def ext_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means centroid training (2 Lloyd iterations, deterministic init =
+    first K vectors) entirely in DataFrame ops — the training half of IVF
+    indexing; ``ext_knn_ivf_trained`` composes these centroids into the
+    serving-side cell search. See :func:`train_kmeans` for the exactness
+    and scale argument. Output: (centroid_id, dim, component, n_members)
+    — K×64 rows."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    comp, _ = train_kmeans(emb)
     return comp.select(
         F.col("cid").alias("centroid_id"),
         F.col("dim").cast("long").alias("dim"),
         F.col("comp").alias("component"),
         "n_members",
+    )
+
+
+_IVF_TRAINED_ORACLE = f"""
+    WITH c0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}, assignf AS (
+      SELECT e.vec_id, e.embedding, cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sqdist_sql("e.embedding", "c")} ASC, cid ASC) AS rn
+      FROM embeddings e CROSS JOIN c2
+    ), clustered AS (
+      SELECT vec_id, embedding, cid FROM assignf WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cid
+      FROM clustered WHERE vec_id < {N_QUERIES}
+    ), sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+              sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+               AS cosine_sim
+      FROM q JOIN clustered e ON e.cid = q.cid AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+"""
+
+
+@query("ext_knn_ivf_trained", oracle=_IVF_TRAINED_ORACLE)
+def ext_knn_ivf_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF kNN with a TRAINED codebook — the full production composition:
+    :func:`train_kmeans` learns the centroids (2 Lloyd iterations), every
+    vector routes to its nearest trained centroid (squared euclidean, same
+    metric as training), and each query searches only its cell, ranked by
+    exact cosine. This replaces ``ext_knn_ivf``'s stand-in first-N codebook
+    with the real thing in ONE composed plan; the oracle unrolls the same
+    iterations in SQL, so the check stays exact end-to-end.
+
+    Scale shape: training is per-iteration broadcast join + (cid, dim)
+    shuffle; serving is a broadcast-codebook assignment plus an equi-join
+    on the cell id — a query touches |corpus|/K vectors (nprobe=1;
+    production raises nprobe by joining the q-side to its p nearest cells
+    — same join, more rows on the tiny side)."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    _, cent = train_kmeans(emb)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sqd").asc(), F.col("cid").asc()
+    )
+    clustered = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            sqdist(F.col("embedding"), F.col("c")).alias("sqd"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "sqd")
+    ).cache()  # consumed by both sides of the cell join; assignment runs once
+    q = clustered.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cid").alias("q_cid"),
+    )
+    sims = clustered.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
     )
 
 
@@ -558,7 +678,12 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= {TOP_K}
     """,
 )
-def ext_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_knn_int8(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
     """Top-k retrieval over int8-quantized embeddings — the serving side of
     ``ext_embedding_quantize``: integer dot products instead of float
     cosine (4× less memory traffic; SIMD int8 kernels in a real serving
@@ -585,7 +710,7 @@ def ext_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("c"),
     )
-    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+    q = codes.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
     )
     dots = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
@@ -602,5 +727,5 @@ def ext_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dots.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= top_k)
     )

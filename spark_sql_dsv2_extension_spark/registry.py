@@ -116,6 +116,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_struct",
     # --- 50-key window boundary (round 3) ---
     # new round-3 keys land here, heading the round-4 window
+    "ext_knn_ivf_trained",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q12_late_shipments",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    "tpch_q22_global_sales",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

@@ -98,6 +98,28 @@ def test_knn_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in physical_plan(df) or has_broadcast_hash_join(df)
 
 
+def test_knn_lsh_bucket_join_is_broadcast_equi(spark, sf_dir):
+    """The ANN scale shape: candidates come from an equi-join on the LSH
+    signature with the (tiny) query side broadcast — never a corpus-side
+    shuffle or a nested-loop scan."""
+    df = SPECS["ext_knn_lsh"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df), plan
+    assert not has_cartesian(df)
+
+
+def test_knn_ivf_trained_cell_join_is_broadcast_equi(spark, sf_dir):
+    """Trained-IVF serving: the cell search is an equi-join on the centroid
+    id with the query side broadcast; the only nested-loop joins are the
+    deliberate broadcast-codebook assignments (K rows broadcast, so they
+    are NOT counted as cartesians here — only a true CartesianProduct
+    regression fails)."""
+    df = SPECS["ext_knn_ivf_trained"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q1_pushdown_and_partial_agg(spark, sf_dir):
     df = SPECS["tpch_q1_pricing_summary"].fn(spark, sf_dir)
     plan = physical_plan(df)
