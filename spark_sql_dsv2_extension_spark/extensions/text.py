@@ -807,3 +807,254 @@ def ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(F.split("norm", " "))).cast("long").alias("total_tokens"),
     )
+
+
+CHUNK_SIZE = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+@query(
+    "ext_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), numbered AS (
+      SELECT doc_id, toks,
+             unnest(range(0, 1 + (greatest(n_tok - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)
+                              // {CHUNK_STRIDE})) AS chunk_id
+      FROM base
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                         chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                                 chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+             AS chunk_text
+    FROM numbered
+    """,
+)
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking — the document→training-sample
+    step of an LLM data pipeline (context windows of CHUNK_SIZE tokens,
+    stride CHUNK_STRIDE, so consecutive chunks overlap by SIZE−STRIDE
+    tokens and no token is lost). Chunk count per doc is pure integer
+    arithmetic; the chunk content is an array slice — all JVM-side
+    (split/slice/explode), no Python, so at 100 TB this runs at scan
+    throughput and the output is ~n_tokens/STRIDE rows per doc.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.size(toks) - F.lit(CHUNK_SIZE), F.lit(0)) + F.lit(CHUNK_STRIDE - 1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("long")
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "ext_repetition_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lang,
+             list_transform(range(0, len(toks) - 1),
+                            i -> toks[i + 1] || ' ' || toks[i + 2]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+             AS rep_score
+    FROM b
+    WHERE len(bigrams) > 0
+    """,
+)
+def ext_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitiveness quality signal: fraction of duplicated word bigrams
+    per document (the Gopher-style repetition gate — highly repetitive
+    docs are boilerplate/spam and get filtered before training). Score =
+    1 − distinct_bigrams/total_bigrams; pure integer counts and ONE double
+    division, so both engines agree bit-exactly. All array ops inside
+    codegen — no shuffle, no Python; at 100 TB this is a map over the
+    scan."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    return (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") > 1)
+        .select("doc_id", "lang", bigrams.alias("bigrams"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("bigrams").cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct("bigrams")).cast("long").alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("bigrams")).cast("double")
+                / F.size("bigrams")
+            ).alias("rep_score"),
+        )
+    )
+
+
+NGRAM_TOPK = 20
+
+
+@query(
+    "ext_ngram_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT unnest(list_transform(range(0, len(toks) - 1),
+                    i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+      FROM t
+    ), counted AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY bigram
+    )
+    SELECT bigram, n, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, bigram ASC) AS rk
+      FROM counted
+    ) WHERE rk <= {NGRAM_TOPK}
+    """,
+)
+def ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-K word bigrams — the vocabulary/phrase-frequency
+    profile run before tokenizer training or contamination review. Explode
+    to one row per bigram, partial-aggregate map-side (the heavy lifting:
+    60k docs → millions of bigram rows collapse to distinct counts before
+    the shuffle), then a single top-K (TakeOrderedAndProject via limit,
+    deterministic count-then-alpha tie-break)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    return (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") > 1)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(NGRAM_TOPK)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+            ).cast("long"),
+        )
+    )
+
+
+HIST_BUCKET_TOKENS = 16
+
+
+@query(
+    "ext_length_histogram",
+    oracle=f"""
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) // {HIST_BUCKET_TOKENS} AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language — the corpus-shape profile used
+    to pick context length and packing strategy. Bucket = token_count DIV
+    {HIST_BUCKET_TOKENS}; one partial-aggregated groupBy, integer-only
+    outputs."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "bucket",
+            F.floor(F.size(F.split("text", " ")) / F.lit(HIST_BUCKET_TOKENS)).cast(
+                "long"
+            ),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_BAL_A = 48271  # minstd multiplier (same LCG family as the other exact hashes)
+_BAL_B = 7919
+_BAL_M = 2_147_483_647
+
+
+@query(
+    "ext_label_balance",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * {_BAL_A} + {_BAL_B}) % {_BAL_M}, doc_id
+             ) AS rn
+      FROM documents
+    ), m AS (
+      SELECT min(cnt) AS m FROM (
+        SELECT count(*) AS cnt FROM documents GROUP BY lang
+      )
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked, m WHERE rn <= m
+    """,
+)
+def ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: keep exactly min-class-count docs per
+    language, selected by a deterministic pseudo-random rank (minstd LCG
+    over doc_id — reproducible across engines AND across runs, unlike
+    sample()). The balancing target (min group count) is computed inside
+    the plan and broadcast — no driver collect. This is the label-balance
+    step before fine-tune mixture assembly; at 100 TB the rank is one
+    window per class and the threshold a 1-row broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    rank_key = F.pmod(F.col("doc_id") * _BAL_A + _BAL_B, F.lit(_BAL_M))
+    w = Window.partitionBy("lang").orderBy(rank_key.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+    )
+    m = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    return ranked.join(F.broadcast(m)).filter(F.col("rn") <= F.col("m")).drop("m")

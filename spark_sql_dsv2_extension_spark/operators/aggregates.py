@@ -580,3 +580,71 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.count_if(F.col("o_totalprice") > 200000.0).cast("long").alias("n_big"),
     )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           round(CAST(median(o_totalprice) AS DOUBLE), 4) AS med_price,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90_price,
+           round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4)
+             AS p25_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregates (median / p90 / p25) per group —
+    ``F.percentile`` sorts within the group and interpolates, the
+    distributed equivalent of quantile_cont. Outputs rounded to 4 decimals
+    because linear interpolation (a + (b−a)·f) can differ by 1 ulp across
+    engines. At scale exact percentiles shuffle the group's values;
+    approx_percentile (t-digest sketch, map-side mergeable) is the 100 TB
+    variant when 1%% error is acceptable — kept exact here for the oracle."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25_price"),
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey, o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rk_max,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS rk_min
+      FROM orders
+    )
+    SELECT a.o_orderstatus,
+           a.o_orderkey AS max_price_order,
+           b.o_orderkey AS min_price_order
+    FROM (SELECT * FROM ranked WHERE rk_max = 1) a
+    JOIN (SELECT * FROM ranked WHERE rk_min = 1) b USING (o_orderstatus)
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / MIN_BY — the "argmax" aggregates: which order carries the
+    extreme price per status. Price ties are broken by o_orderkey via a
+    composite ordering struct, making the result deterministic (a bare
+    max_by on a tied column is engine-order-dependent — the struct
+    tie-break is the pattern that survives an oracle). One partial-agg
+    shuffle; the struct comparison happens map-side."""
+    o = load(spark, sf_dir, "orders")
+    # struct orders lexicographically: (price, -orderkey) picks the SMALLEST
+    # key among max-price ties; (price, orderkey) the smallest among min ties
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), -F.col("o_orderkey"))
+        ).alias("max_price_order"),
+        F.min_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+        ).alias("min_price_order"),
+    )

@@ -1,0 +1,88 @@
+"""Reshape operators: PIVOT (long→wide) and UNPIVOT/MELT (wide→long).
+
+SURVEY §2B composition surface: the reference exposes these through Spark
+SQL's PIVOT/UNPIVOT clauses over its connector tables; here they are the
+DataFrame ``groupBy().pivot()`` and ``unpivot()`` APIs over the engine's
+scans. Both are single-shuffle operations: pivot is a grouped aggregate
+whose output columns are the (pre-declared) pivot values; unpivot is a
+zero-shuffle generator (each input row fans out to one row per measure).
+
+Scale notes: ALWAYS pass the explicit value list to pivot — without it
+Spark runs a distinct-scan of the pivot column first (an extra job over
+100 TB). Unpivot is map-side only and runs at scan throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, sql_dsum
+
+
+@query(
+    "pivot_wide",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)}
+             AS f_total,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)}
+             AS o_total,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 2)}
+             AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order totals per priority, one column per order status. The
+    explicit values list ('F','O','P') keeps it a single grouped aggregate
+    (no distinct pre-scan); each cell is the exact scaled-integer sum so
+    the wide result matches the CASE-sum oracle bit-for-bit."""
+    from ..tables import dsum
+
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice", 2))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/MELT: four lineitem measures to (key, metric, value) rows —
+    the wide→long reshape feeding generic metric pipelines. Spark's
+    ``unpivot`` is a Generate node (map-side fan-out ×4, no shuffle, no
+    distinct scan); values pass through unchanged so the UNION ALL oracle
+    matches exactly."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )

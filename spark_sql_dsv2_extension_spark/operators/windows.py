@@ -329,3 +329,5 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("sec"),
         F.last("v", ignorenulls=True).over(w).alias("filled"),
     )
+
+

@@ -34,6 +34,7 @@ _MODULES = (
     "spark_sql_dsv2_extension_spark.operators.aggregates",
     "spark_sql_dsv2_extension_spark.operators.windows",
     "spark_sql_dsv2_extension_spark.operators.sorts",
+    "spark_sql_dsv2_extension_spark.operators.reshape",
     "spark_sql_dsv2_extension_spark.operators.setops",
     "spark_sql_dsv2_extension_spark.operators.subqueries",
     "spark_sql_dsv2_extension_spark.operators.udfs",
@@ -128,6 +129,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_quantity",
     "tpch_q19_disjunctive",
     "tpch_q22_global_sales",
+    "ext_chunk_documents",
+    "ext_repetition_score",
+    "ext_ngram_topk",
+    "ext_length_histogram",
+    "ext_label_balance",
+    "agg_percentile_exact",
+    "agg_min_by_max_by",
+    "pivot_wide",
+    "unpivot_long",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
