@@ -448,6 +448,29 @@ class EngineCatalog:
             .load(self._table_dir(ns, table))
         )
 
+    def publish_views(self, ns: str | None = None) -> list[str]:
+        """Register every catalog table as a session temp view named
+        ``{catalog}__{ns}__{table}``, so PLAIN ``spark.sql`` can query the
+        catalog without going through :func:`engine_sql`.
+
+        This is the pure-Python mitigation for the platform limit the
+        reference doesn't have: its Scala ``V2ExternalCatalog`` plugs into
+        ``spark.sql.catalog.{name}`` (V2ExternalCatalog.scala:55-92) so any
+        SQL can say ``cat.db.t`` natively, but the DSv2 TableCatalog plugin
+        API is JVM-only. Temp views give the same read surface under a
+        mangled name (3-part names still need ``engine_sql``, which remains
+        the full DDL/DML entry point). Views are lazy plans over
+        :func:`load_table` — no materialization; re-publishing after DDL
+        refreshes them. Returns the view names registered."""
+        spaces = [ns] if ns is not None else self.list_namespaces()
+        published: list[str] = []
+        for space in spaces:
+            for table in self.list_tables(space):
+                view = f"{self.name}__{space}__{table}"
+                self.load_table(space, table).createOrReplaceTempView(view)
+                published.append(view)
+        return published
+
     def invalidate_table(self, ns: str, table: str) -> None:
         """Reference A4 — drop cached file listings / plans for the target
         table only (V2ExternalCatalog.scala:116 refreshes the single

@@ -729,3 +729,93 @@ def ext_knn_int8(
         dots.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= top_k)
     )
+
+
+SEMDEDUP_T = 0.35  # cosine threshold: fixture embeddings are near-random
+# (max off-diagonal cosine ≈ 0.48), so 0.35 yields a small real dup set
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH c0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}, assignf AS (
+      SELECT e.vec_id, e.embedding, cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sqdist_sql("e.embedding", "c")} ASC, cid ASC) AS rn
+      FROM embeddings e CROSS JOIN c2
+    ), clustered AS (
+      SELECT vec_id, embedding, cid FROM assignf WHERE rn = 1
+    )
+    SELECT b.vec_id, b.cid,
+           NOT EXISTS (
+             SELECT 1 FROM clustered a
+             WHERE a.cid = b.cid AND a.vec_id < b.vec_id
+               AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                     >= {SEMDEDUP_T}
+           ) AS kept
+    FROM clustered b
+"""
+
+
+@query("ext_semdedup", oracle=_SEMDEDUP_ORACLE)
+def ext_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEMDEDUP_T,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with k-means, then WITHIN each cluster drop any
+    vector that is cosine-similar (≥ threshold) to a lower-id keeper —
+    i.e. near-duplicate pruning where the quadratic pair search is bounded
+    to a cluster, never the corpus. Composition: :func:`train_kmeans`
+    centroids → nearest-centroid routing → within-cluster pair join on
+    cid → per-vector NOT-EXISTS(kept lower neighbor).
+
+    Scale shape: the pair join is an equi-join on cid (cluster size
+    ~n/K); raising K shrinks the quadratic term — at 100 TB K scales with
+    corpus so clusters stay bounded (SemDeDup used 50k clusters for LAION).
+    The kept flag is a left-semi-negation expressed as an aggregate, all
+    plan-side; exact oracle because both kmeans and cosine are
+    bit-identical sequential folds."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    _, cent = train_kmeans(emb)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sqd").asc(), F.col("cid").asc()
+    )
+    clustered = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            sqdist(F.col("embedding"), F.col("c")).alias("sqd"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "sqd")
+    ).cache()  # both sides of the within-cluster pair join
+    a = clustered.select(
+        F.col("cid").alias("a_cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    dup_ids = (
+        clustered.join(
+            a,
+            (F.col("cid") == F.col("a_cid")) & (F.col("a_id") < F.col("vec_id")),
+        )
+        .filter(cosine(F.col("a_emb"), F.col("embedding")) >= threshold)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        clustered.join(dup_ids.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+        )
+    )

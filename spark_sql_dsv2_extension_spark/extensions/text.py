@@ -1058,3 +1058,59 @@ def ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("m"))
     )
     return ranked.join(F.broadcast(m)).filter(F.col("rn") <= F.col("m")).drop("m")
+
+
+@query(
+    "ext_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), total AS (
+      SELECT SUM(c) AS n FROM vocab
+    ), scored AS (
+      SELECT tok.doc_id,
+             CAST(round(-ln(CAST(vocab.c AS DOUBLE) / n) * 1e6) AS BIGINT)
+               AS lp6
+      FROM tok JOIN vocab USING (w), total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(SUM(lp6) / 1e6 / count(*), 4) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model scoring — the cheap stand-in
+    for perplexity filtering (docs whose tokens are improbable under the
+    corpus distribution are outliers/noise; CCNet-style pipelines gate on
+    exactly this signal, with a KenLM in place of the unigram model).
+
+    score(doc) = Σ −ln(count(w)/N) / n_tokens. Each token's −ln(p) is
+    rounded to 1e-6 and summed as exact int64 — making the double sum
+    ORDER-INDEPENDENT (a raw float sum would vary with partitioning),
+    which is both the determinism trick for the oracle and the right
+    pattern for reproducible pipeline reruns at 100 TB. Vocab joins back
+    broadcast (fixture) / shuffle (web-scale); everything else is one
+    grouped aggregate."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).cache()
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "w")
+        .join(F.broadcast(total))
+        .withColumn(
+            "lp6",
+            F.round(-F.log(F.col("c").cast("double") / F.col("n")) * F.lit(1e6)).cast(
+                "long"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lp6") / F.lit(1e6) / F.count(F.lit(1)), 4).alias(
+            "avg_neg_logprob"
+        ),
+    )

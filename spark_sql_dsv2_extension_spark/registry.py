@@ -138,6 +138,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_min_by_max_by",
     "pivot_wide",
     "unpivot_long",
+    "ext_semdedup",
+    "ext_unigram_logprob",
+    "scan_text",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

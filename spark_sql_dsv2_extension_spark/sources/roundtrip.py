@@ -480,3 +480,21 @@ def scan_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "scan_text",
+    oracle="""
+    SELECT text AS value FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format round-trip: the documents corpus written one doc per
+    line via the text sink, read back as raw lines. Text is the landing
+    format of most raw web-crawl corpora (WET files are exactly this); the
+    read side is a zero-parse scan whose single ``value`` column feeds the
+    normalize→filter front of the pipeline. Fixture docs are single-line,
+    so the line↔doc bijection is exact."""
+    out = os.path.join(_scratch("text"), "documents")
+    load(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
+    return spark.read.text(out)

@@ -531,3 +531,19 @@ def test_catalog_table_streaming_read(cat, spark):
     cat.create_table("default", "t_stream_csv", "id BIGINT", provider="csv")
     with pytest.raises(CatalogError, match="streaming"):
         cat.load_table_stream("default", "t_stream_csv")
+
+
+def test_publish_views_plain_sql(cat, spark):
+    """publish_views registers {cat}__{ns}__{table} temp views so PLAIN
+    spark.sql works without engine_sql — the pure-Python stand-in for the
+    reference's native spark.sql.catalog.{name} plugin registration."""
+    cat.create_table("default", "pv_t", "k BIGINT, v STRING")
+    cat.insert(
+        "default", "pv_t",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING"),
+    )
+    views = cat.publish_views()
+    name = f"{cat.name}__default__pv_t"
+    assert name in views
+    got = spark.sql(f"SELECT k, v FROM {name} ORDER BY k").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "a"), (2, "b")]
