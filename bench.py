@@ -38,6 +38,7 @@ HEADLINE = [
     "tpch_q5_local_volume",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
+    "tpch_q8_market_share",
     "agg_hash_group",
     "agg_rollup",
     "agg_count_distinct",
@@ -57,6 +58,9 @@ HEADLINE = [
     "ext_bm25",
     "ext_stratified_sample",
     "ext_corpus_pipeline",
+    "ext_knn_ivf_trained",
+    "ext_chunk_documents",
+    "ext_unigram_logprob",
 ]
 
 
