@@ -1114,3 +1114,77 @@ def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_neg_logprob"
         ),
     )
+
+
+# Target mixture over the lang column, as integer weights summing to 10 —
+# the fine-tune-mixture shape ("half English, rest split evenly").
+MIXTURE_WEIGHTS = (("en", 5), ("de", 2), ("es", 2), ("fr", 1))
+
+
+def _mixture_cases(col: str) -> str:
+    return " ".join(
+        f"WHEN {col} = '{k}' THEN {w}" for k, w in MIXTURE_WEIGHTS
+    )
+
+
+@query(
+    "ext_dataset_mixture",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT doc_id, lang,
+             CASE {_mixture_cases("lang")} ELSE 0 END AS w,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * {_BAL_A} + {_BAL_B}) % {_BAL_M}, doc_id
+             ) AS rn
+      FROM documents
+    ), caps AS (
+      SELECT lang, w, count(*) AS cnt FROM weighted
+      WHERE w > 0 GROUP BY lang, w
+    ), scale AS (
+      -- largest T (scaled x10) such that every source can fill its quota
+      SELECT min(cnt * 10 // w) AS t FROM caps
+    ), quota AS (
+      SELECT lang, w * t // 10 AS q FROM caps, scale
+    )
+    SELECT weighted.doc_id, weighted.lang, CAST(rn AS BIGINT) AS rn
+    FROM weighted JOIN quota USING (lang)
+    WHERE rn <= q
+    """,
+)
+def ext_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset-mixture sampling: draw documents so the output
+    matches target language proportions (50%% en / 20%% de / 20%% es /
+    10%% fr), taking the LARGEST feasible mixture given per-language
+    availability — the mixture-assembly step of fine-tune corpus prep.
+
+    All arithmetic is integer (weights ×10; feasible scale T =
+    min(count·10 div w); quota = w·T div 10) and selection is the same
+    deterministic minstd-LCG ranking as ``ext_label_balance``, so the
+    sample is reproducible across engines AND reruns. Availability counts
+    and quotas stay inside the plan (broadcast joins, no collect); the
+    rank is one window per language."""
+    docs = load(spark, sf_dir, "documents")
+    w_expr = F.lit(0)
+    for k, w in reversed(MIXTURE_WEIGHTS):
+        w_expr = F.when(F.col("lang") == k, F.lit(w)).otherwise(w_expr)
+    rank_key = F.pmod(F.col("doc_id") * _BAL_A + _BAL_B, F.lit(_BAL_M))
+    win = Window.partitionBy("lang").orderBy(rank_key.asc(), F.col("doc_id").asc())
+    weighted = docs.select(
+        "doc_id", "lang", w_expr.alias("w"),
+        F.row_number().over(win).cast("long").alias("rn"),
+    )
+    caps = weighted.filter(F.col("w") > 0).groupBy("lang", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scale = caps.agg(
+        F.min(F.floor(F.col("cnt") * 10 / F.col("w"))).alias("t")
+    )
+    quota = caps.join(F.broadcast(scale)).select(
+        "lang", F.floor(F.col("w") * F.col("t") / 10).alias("q")
+    )
+    return (
+        weighted.join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "lang", "rn")
+    )

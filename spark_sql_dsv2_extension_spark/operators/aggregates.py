@@ -648,3 +648,54 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
         ).alias("min_price_order"),
     )
+
+
+@query(
+    "agg_stats_exact",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sx,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                 * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round(CAST(sx AS DOUBLE) / n / 1e2, 4) AS mean_price,
+           round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / n / (n - 1)) / 1e2, 4) AS stddev_price,
+           round(CAST(n * sxx - sx * sx AS DOUBLE)
+                 / n / (n - 1) / 1e4, 4) AS var_price
+    FROM s
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VARIANCE / STDDEV per group — the statistical
+    aggregates, made order-independent: builtin ``stddev`` folds doubles
+    in partition order (nondeterministic across runs), so the moments are
+    accumulated as EXACT integer sums instead (Σx, Σx² of the
+    centi-scaled values, in decimal(38) — Σx² of 15k orders overflows
+    int64) and the textbook n·Σx²−(Σx)² formula is applied once at the
+    end. Both engines see identical integers, so the doubles agree before
+    the 4-decimal presentation rounding. Same single partial-agg shuffle
+    as any grouped sum — this is also the 100 TB pattern for reproducible
+    metrics across reruns and AQE re-plans."""
+    o = load(spark, sf_dir, "orders")
+    xs = F.round(F.col("o_totalprice") * 100).cast("long")
+    stats = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xs.cast("decimal(38,0)")).alias("sx"),
+        F.sum((xs * xs).cast("decimal(38,0)")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var = num / F.col("n") / (F.col("n") - 1)
+    return stats.select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("sx").cast("double") / F.col("n") / F.lit(1e2), 4).alias(
+            "mean_price"
+        ),
+        F.round(F.sqrt(var) / F.lit(1e2), 4).alias("stddev_price"),
+        F.round(var / F.lit(1e4), 4).alias("var_price"),
+    )

@@ -141,6 +141,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_semdedup",
     "ext_unigram_logprob",
     "scan_text",
+    "agg_stats_exact",
+    "ext_dataset_mixture",
+    "stream_document_etl",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

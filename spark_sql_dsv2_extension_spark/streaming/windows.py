@@ -554,3 +554,49 @@ def stream_sink_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"count(DISTINCT user_id) AS n_users "
         f"FROM {cat_name}.default.events_ingest GROUP BY event_type",
     )
+
+
+_DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+@query(
+    "stream_document_etl",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           substr(lower(text), 1, 40) AS head
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 20
+    """,
+)
+def stream_document_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document ETL: the corpus front-door (normalize + quality
+    gate + project) run as a Structured Streaming query over a document
+    file stream — the shape of a continuously-ingesting training-data
+    pipeline (each arriving crawl shard becomes a micro-batch; the same
+    code runs on a Kafka/auto-loader source unchanged). Entirely
+    STATELESS — no watermark, no state store — so availableNow replay
+    equals the batch transformation exactly, which is the oracle. At
+    100 TB/day this scales with source parallelism; the gate prunes
+    before any shuffle (there is none)."""
+    src_dir = tempfile.mkdtemp(prefix="engine_docstream_")
+    shutil.copy(
+        table_path(sf_dir, "documents"), os.path.join(src_dir, "part-0.parquet")
+    )
+    docs = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    etl = (
+        docs.withColumn("n_tokens", n_tokens)
+        .filter(F.col("n_tokens") >= 20)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.substring(F.lower("text"), 1, 40).alias("head"),
+        )
+    )
+    return _run_to_table(etl, "append")
