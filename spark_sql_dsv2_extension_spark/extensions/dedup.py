@@ -455,3 +455,47 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+INCREMENTAL_SPLIT = 400  # doc_id >= 400 plays the newly-crawled shard
+
+
+@query(
+    "ext_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents
+      WHERE doc_id < {INCREMENTAL_SPLIT}
+    ), incoming AS (
+      SELECT doc_id, lang, sha256(text) AS h FROM documents
+      WHERE doc_id >= {INCREMENTAL_SPLIT}
+    )
+    SELECT i.doc_id, i.lang,
+           c.h IS NOT NULL AS already_present
+    FROM incoming i LEFT JOIN corpus c USING (h)
+    """,
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a newly-crawled shard (doc_id ≥ 400)
+    checked against the EXISTING corpus by content hash before insertion —
+    the daily-crawl-append shape (dedup against history, not within the
+    batch). The corpus side reduces to DISTINCT hashes — at 100 TB that
+    hash set lives as its own compact table (or a join against the
+    corpus's hash column with a bloom pre-filter); the join carries
+    (hash, doc_id) only, never text. Incoming rows are flagged rather
+    than dropped so the caller can route: new → insert, present → skip."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") < INCREMENTAL_SPLIT)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    incoming = docs.filter(F.col("doc_id") >= INCREMENTAL_SPLIT).select(
+        "doc_id", "lang", F.sha2("text", 256).alias("h")
+    )
+    return incoming.join(corpus, "h", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("present"), F.lit(False)).alias("already_present"),
+    )

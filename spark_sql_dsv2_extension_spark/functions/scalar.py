@@ -445,3 +445,41 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.k").cast("long").alias("max_key"),
         )
     )
+
+
+@query(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+           CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(date_part('quarter', o_orderdate) AS BIGINT) AS quarter
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: month/week truncation, end-of-month,
+    add_months (with the end-of-month clamp both engines share:
+    Jan 31 + 1 month = Feb 29), day-of-week (Spark 1=Sunday vs DuckDB
+    0=Sunday, aligned via +1), quarter. All projected as formatted strings
+    / bigints so the comparison is exact. Pure codegen'd projections —
+    scan-throughput at any scale."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias(
+            "next_month"
+        ),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.quarter("o_orderdate").cast("long").alias("quarter"),
+    )

@@ -699,3 +699,31 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var) / F.lit(1e2), 4).alias("stddev_price"),
         F.round(var / F.lit(1e4), 4).alias("var_price"),
     )
+
+
+@query(
+    "agg_approx_percentile_invariant",
+    oracle="""
+    SELECT o_orderstatus, true AS within_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_percentile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100 TB percentile path (mergeable quantile
+    sketch, map-side combinable, no full sort) — verified as a BOOLEAN
+    INVARIANT like ``agg_approx_count_distinct``: the sketch's p50 must
+    land within 5%% of the exact interpolated percentile computed side by
+    side in the same aggregate. The oracle asserts the invariant (literal
+    true per group), so the check is exact while the operator stays
+    approximate."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        (
+            F.abs(
+                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+                - F.percentile("o_totalprice", F.lit(0.5))
+            )
+            / F.percentile("o_totalprice", F.lit(0.5))
+            <= F.lit(0.05)
+        ).alias("within_tol")
+    )

@@ -331,3 +331,40 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "win_time_range_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           SUM(CAST(round(value * 10000) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+           ) / 1e4 AS rolling_10m
+    FROM events WHERE user_id % 50 = 0
+    """,
+)
+def win_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling aggregate: per-user sum of `value` over a
+    trailing 10-minute RANGE frame — the sliding-metric query (rate over
+    trailing window) in its batch form. RANGE mode makes same-timestamp
+    peers all contribute, so the result is arrival-order-independent; the
+    summed values are centi-scaled ints (exact), divided once at the end.
+    One window shuffle on user_id; frame bounds are event-time seconds,
+    not row counts."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    ts_epoch = F.unix_timestamp("ts").alias("ts_epoch")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_epoch,
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")).over(w) / F.lit(1e4)
+        ).alias("rolling_10m"),
+    )

@@ -144,6 +144,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_stats_exact",
     "ext_dataset_mixture",
     "stream_document_etl",
+    "fn_datetime_arith",
+    "agg_approx_percentile_invariant",
+    "win_time_range_rolling",
+    "ext_dedup_incremental",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
