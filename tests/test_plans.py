@@ -191,3 +191,31 @@ def test_corpus_pipeline_all_jvm_bounded_shuffles(spark, sf_dir):
     assert "Python" not in plan, "pipeline dropped out of codegen into Python"
     assert not has_cartesian(df)
     assert count_exchanges(df) <= 3, plan
+
+
+def test_tpch_q8_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """Deepest join in the suite (8 tables): part/supplier/nations/region
+    broadcast; only fact joins shuffle; never a cartesian."""
+    df = SPECS["tpch_q8_market_share"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_is_mapside(spark, sf_dir):
+    """Token chunking must stay a map-side explode: no hash/range shuffle
+    (the only exchange is the deliberate fan_out round-robin) and no
+    Python boundary."""
+    df = SPECS["ext_chunk_documents"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert "Python" not in plan
+
+
+def test_dataset_mixture_quotas_broadcast(spark, sf_dir):
+    """Mixture quotas (per-language caps) must reach the ranked rows via
+    broadcast joins — no driver collect, no cartesian."""
+    df = SPECS["ext_dataset_mixture"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
