@@ -499,3 +499,54 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.coalesce(F.col("present"), F.lit(False)).alias("already_present"),
     )
+
+
+FUZZY_MAX_RATIO = 0.3  # edit distance ≤ 30% of the longer text
+
+
+@query(
+    "ext_fuzzy_dedup_levenshtein",
+    oracle=f"""
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text)
+          <= CAST({FUZZY_MAX_RATIO} * greatest(len(a.text), len(b.text)) AS BIGINT)
+    """,
+)
+def ext_fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs — the third dedup family next to
+    shingle-Jaccard (MinHash/SimHash) and embedding-cosine: Levenshtein
+    catches small in-place edits (typo fixes, template fills) that shingles
+    over-penalize. Integer metric → exact oracle with no float anywhere.
+
+    Blocked on ``lang``; at 100 TB the block would be an LSH/length bucket — edit
+    distance is O(len²) per pair, so the scale move is ALWAYS candidate
+    generation first (MinHash bands), Levenshtein only as the precise
+    re-check on candidates, exactly as exact-Jaccard re-checks MinHash
+    candidates in ``ext_near_dedup_minhash``."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    a = docs.select(
+        F.col("lang").alias("a_lang"),
+        F.col("doc_id").alias("d1"),
+        F.col("text").alias("a_text"),
+    )
+    b = docs.select(
+        F.col("lang").alias("b_lang"),
+        F.col("doc_id").alias("d2"),
+        F.col("text").alias("b_text"),
+    )
+    ed = F.levenshtein("a_text", "b_text")
+    return (
+        a.join(b, (F.col("a_lang") == F.col("b_lang")) & (F.col("d1") < F.col("d2")))
+        .filter(
+            ed
+            <= (
+                F.lit(FUZZY_MAX_RATIO)
+                * F.greatest(F.length("a_text"), F.length("b_text"))
+            ).cast("long")
+        )
+        .select("d1", "d2", ed.cast("long").alias("edit_dist"))
+    )

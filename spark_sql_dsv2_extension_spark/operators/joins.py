@@ -463,3 +463,40 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "join_dpp_partition_prune",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+    FROM orders o
+    JOIN (SELECT 'O' AS status, 1 AS flag) dim ON o.o_orderstatus = dim.status
+    """,
+)
+def join_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning: the fact table lands PARTITIONED on the
+    join column; the dim side is filtered at runtime, and Catalyst injects
+    the dim's join keys into the fact scan's PartitionFilters
+    (``dynamicpruning`` subquery) — so the scan never lists the pruned
+    partitions' files. This is THE mechanism that makes star joins viable
+    on 100 TB partitioned facts (only matching date/status partitions are
+    read); asserted in tests/test_plans.py."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="engine_dpp_"), "orders"
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame([("O", 1)], "status STRING, flag INT").filter(
+        F.col("flag") == 1
+    )
+    return fact.join(dim, fact["o_orderstatus"] == dim["status"]).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )

@@ -148,6 +148,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_percentile_invariant",
     "win_time_range_rolling",
     "ext_dedup_incremental",
+    "ext_fuzzy_dedup_levenshtein",
+    "join_dpp_partition_prune",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

@@ -219,3 +219,11 @@ def test_dataset_mixture_quotas_broadcast(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """Dynamic Partition Pruning must fire: the partitioned fact scan's
+    partition filters carry a runtime dynamicpruning subquery fed by the
+    dim side — the 100 TB star-join mechanism."""
+    df = SPECS["join_dpp_partition_prune"].fn(spark, sf_dir)
+    assert "dynamicpruning" in physical_plan(df)
