@@ -1188,3 +1188,94 @@ def ext_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("q"))
         .select("doc_id", "lang", "rn")
     )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor — rare pairs have unstable PMI
+
+
+@query(
+    "ext_pmi_bigrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM t
+    ), uc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), un AS (
+      SELECT SUM(c) AS n FROM uc
+    ), bi AS (
+      SELECT unnest(list_transform(range(0, len(toks) - 1),
+                    i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+      FROM t
+    ), bc AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS cxy FROM bi GROUP BY bigram
+    ), bn AS (
+      SELECT SUM(cxy) AS m FROM bc
+    )
+    SELECT bigram, cxy,
+           round(ln(CAST(cxy * n * n AS DOUBLE)
+                    / CAST(m * c1.c * c2.c AS DOUBLE)), 4) + 0.0 AS pmi
+    FROM bc, un, bn
+    JOIN uc c1 ON c1.w = string_split(bigram, ' ')[1]
+    JOIN uc c2 ON c2.w = string_split(bigram, ' ')[2]
+    WHERE cxy >= {PMI_MIN_COUNT}
+    """,
+)
+def ext_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word bigrams — the collocation
+    detector (phrases like "new york" score high because they co-occur far
+    above chance); used for tokenizer-merge candidates and phrase mining.
+    PMI = ln(p(xy) / p(x)p(y)) computed from EXACT integer counts: the
+    ratio (c_xy·N²)/(M·c_x·c_y) is one int64-exact fraction per bigram, so
+    both engines take ln of the identical double (±1 ulp, absorbed by the
+    4-decimal rounding). The support floor keeps the output set integer-
+    deterministic. Plan: two grouped counts + two broadcast joins of the
+    unigram vocabulary back onto bigrams."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select(F.split("text", " ").alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).cache()
+    un = uc.agg(F.sum("c").alias("n"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    bc = (
+        toks.filter(F.size("toks") > 1)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= PMI_MIN_COUNT)
+    )
+    bn = (
+        toks.filter(F.size("toks") > 1)
+        .select((F.size("toks") - 1).alias("nb"))
+        .agg(F.sum("nb").alias("m"))
+    )
+    w1 = F.split("bigram", " ").getItem(0)
+    w2 = F.split("bigram", " ").getItem(1)
+    c1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.join(F.broadcast(un))
+        .join(F.broadcast(bn))
+        .join(F.broadcast(c1), w1 == F.col("w1"))
+        .join(F.broadcast(c2), w2 == F.col("w2"))
+        .select(
+            "bigram",
+            "cxy",
+            (
+                F.round(
+                    F.log(
+                        (F.col("cxy") * F.col("n") * F.col("n")).cast("double")
+                        / (F.col("m") * F.col("c1") * F.col("c2")).cast("double")
+                    ),
+                    4,
+                )
+                + F.lit(0.0)  # -0.0 + 0.0 = +0.0 in both engines
+            ).alias("pmi"),
+        )
+    )

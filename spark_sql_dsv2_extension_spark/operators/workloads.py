@@ -784,3 +784,96 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — the double aggregate
+    (count per customer, then histogram of those counts) over a LEFT join
+    that must preserve order-less customers as c_count=0. (The fixtures
+    lack o_comment, so the spec's NOT LIKE filter is dropped; the
+    outer-join-then-reaggregate composition is the point.) First agg
+    shuffles on c_custkey, second on the tiny c_count domain — partial
+    aggregation collapses it map-side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone caused a fault in multi-supplier
+    orders — the EXISTS + NOT-EXISTS double correlation on the same fact
+    table. (Fixtures lack commit/receipt dates, so "late" is
+    l_returnflag='R'; the three-scan correlation structure is the spec's.)
+    Both correlations become semi/anti joins on l_orderkey against
+    aggregated order-level facts, so lineitem is scanned, aggregated to
+    per-order supplier/fault sets, and joined back — no per-row subquery
+    execution at any scale."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    # per-order facts: does another supplier have a line / a returned line?
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    multi_ret = (
+        l1.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_ret_supp"))
+        .filter(F.col("n_ret_supp") > 1)
+        .select(F.col("l_orderkey").alias("ret_orderkey"))
+    )
+    return (
+        l1.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(multi_supp, "l_orderkey", "left_semi")
+        .join(
+            multi_ret,
+            F.col("l_orderkey") == F.col("ret_orderkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

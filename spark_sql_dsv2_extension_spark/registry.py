@@ -150,6 +150,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dedup_incremental",
     "ext_fuzzy_dedup_levenshtein",
     "join_dpp_partition_prune",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_supplier",
+    "ext_pmi_bigrams",
+    "scan_csv_malformed",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

@@ -498,3 +498,53 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_scratch("text"), "documents")
     load(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT n_nationkey, n_name, false AS malformed FROM nation
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), true
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-ROW tolerance for csv (the row-level sibling of
+    ``scan_ignore_corrupt``'s file-level skip): a garbage line is planted
+    in an otherwise-valid csv; PERMISSIVE mode (the default the reference's
+    SerDe try/catch approximates, HiveFilePartitionReaderFactory.scala:
+    96-107) parses every valid row and captures the bad line in the
+    _corrupt_record column instead of failing the task — at 100 TB one
+    truncated record must cost one row, not a 10k-task job retry."""
+    out = os.path.join(_scratch("csvbad"), "nation")
+    (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .coalesce(1)
+        .write.option("header", "true")
+        .csv(out)
+    )
+    with open(os.path.join(out, "part-malformed.csv"), "w") as f:
+        # header=true skips every file's first line, so the planted file
+        # carries its own header followed by the malformed record
+        f.write("n_nationkey,n_name\nnot_a_number,extra,columns,here\n")
+    back = (
+        spark.read.schema(
+            "n_nationkey BIGINT, n_name STRING, _corrupt_record STRING"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # caching before projecting _corrupt_record is the documented Spark
+    # requirement for referencing the corrupt column
+    back = back.cache()
+    # PERMISSIVE salvages whichever fields parsed; mask them on malformed
+    # rows so the contract is deterministic (corrupt row => all-null + flag)
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.select(
+        F.when(~bad, F.col("n_nationkey")).alias("n_nationkey"),
+        F.when(~bad, F.col("n_name")).alias("n_name"),
+        bad.alias("malformed"),
+    )
