@@ -808,6 +808,13 @@ _CREATE_RE = re.compile(
     r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s*"
+    r"(?:USING\s+(?P<provider>\w+)\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
+    r"AS\s+(?P<select>SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\.(\w+)\.(\w+)\s*$",
     re.IGNORECASE,
@@ -862,6 +869,28 @@ def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
     DataFrame for them. A text-level rewrite (not a parser) — identifiers
     inside string literals would be rewritten too, acceptable for a shim.
     """
+    m = _CTAS_RE.match(query)
+    if m:
+        # CTAS (§3.3): evaluate the SELECT (3-part names allowed inside),
+        # declare the table with the result's schema — partition columns
+        # reordered trailing, matching the reference's V2Table layout
+        # (V2Table.scala:37-38) — then insert.
+        cat = _get_catalog(spark, m.group(1))
+        df = engine_sql(spark, m.group("select"))
+        parts = [p.strip() for p in (m.group("parts") or "").split(",") if p.strip()]
+        fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = [p for p in parts if p not in fields]
+        if missing:
+            raise CatalogError(f"CTAS partition columns not in SELECT: {missing}")
+        ordered = [n for n in fields if n not in parts] + parts
+        cat.create_table(
+            m.group(2), m.group(3),
+            ", ".join(f"{n} {fields[n]}" for n in ordered),
+            partition_by=parts or None,
+            provider=(m.group("provider") or "parquet").lower(),
+        )
+        cat.insert(m.group(2), m.group(3), df)
+        return None
     m = _CREATE_RE.match(query)
     if m:
         cat = _get_catalog(spark, m.group(1))

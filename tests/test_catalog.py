@@ -547,3 +547,33 @@ def test_publish_views_plain_sql(cat, spark):
     assert name in views
     got = spark.sql(f"SELECT k, v FROM {name} ORDER BY k").collect()
     assert [(r.k, r.v) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_sql_ctas(cat, spark):
+    """CREATE TABLE ... AS SELECT through engine_sql: schema inferred from
+    the SELECT, partition columns reordered trailing, data inserted, and
+    the result addressable by 3-part name."""
+    from spark_sql_dsv2_extension_spark.catalog import engine_sql
+
+    cat.create_table("default", "ctas_src", "k BIGINT, v STRING, grp STRING")
+    cat.insert(
+        "default", "ctas_src",
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+            "k BIGINT, v STRING, grp STRING",
+        ),
+    )
+    engine_sql(
+        spark,
+        f"CREATE TABLE {cat.name}.default.ctas_dst PARTITIONED BY (grp) AS "
+        f"SELECT k, v, grp FROM {cat.name}.default.ctas_src",
+    )
+    meta = cat._table_meta("default", "ctas_dst")
+    assert meta.partition_columns == ["grp"]
+    got = engine_sql(
+        spark,
+        f"SELECT k, v, grp FROM {cat.name}.default.ctas_dst ORDER BY k",
+    ).collect()
+    assert [(r.k, r.v, r.grp) for r in got] == [
+        (1, "a", "x"), (2, "b", "y"), (3, "c", "x")
+    ]
