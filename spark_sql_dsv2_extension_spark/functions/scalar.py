@@ -483,3 +483,42 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").cast("long").alias("dow"),
         F.quarter("o_orderdate").cast("long").alias("quarter"),
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 5, 0) AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'x'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+             AS safe_cast,
+           CASE WHEN o_orderkey >= 2234 THEN NULL
+                ELSE 9000000000000000000 + o_orderkey * 100000000000000 END
+             AS safe_add
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI semantics: ``try_divide`` (NULL on
+    ÷0 instead of an error), ``try_cast`` (NULL on malformed input),
+    ``try_add`` (NULL on int64 overflow — the oracle reproduces the exact
+    overflow boundary: 9e18 + k·10¹⁴ exceeds int64 max from k=2234). At
+    100 TB these are how one bad row degrades to one NULL instead of
+    failing a stage under ``spark.sql.ansi.enabled`` — the same
+    row-not-job blast-radius principle as the corrupt-file/row scans."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+        ).alias("safe_div"),
+        F.when(F.col("o_orderkey") % 3 == 0, "x")
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .try_cast("long")
+        .alias("safe_cast"),
+        F.try_add(
+            F.lit(9_000_000_000_000_000_000),
+            F.col("o_orderkey") * F.lit(100_000_000_000_000),
+        ).alias("safe_add"),
+    )

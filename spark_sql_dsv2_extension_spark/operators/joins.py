@@ -500,3 +500,45 @@ def join_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(dim, fact["o_orderstatus"] == dim["status"]).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_custkey % 100 END AS key_a
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b AS (
+      SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE o_custkey % 100 END AS key_b
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT key_a, CAST(count(*) AS BIGINT) AS n
+    FROM a JOIN b ON key_a IS NOT DISTINCT FROM key_b
+    GROUP BY key_a
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics CDC reconciliation
+    and SCD merges need when the business key is nullable. Spark plans
+    ``<=>`` as a hash join (null becomes an ordinary key value), NOT a
+    nested loop — same shuffle shape as a plain equi-join; the aggregate
+    collapses the null×null block before any fan-out reaches the driver."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("key_a")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_orderkey") % 13 == 0, None)
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("key_b")
+    )
+    return (
+        a.join(b, F.col("key_a").eqNullSafe(F.col("key_b")))
+        .groupBy("key_a")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

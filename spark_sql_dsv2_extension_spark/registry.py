@@ -154,6 +154,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q21_waiting_supplier",
     "ext_pmi_bigrams",
     "scan_csv_malformed",
+    "join_null_safe_eq",
+    "fn_try_arith",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
