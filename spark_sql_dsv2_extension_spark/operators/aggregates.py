@@ -727,3 +727,31 @@ def agg_approx_percentile_invariant(spark: SparkSession, sf_dir: str) -> DataFra
             <= F.lit(0.05)
         ).alias("within_tol")
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping indicators: ``grouping_id`` disambiguates a
+    real NULL group value from a rollup-generated subtotal row — required
+    the moment a grouping column is nullable. Spark's grouping_id bit
+    order equals the GROUP BY column order, mirrored in the oracle as
+    GROUPING(a)·2 + GROUPING(b)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "gid")
+    )

@@ -194,3 +194,45 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM big_orders, LATERAL split_amount(o_totalprice) s
         """
     )
+
+
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CAST(l_extendedprice * (1 - l_discount) - l_quantity * 10.0
+                 AS DOUBLE), 4) AS margin
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas`` — the whole-partition Arrow iterator, completing the
+    Python-boundary ladder (row UDF → pandas UDF → grouped agg → grouped
+    map → UDTF → partition iterator). The function sees each partition as
+    a STREAM of Arrow batches (constant memory regardless of partition
+    size — unlike grouped-map, which materializes a group), which is the
+    right Python escape hatch for per-batch model inference at 100 TB.
+    Here the batch op is vectorized pandas arithmetic; values are IEEE
+    ops on parquet-exact inputs, rounded for the 1-ulp margin."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+
+    def per_batch(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "margin": (
+                        pdf["l_extendedprice"] * (1 - pdf["l_discount"])
+                        - pdf["l_quantity"] * 10.0
+                    ).round(4),
+                }
+            )
+            yield out
+
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
+    ).mapInPandas(
+        per_batch,
+        "l_orderkey BIGINT, l_linenumber INT, margin DOUBLE",
+    ).select("l_orderkey", "l_linenumber", "margin")

@@ -156,6 +156,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_csv_malformed",
     "join_null_safe_eq",
     "fn_try_arith",
+    "udf_map_in_pandas",
+    "agg_grouping_id",
+    "stream_restart_incremental",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

@@ -600,3 +600,51 @@ def stream_document_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(etl, "append")
+
+
+@query(
+    "stream_restart_incremental",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    """,
+)
+def stream_restart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across RESTARTS: the stream runs to completion, STOPS,
+    new files land in the source, and a SECOND query starts from the same
+    checkpoint — the offset log replays nothing and picks up exactly the
+    delta, so the file sink holds every event exactly once. This is the
+    property that makes incremental daily reruns safe at 100 TB (a
+    re-submitted job never double-counts a shard); checkpoint + file-sink
+    manifest play the reference's metastore⊕staging two-phase roles
+    (HiveFileBatchWrite.scala:20-69)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="engine_restart_src_")
+    root = tempfile.mkdtemp(prefix="engine_restart_")
+    out, chk = os.path.join(root, "data"), os.path.join(root, "chk")
+
+    batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
+    half1 = batch.filter(F.col("event_id") % 2 == 0)
+    half2 = batch.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(os.path.join(src_dir, "f1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(_RAW_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()                                        # consumes f1
+    half2.coalesce(1).write.parquet(os.path.join(src_dir, "f2"))
+    run_once()                                        # same checkpoint: only f2
+    return spark.read.parquet(out)
