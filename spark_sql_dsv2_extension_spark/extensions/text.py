@@ -1279,3 +1279,52 @@ def ext_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "ext_word_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, w
+    ), agg AS (
+      SELECT doc_id,
+             SUM(c) AS n,
+             SUM(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS s6
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(ln(CAST(n AS DOUBLE)) - s6 / 1e6 / n, 4) AS entropy
+    FROM agg
+    """,
+)
+def ext_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's word distribution — low entropy
+    flags boilerplate/keyword-stuffed text, very high entropy flags
+    gibberish; a standard cheap quality gate next to the repetition score.
+    H = ln(n) − Σ c·ln(c)/n with the Σ as per-term-rounded scaled int64
+    (order-independent across partitions; per-term ln 1-ulp absorbed by
+    the 1e-6 rounding), final 4-decimal presentation rounding. One
+    (doc, word) count + one per-doc aggregate — two partial-agg shuffles,
+    no Python."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c").cast("double")) * F.lit(1e6)).cast(
+                "long"
+            )
+        ).alias("s6"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("s6") / F.lit(1e6) / F.col("n"),
+            4,
+        ).alias("entropy"),
+    )

@@ -522,3 +522,28 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") * F.lit(100_000_000_000_000),
         ).alias("safe_add"),
     )
+
+
+@query(
+    "fn_printf_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%06d|%.2f|%s', o_orderkey, o_totalprice, o_orderstatus)
+             AS formatted,
+           printf('%x', o_orderkey) AS hex_key
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (``format_string``): zero-padded ids, fixed
+    2-decimal prices (exact: the prices carry two decimals, so %.2f is a
+    representation, not a rounding), hex rendering. The formatted-export
+    projection pattern — all codegen'd, no Python."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        F.format_string(
+            "%06d|%.2f|%s", "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).alias("formatted"),
+        F.format_string("%x", "o_orderkey").alias("hex_key"),
+    )

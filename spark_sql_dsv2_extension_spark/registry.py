@@ -159,6 +159,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_map_in_pandas",
     "agg_grouping_id",
     "stream_restart_incremental",
+    "ext_word_entropy",
+    "fn_printf_format",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
