@@ -1328,3 +1328,37 @@ def ext_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     )
+
+
+@query(
+    "ext_source_quality_report",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique
+    FROM documents
+    GROUP BY source
+    """,
+)
+def ext_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: volume, token mass, language
+    spread, English share, and unique-content count (distinct sha256 —
+    dup rate per source falls out as n_docs − n_unique). This is the
+    monitoring query a crawl pipeline runs per ingest batch to catch a
+    source gone bad (collapsed language mix, spiking dup rate) BEFORE the
+    data reaches training. One grouped aggregate; the distinct counts
+    expand map-side; all integer outputs — exact."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+        F.countDistinct(F.sha2("text", 256)).cast("long").alias("n_unique"),
+    )

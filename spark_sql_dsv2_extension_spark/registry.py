@@ -161,6 +161,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_restart_incremental",
     "ext_word_entropy",
     "fn_printf_format",
+    "scan_parquet_schema_evolution",
+    "ext_source_quality_report",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

@@ -548,3 +548,33 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~bad, F.col("n_name")).alias("n_name"),
         bad.alias("malformed"),
     )
+
+
+@query(
+    "scan_parquet_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
+    FROM supplier
+    """,
+)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 lands WITHOUT
+    the s_acctbal column, generation 2 adds it; a ``mergeSchema`` read
+    unions the per-file schemas and back-fills typed NULLs for gen-1 rows —
+    the lakehouse add-a-column path (the catalog's A6 alter_table does the
+    same mapping through its declared schema; this key proves the raw
+    reader primitive). At 100 TB mergeSchema costs a footer read per file
+    — production pins the schema in a catalog instead, exactly what
+    ``EngineCatalog.load_table`` does."""
+    out = os.path.join(_scratch("evolve"), "supplier")
+    s = load(spark, sf_dir, "supplier")
+    s.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_name").write.parquet(
+        out
+    )
+    s.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
