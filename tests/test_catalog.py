@@ -577,3 +577,27 @@ def test_sql_ctas(cat, spark):
     assert [(r.k, r.v, r.grp) for r in got] == [
         (1, "a", "x"), (2, "b", "y"), (3, "c", "x")
     ]
+
+
+def test_sql_cross_catalog_join(spark, tmp_path):
+    """Federation UX: one engine_sql query joins tables living in TWO
+    different catalogs (the reference's multi-metastore headline,
+    README.md:54-60 — N catalogs addressable side by side in one query)."""
+    from spark_sql_dsv2_extension_spark.catalog import EngineCatalog, engine_sql
+
+    c1 = EngineCatalog(spark, "fedcat_a", str(tmp_path / "wa"))
+    c2 = EngineCatalog(spark, "fedcat_b", str(tmp_path / "wb"))
+    c1.create_table("default", "dim", "k BIGINT, name STRING")
+    c2.create_table("default", "fact", "k BIGINT, amt DOUBLE")
+    c1.insert("default", "dim",
+              spark.createDataFrame([(1, "one"), (2, "two")], "k BIGINT, name STRING"))
+    c2.insert("default", "fact",
+              spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)],
+                                    "k BIGINT, amt DOUBLE"))
+    got = engine_sql(
+        spark,
+        "SELECT d.name, sum(f.amt) AS total "
+        "FROM fedcat_b.default.fact f JOIN fedcat_a.default.dim d ON f.k = d.k "
+        "GROUP BY d.name ORDER BY d.name",
+    ).collect()
+    assert [(r.name, r.total) for r in got] == [("one", 15.0), ("two", 7.0)]
