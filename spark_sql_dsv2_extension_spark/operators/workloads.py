@@ -877,3 +877,187 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "tpch_q2_min_cost_supp",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), cand AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, cost_cents,
+             min(cost_cents) OVER (PARTITION BY p_partkey) AS min_cents
+      FROM supply
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+        AND p_type = 'LARGE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           cost_cents / 1e2 AS supplycost
+    FROM cand WHERE cost_cents = min_cents
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: minimum-cost supplier per part within a region — the
+    correlated-MIN subquery, expressed as a window MIN over the region-
+    scoped candidate set (one shuffle on p_partkey instead of a second
+    aggregate + join-back). The fixtures lack partsupp, so the supply
+    relation is derived from lineitem as min observed line price per
+    (part, supplier) — exact integer cents, so the MIN and the equality
+    against it are bit-deterministic. Dimension sides (part filter,
+    supplier->nation->region chain) broadcast; the top-100 is
+    TakeOrderedAndProject with a total tie-breaking sort order, never a
+    global sort. Mirrors reference README.md:54-60 multi-catalog demo
+    queries in spirit (cross-table reporting over the same fixtures)."""
+    li = load(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cost_cents"
+        )
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = s.join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+    ).join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+    from pyspark.sql.window import Window
+
+    cand = (
+        supply.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn(
+            "min_cents", F.min("cost_cents").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        cand.filter(F.col("cost_cents") == F.col("min_cents"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("cost_cents") / F.lit(1e2)).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH natval AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, cents / 1e2 AS value
+    FROM natval
+    WHERE cents * 500 > (SELECT SUM(cents) FROM natval)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose single-nation inventory value exceeds a
+    fraction of that nation's total — the grouped-aggregate-vs-global-
+    scalar-subquery shape. (Fixtures lack partsupp, so value is the
+    nation's lineitem revenue per part.) The threshold comparison is kept
+    in exact integer cents (cents*500 > total) so the cut is bit-
+    deterministic; the global total is a 1-row broadcast cross-join, the
+    scalar-subquery plan Spark itself produces. The per-part aggregate is
+    computed ONCE and cached for both the rows and the total — at scale the
+    second pass is a re-aggregation of an already-shuffled small relation,
+    not a second fact scan."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_supp = s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    natval = (
+        li.join(F.broadcast(nat_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .cache()
+    )
+    total = natval.agg(F.sum("cents").alias("total_cents"))
+    return (
+        natval.crossJoin(F.broadcast(total))
+        .filter(F.col("cents") * 500 > F.col("total_cents"))
+        .select("l_partkey", (F.col("cents") / F.lit(1e2)).alias("value"))
+    )
+
+
+@query(
+    "tpch_q20_potential_promo",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small %'
+        )
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+      )
+    """,
+)
+def tpch_q20_potential_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers with excess promo-part volume — the nested
+    IN-chain (supplier IN suppliers-of (parts IN name-filtered parts))
+    with a HAVING threshold on shipped quantity. (Fixtures lack
+    partsupp.ps_availqty, so the spec's 0.5*availqty threshold is a
+    constant; the two-level semi-join composition is the spec's.) Both INs
+    become left-semi hash joins: the part filter broadcasts into lineitem,
+    the qualifying-supplier set broadcasts into supplier. l_quantity is
+    integral in the fixtures; per-value BIGINT casts make the HAVING sum
+    exact."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qual = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(qual),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )

@@ -163,6 +163,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_printf_format",
     "scan_parquet_schema_evolution",
     "ext_source_quality_report",
+    "tpch_q2_min_cost_supp",
+    "tpch_q11_important_stock",
+    "tpch_q20_potential_promo",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
