@@ -550,3 +550,146 @@ def ext_fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d1", "d2", ed.cast("long").alias("edit_dist"))
     )
+
+
+@query(
+    "ext_dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      {_EXACT_JACCARD_SQL.format(thr=JACCARD_THRESHOLD)}
+    ), bidir AS (
+      SELECT d1 AS a, d2 AS b FROM base
+      UNION ALL
+      SELECT d2, d1 FROM base
+    ), nodes AS (
+      SELECT DISTINCT a AS doc_id FROM bidir
+    ), reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.doc_id, bidir.b FROM reach JOIN bidir ON reach.r = bidir.a
+    ), clusters AS (
+      SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    ), ranked AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id ASC
+             ) AS rk,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN documents d USING (doc_id)
+    ), keep AS (
+      SELECT cluster_id, doc_id AS kept_doc_id FROM ranked WHERE rk = 1
+    )
+    SELECT r.doc_id, k.kept_doc_id,
+           CAST(r.cluster_size AS BIGINT) AS cluster_size
+    FROM ranked r JOIN keep k USING (cluster_id)
+    WHERE r.doc_id <> k.kept_doc_id
+    """,
+)
+def ext_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP: after clustering near-duplicates, decide which
+    copy to KEEP (longest text wins, doc_id breaks ties) and emit the
+    drop-list mapping every discarded doc to its surviving canonical —
+    the record a pipeline needs both to delete and to audit ("where did
+    my doc go"). Composes the connected-components clusters with a
+    per-cluster ranking window; the cluster relation is tiny relative to
+    the corpus (only docs that HAVE a near-dup), so the window shuffle is
+    bounded by dup volume, not corpus size."""
+    from pyspark.sql.window import Window
+
+    clusters = ext_dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        clusters.join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )
+    keep = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id", F.col("doc_id").alias("kept_doc_id")
+    )
+    return (
+        ranked.join(keep, "cluster_id")
+        .filter(F.col("doc_id") != F.col("kept_doc_id"))
+        .select(
+            "doc_id", "kept_doc_id", F.col("cluster_size").cast("long").alias("cluster_size")
+        )
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "ext_near_dup_containment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           i * 1.0 / LEAST(s1.n, s2.n) AS containment,
+           i * 1.0 / (s1.n + s2.n - i) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE i * 1.0 / LEAST(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def ext_near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) — the asymmetric
+    measure that catches a short doc EMBEDDED in a long one (quote pages,
+    concatenated crawls), which symmetric Jaccard dilutes below threshold.
+    Emits both scores so the gap (high containment, low Jaccard) is
+    directly queryable. Same shingle-intersection join as the Jaccard
+    baseline — candidates only from docs sharing a shingle; at scale the
+    candidate generation is replaced by the MinHash band join, with this
+    exact containment as the verify stage."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    return (
+        inter.join(n1, F.col("d1") == F.col("n1.doc_id"))
+        .join(n2, F.col("d2") == F.col("n2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") * 1.0 / F.least(F.col("n1.n"), F.col("n2.n"))).alias(
+                "containment"
+            ),
+            (F.col("i") * 1.0 / (F.col("n1.n") + F.col("n2.n") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

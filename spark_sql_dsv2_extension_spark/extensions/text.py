@@ -154,9 +154,7 @@ def _marker_count_sql(lang: str) -> str:
     )
 
 
-@query(
-    "ext_langid",
-    oracle=f"""
+_LANGID_ORACLE = f"""
     WITH scores AS (
       SELECT doc_id, lang,
              {_marker_count_sql('en')} AS s_en,
@@ -174,8 +172,10 @@ def _marker_count_sql(lang: str) -> str:
                 WHEN s_es >= s_zh THEN 'es'
                 ELSE 'zh' END AS pred_lang
     FROM scores
-    """,
-)
+    """
+
+
+@query("ext_langid", oracle=_LANGID_ORACLE)
 def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID: score each language by occurrences of its
     top stopwords, argmax with a fixed precedence order for ties, 'und'
@@ -1361,4 +1361,84 @@ def ext_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_en"),
         F.countDistinct(F.sha2("text", 256)).cast("long").alias("n_unique"),
+    )
+
+
+@query(
+    "ext_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+      {_LANGID_ORACLE}
+    )
+    SELECT actual_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY actual_lang) AS class_share
+    FROM pred
+    GROUP BY actual_lang, pred_lang
+    """,
+)
+def ext_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: per (labeled, predicted) pair, the
+    count and the share of the labeled class — the evaluation table a
+    pipeline owner reads before trusting the classifier as a filter
+    (which languages leak into which). Composes the langid scorer with a
+    grouped count plus a per-class window normalization; the matrix is
+    |langs|² rows regardless of corpus size, so everything after the
+    first aggregate is negligible at any scale."""
+    from pyspark.sql.window import Window
+
+    pred = ext_langid(spark, sf_dir)
+    counts = pred.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("actual_lang")
+    return counts.select(
+        "actual_lang",
+        "pred_lang",
+        "n",
+        (F.col("n") * 1.0 / F.sum("n").over(w)).alias("class_share"),
+    )
+
+
+@query(
+    "ext_type_token_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), tc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           count(*) * 1.0 / SUM(c) AS ttr,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+             AS hapax_share
+    FROM tc GROUP BY source
+    """,
+)
+def ext_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: type/token ratio and hapax share —
+    near-zero TTR flags template/boilerplate sources, abnormally high
+    hapax share flags OCR noise or spam gibberish. Two grouped
+    aggregates ((source, term) counts, then per-source rollup); both are
+    partial-aggregated map-side, and the shuffle carries term counts, not
+    text. Integer counts with two final divisions — exact."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    tc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (F.count(F.lit(1)) * 1.0 / F.sum("c")).alias("ttr"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("hapax_share"),
     )

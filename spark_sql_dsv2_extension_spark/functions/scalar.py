@@ -547,3 +547,49 @@ def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("formatted"),
         F.format_string("%x", "o_orderkey").alias("hex_key"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || doc_id
+               || '?lang=' || lang || '&n=' || n_chars AS url
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (``parse_url``): host / path / single query parameter /
+    protocol extraction — the crawl-pipeline projection that turns a raw
+    URL column into joinable dimensions (domain dedup, per-site quotas).
+    Spark side uses the dedicated JVM parser; the oracle mirrors it with
+    anchored regexes, which the fixture-constructed URLs satisfy exactly.
+    Pure codegen'd projection — runs at scan throughput."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -86,3 +86,55 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query(
+    "ext_timeseries_densify",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events GROUP BY user_id
+    ), cal AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cal.user_id, strftime(cal.day, '%Y-%m-%d') AS day,
+           COALESCE(daily.n, 0) AS n_events
+    FROM cal LEFT JOIN daily
+      ON cal.user_id = daily.user_id AND cal.day = daily.day
+    """,
+)
+def ext_timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: generate every day in each user's activity
+    span and gap-fill missing days with zero counts — the prerequisite
+    for rolling metrics and anomaly detection over sparse event streams
+    (a window over raw events silently skips absent days). The calendar
+    is generated with ``sequence``+``explode`` from the per-user span
+    aggregate (rows = active users × span days, never a global cross
+    join), then left-joins the daily counts on (user, day). Both sides
+    shuffle on the same key; at scale the span side is one row per user
+    and co-partitions with the counts."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

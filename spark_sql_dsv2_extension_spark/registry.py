@@ -166,6 +166,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promo",
+    "ext_dedup_survivorship",
+    "ext_near_dup_containment",
+    "ext_lang_confusion",
+    "ext_type_token_ratio",
+    "fn_url_parse",
+    "ext_timeseries_densify",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
