@@ -693,3 +693,42 @@ def ext_near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+@query(
+    "ext_cross_source_dup_rate",
+    oracle=f"""
+    WITH pairs AS (
+      {_EXACT_JACCARD_SQL.format(thr=JACCARD_THRESHOLD)}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = d1
+    JOIN documents db ON db.doc_id = d2
+    GROUP BY 1, 2
+    """,
+)
+def ext_cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts per
+    (source, source) bucket — the diagnosis table for syndicated/mirrored
+    content (which feeds copy which), deciding crawl priorities and
+    source-level dedup order. Composes the MinHash-LSH pair stream with
+    two broadcast-able dimension lookups on documents and canonicalizes
+    the pair with least/greatest so A→B and B→A land in one cell. Cost is
+    dominated by the dedup pass itself; the matrix is |sources|² at
+    most."""
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(da), "d1")
+        .join(F.broadcast(db), "d2")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )

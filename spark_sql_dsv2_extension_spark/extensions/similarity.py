@@ -819,3 +819,67 @@ def ext_semdedup(
             F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def _ann_recall_oracle() -> str:
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["ext_knn_cosine"].oracle
+    ann = REGISTRY["ext_knn_lsh"].oracle
+    return f"""
+    WITH exact_k AS (
+      SELECT query_id, neighbor_id FROM ({exact})
+    ), ann_k AS (
+      SELECT query_id, neighbor_id FROM ({ann})
+    ), hits AS (
+      SELECT e.query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_found
+      FROM exact_k e
+      LEFT JOIN ann_k a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_exact, n_found,
+           n_found * 1.0 / n_exact AS recall
+    FROM hits
+    """
+
+
+@query("ext_ann_recall_eval", oracle=_ann_recall_oracle())
+def ext_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@k of the LSH index against the exact
+    brute-force top-k, per query — the number you tune N_PLANES/band
+    count against before trusting an approximate index in production.
+    Composes the two registered retrieval paths and left-joins exact
+    neighbors to ANN hits; the joined relations are (queries × k) rows,
+    so evaluation cost is trivial next to retrieval itself. Both inputs
+    are deterministic (explicit-LCG hyperplanes, total tie-break
+    orders), so recall is exact — the oracle recomputes both paths in
+    SQL and must agree bit-for-bit."""
+    exact = ext_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = ext_knn_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    hits = (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("a_nid").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_exact",
+        "n_found",
+        (F.col("n_found") * 1.0 / F.col("n_exact")).alias("recall"),
+    )

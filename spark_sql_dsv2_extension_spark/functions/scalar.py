@@ -593,3 +593,32 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4): ``parse_json`` turns the JSON props
+    column into a binary VARIANT once, then ``variant_get`` extracts
+    typed paths without re-parsing per access — the semi-structured
+    fast path that replaces repeated get_json_object string parsing
+    (each of which re-tokenizes the JSON). Downstream expressions
+    (bucketing, banding) run on the extracted long, fully codegen'd."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    v = ev.select("event_id", F.parse_json("props").alias("p"))
+    k = F.variant_get("p", "$.k", "long")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )

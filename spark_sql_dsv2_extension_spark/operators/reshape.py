@@ -138,3 +138,65 @@ def ext_timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "ext_hypertable_rollup",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(round(value * 10000) AS BIGINT)) AS cents
+      FROM events GROUP BY 1
+    )
+    SELECT 'day' AS grain, strftime(d, '%Y-%m-%d') AS period_start,
+           n, cents / 1e4 AS total_value
+    FROM day
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', d), '%Y-%m-%d'),
+           CAST(SUM(n) AS BIGINT), SUM(cents) / 1e4
+    FROM day GROUP BY 2
+    UNION ALL
+    SELECT 'year', strftime(date_trunc('year', d), '%Y-%m-%d'),
+           CAST(SUM(n) AS BIGINT), SUM(cents) / 1e4
+    FROM day GROUP BY 2
+    """,
+)
+def ext_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: day/month/year rollups of the
+    event stream in one result, computed hierarchically — the day-level
+    aggregate is materialized ONCE and the coarser grains re-aggregate
+    its partials (int64 scaled sums stay exact through every level; the
+    /1e4 division happens only at projection). That is the TimescaleDB
+    continuous-aggregate shape on Spark: at 100 TB the raw scan happens
+    once, and month/year cost is proportional to #days, not #events."""
+    ev = load(spark, sf_dir, "events")
+    day = (
+        ev.groupBy(F.date_trunc("DAY", "ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("cents"),
+        )
+        .cache()
+    )
+
+    def grain(df: DataFrame, name: str, trunc: str) -> DataFrame:
+        g = df.groupBy(F.date_trunc(trunc, "d").alias("p")).agg(
+            F.sum("n").alias("n"), F.sum("cents").alias("cents")
+        )
+        return g.select(
+            F.lit(name).alias("grain"),
+            F.date_format("p", "yyyy-MM-dd").alias("period_start"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("cents") / F.lit(1e4)).alias("total_value"),
+        )
+
+    day_rows = day.select(
+        F.lit("day").alias("grain"),
+        F.date_format("d", "yyyy-MM-dd").alias("period_start"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("cents") / F.lit(1e4)).alias("total_value"),
+    )
+    return day_rows.unionAll(grain(day, "month", "MONTH")).unionAll(
+        grain(day, "year", "YEAR")
+    )

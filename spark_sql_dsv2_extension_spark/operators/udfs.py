@@ -236,3 +236,37 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_batch,
         "l_orderkey BIGINT, l_linenumber INT, margin DOUBLE",
     ).select("l_orderkey", "l_linenumber", "margin")
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           (n_chars * 31 + len(source)) % 97 AS shard,
+           upper(source[1:3]) || '-' || lang AS tag
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (``useArrow=True``) — the middle
+    rung between the row-pickling classic UDF and the pandas UDF: same
+    per-row Python function, but batches cross the JVM boundary as Arrow
+    record batches (SPARK-40307), cutting serialization cost several-fold
+    without rewriting the function vectorized. Same deterministic
+    arithmetic as the classic-UDF key so the ladder is comparable."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def shard_of(n_chars: int, source: str) -> int:
+        return (n_chars * 31 + len(source)) % 97
+
+    @udf("string", useArrow=True)
+    def tag_of(source: str, lang: str) -> str:
+        return source[:3].upper() + "-" + lang
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        shard_of("n_chars", "source").alias("shard"),
+        tag_of("source", "lang").alias("tag"),
+    )

@@ -172,6 +172,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_type_token_ratio",
     "fn_url_parse",
     "ext_timeseries_densify",
+    "stream_complete_topk",
+    "stream_foreach_batch_sink",
+    "ext_hypertable_rollup",
+    "ext_ann_recall_eval",
+    "ext_cross_source_dup_rate",
+    "udf_arrow_scalar",
+    "fn_variant_extract",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

@@ -648,3 +648,88 @@ def stream_restart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     half2.coalesce(1).write.parquet(os.path.join(src_dir, "f2"))
     run_once()                                        # same checkpoint: only f2
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_complete_topk",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 3
+    """,
+)
+def stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode GLOBAL aggregation (no window, no watermark): running
+    per-event-type totals, re-emitted in full every micro-batch — the
+    live-leaderboard shape. The top-3 cut happens on the sink table (3
+    deterministic rows via count-desc + name tie-break): ranking is not
+    allowed inside a streaming aggregation, and doing it post-sink is the
+    documented pattern. State is one counter per event type — bounded by
+    key cardinality, independent of stream length."""
+    ev = _stream_source(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_table(agg, "complete")
+    return (
+        out.select("event_type", F.col("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(3)
+    )
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(2 AS BIGINT) AS n_batches
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` custom sink: the escape hatch for sinks Spark has
+    no connector for (JDBC upserts, external indexes). The stream is split
+    into two deterministic micro-batches (two files, maxFilesPerTrigger=1);
+    each batch lands in its own parquet subdir keyed by batch_id — the
+    idempotent-write discipline (a replayed batch overwrites its own dir,
+    never double-appends). Verified exactly: every event written once
+    across batches (per-type counts match batch) and the batch count is
+    the file count. The batch function does a distributed write only —
+    nothing driver-side."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="engine_feb_src_")
+    out_dir = tempfile.mkdtemp(prefix="engine_feb_out_")
+
+    batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src_dir, "f1")
+    )
+    batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src_dir, "f2")
+    )
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.select("event_id", "event_type", "user_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.option("recursiveFileLookup", "false").parquet(out_dir)
+    return written.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("batch_id").cast("long").alias("n_batches"),
+    )
