@@ -227,3 +227,40 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     dim side — the 100 TB star-join mechanism."""
     df = SPECS["join_dpp_partition_prune"].fn(spark, sf_dir)
     assert "dynamicpruning" in physical_plan(df)
+
+
+def test_tpch_q2_broadcasts_dims_topk(spark, sf_dir):
+    df = SPECS["tpch_q2_min_cost_supp"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan  # part filter + supplier/nation/region
+    assert not has_cartesian(df)
+    assert "TakeOrderedAndProject" in plan  # top-100, never a global sort
+
+
+def test_q11_scalar_total_is_broadcast(spark, sf_dir):
+    df = SPECS["tpch_q11_important_stock"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the 1-row global total joins in as a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hypertable_rollup_single_fact_scan(spark, sf_dir):
+    df = SPECS["ext_hypertable_rollup"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # hierarchical re-aggregation: all three grains read the cached
+    # day-level aggregate (the explain text re-prints the cached
+    # relation's FileScan under each InMemoryTableScan, but execution
+    # populates the cache with ONE parquet scan)
+    assert plan.count("InMemoryTableScan") == 3, plan
+
+
+def test_densify_joins_on_user_day(spark, sf_dir):
+    df = SPECS["ext_timeseries_densify"].fn(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_cross_source_matrix_broadcasts_dims(spark, sf_dir):
+    df = SPECS["ext_cross_source_dup_rate"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian(df)
