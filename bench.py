@@ -61,6 +61,10 @@ HEADLINE = [
     "ext_knn_ivf_trained",
     "ext_chunk_documents",
     "ext_unigram_logprob",
+    "tpch_q2_min_cost_supp",
+    "ext_hypertable_rollup",
+    "ext_timeseries_densify",
+    "ext_dedup_survivorship",
 ]
 
 

@@ -425,7 +425,7 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE computing min reachable id per node over
     the exact-Jaccard pair graph.
     """
-    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2").cache()
     bidir = pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))).cache()
     labels = bidir.select(F.col("d1").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")

@@ -1442,3 +1442,153 @@ def ext_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("hapax_share"),
     )
+
+
+VOCAB_SIZE = 100
+
+
+@query(
+    "ext_vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), vocab AS (
+      SELECT w FROM freq ORDER BY c DESC, w ASC LIMIT {VOCAB_SIZE}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
+             AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+    GROUP BY source
+    """,
+)
+def ext_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage gate: fix the vocabulary to the corpus's top-N
+    terms (count-desc, term tie-break — deterministic) and measure each
+    source's out-of-vocabulary token share — the number that predicts how
+    badly a tokenizer will fragment a source before you train on it. The
+    vocab is tiny and BROADCAST into the token stream (left join + null
+    flag); the token stream itself is never re-shuffled. Integer counts,
+    one final division — exact."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        freq.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("w").asc())
+            ),
+        )
+        .filter(F.col("rk") <= VOCAB_SIZE)
+        .select(F.col("w").alias("vw"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), tok.w == F.col("vw"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("vw").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            (
+                F.sum(F.when(F.col("vw").isNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "ext_curriculum_order",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(round(
+               len(list_distinct(string_split(text, ' '))) * 1e6
+               / len(string_split(text, ' '))
+             ) AS BIGINT) AS score6
+      FROM documents
+    )
+    SELECT doc_id, score6,
+           CAST(row_number() OVER (ORDER BY score6 DESC, doc_id ASC)
+                AS BIGINT) AS curriculum_rank,
+           CAST(ntile(4) OVER (ORDER BY score6 DESC, doc_id ASC)
+                AS BIGINT) AS phase
+    FROM scored
+    """,
+)
+def ext_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank the corpus by a deterministic quality
+    proxy (scaled distinct-token ratio — low repetition first) and cut it
+    into 4 training phases — the data-ordering step of curriculum
+    training, where a stable, reproducible global order IS the contract
+    (re-runs must feed batches identically). The score is an integer
+    (1e-6-scaled ratio) with doc_id tie-break, so the total order is
+    exact. The global row_number is a single-partition window over
+    (doc_id, score6) pairs only — at 100 TB you'd range-partition on
+    score6 and offset by partition prefix-counts; the per-doc scoring
+    stays fully parallel either way."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(words)) * F.lit(1e6) / F.size(words)
+        )
+        .cast("long")
+        .alias("score6"),
+    )
+    w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id",
+        "score6",
+        F.row_number().over(w).cast("long").alias("curriculum_rank"),
+        F.ntile(4).over(w).cast("long").alias("phase"),
+    )
+
+
+@query(
+    "ext_length_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT doc_id, d.source, n_chars
+    FROM documents d JOIN stats USING (source)
+    WHERE (n * n_chars - s1) * (n * n_chars - s1) > 4 * (n * s2 - s1 * s1)
+    """,
+)
+def ext_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-anomaly gate: docs more than 2 standard
+    deviations from their source's mean length — truncated downloads and
+    concatenation bugs show up here before they poison training. The
+    |z| > 2 test is algebraically cleared of ALL division and sqrt:
+    (n·x − Σx)² > 4(n·Σx² − (Σx)²) — pure int64 arithmetic, so the cut
+    is bit-exact (no 1-ulp stddev edge cases). One grouped aggregate
+    (3 int moments per source) broadcast back into the scan."""
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    j = docs.join(F.broadcast(stats), "source")
+    dev = F.col("n") * F.col("n_chars") - F.col("s1")
+    return j.filter(
+        dev * dev > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    ).select("doc_id", "source", "n_chars")

@@ -179,6 +179,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_cross_source_dup_rate",
     "udf_arrow_scalar",
     "fn_variant_extract",
+    "ext_vocab_oov_rate",
+    "ext_curriculum_order",
+    "ext_length_outliers",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
