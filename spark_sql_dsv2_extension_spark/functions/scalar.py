@@ -622,3 +622,71 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).alias("k_bucket"),
         F.when(k >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+@query(
+    "fn_from_csv",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             o_orderkey || ',' || o_orderstatus || ',' || o_totalprice AS line
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey, line,
+           CAST(string_split(line, ',')[1] AS BIGINT) AS csv_key,
+           string_split(line, ',')[2] AS csv_status,
+           CAST(string_split(line, ',')[3] AS DOUBLE) AS csv_price
+    FROM raw
+    """,
+)
+def fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd in-row CSV parsing (``from_csv``): embedded delimited
+    strings (log lines, legacy exports stuffed in a column) parsed into a
+    typed struct by the same CSV parser the file reader uses — types
+    asserted by schema, not regex guesswork. The oracle re-splits
+    textually; values are fixture-clean so both agree exactly."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    raw = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ",", "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("string")
+        ).alias("line"),
+    )
+    parsed = raw.select(
+        "o_orderkey",
+        "line",
+        F.from_csv(
+            "line", F.lit("k BIGINT, s STRING, p DOUBLE")
+        ).alias("c"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        "line",
+        F.col("c.k").alias("csv_key"),
+        F.col("c.s").alias("csv_status"),
+        F.col("c.p").alias("csv_price"),
+    )
+
+
+@query(
+    "fn_base_conv",
+    oracle="""
+    SELECT o_orderkey,
+           to_base(o_orderkey, 16) AS hex16,
+           to_base(o_orderkey, 2) AS bits,
+           to_base(o_orderkey, 36) AS b36
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radix conversion (``conv``): hex / binary / base-36 renderings of
+    integer keys — shard names, compact ids, bitmask debugging. Pure
+    codegen'd projection; DuckDB's to_base mirrors Spark's conv for
+    non-negative inputs (both emit uppercase digits)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.conv(F.col("o_orderkey").cast("string"), 10, 16).alias("hex16"),
+        F.conv(F.col("o_orderkey").cast("string"), 10, 2).alias("bits"),
+        F.conv(F.col("o_orderkey").cast("string"), 10, 36).alias("b36"),
+    )

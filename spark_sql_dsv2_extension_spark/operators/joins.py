@@ -542,3 +542,24 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key_a")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "join_merge_hint",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, l_extendedprice, l_quantity
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 100000.0
+    """,
+)
+def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control via hint: MERGE forces sort-merge — the
+    strategy of record for fact-fact joins where NEITHER side fits a
+    per-partition hash table (hash join would spill); both sides shuffle
+    once on the key and stream through the merge with O(1) memory.
+    Results are strategy-invariant; the plan audit pins SortMergeJoin."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "o_orderdate", "l_extendedprice", "l_quantity"
+    )

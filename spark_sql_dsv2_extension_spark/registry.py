@@ -182,6 +182,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_vocab_oov_rate",
     "ext_curriculum_order",
     "ext_length_outliers",
+    "join_merge_hint",
+    "fn_from_csv",
+    "fn_base_conv",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",

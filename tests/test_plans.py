@@ -264,3 +264,8 @@ def test_cross_source_matrix_broadcasts_dims(spark, sf_dir):
     df = SPECS["ext_cross_source_dup_rate"].fn(spark, sf_dir)
     assert has_broadcast_hash_join(df)
     assert not has_cartesian(df)
+
+
+def test_merge_hint_picks_sort_merge(spark, sf_dir):
+    df = SPECS["join_merge_hint"].fn(spark, sf_dir)
+    assert "SortMergeJoin" in physical_plan(df)
