@@ -1592,3 +1592,130 @@ def ext_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(
         dev * dev > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
     ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "ext_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), big AS (
+      SELECT a.doc_id, a.w AS b1, b.w AS b2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), c2 AS (
+      SELECT b1, b2, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1, 2
+    ), c1 AS (
+      SELECT b1, CAST(SUM(c) AS BIGINT) AS h FROM c2 GROUP BY 1
+    ), scored AS (
+      SELECT big.doc_id,
+             CAST(round(-ln(CAST(c2.c AS DOUBLE) / c1.h) * 1e6) AS BIGINT)
+               AS lp6
+      FROM big
+      JOIN c2 USING (b1, b2)
+      JOIN c1 USING (b1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(SUM(lp6) / 1e6 / count(*), 4) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: per-doc average −ln P(w_i | w_{i−1})
+    with conditional probabilities from exact corpus bigram counts — one
+    Markov order above the unigram gate, so word-salad that passes a
+    unigram filter (all common words, nonsense order) scores badly here.
+    Bigrams are extracted MAP-SIDE (zip of the token array with its own
+    tail — no positional self-join in Spark), counted once, and joined
+    back; per-token −ln(p) is 1e-6-scaled int64, so the sum is
+    order-independent and bit-exact."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id", F.col("bg")["0"].alias("b1"), F.col("bg")["1"].alias("b2")
+    )
+    big = big.cache()
+    c2 = big.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c")).cache()
+    c1 = c2.groupBy("b1").agg(F.sum("c").alias("h"))
+    scored = (
+        big.join(F.broadcast(c2), ["b1", "b2"])
+        .join(F.broadcast(c1), "b1")
+        .withColumn(
+            "lp6",
+            F.round(
+                -F.log(F.col("c").cast("double") / F.col("h")) * F.lit(1e6)
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp6") / F.lit(1e6) / F.count(F.lit(1)), 4).alias(
+            "avg_neg_logprob"
+        ),
+    )
+
+
+SPAN_MASK_RATE = 15  # percent of token positions masked (T5 uses ~15%)
+
+
+@query(
+    "ext_span_corruption",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 5 = 0
+    ), masked AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_transform(
+               range(1, len(toks) + 1),
+               i -> CASE WHEN (48271 * (doc_id * 100000 + i - 1))
+                              % 2147483647 % 100 < {SPAN_MASK_RATE}
+                         THEN '<extra_id>' ELSE toks[i] END
+             ) AS out_toks
+      FROM base
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(out_toks, t -> t = '<extra_id>')) AS BIGINT)
+             AS n_masked,
+           array_to_string(out_toks, ' ') AS masked_text
+    FROM masked
+    """,
+)
+def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption prep: deterministically mask ~15% of token
+    positions with a sentinel — the objective-construction step of a
+    denoising pretraining pipeline, where REPRODUCIBILITY of the mask is
+    the contract (same doc ⇒ same mask on every rerun/backfill, no RNG
+    state to ship). Mask decisions come from an explicit minstd-LCG hash
+    of (doc_id, position), so the oracle reproduces them bit-for-bit.
+    Pure map-side expression — scan throughput, zero shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = F.split("text", " ")
+    mask = lambda x, i: F.when(  # noqa: E731
+        (48271 * (F.col("doc_id") * 100000 + i)) % 2147483647 % 100
+        < SPAN_MASK_RATE,
+        F.lit("<extra_id>"),
+    ).otherwise(x)
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.transform(toks, mask).alias("out_toks"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.filter("out_toks", lambda t: t == "<extra_id>"))
+        .cast("long")
+        .alias("n_masked"),
+        F.concat_ws(" ", "out_toks").alias("masked_text"),
+    )

@@ -185,6 +185,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_merge_hint",
     "fn_from_csv",
     "fn_base_conv",
+    "ext_bigram_logprob",
+    "ext_span_corruption",
+    "agg_bitmap_distinct",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
