@@ -883,3 +883,70 @@ def ext_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_found",
         (F.col("n_found") * 1.0 / F.col("n_exact")).alias("recall"),
     )
+
+
+@query(
+    "ext_label_cohesion",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ), cent AS (
+      SELECT label, dim,
+             SUM(CAST(round(x * 1e6) AS BIGINT)) / count(*) / 1e6 AS c
+      FROM comp GROUP BY label, dim
+    ), dist AS (
+      SELECT comp.vec_id, comp.label,
+             SUM(CAST(round((x - c) * (x - c) * 1e12) AS BIGINT)) AS sq12
+      FROM comp JOIN cent USING (label, dim)
+      GROUP BY comp.vec_id, comp.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(SUM(sq12) / 1e12 / count(*), 6) AS avg_sqdist,
+           round(max(sq12) / 1e12, 6) AS max_sqdist
+    FROM dist GROUP BY label
+    """,
+)
+def ext_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label diagnostics: per-class centroid and the
+    average/max squared distance of members to it — the cohesion report
+    that flags mislabeled or collapsed classes before embeddings are
+    trusted for clustering-based curation (SemDeDup-style pipelines gate
+    on exactly this geometry). All floating-point reductions are per-term
+    scaled-int64 (centroid means at 1e-6, squared deviations at 1e-12),
+    so results are partition-order-independent and bit-exact. Shuffles:
+    explode → (label, dim) centroid agg → join back → per-vector agg →
+    per-label agg; every aggregate partial-combines map-side."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
+    cent = comp.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("x") * F.lit(1e6)).cast("long"))
+            / F.count(F.lit(1))
+            / F.lit(1e6)
+        ).alias("c")
+    )
+    dist = (
+        comp.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1e12)
+                ).cast("long")
+            ).alias("sq12")
+        )
+    )
+    return dist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.sum("sq12") / F.lit(1e12) / F.count(F.lit(1)), 6).alias(
+            "avg_sqdist"
+        ),
+        F.round(F.max("sq12") / F.lit(1e12), 6).alias("max_sqdist"),
+    )

@@ -188,6 +188,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bigram_logprob",
     "ext_span_corruption",
     "agg_bitmap_distinct",
+    "ext_label_cohesion",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
