@@ -1719,3 +1719,51 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_masked"),
         F.concat_ws(" ", "out_toks").alias("masked_text"),
     )
+
+
+def _packing_oracle() -> str:
+    from ..registry import REGISTRY
+
+    packed = REGISTRY["ext_sequence_packing"].oracle
+    return f"""
+    WITH packed AS (
+      {packed}
+    ), bins AS (
+      SELECT part, bin_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM packed GROUP BY part, bin_id
+    )
+    SELECT part,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           round(SUM(tokens) * 1.0 / (count(*) * {PACK_CAPACITY}), 4)
+             AS fill_rate,
+           CAST(min(tokens) AS BIGINT) AS min_bin_tokens
+    FROM bins GROUP BY part
+    """
+
+
+@query("ext_packing_efficiency", oracle=_packing_oracle())
+def ext_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing observability: per shard, how many training sequences the
+    greedy packer produced and how full they are (fill rate against the
+    token budget, worst bin) — the accounting that tells you whether
+    padding waste justifies a smarter packer (first-fit-decreasing,
+    length-bucketed batching). Composes the registered packing operator
+    with two tiny grouped aggregates; cost is the packing pass itself."""
+    packed = ext_sequence_packing(spark, sf_dir)
+    bins = packed.groupBy("part", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    return bins.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("tokens") * 1.0 / (F.count(F.lit(1)) * F.lit(PACK_CAPACITY)), 4
+        ).alias("fill_rate"),
+        F.min("tokens").cast("long").alias("min_bin_tokens"),
+    )

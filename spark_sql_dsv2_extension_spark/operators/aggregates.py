@@ -788,3 +788,51 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_users"),
     )
+
+
+@query(
+    "ext_join_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS rows_per_key
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(rows_per_key) AS BIGINT) AS n_rows,
+           CAST(max(rows_per_key) AS BIGINT) AS max_rows,
+           round(CAST(quantile_cont(rows_per_key, 0.99) AS DOUBLE), 4)
+             AS p99_rows,
+           round(max(rows_per_key) * count(*) * 1.0 / SUM(rows_per_key), 4)
+             AS skew_ratio
+    FROM per_key
+    """,
+)
+def ext_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-key skew report: per-key row counts reduced to the
+    numbers that decide a join strategy BEFORE you run it — key count,
+    hottest key, p99, and skew ratio (max / mean; ≫1 means one key
+    dominates and a plain hash join will straggle → salt it or let AQE
+    split it). This is the diagnostic behind `join_skew_salted`'s
+    design. Two partial-aggregated passes over (key, count) pairs — the
+    fact rows themselves never move; at 100 TB this costs one shuffle of
+    key cardinality, which is exactly what you pay to know whether the
+    real join is safe."""
+    o = load(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("rows_per_key")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("rows_per_key").cast("long").alias("n_rows"),
+        F.max("rows_per_key").cast("long").alias("max_rows"),
+        F.round(
+            F.percentile(F.col("rows_per_key"), F.lit(0.99)).cast("double"), 4
+        ).alias("p99_rows"),
+        F.round(
+            F.max("rows_per_key")
+            * F.count(F.lit(1))
+            * F.lit(1.0)
+            / F.sum("rows_per_key"),
+            4,
+        ).alias("skew_ratio"),
+    )

@@ -189,6 +189,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_span_corruption",
     "agg_bitmap_distinct",
     "ext_label_cohesion",
+    "ext_join_skew_report",
+    "ext_packing_efficiency",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
