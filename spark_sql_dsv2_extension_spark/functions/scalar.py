@@ -690,3 +690,94 @@ def fn_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.col("o_orderkey").cast("string"), 10, 2).alias("bits"),
         F.conv(F.col("o_orderkey").cast("string"), 10, 36).alias("b36"),
     )
+
+
+@query(
+    "fn_map_hof",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ), kept AS (
+      SELECT user_id, event_type, c * 10 AS c10
+      FROM counts WHERE c * 10 >= 100
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || c10, ',' ORDER BY event_type)
+             AS hot_types
+    FROM kept GROUP BY user_id
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: per-user (event_type → count) maps built
+    with ``map_from_entries``, rescaled with ``transform_values``, pruned
+    with ``map_filter``, and rendered canonically (sorted entries joined
+    to a string — map cells themselves hash dialect-divergently, so the
+    string render is the comparable form). The map NEVER leaves the JVM:
+    all four HOFs run inside codegen. The oracle rebuilds the same render
+    relationally — proving the map pipeline equals the flat pipeline."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    entries = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    hof = entries.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values("m", lambda k, v: v * 10),
+            lambda k, v: v >= 100,
+        ).alias("m"),
+    )
+    rendered = hof.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries("m")),
+                lambda e: F.concat_ws(":", e["key"], e["value"]),
+            ),
+            ",",
+        ).alias("hot_types"),
+    )
+    return rendered.filter(F.col("hot_types") != "")
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(w, t -> len(t) > 4)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT)
+             AS total_chars,
+           len(list_filter(w, t -> t = 'spark')) > 0 AS has_spark,
+           CAST(len(w) AS BIGINT) = CAST(len(list_filter(w, t -> len(t) > 0))
+             AS BIGINT) AS all_nonempty
+    FROM toks
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as the explicit API surface:
+    ``filter`` / ``transform`` + ``aggregate`` / ``exists`` / ``forall``
+    over the token array — the no-UDF idiom this engine uses everywhere
+    internally (shingling, LSH projections), demonstrated standalone.
+    Everything is one codegen'd projection at scan throughput."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(w, lambda t: F.length(t) > 4)).cast("long").alias("n_long"),
+        F.aggregate(
+            F.transform(w, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("total_chars"),
+        F.exists(w, lambda t: t == "spark").alias("has_spark"),
+        F.forall(w, lambda t: F.length(t) > 0).alias("all_nonempty"),
+    )

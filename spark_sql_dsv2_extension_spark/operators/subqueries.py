@@ -103,3 +103,25 @@ def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same rewrite for its Q16-style filters); both engines implement
     ANSI semantics, so the oracle is the identical SQL text."""
     return _run(spark, sf_dir, _NOT_IN_SQL, ("customer", "nation"))
+
+
+_SCALAR_SELECT_SQL = """
+SELECT o_orderkey, o_totalprice,
+       (SELECT max(l.l_extendedprice) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS max_line_price,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+FROM orders o
+WHERE o_orderkey % 40 = 0
+"""
+
+
+@query("subq_scalar_correlated_select", oracle=_SCALAR_SELECT_SQL)
+def subq_scalar_correlated_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subqueries in the SELECT list — per-order lookups
+    into the fact table, the shape analysts write constantly. Catalyst
+    decorrelates each into a left-outer aggregate join (one shuffle per
+    subquery, never a per-row probe), so orders without lines surface as
+    NULL/0 exactly like the oracle. max/count are both exact (no float
+    accumulation)."""
+    return _run(spark, sf_dir, _SCALAR_SELECT_SQL, ("orders", "lineitem"))

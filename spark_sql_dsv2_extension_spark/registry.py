@@ -191,6 +191,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_label_cohesion",
     "ext_join_skew_report",
     "ext_packing_efficiency",
+    "fn_map_hof",
+    "fn_array_hof",
+    "subq_scalar_correlated_select",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
