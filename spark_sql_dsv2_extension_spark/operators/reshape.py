@@ -200,3 +200,122 @@ def ext_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day_rows.unionAll(grain(day, "month", "MONTH")).unionAll(
         grain(day, "year", "YEAR")
     )
+
+
+@query(
+    "ext_funnel_analysis",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_clicked,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchased,
+           round((SELECT count(*) FROM s2) * 1.0
+                 / (SELECT count(*) FROM s1), 4) AS view_to_click,
+           round((SELECT count(*) FROM s3) * 1.0
+                 / (SELECT count(*) FROM s2), 4) AS click_to_purchase
+    """,
+)
+def ext_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel (view → click → purchase): each stage counts only
+    users whose stage event happens AT OR AFTER their previous stage's
+    first event — the product-analytics operator a naive per-type count
+    gets wrong (a purchase before the first view is not a conversion).
+    Three chained min-aggregates, each joining the (tiny) prior stage
+    back into the event scan on user_id; timestamps compared exactly.
+    At 100 TB each stage is one shuffle on user_id and the stage
+    relations shrink monotonically."""
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .cache()
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .cache()
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_clicked"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchased"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked") * 1.0 / F.col("n_viewed"), 4).alias(
+                "view_to_click"
+            ),
+            F.round(
+                F.col("n_purchased") * 1.0 / F.col("n_clicked"), 4
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+@query(
+    "ext_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity JOIN first_day USING (user_id)
+    WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each of the next 7 days they return — the growth-analytics staple.
+    One aggregate for cohort assignment (a row per user), one distinct
+    (user, day) pass, a co-partitioned join on user_id, and a final
+    grouped count; day arithmetic is integer-exact and dates render as
+    strings for engine-identical output."""
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = activity.join(first_day, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day").cast("long")
+    )
+    return (
+        j.filter(F.col("day_offset").between(0, 7))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )

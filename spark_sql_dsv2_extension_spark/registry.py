@@ -194,6 +194,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_map_hof",
     "fn_array_hof",
     "subq_scalar_correlated_select",
+    "ext_shared_span_dedup",
+    "ext_funnel_analysis",
+    "ext_retention_cohorts",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
