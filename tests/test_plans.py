@@ -269,3 +269,22 @@ def test_cross_source_matrix_broadcasts_dims(spark, sf_dir):
 def test_merge_hint_picks_sort_merge(spark, sf_dir):
     df = SPECS["join_merge_hint"].fn(spark, sf_dir)
     assert "SortMergeJoin" in physical_plan(df)
+
+
+def test_shared_span_no_cartesian(spark, sf_dir):
+    df = SPECS["ext_shared_span_dedup"].fn(spark, sf_dir)
+    assert not has_cartesian(df), "span join must be an equi-join on span"
+
+
+def test_skew_report_two_aggregates_no_join(spark, sf_dir):
+    df = SPECS["ext_join_skew_report"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan  # pure re-aggregation, no join anywhere
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_funnel_stage_joins_are_hash_joins(spark, sf_dir):
+    df = SPECS["ext_funnel_analysis"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the only nested-loop joins are the three 1-row stage-count combines
+    assert "CartesianProduct" not in plan

@@ -145,3 +145,24 @@ def test_conf_folk_isolation(mb, dyn):
     assert forked.get("write.dynamic-overwrite") is dyn
     assert base.get("write.target-file-mb") == 128
     assert base.get("write.dynamic-overwrite") is True
+
+
+def test_partitioning_invariance_of_scaled_aggregates(spark, sf_dir):
+    """The engine-wide determinism claim, tested directly: results of
+    scaled-integer float aggregation and LCG-derived operators are
+    IDENTICAL under different partition layouts (different partition
+    counts change float accumulation order — a raw double SUM would
+    flake; the integer-scaled pattern must not)."""
+    from spark_sql_dsv2_extension_spark.registry import load_all
+    from tests.parity import canonical_rows
+
+    specs = load_all()
+    keys = ["agg_hash_group", "ext_word_entropy", "ext_unigram_logprob", "ext_label_cohesion"]
+    for key in keys:
+        base = canonical_rows(specs[key].fn(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        try:
+            alt = canonical_rows(specs[key].fn(spark, sf_dir).toPandas())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert base == alt, f"{key}: result depends on partition count"
