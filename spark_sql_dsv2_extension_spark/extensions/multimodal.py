@@ -240,3 +240,49 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         resize_batches, "doc_id BIGINT, src_w INT, src_h INT, out_w INT, out_h INT"
     )
+
+
+@query(
+    "ext_multimodal_meta_prune",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+    FROM documents
+    WHERE n_chars > 150 AND lang <> 'und'
+    GROUP BY lang
+    """,
+)
+def ext_multimodal_meta_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE multimodal scale pattern: metadata queries that never read the
+    payload bytes. The asset table is laid out as (typed metadata columns
+    + opaque binary payload) parquet; a catalog/reporting query filters
+    and aggregates on metadata only, and parquet column pruning means the
+    multi-KB payload column is never decoded or even fetched — the
+    difference between scanning gigabytes and scanning terabytes at
+    100 TB. The plan audit pins `payload` out of ReadSchema; byte size
+    is carried as a metadata column (n_bytes) written at ingest, the
+    standard trick so even SUM(bytes) needs no payload access."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    asset_dir = os.path.join(
+        tempfile.mkdtemp(prefix="engine_mm_assets_"), "assets"
+    )
+    # ingest: payload + typed metadata (incl. its byte length) in one table
+    docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("n_bytes"),
+        F.encode("text", "utf-8").alias("payload"),
+    ).write.parquet(asset_dir)
+    assets = spark.read.parquet(asset_dir)
+    return (
+        assets.filter((F.col("n_bytes") > 150) & (F.col("lang") != "und"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+    )

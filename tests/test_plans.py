@@ -288,3 +288,12 @@ def test_funnel_stage_joins_are_hash_joins(spark, sf_dir):
     plan = physical_plan(df)
     # the only nested-loop joins are the three 1-row stage-count combines
     assert "CartesianProduct" not in plan
+
+
+def test_multimodal_meta_prune_never_reads_payload(spark, sf_dir):
+    """Metadata-only asset query must prune the binary payload column out
+    of the parquet scan entirely."""
+    df = SPECS["ext_multimodal_meta_prune"].fn(spark, sf_dir)
+    rs = read_schema(df)
+    assert "payload" not in rs, f"payload column not pruned: {rs}"
+    assert "n_bytes" in rs
