@@ -795,3 +795,128 @@ def ext_shared_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_spans"))
     )
+
+
+_FID_K = 16  # explicit-hash minhash components for the fidelity estimate
+
+
+@query(
+    "ext_minhash_fidelity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), ph AS (
+      SELECT doc_id, shingle,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(shingle) + 1),
+                   i -> CAST(ascii(substring(shingle, CAST(i AS INT), 1))
+                        AS BIGINT))),
+               (acc, c) -> (acc * 131 + c) % {_SH_MOD}) AS p
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id, h.i AS i,
+             min(((2 * h.i + 1) * p + 1000003 * h.i + 12345) % {_SH_MOD})
+               AS sig
+      FROM ph, range(0, {_FID_K}) h(i)
+      GROUP BY doc_id, h.i
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) / {_FID_K}.0
+               AS est_jaccard
+      FROM sigs a JOIN sigs b ON a.i = b.i AND a.doc_id < b.doc_id
+      WHERE (a.doc_id, b.doc_id) IN (SELECT (d1, d2) FROM inter)
+      GROUP BY 1, 2
+    )
+    SELECT inter.d1, inter.d2,
+           est.est_jaccard,
+           inter.i * 1.0 / (s1.n + s2.n - inter.i) AS jaccard,
+           round(abs(est.est_jaccard
+                     - inter.i * 1.0 / (s1.n + s2.n - inter.i)), 4) AS err
+    FROM inter
+    JOIN est ON est.d1 = inter.d1 AND est.d2 = inter.d2
+    JOIN sizes s1 ON inter.d1 = s1.doc_id
+    JOIN sizes s2 ON inter.d2 = s2.doc_id
+    """,
+)
+def ext_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-fidelity evaluation: MinHash Jaccard ESTIMATE (matching
+    components / k, explicit affine-LCG hashes both engines reproduce
+    bit-for-bit) against the exact Jaccard, with the absolute error, for
+    every doc pair sharing a shingle — the measurement behind choosing
+    hash count and band shape (more hashes shrink the error at linear
+    cost; E|err| ~ sqrt(J(1-J)/k)). The production minhash key uses 96
+    xxhash64 components for speed; this eval uses k=16 explicit hashes so
+    the estimate ITSELF is oracle-checkable, not just the decisions it
+    implies. Sigs are k wide MIN aggregates (the codegen-friendly shape);
+    the pair join runs on (i, sig) components, never on text."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+
+    poly = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("shingle")),
+            lambda i: F.ascii(F.col("shingle").substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 131 + c) % _SH_MOD,
+    )
+    ph = sh.select("doc_id", poly.alias("p"))
+    sigs = ph.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("p") + F.lit(1000003 * i + 12345)) % _SH_MOD).alias(
+                f"s{i}"
+            )
+            for i in range(_FID_K)
+        ]
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(_FID_K)
+    )
+    est = (
+        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select("d1", "d2", "i", (matches / F.lit(float(_FID_K))).alias("est_jaccard"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    exact = F.col("i") * 1.0 / (F.col("n1.n") + F.col("n2.n") - F.col("i"))
+    return (
+        est.join(n1, F.col("d1") == F.col("n1.doc_id"))
+        .join(n2, F.col("d2") == F.col("n2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            "est_jaccard",
+            exact.alias("jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("err"),
+        )
+    )

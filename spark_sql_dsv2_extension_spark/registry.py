@@ -198,6 +198,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_funnel_analysis",
     "ext_retention_cohorts",
     "ext_multimodal_meta_prune",
+    "ext_minhash_fidelity",
     # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
