@@ -271,7 +271,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_late_")
     batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
-    lo_ns, hi_ns = batch.agg(F.min("ts"), F.max("ts")).first()
+    lo_ns, hi_ns = _ts_bounds_ns(table_path(sf_dir, "events"))
     lo_us, hi_us = lo_ns // 1000, hi_ns // 1000
     thr_us = lo_us + (hi_us - lo_us) // 2
     ts_us = F.expr("ts DIV 1000")
@@ -330,6 +330,26 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _run_to_table(agg, "complete")
+
+
+def _ts_bounds_ns(path: str) -> tuple[int, int]:
+    """(min, max) of the ns-long ``ts`` column from parquet FOOTER row-group
+    statistics — metadata-only, no data scan. At 100 TB the previous
+    ``agg(min, max).first()`` was a full extra pass over the input before the
+    stream even started; footers answer the same question in O(#row groups)
+    bytes (the same stats Spark's own partition pruning reads)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.names.index("ts")
+    lo: int | None = None
+    hi: int | None = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        lo = st.min_raw if lo is None else min(lo, st.min_raw)
+        hi = st.max_raw if hi is None else max(hi, st.max_raw)
+    assert lo is not None and hi is not None
+    return int(lo), int(hi)
 
 
 def _one_file(root: str, sub: str) -> str:
