@@ -23,6 +23,7 @@ size is (#keys in watermark horizon), never (#events).
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import shutil
 import tempfile
@@ -35,10 +36,6 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load, table_path
 
-_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
 SENTINEL_USER = -1
 # Far-future sentinel event time (ns since epoch ≈ year 2096) — later than
 # any real fixture or production timestamp, so watermark-advancing sentinel
@@ -47,13 +44,61 @@ SENTINEL_USER = -1
 # equivalent for watermark purposes).
 SENTINEL_TS_NS = 4_000_000_000 * 10**9
 
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+# Fixture-vintage adaptation: older driver fixtures store events.ts as
+# INT64 TIMESTAMP(NANOS) (read as a ns long under nanosAsLong), newer ones
+# as parquet timestamp[us] (read as TIMESTAMP_NTZ). One footer-only probe
+# per path decides which raw schema/sentinel/normalization to use; every
+# scratch file written below inherits the same raw type, so batch writes
+# and the stream reader always agree.
+_TS_LONG: dict[str, bool] = {}
+
+
+def _ts_is_long(sf_dir: str) -> bool:
+    path = table_path(sf_dir, "events")
+    if path not in _TS_LONG:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        _TS_LONG[path] = pat.is_integer(pq.read_schema(path).field("ts").type)
+    return _TS_LONG[path]
+
+
+def _raw_schema(sf_dir: str) -> str:
+    ts_t = "BIGINT" if _ts_is_long(sf_dir) else "TIMESTAMP_NTZ"
+    return (
+        f"event_id BIGINT, ts {ts_t}, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+
+def _sentinel_ts(sf_dir: str, off_ns: int = 0):
+    """Sentinel event time in the RAW column's own type (ns long or naive
+    datetime) so sentinel files bind to the same stream schema."""
+    ns = SENTINEL_TS_NS + off_ns
+    if _ts_is_long(sf_dir):
+        return ns
+    return _EPOCH + _dt.timedelta(microseconds=ns // 1000)
+
+
+def _normalize_ts(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Raw ts → µs TIMESTAMP, exactly like the batch path (tables.load):
+    ns long is floored to µs; TIMESTAMP_NTZ is reinterpreted as a UTC
+    instant (callers pin the session to UTC)."""
+    if _ts_is_long(sf_dir):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
 
 def _stream_source(spark: SparkSession, sf_dir: str, with_sentinel: bool = False):
     """Copy the events file into a scratch dir (file-stream sources read
-    directories) and open it as a stream; ts arrives as ns-long and is
-    floored to a µs timestamp exactly like the batch path (tables.load)."""
-    # defensive for harness-provided sessions (see tables.load): the events
-    # parquet carries INT64 TIMESTAMP(NANOS) and Spark 4 needs this conf
+    directories) and open it as a stream; raw ts normalizes to a µs
+    timestamp exactly like the batch path (tables.load)."""
+    # defensive for harness-provided sessions (see tables.load): UTC keeps
+    # the NTZ→LTZ reinterpretation and epoch math oracle-identical, and
+    # nanosAsLong is required for ns-vintage fixtures (no-op otherwise)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_stream_")
     shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
@@ -61,15 +106,15 @@ def _stream_source(spark: SparkSession, sf_dir: str, with_sentinel: bool = False
         # one far-future row: advances the watermark past all real data so
         # append-mode emits every real session/window before the query stops
         spark.createDataFrame(
-            [(-1, SENTINEL_TS_NS, SENTINEL_USER, "sentinel", 0.0, "{}")],
-            _RAW_SCHEMA,
+            [(-1, _sentinel_ts(sf_dir), SENTINEL_USER, "sentinel", 0.0, "{}")],
+            _raw_schema(sf_dir),
         ).write.mode("append").parquet(src_dir)
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(sf_dir))
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return _normalize_ts(raw, sf_dir)
 
 
 def _run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -268,13 +313,18 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-1 state only where that state survived. The split threshold and
     the ms-granularity watermark are integer arithmetic so both engines
     compute them identically."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_late_")
-    batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
-    lo_ns, hi_ns = _ts_bounds_ns(table_path(sf_dir, "events"))
-    lo_us, hi_us = lo_ns // 1000, hi_ns // 1000
+    batch = spark.read.schema(_raw_schema(sf_dir)).parquet(
+        table_path(sf_dir, "events")
+    )
+    lo_us, hi_us = _ts_bounds_us(table_path(sf_dir, "events"))
     thr_us = lo_us + (hi_us - lo_us) // 2
-    ts_us = F.expr("ts DIV 1000")
+    if _ts_is_long(sf_dir):
+        ts_us = F.expr("ts DIV 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     newest = batch.filter(ts_us >= thr_us)
     oldest = batch.filter(ts_us < thr_us)
     newest.coalesce(1).write.parquet(os.path.join(src_dir, "f1"))
@@ -284,12 +334,12 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.utime(_one_file(src_dir, "f2"), (2_000_000, 2_000_000))
 
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(sf_dir))
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(src_dir)
     )
-    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ev = _normalize_ts(raw, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes"))
@@ -332,16 +382,20 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(agg, "complete")
 
 
-def _ts_bounds_ns(path: str) -> tuple[int, int]:
-    """(min, max) of the ns-long ``ts`` column from parquet FOOTER row-group
+def _ts_bounds_us(path: str) -> tuple[int, int]:
+    """(min, max) of the ``ts`` column in µs from parquet FOOTER row-group
     statistics — metadata-only, no data scan. At 100 TB the previous
     ``agg(min, max).first()`` was a full extra pass over the input before the
     stream even started; footers answer the same question in O(#row groups)
-    bytes (the same stats Spark's own partition pruning reads)."""
+    bytes (the same stats Spark's own partition pruning reads). Raw stat
+    values are ns for INT64-ns-vintage fixtures, µs for timestamp[us]."""
     import pyarrow.parquet as pq
+    import pyarrow.types as pat
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
     idx = md.schema.names.index("ts")
+    div = 1000 if pat.is_integer(pf.schema_arrow.field("ts").type) else 1
     lo: int | None = None
     hi: int | None = None
     for rg in range(md.num_row_groups):
@@ -349,7 +403,7 @@ def _ts_bounds_ns(path: str) -> tuple[int, int]:
         lo = st.min_raw if lo is None else min(lo, st.min_raw)
         hi = st.max_raw if hi is None else max(hi, st.max_raw)
     assert lo is not None and hi is not None
-    return int(lo), int(hi)
+    return int(lo) // div, int(hi) // div
 
 
 def _one_file(root: str, sub: str) -> str:
@@ -468,6 +522,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     result equals the batch LEFT JOIN. This is the sentinel idiom from
     ``stream_session_window`` extended to two inputs. State per side stays
     bounded by the watermark-plus-range horizon at any input rate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_stream_")
     shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
@@ -478,17 +533,18 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, off in enumerate((0, 10**15)):
         spark.createDataFrame(
             [
-                (-1 - 10 * i, SENTINEL_TS_NS + off, SENTINEL_USER, "click", 0.0, "{}"),
-                (-2 - 10 * i, SENTINEL_TS_NS + off, SENTINEL_USER, "purchase", 0.0, "{}"),
+                (-1 - 10 * i, _sentinel_ts(sf_dir, off), SENTINEL_USER, "click", 0.0, "{}"),
+                (-2 - 10 * i, _sentinel_ts(sf_dir, off), SENTINEL_USER, "purchase", 0.0, "{}"),
             ],
-            _RAW_SCHEMA,
+            _raw_schema(sf_dir),
         ).coalesce(1).write.mode("append").parquet(src_dir)
         time.sleep(1.2)  # distinct mtimes => deterministic file order
-    raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+    raw = _normalize_ts(
+        spark.readStream.schema(_raw_schema(sf_dir))
         .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    ).withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .parquet(src_dir),
+        sf_dir,
+    )
     clicks = (
         raw.filter(F.col("event_type") == "click")
         .select("user_id", F.col("ts").alias("click_ts"))
@@ -642,14 +698,16 @@ def stream_restart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="engine_restart_")
     out, chk = os.path.join(root, "data"), os.path.join(root, "chk")
 
-    batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
+    batch = spark.read.schema(_raw_schema(sf_dir)).parquet(
+        table_path(sf_dir, "events")
+    )
     half1 = batch.filter(F.col("event_id") % 2 == 0)
     half2 = batch.filter(F.col("event_id") % 2 == 1)
     half1.coalesce(1).write.parquet(os.path.join(src_dir, "f1"))
 
     def run_once():
         stream = (
-            spark.readStream.schema(_RAW_SCHEMA)
+            spark.readStream.schema(_raw_schema(sf_dir))
             .option("recursiveFileLookup", "true")
             .parquet(src_dir)
         )
@@ -721,7 +779,9 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="engine_feb_src_")
     out_dir = tempfile.mkdtemp(prefix="engine_feb_out_")
 
-    batch = spark.read.schema(_RAW_SCHEMA).parquet(table_path(sf_dir, "events"))
+    batch = spark.read.schema(_raw_schema(sf_dir)).parquet(
+        table_path(sf_dir, "events")
+    )
     batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
         os.path.join(src_dir, "f1")
     )
@@ -729,7 +789,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(src_dir, "f2")
     )
     stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(sf_dir))
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)

@@ -42,23 +42,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     columns/filters — the vectorized equivalent of the reference's
     row-at-a-time SerDe reader, HiveFilePartitionReaderFactory.scala:57-64).
 
-    ``events.ts`` is stored as INT64 TIMESTAMP(NANOS); Spark timestamps are
-    µs, so it arrives as a nanosecond long (``nanosAsLong`` conf) and is
-    floored to µs here — the same truncation DuckDB applies, keeping oracle
-    comparisons exact. Integer division (``DIV``) is deliberate: ns epochs
-    (~1.7e18) exceed double's exact-integer range.
+    ``events.ts`` normalizes to a µs TIMESTAMP regardless of fixture
+    vintage: older driver fixtures store INT64 TIMESTAMP(NANOS) (arrives as
+    a ns long under ``nanosAsLong`` and is floored to µs — the same
+    truncation DuckDB applies), newer ones store parquet timestamp[us]
+    (arrives as TIMESTAMP_NTZ and is reinterpreted as a UTC instant).
+    Either way downstream operators and the DuckDB oracle see identical µs
+    wall-clock values. Integer division (``DIV``) is deliberate on the ns
+    path: ns epochs (~1.7e18) exceed double's exact-integer range.
     """
     # Defensive session confs: the harness may hand us a session built
     # without them. Both are dynamically settable. UTC keeps timestamp
     # rendering/epoch math identical to the (timezone-naive) DuckDB oracle;
-    # nanosAsLong is required or Spark 4 refuses events' INT64
-    # TIMESTAMP(NANOS) parquet column (PARQUET_TYPE_ILLEGAL).
+    # nanosAsLong is required or Spark 4 refuses INT64 TIMESTAMP(NANOS)
+    # parquet columns (PARQUET_TYPE_ILLEGAL) — a no-op on µs fixtures.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # NTZ→LTZ under the UTC session above: wall clock == instant,
+            # matching both the ns path and DuckDB's naive-timestamp view.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
