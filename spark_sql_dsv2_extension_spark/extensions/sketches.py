@@ -1,0 +1,382 @@
+"""Mergeable-sketch operators for corpus-scale cardinality/frequency work.
+
+The reference engine exposes no sketch surface (its V2 connector delegates
+aggregation to Spark, V2Table.scala:45-47); these keys extend the engine the
+same way the dedup/similarity suites do — the data structures a 100 TB
+training-data pipeline actually runs on top of:
+
+- HyperLogLog-style register sketches for distinct counting that MERGE
+  across shards (the property exact count(DISTINCT) lacks: per-shard
+  sketches union with max(), so vocabulary across 10k shards is one
+  64-register reduce instead of a global distinct shuffle),
+- a count-min sketch for heavy-hitter frequency estimation in fixed memory
+  (d*w counters regardless of vocabulary size),
+- a Bloom-filter membership probe for incremental-ingest dedup (new shard
+  probed against a bit-set of history fingerprints; bits travel, text never
+  does).
+
+Every sketch here uses EXPLICIT affine/polynomial hashes (the minhash
+pattern, dedup.py:804) so the sketch contents — not just the decisions they
+imply — are bit-for-bit reproducible by the DuckDB oracle: estimates are
+dyadic/integer arithmetic, so the driver's value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import fan_out, load
+
+_MOD = 2_147_483_647  # 2^31 - 1, matching the text-suite hash family
+_BASE = 131
+
+# ---------------------------------------------------------------------------
+# HLL-style register sketch
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers; bucket = h % m, value = h // m < 2^25
+_HLL_W = 25  # bit width of the register value domain
+# alpha_m * m^2 precomputed as ONE literal so both engines divide the same
+# constant by the same dyadic sum (0.709 ~ the m=64 HLL bias constant).
+_HLL_NUM = 0.709 * _HLL_M * _HLL_M
+
+
+def _word_poly_sql(col: str) -> str:
+    return f"""list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length({col}) + 1),
+                   i -> CAST(ascii(substring({col}, CAST(i AS INT), 1))
+                        AS BIGINT))),
+               (acc, c) -> (acc * {_BASE} + c) % {_MOD})"""
+
+
+def _word_poly(col) -> F.Column:
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * _BASE + c) % _MOD,
+    )
+
+
+@query(
+    "ext_hll_union",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), words AS (
+      SELECT DISTINCT source, w FROM tok WHERE length(w) > 0
+    ), hashed AS (
+      SELECT source, w,
+             (1103515245 * {_word_poly_sql('w')} + 12345) % {_MOD} AS h
+      FROM words
+    ), regs AS (
+      SELECT source, h % {_HLL_M} AS r,
+             max(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                      ELSE {_HLL_W + 1} - length(bin(h // {_HLL_M}))
+                 END) AS rho
+      FROM hashed GROUP BY 1, 2
+    ), all_regs AS (
+      SELECT source, r, rho FROM regs
+      UNION ALL
+      SELECT 'ALL' AS source, r, max(rho) AS rho FROM regs GROUP BY r
+    ), est AS (
+      SELECT source,
+             {_HLL_NUM!r} / (SUM(power(2.0, -rho))
+                             + ({_HLL_M} - count(*))) AS est_distinct
+      FROM all_regs GROUP BY source
+    ), exact AS (
+      SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+      FROM words GROUP BY source
+      UNION ALL
+      SELECT 'ALL', CAST(count(DISTINCT w) AS BIGINT) FROM words
+    )
+    SELECT exact.source, round(est.est_distinct, 4) AS est_distinct,
+           exact.exact_distinct,
+           round(abs(est.est_distinct - exact.exact_distinct)
+                 / exact.exact_distinct, 4) AS rel_err
+    FROM est JOIN exact ON est.source = exact.source
+    """,
+)
+def ext_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch: per-source 64-register HLL-style
+    sketches (register = max leading-zero rank of an explicit affine hash),
+    UNIONed into a corpus-wide sketch by per-register max — the merge that
+    makes shard-local sketches composable without re-scanning. Estimates
+    use the raw harmonic mean (no small/large-range correction: those need
+    ln(), whose libm rounding differs across engines; the raw estimator is
+    pure dyadic arithmetic, so the oracle matches it bit-for-bit).
+
+    At 100 TB: per-shard sketches are 64 bytes each; the global vocabulary
+    estimate is a 64-row shuffle, vs count(DISTINCT) moving every unique
+    token. Error ~1.04/sqrt(64) ≈ 13% — the fixed price of fixed memory,
+    reported per row as rel_err against the exact count."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    words = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    h = (F.lit(1103515245) * _word_poly(F.col("w")) + F.lit(12345)) % _MOD
+    hashed = words.select("source", "w", h.alias("h"))
+    v = F.expr(f"h DIV {_HLL_M}")
+    rho = F.when(v == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(v))
+    )
+    regs = (
+        hashed.select("source", (F.col("h") % _HLL_M).alias("r"), rho.alias("rho_i"))
+        .groupBy("source", "r")
+        .agg(F.max("rho_i").alias("rho"))
+    )
+    union_regs = regs.unionAll(
+        regs.groupBy("r").agg(F.max("rho").alias("rho")).select(
+            F.lit("ALL").alias("source"), "r", "rho"
+        )
+    )
+    # empty registers contribute 2^0 = 1 each: add (m - observed) to the sum
+    est = union_regs.groupBy("source").agg(
+        (
+            F.lit(_HLL_NUM)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            )
+        ).alias("est_distinct")
+    )
+    exact = words.groupBy("source").agg(
+        F.countDistinct("w").alias("exact_distinct")
+    )
+    exact = exact.unionAll(
+        words.agg(F.countDistinct("w").alias("exact_distinct")).select(
+            F.lit("ALL").alias("source"), "exact_distinct"
+        )
+    )
+    return est.join(exact, "source").select(
+        "source",
+        F.round("est_distinct", 4).alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 128  # counters per row
+_CMS_TOP = 30
+
+
+@query(
+    "ext_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS exact_n
+      FROM tok WHERE length(w) > 0 GROUP BY w
+    ), freq AS (
+      SELECT w, {_word_poly_sql('w')} AS x, exact_n FROM counts
+    ), cells AS (
+      SELECT t.i AS i,
+             ((2 * t.i + 1) * x + 1000003 * t.i + 12345) % {_MOD} % {_CMS_W}
+               AS cell,
+             CAST(SUM(exact_n) AS BIGINT) AS cnt
+      FROM freq, range(0, {_CMS_D}) t(i)
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT w, x, exact_n FROM freq
+      ORDER BY exact_n DESC, w LIMIT {_CMS_TOP}
+    )
+    SELECT cand.w AS word, cand.exact_n,
+           CAST(min(cells.cnt) AS BIGINT) AS est_n,
+           CAST(min(cells.cnt) - cand.exact_n AS BIGINT) AS overestimate
+    FROM cand, range(0, {_CMS_D}) t(i)
+    JOIN cells
+      ON cells.i = t.i
+     AND cells.cell = ((2 * t.i + 1) * cand.x + 1000003 * t.i + 12345)
+                      % {_MOD} % {_CMS_W}
+    GROUP BY 1, 2
+    """,
+)
+def ext_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the corpus's top tokens:
+    4 hash rows x 128 counters (explicit affine hash family, so the oracle
+    rebuilds the identical sketch), point estimate = min over rows — always
+    >= the true count, with the overestimate reported per token.
+
+    At 100 TB the sketch is the fixed-memory substitute for a full token
+    groupBy: 512 counters total regardless of vocabulary, built map-side in
+    one pass and merged by cell-wise sum (the groupBy here IS that merge).
+    The estimate join touches only the candidate set (top-{_CMS_TOP}
+    exact, for measurement) against 512 broadcast cells."""
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    freq = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .withColumn("x", _word_poly(F.col("w")))
+    )
+
+    def cell(i: int, x) -> F.Column:
+        return ((F.lit(2 * i + 1) * x + F.lit(1000003 * i + 12345)) % _MOD) % _CMS_W
+
+    hashed = freq.select(
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), cell(i, F.col("x")).alias("cell")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ic"),
+    )
+    cells = hashed.groupBy(
+        F.col("ic.i").alias("i"), F.col("ic.cell").alias("cell")
+    ).agg(F.sum("exact_n").alias("cnt"))
+
+    cand = freq.orderBy(F.col("exact_n").desc(), "w").limit(_CMS_TOP)
+    probes = cand.select(
+        F.col("w").alias("word"),
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), cell(i, F.col("x")).alias("cell")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ic"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("ic.i") == F.col("i")) & (F.col("ic.cell") == F.col("cell")),
+        )
+        .groupBy("word", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            "word",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe
+# ---------------------------------------------------------------------------
+
+_BF_BITS = 4096
+_BF_K = 3
+
+
+@query(
+    "ext_bloom_probe",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, text, {_word_poly_sql('text')} AS x,
+             doc_id % 2 = 0 AS is_history
+      FROM documents WHERE length(text) > 0
+    ), bits AS (
+      SELECT DISTINCT
+             ((2 * t.j + 1) * x + 7919 * t.j + 104729) % {_MOD} % {_BF_BITS}
+               AS bit
+      FROM fp, range(0, {_BF_K}) t(j)
+      WHERE is_history
+    ), pbits AS (
+      SELECT p.doc_id,
+             ((2 * t.j + 1) * p.x + 7919 * t.j + 104729)
+               % {_MOD} % {_BF_BITS} AS pbit
+      FROM fp p, range(0, {_BF_K}) t(j)
+      WHERE NOT p.is_history
+    ), probed AS (
+      SELECT pbits.doc_id,
+             count(*) FILTER (WHERE bits.bit IS NOT NULL) = {_BF_K} AS flagged
+      FROM pbits LEFT JOIN bits ON bits.bit = pbits.pbit
+      GROUP BY 1
+    ), truth AS (
+      SELECT DISTINCT p.doc_id
+      FROM fp p JOIN fp h ON h.is_history AND NOT p.is_history
+                        AND h.text = p.text
+    )
+    SELECT probed.doc_id, probed.flagged,
+           truth.doc_id IS NOT NULL AS true_dup,
+           probed.flagged AND truth.doc_id IS NULL AS false_positive
+    FROM probed LEFT JOIN truth ON probed.doc_id = truth.doc_id
+    """,
+)
+def ext_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup via Bloom filter: history shard (even
+    doc_ids) sets k=3 bits per document fingerprint in a {_BF_BITS}-bit
+    filter; the new shard (odd doc_ids) probes all 3 bits and is flagged
+    when every bit is set. Flags are compared against exact text equality
+    to label the false positives the filter's density implies.
+
+    At 100 TB this is the shape that makes day-N dedup not re-shuffle
+    day-1..N-1: the filter (bits, not text) is built once per epoch and
+    broadcast; each new shard probes locally — zero join against history.
+    The false-positive rate is the tunable (bits per key), and this key
+    measures it rather than assuming it. Explicit hash family, so the
+    oracle reproduces every bit."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text", _word_poly(F.col("text")).alias("x"))
+    )
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def bit(j: int, x) -> F.Column:
+        return ((F.lit(2 * j + 1) * x + F.lit(7919 * j + 104729)) % _MOD) % _BF_BITS
+
+    bits = (
+        history.select(
+            F.explode(
+                F.array(*[bit(j, F.col("x")) for j in range(_BF_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probes = probe.select(
+        "doc_id",
+        F.explode(F.array(*[bit(j, F.col("x")) for j in range(_BF_K)])).alias(
+            "pbit"
+        ),
+    )
+    flagged = (
+        probes.join(F.broadcast(bits), F.col("pbit") == F.col("bit"), "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.col("bit")) == _BF_K).alias("flagged")
+        )
+    )
+    truth = (
+        probe.select("doc_id", "text")
+        .join(history.select(F.col("text").alias("t2")),
+              F.col("text") == F.col("t2"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return flagged.join(truth, "doc_id", "left").select(
+        "doc_id",
+        "flagged",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("true_dup"),
+        (F.col("flagged") & F.col("is_dup").isNull()).alias("false_positive"),
+    )

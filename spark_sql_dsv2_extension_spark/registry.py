@@ -46,6 +46,7 @@ _MODULES = (
     "spark_sql_dsv2_extension_spark.extensions.dedup",
     "spark_sql_dsv2_extension_spark.extensions.similarity",
     "spark_sql_dsv2_extension_spark.extensions.text",
+    "spark_sql_dsv2_extension_spark.extensions.sketches",
     "spark_sql_dsv2_extension_spark.extensions.multimodal",
 )
 
@@ -117,6 +118,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_struct",
     # --- 50-key window boundary (round 3) ---
     # new round-3 keys land here, heading the round-4 window
+    "ext_hll_union",
+    "ext_cms_heavy_hitters",
+    "ext_bloom_probe",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
