@@ -563,3 +563,64 @@ def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey", "o_orderdate", "l_extendedprice", "l_quantity"
     )
+
+
+def _bloom_runtime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan for ``join_bloom_runtime`` (shared with the plan
+    audit): selective orders filter joined into lineitem, aggregated per
+    priority. With runtime bloom filters enabled, Catalyst injects
+    ``might_contain(bloom_filter_agg(o_orderkey))`` into the lineitem scan
+    — rows whose key cannot match are dropped BEFORE the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_bloom_runtime",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: the selective dimension
+    side builds a bloom filter that Catalyst pushes into the fact scan, so
+    non-matching lineitem rows die at the scan instead of crossing the
+    shuffle — at 100 TB this is the difference between shuffling the whole
+    fact table and shuffling the ~matching fraction. Injection is gated on
+    the join NOT being broadcast (broadcast joins don't shuffle the fact
+    side, so there is nothing to save), so the key pins the shuffle-join
+    confs for ITS OWN evaluation only: the aggregated (5-row) result is
+    materialized eagerly via localCheckpoint while the confs are active,
+    then every conf is restored — later keys in the same session see no
+    change. Results are filter-invariant (bloom is false-positive-only,
+    never false-negative); tests/test_plans.py pins might_contain in the
+    optimized plan."""
+    pinned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        return _bloom_runtime_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

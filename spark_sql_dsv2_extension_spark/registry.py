@@ -121,6 +121,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_hll_union",
     "ext_cms_heavy_hitters",
     "ext_bloom_probe",
+    "join_bloom_runtime",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",

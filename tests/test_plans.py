@@ -297,3 +297,40 @@ def test_multimodal_meta_prune_never_reads_payload(spark, sf_dir):
     rs = read_schema(df)
     assert "payload" not in rs, f"payload column not pruned: {rs}"
     assert "n_bytes" in rs
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    # with the shuffle-join confs the key pins, Catalyst must inject a
+    # bloom-filter probe into the fact-side scan
+    from spark_sql_dsv2_extension_spark.operators.joins import _bloom_runtime_join
+
+    pinned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        df = _bloom_runtime_join(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_cms_cells_join_is_broadcast(spark, sf_dir):
+    df = SPECS["ext_cms_heavy_hitters"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian(df)
+
+
+def test_bloom_probe_bits_broadcast_no_cartesian(spark, sf_dir):
+    df = SPECS["ext_bloom_probe"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian(df)
