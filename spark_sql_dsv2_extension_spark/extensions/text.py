@@ -1767,3 +1767,144 @@ def ext_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_rate"),
         F.min("tokens").cast("long").alias("min_bin_tokens"),
     )
+
+
+@query(
+    "ext_bpe_pair_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM tok WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               i -> substring(w, CAST(i AS INT), 2))) AS pair, f
+      FROM freq
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def ext_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-merge iteration over the corpus: adjacent character-pair
+    frequencies weighted by word occurrence counts — the statistic a
+    tokenizer trainer recomputes every merge round. The expensive part
+    (pair explosion) runs over DISTINCT words with their counts, not over
+    every token occurrence: at 100 TB the distinct-word table is orders of
+    magnitude smaller than the token stream, so each merge iteration is a
+    small-side explode + sum instead of a corpus re-scan (the standard
+    word-counts optimization in BPE trainers). Top-20 with deterministic
+    count-desc/pair-asc order."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = freq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+_WIN_W = 4  # winnowing window: one fingerprint per 4 consecutive grams
+_POS_BITS = 1 << 20  # position packing bound; fixture docs are << 1M chars
+
+
+@query(
+    "ext_winnow_fingerprints",
+    oracle=f"""
+    WITH hl AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - {_GRAM} + 2, 1)),
+               p -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_transform(range(0, {_GRAM}),
+                          k -> CAST(ascii(substring(text, CAST(p + k AS INT), 1))
+                               AS BIGINT))),
+                      (acc, c) -> (acc * {_BASE} + c) % {_MOD})) AS hs
+      FROM documents WHERE length(text) >= {_GRAM}
+    ), g AS (
+      SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h
+      FROM hl
+    ), k AS (
+      SELECT doc_id,
+             count(*) OVER w AS wn,
+             min(h * {_POS_BITS} + ({_POS_BITS - 1} - pos)) OVER w AS mk
+      FROM g
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+    )
+    SELECT DISTINCT doc_id,
+           CAST(mk // {_POS_BITS} AS BIGINT) AS fp,
+           CAST({_POS_BITS - 1} - mk % {_POS_BITS} AS BIGINT) AS pos
+    FROM k WHERE wn = {_WIN_W}
+    """,
+)
+def ext_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: each document's 8-gram Rabin-Karp hashes are reduced
+    to one fingerprint per {_WIN_W}-gram window (the window MINIMUM, ties
+    broken toward the RIGHTMOST position by packing (hash, -pos) into one
+    integer key), then deduplicated — the guarantee is every match of
+    length >= {_GRAM}+{_WIN_W}-1 chars shares a fingerprint, at ~2/({_WIN_W}+1)
+    the density of full gram hashing. ext_fingerprint is the degenerate
+    whole-doc min; this is the real positional sampling plagiarism/overlap
+    detectors index.
+
+    Scale: hashing + window-min are per-document (partition-local after the
+    doc-id shuffle); fingerprints (ints, never text) are what downstream
+    overlap joins exchange. Position packing assumes doc length < 2^20
+    chars — re-band for longer inputs."""
+    docs = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .filter(F.length("text") >= _GRAM)
+        .select("doc_id", "text")
+    )
+
+    def gram_hash(p: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_GRAM - 1)),
+                lambda k: F.ascii(F.col("text").substr(p + k, F.lit(1))).cast("long"),
+            ),
+            F.lit(7).cast("long"),
+            lambda acc, c: (acc * _BASE + c) % _MOD,
+        )
+
+    g = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (_GRAM - 1)),
+                gram_hash,
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    key = F.col("h") * _POS_BITS + (F.lit(_POS_BITS - 1) - F.col("pos"))
+    k = g.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.min(key).over(w).alias("mk"),
+    ).filter(F.col("wn") == _WIN_W)
+    return k.select(
+        "doc_id",
+        F.expr(f"mk DIV {_POS_BITS}").alias("fp"),
+        (F.lit(_POS_BITS - 1) - F.col("mk") % _POS_BITS).alias("pos"),
+    ).distinct()

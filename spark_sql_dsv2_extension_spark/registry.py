@@ -122,6 +122,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_cms_heavy_hitters",
     "ext_bloom_probe",
     "join_bloom_runtime",
+    "ext_bpe_pair_stats",
+    "ext_winnow_fingerprints",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
