@@ -1908,3 +1908,83 @@ def ext_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"mk DIV {_POS_BITS}").alias("fp"),
         (F.lit(_POS_BITS - 1) - F.col("mk") % _POS_BITS).alias("pos"),
     ).distinct()
+
+
+@query(
+    "ext_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), total AS (
+      SELECT SUM(c) AS n FROM vocab
+    ), scored AS (
+      SELECT tok.doc_id,
+             CAST(round(-ln(CAST(vocab.c AS DOUBLE) / n) * 1e6) AS BIGINT)
+               AS lp6
+      FROM tok JOIN vocab USING (w), total
+    ), per_doc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(SUM(s.lp6) // count(*) AS BIGINT) AS score6
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      GROUP BY 1, 2
+    ), bucketed AS (
+      SELECT doc_id, lang, score6,
+             ntile(3) OVER (PARTITION BY lang ORDER BY score6, doc_id)
+               AS tercile
+      FROM per_doc
+    )
+    SELECT doc_id, lang, round(score6 / 1e6, 4) AS avg_neg_logprob,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM bucketed
+    """,
+)
+def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: documents scored by the
+    corpus unigram LM (ext_unigram_logprob's integer-summed −ln p, so the
+    score is order-independent), then split into per-language terciles —
+    'head' is the most-fluent third that CCNet keeps unconditionally,
+    'tail' the third that usually gets dropped or down-weighted. The
+    tercile uses ntile over (score, doc_id), fully deterministic.
+
+    Scale: scoring is the unigram join (vocab broadcast at fixture scale,
+    shuffle at web scale); the tercile is one window per language — at
+    100 TB replace ntile with per-language approx quantile CUTS computed
+    once and joined back, same output contract, no global sort."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "w")
+        .join(F.broadcast(total))
+        .withColumn(
+            "lp6",
+            F.round(-F.log(F.col("c").cast("double") / F.col("n")) * F.lit(1e6)).cast(
+                "long"
+            ),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("lp6").alias("sum_lp6"), F.count(F.lit(1)).alias("cnt")
+        )
+        .select("doc_id", F.expr("sum_lp6 DIV cnt").alias("score6"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy("score6", "doc_id")
+    return (
+        per_doc.withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("score6") / 1e6, 4).alias("avg_neg_logprob"),
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_bloom_runtime",
     "ext_bpe_pair_stats",
     "ext_winnow_fingerprints",
+    "ext_perplexity_buckets",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
