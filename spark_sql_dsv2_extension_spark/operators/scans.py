@@ -80,3 +80,33 @@ def count_star_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark answers this from parquet row-group metadata — zero data pages read.
     """
     return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS row_index,
+           TRUE AS from_documents_file
+    FROM documents
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns: per-row provenance (source file +
+    row index) surfaced by the scan itself — the lineage hook a 100 TB
+    pipeline uses to trace any training example back to its shard and
+    offset without storing either in the data. Spark materializes these
+    from split metadata at scan time (zero extra I/O). The oracle
+    reconstructs row_index from the fixture's doc_id ordering (verified:
+    documents.parquet is doc_id-sorted at every SF) and checks file
+    identity as a basename predicate, since absolute paths differ by
+    environment."""
+    df = load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.col("_metadata.row_index").alias("row_index"),
+        F.col("_metadata.file_name").endswith("documents.parquet").alias(
+            "from_documents_file"
+        ),
+    )

@@ -125,6 +125,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bpe_pair_stats",
     "ext_winnow_fingerprints",
     "ext_perplexity_buckets",
+    "scan_file_metadata",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
