@@ -781,3 +781,41 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(w, lambda t: t == "spark").alias("has_spark"),
         F.forall(w, lambda t: F.length(t) > 0).alias("all_nonempty"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), t AS (SELECT lang, w FROM tok WHERE length(w) > 0)
+    SELECT lang,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_binary_distinct,
+           CAST(count(DISTINCT lower(w)) AS BIGINT) AS n_ci_distinct,
+           CAST(count(*) FILTER (WHERE lower(w) = 'the') AS BIGINT)
+             AS n_the_ci
+    FROM t GROUP BY lang
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4): ``COLLATE UTF8_LCASE``
+    makes equality, DISTINCT, and grouping case-insensitive at the TYPE
+    level — the engine compares under the collation instead of callers
+    scattering lower() into every predicate. The oracle states the same
+    semantics explicitly via lower(), which is exactly the rewrite
+    collations subsume. Distinct-vocabulary counts per language under
+    binary vs case-insensitive collation, plus a collated equality filter.
+
+    Scale: collation comparisons stay inside codegen (no UDF); a collated
+    groupBy shuffles the collation key exactly like any other — no extra
+    pass vs the manual lower() idiom it replaces."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    ci = F.collate(F.col("w"), "UTF8_LCASE")
+    return t.groupBy("lang").agg(
+        F.countDistinct("w").alias("n_binary_distinct"),
+        F.countDistinct(ci).alias("n_ci_distinct"),
+        F.count(F.when(ci == F.lit("the"), 1)).alias("n_the_ci"),
+    )

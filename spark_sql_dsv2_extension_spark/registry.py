@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_winnow_fingerprints",
     "ext_perplexity_buckets",
     "scan_file_metadata",
+    "fn_collation",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
