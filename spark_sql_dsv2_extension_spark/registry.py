@@ -47,6 +47,7 @@ _MODULES = (
     "spark_sql_dsv2_extension_spark.extensions.similarity",
     "spark_sql_dsv2_extension_spark.extensions.text",
     "spark_sql_dsv2_extension_spark.extensions.sketches",
+    "spark_sql_dsv2_extension_spark.extensions.curation",
     "spark_sql_dsv2_extension_spark.extensions.multimodal",
 )
 
@@ -127,6 +128,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_perplexity_buckets",
     "scan_file_metadata",
     "fn_collation",
+    "ext_dsir_importance",
+    "ext_shard_manifest",
+    "ext_token_budget_trim",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
