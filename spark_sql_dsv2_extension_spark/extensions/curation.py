@@ -236,3 +236,94 @@ def ext_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
+
+
+_TEMP_NUM6 = 1_000_000  # probabilities reported at 1e-6 resolution
+
+
+@query(
+    "ext_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1
+             END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), weighted AS (
+      SELECT lang, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+      FROM counts
+    )
+    SELECT lang, n_docs, n_tokens,
+           CAST(round(w / (SELECT SUM(w) FROM weighted) * 1e6) AS BIGINT)
+             AS sample_prob6
+    FROM weighted
+    """,
+)
+def ext_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the multilingual-LM mixture
+    rule, T=2 i.e. p_l ∝ n_l^(1/2)): raw token counts per language are
+    exponentiated toward uniform so low-resource languages are upsampled
+    relative to their share. sqrt is IEEE correctly-rounded, so both
+    engines produce identical doubles; the probability is reported as an
+    integer at 1e-6 (the value a weighted sampler would consume).
+
+    Scale: one aggregation to counts (#languages rows), arithmetic on the
+    driver-sized result — the corpus is touched once regardless of size."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    counts = docs.select("lang", n_tokens.alias("nt")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    weighted = counts.withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    return weighted.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("w") / F.col("tw") * _TEMP_NUM6).cast("long").alias(
+            "sample_prob6"
+        ),
+    )
+
+
+@query(
+    "ext_sentence_segmentation",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, '. '), 1) AS sent_idx,
+             unnest(string_split(text, '. ')) AS sentence
+      FROM documents
+    )
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+           CAST(length(sentence) AS BIGINT) AS n_chars
+    FROM s WHERE length(sentence) > 0
+    """,
+)
+def ext_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation: split each document on the '. ' boundary
+    into indexed sentences with lengths — the unit most quality filters,
+    dedup shinglers, and seq2seq chunkers actually operate on (a literal
+    delimiter keeps both engines' split semantics identical; a real
+    segmenter swaps in behind the same explode shape).
+
+    Scale: pure per-row explode — no shuffle at all; output order is
+    (doc_id, sent_idx), reconstructible downstream."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\. ")).alias("idx0", "sentence"),
+        )
+        .filter(F.length("sentence") > 0)
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).cast("long").alias("sent_idx"),
+            "sentence",
+            F.length("sentence").cast("long").alias("n_chars"),
+        )
+    )

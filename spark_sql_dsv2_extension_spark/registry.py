@@ -131,6 +131,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dsir_importance",
     "ext_shard_manifest",
     "ext_token_budget_trim",
+    "ext_temperature_mixture",
+    "ext_sentence_segmentation",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
