@@ -65,6 +65,10 @@ HEADLINE = [
     "ext_hypertable_rollup",
     "ext_timeseries_densify",
     "ext_dedup_survivorship",
+    "ext_hll_union",
+    "ext_dsir_importance",
+    "join_bloom_runtime",
+    "ext_winnow_fingerprints",
 ]
 
 
