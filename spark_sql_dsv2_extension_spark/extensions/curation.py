@@ -29,20 +29,19 @@ _DSIR_TOP = 100
       SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
       FROM documents
     ), t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0),
-    target AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS ct FROM t
-      WHERE lang = 'en' GROUP BY w
-    ), source AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS cs FROM t GROUP BY w
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cs,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+      FROM t GROUP BY w
     ), totals AS (
-      SELECT (SELECT SUM(ct) FROM target) AS nt,
-             (SELECT SUM(cs) FROM source) AS ns
+      SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM vocab
     ), scored AS (
       SELECT t.doc_id,
-             CAST(round((ln(CAST(target.ct AS DOUBLE) / nt)
-                         - ln(CAST(source.cs AS DOUBLE) / ns)) * 1e6)
+             CAST(round((ln(CAST(vocab.ct AS DOUBLE) / nt)
+                         - ln(CAST(vocab.cs AS DOUBLE) / ns)) * 1e6)
                   AS BIGINT) AS lr6
-      FROM t JOIN target USING (w) JOIN source USING (w), totals
+      FROM t JOIN vocab USING (w), totals
+      WHERE vocab.ct > 0
     ), per_doc AS (
       SELECT d.doc_id, d.lang,
              CAST(coalesce(count(s.lr6), 0) AS BIGINT) AS n_scored_tokens,
@@ -51,7 +50,7 @@ _DSIR_TOP = 100
       GROUP BY 1, 2
     )
     SELECT doc_id, lang, n_scored_tokens,
-           round(weight6 / 1e6, 4) AS log_ratio,
+           weight6 / 1e6 AS log_ratio,
            row_number() OVER (ORDER BY weight6 DESC, doc_id)
              <= {_DSIR_TOP} AS selected
     FROM per_doc
@@ -73,12 +72,13 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.length("w") > 0)
-    target = t.filter(F.col("lang") == "en").groupBy("w").agg(
-        F.count(F.lit(1)).alias("ct")
+    # ONE aggregation computes both LMs (source count + target-filtered
+    # count per token) — the token stream shuffles once, not twice
+    vocab = t.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
     )
-    source = t.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
-    nt = target.agg(F.sum("ct").alias("nt"))
-    ns = source.agg(F.sum("cs").alias("ns"))
+    totals = vocab.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
     lr6 = F.round(
         (
             F.log(F.col("ct").cast("double") / F.col("nt"))
@@ -87,10 +87,8 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1e6)
     ).cast("long")
     scored = (
-        t.join(F.broadcast(target), "w")
-        .join(F.broadcast(source), "w")
-        .join(F.broadcast(nt))
-        .join(F.broadcast(ns))
+        t.join(F.broadcast(vocab.filter(F.col("ct") > 0)), "w")
+        .join(F.broadcast(totals))
         .select("doc_id", lr6.alias("lr6"))
     )
     per_doc = (
@@ -115,7 +113,7 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_scored_tokens",
-        F.round(F.col("weight6") / 1e6, 4).alias("log_ratio"),
+        (F.col("weight6") / F.lit(1e6)).alias("log_ratio"),
         (F.row_number().over(w) <= _DSIR_TOP).alias("selected"),
     )
 

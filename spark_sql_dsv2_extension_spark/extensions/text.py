@@ -1935,7 +1935,7 @@ def ext_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS tercile
       FROM per_doc
     )
-    SELECT doc_id, lang, round(score6 / 1e6, 4) AS avg_neg_logprob,
+    SELECT doc_id, lang, score6 / 1e6 AS avg_neg_logprob,
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM bucketed
@@ -1981,7 +1981,7 @@ def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(F.col("score6") / 1e6, 4).alias("avg_neg_logprob"),
+            (F.col("score6") / F.lit(1e6)).alias("avg_neg_logprob"),
             F.when(F.col("tercile") == 1, "head")
             .when(F.col("tercile") == 2, "middle")
             .otherwise("tail")

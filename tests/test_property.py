@@ -166,3 +166,34 @@ def test_partitioning_invariance_of_scaled_aggregates(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         assert base == alt, f"{key}: result depends on partition count"
+
+
+def test_sketch_invariants(spark, sf_dir):
+    """The guarantees each sketch family makes BY CONSTRUCTION, asserted on
+    the computed outputs (complementary to the exact-oracle parity check):
+    CMS never underestimates; a Bloom filter never false-negatives; HLL
+    union is at least every per-shard estimate."""
+    from spark_sql_dsv2_extension_spark.registry import load_all
+
+    specs = load_all()
+
+    cms = specs["ext_cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert cms, "cms returned no rows"
+    for r in cms:
+        assert r["est_n"] >= r["exact_n"], r
+        assert r["overestimate"] == r["est_n"] - r["exact_n"]
+
+    bloom = specs["ext_bloom_probe"].fn(spark, sf_dir).collect()
+    assert bloom
+    for r in bloom:
+        if r["true_dup"]:
+            assert r["flagged"], f"bloom false negative: {r}"
+        assert r["false_positive"] == (r["flagged"] and not r["true_dup"])
+
+    hll = {r["source"]: r for r in specs["ext_hll_union"].fn(spark, sf_dir).collect()}
+    assert "ALL" in hll and len(hll) > 1
+    for src, r in hll.items():
+        assert r["est_distinct"] > 0
+        if src != "ALL":
+            # union max-merges registers: its estimate dominates each shard's
+            assert hll["ALL"]["est_distinct"] >= r["est_distinct"] - 1e-9
