@@ -325,3 +325,99 @@ def ext_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("sentence").cast("long").alias("n_chars"),
         )
     )
+
+
+_KN_D = 0.75  # absolute-discount mass
+_KN_TOP = 20
+
+
+@query(
+    "ext_kneser_ney_bigrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(0, len(toks) - 1),
+                    i -> toks[i + 1])) AS w1,
+             unnest(list_transform(range(0, len(toks) - 1),
+                    i -> toks[i + 2])) AS w2
+      FROM t
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+      FROM pairs GROUP BY w1, w2
+    ), left_stats AS (
+      SELECT w1, CAST(SUM(cxy) AS BIGINT) AS cleft,
+             CAST(count(*) AS BIGINT) AS n1l
+      FROM bc GROUP BY w1
+    ), right_stats AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bc GROUP BY w2
+    ), b AS (
+      SELECT CAST(count(*) AS BIGINT) AS bt FROM bc
+    )
+    SELECT w1 || ' ' || w2 AS bigram, cxy, cleft, n1l, n1r,
+           CAST(round(((cxy - {_KN_D}) / cleft
+                       + {_KN_D} * n1l / cleft * n1r / bt) * 1e6) AS BIGINT)
+             AS pkn6
+    FROM bc JOIN left_stats USING (w1) JOIN right_stats USING (w2), b
+    ORDER BY cxy DESC, w1, w2 LIMIT {_KN_TOP}
+    """,
+)
+def ext_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram estimation — the smoothing that made
+    n-gram LMs work, and the statistic KenLM-style perplexity filters are
+    built on: P(w2|w1) = max(c−d,0)/c(w1·) + d·N1+(w1·)/c(w1·) ·
+    N1+(·w2)/|bigram types|, with the continuation count N1+(·w2)
+    replacing the raw unigram (the "San Francisco" insight: 'Francisco' is
+    frequent but follows almost nothing). All inputs are exact integer
+    counts; the probability is one fixed-order float expression both
+    engines evaluate identically, reported in micro-units for the top
+    bigrams.
+
+    Scale: one bigram count (the only token-stream shuffle) and two
+    aggregations OVER the bigram-type table (much smaller); type-table
+    statistics broadcast back. Higher orders chain the same shape."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select(F.split("text", " ").alias("toks"))
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    left_stats = bc.groupBy("w1").agg(
+        F.sum("cxy").alias("cleft"), F.count(F.lit(1)).alias("n1l")
+    )
+    right_stats = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
+    bt = bc.agg(F.count(F.lit(1)).alias("bt"))
+    pkn6 = F.round(
+        (
+            (F.col("cxy") - F.lit(_KN_D)) / F.col("cleft")
+            + F.lit(_KN_D)
+            * F.col("n1l")
+            / F.col("cleft")
+            * F.col("n1r")
+            / F.col("bt")
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        bc.join(F.broadcast(left_stats), "w1")
+        .join(F.broadcast(right_stats), "w2")
+        .join(F.broadcast(bt))
+        .orderBy(F.col("cxy").desc(), "w1", "w2")
+        .limit(_KN_TOP)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "cxy",
+            "cleft",
+            "n1l",
+            "n1r",
+            pkn6.alias("pkn6"),
+        )
+    )

@@ -133,6 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_token_budget_trim",
     "ext_temperature_mixture",
     "ext_sentence_segmentation",
+    "ext_kneser_ney_bigrams",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
