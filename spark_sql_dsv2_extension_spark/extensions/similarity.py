@@ -950,3 +950,69 @@ def ext_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("sq12") / F.lit(1e12), 6).alias("max_sqdist"),
     )
+
+
+_HN_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ), sims AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+               AS cosine_sim
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.vec_id AND e.label <> q.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+"""
+
+
+@query("ext_hard_negatives", oracle=_HN_ORACLE)
+def ext_hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors with a DIFFERENT label — exactly the
+    examples a dual-encoder trains against (similar enough to confuse,
+    labeled different). Same broadcast-query/stream-corpus shape as
+    ext_knn_cosine with the label-inequality predicate fused into the join
+    (filtered BEFORE ranking, so no negative is wasted on a same-label
+    hit); at scale the LSH/IVF bucketed variants slot in identically, with
+    the label filter applied to the candidate set."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("query_label"),
+    )
+    sims = emb.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("query_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+    )

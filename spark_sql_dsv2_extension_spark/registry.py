@@ -134,6 +134,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_temperature_mixture",
     "ext_sentence_segmentation",
     "ext_kneser_ney_bigrams",
+    "ext_hard_negatives",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
