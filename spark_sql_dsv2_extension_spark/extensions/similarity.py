@@ -1016,3 +1016,101 @@ def ext_hard_negatives(
         sims.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= top_k)
     )
+
+
+_PQ_S = 4  # subspaces
+_PQ_DIMS = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
+_PQ_K = 16  # centroids per subspace codebook
+
+
+_PQ_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < {_PQ_K}
+    ), d AS (
+      SELECT e.vec_id, s.s, cent.cid,
+             CAST(round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(s.s * {_PQ_DIMS}, s.s * {_PQ_DIMS} + {_PQ_DIMS}),
+                   j -> (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                         - cent.c[CAST(j + 1 AS INT)])
+                        * (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                           - cent.c[CAST(j + 1 AS INT)]))),
+               (acc, v) -> acc + v) * 1e6) AS BIGINT) AS d6
+      FROM embeddings e, range(0, {_PQ_S}) s(s), cent
+    ), best AS (
+      SELECT vec_id, s, min(d6 * 1024 + cid) AS k
+      FROM d GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN s = 0 THEN k % 1024 END) AS BIGINT) AS code0,
+           CAST(max(CASE WHEN s = 1 THEN k % 1024 END) AS BIGINT) AS code1,
+           CAST(max(CASE WHEN s = 2 THEN k % 1024 END) AS BIGINT) AS code2,
+           CAST(max(CASE WHEN s = 3 THEN k % 1024 END) AS BIGINT) AS code3,
+           CAST(SUM(k // 1024) AS BIGINT) AS err6
+    FROM best GROUP BY vec_id
+"""
+
+
+@query("ext_product_quantize", oracle=_PQ_ORACLE)
+def ext_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the FAISS compression workhorse): each 64-dim
+    embedding splits into {_PQ_S} x {_PQ_DIMS}-dim subvectors, each encoded
+    as its nearest of {_PQ_K} subspace centroids — 64 floats become
+    {_PQ_S} bytes (64:1), with the total squared reconstruction error
+    reported in micro-units. The argmin is deterministic by packing
+    (distance6, centroid_id) into one integer and taking MIN. The codebook
+    is a stand-in (first {_PQ_K} vectors' subvectors, the ext_knn_ivf
+    pattern); ext_kmeans_train's centroids swap in per subspace for a
+    trained codebook.
+
+    Scale: codebook broadcasts ({_PQ_S}*{_PQ_K} rows); the corpus streams
+    once computing {_PQ_S}*{_PQ_K} distances per vector map-side, then one
+    (vec, subspace) min-aggregation — the same shape that encodes billions
+    of vectors for ANN serving."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    sub = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
+    )
+
+    def diff(j):
+        return F.element_at(
+            F.col("embedding"), (j + 1).cast("int")
+        ).cast("double") - F.element_at(F.col("c"), (j + 1).cast("int"))
+
+    d6 = F.round(
+        F.aggregate(
+            F.transform(
+                F.sequence(
+                    F.col("s") * _PQ_DIMS, F.col("s") * _PQ_DIMS + (_PQ_DIMS - 1)
+                ),
+                lambda j: diff(j) * diff(j),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    d = sub.join(F.broadcast(cent)).select(
+        "vec_id", "s", (d6 * 1024 + F.col("cid")).alias("key")
+    )
+    best = d.groupBy("vec_id", "s").agg(F.min("key").alias("k"))
+    code = lambda s: F.max(F.when(F.col("s") == s, F.col("k") % 1024)).alias(
+        f"code{s}"
+    )
+    return best.groupBy("vec_id").agg(
+        code(0),
+        code(1),
+        code(2),
+        code(3),
+        F.sum(F.expr("k DIV 1024")).alias("err6"),
+    )

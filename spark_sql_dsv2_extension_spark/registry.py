@@ -135,6 +135,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_sentence_segmentation",
     "ext_kneser_ney_bigrams",
     "ext_hard_negatives",
+    "ext_product_quantize",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
