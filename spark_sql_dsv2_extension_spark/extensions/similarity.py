@@ -1114,3 +1114,119 @@ def ext_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         code(3),
         F.sum(F.expr("k DIV 1024")).alias("err6"),
     )
+
+
+_ADC_TOP = 5
+
+
+_ADC_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < {_PQ_K}
+    ), d AS (
+      SELECT e.vec_id, s.s, cent.cid,
+             CAST(round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(s.s * {_PQ_DIMS}, s.s * {_PQ_DIMS} + {_PQ_DIMS}),
+                   j -> (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                         - cent.c[CAST(j + 1 AS INT)])
+                        * (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                           - cent.c[CAST(j + 1 AS INT)]))),
+               (acc, v) -> acc + v) * 1e6) AS BIGINT) AS d6
+      FROM embeddings e, range(0, {_PQ_S}) s(s), cent
+    ), best AS (
+      SELECT vec_id, s, min(d6 * 1024 + cid) % 1024 AS code
+      FROM d GROUP BY 1, 2
+    ), lut AS (
+      -- query-side lookup table: exact distance from each query subvector
+      -- to every centroid (queries are full precision; only the corpus is
+      -- quantized — that asymmetry is the A in ADC)
+      SELECT vec_id AS query_id, s, cid, d6 FROM d
+      WHERE vec_id < {N_QUERIES}
+    ), adc AS (
+      SELECT lut.query_id, best.vec_id AS neighbor_id,
+             CAST(SUM(lut.d6) AS BIGINT) AS adc6
+      FROM best
+      JOIN lut ON lut.s = best.s AND lut.cid = best.code
+      WHERE best.vec_id <> lut.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc6, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc6 ASC, neighbor_id ASC) AS rk
+      FROM adc
+    )
+    WHERE rk <= {_ADC_TOP}
+"""
+
+
+@query("ext_pq_adc_search", oracle=_ADC_ORACLE)
+def ext_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (the FAISS serving path): corpus
+    vectors exist only as {_PQ_S}-byte codes; each query precomputes a
+    {_PQ_S}x{_PQ_K} lookup table of exact subspace distances to the
+    codebook, and a neighbor's approximate distance is {_PQ_S} table
+    lookups + adds — no float math against the corpus at query time. Top
+    {_ADC_TOP} per query by (adc6, neighbor_id).
+
+    Scale: codes are {_PQ_S} bytes/vector (the only corpus-sized state),
+    LUTs are per-query constants broadcast with the query batch; the scan
+    does integer adds only. This is why PQ indexes serve billion-vector
+    corpora from RAM. Composes with IVF routing (ext_knn_ivf) to skip most
+    codes entirely."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    sub = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
+    )
+
+    def diff(j):
+        return F.element_at(
+            F.col("embedding"), (j + 1).cast("int")
+        ).cast("double") - F.element_at(F.col("c"), (j + 1).cast("int"))
+
+    d6 = F.round(
+        F.aggregate(
+            F.transform(
+                F.sequence(
+                    F.col("s") * _PQ_DIMS, F.col("s") * _PQ_DIMS + (_PQ_DIMS - 1)
+                ),
+                lambda j: diff(j) * diff(j),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    d = sub.join(F.broadcast(cent)).select("vec_id", "s", F.col("cid"), d6.alias("d6"))
+    best = (
+        d.groupBy("vec_id", "s")
+        .agg(F.min(F.col("d6") * 1024 + F.col("cid")).alias("k"))
+        .select("vec_id", "s", (F.col("k") % 1024).alias("code"))
+    )
+    lut = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", "cid", "d6"
+    )
+    adc = (
+        best.join(
+            F.broadcast(lut),
+            (best.s == lut.s) & (F.col("cid") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d6").alias("adc6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc6").asc(), F.col("neighbor_id").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _ADC_TOP)
+    )

@@ -136,6 +136,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_kneser_ney_bigrams",
     "ext_hard_negatives",
     "ext_product_quantize",
+    "ext_pq_adc_search",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
