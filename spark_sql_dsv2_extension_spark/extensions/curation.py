@@ -77,7 +77,7 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = t.groupBy("w").agg(
         F.count(F.lit(1)).alias("cs"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
-    )
+    ).cache()  # consumed twice (scored join + totals): one token-stream pass
     totals = vocab.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
     lr6 = F.round(
         (

@@ -334,3 +334,42 @@ def test_bloom_probe_bits_broadcast_no_cartesian(spark, sf_dir):
     df = SPECS["ext_bloom_probe"].fn(spark, sf_dir)
     assert has_broadcast_hash_join(df)
     assert not has_cartesian(df)
+
+
+def test_dsir_single_vocab_aggregation_broadcasts(spark, sf_dir):
+    df = SPECS["ext_dsir_importance"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df)  # vocab joins back broadcast
+    # single-row totals broadcast is a BNLJ by design; only a true
+    # CartesianProduct (shuffled all-pairs) is scale-hostile
+    assert "CartesianProduct" not in plan
+    # one-pass vocab: the second consumer must reuse the cached vocab
+    # instead of re-aggregating the token stream
+    assert "InMemoryTableScan" in plan, plan[:3000]
+
+
+def test_pq_codebook_broadcast_no_cartesian(spark, sf_dir):
+    df = SPECS["ext_product_quantize"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # tiny codebook x corpus
+    assert "CartesianProduct" not in plan
+
+
+def test_adc_lut_join_is_broadcast_hash(spark, sf_dir):
+    df = SPECS["ext_pq_adc_search"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df)  # (s, code) equi-join against LUT
+    assert "CartesianProduct" not in plan
+
+
+def test_kneser_ney_topk_and_broadcasts(spark, sf_dir):
+    df = SPECS["ext_kneser_ney_bigrams"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df)  # type-table stats broadcast back
+    assert "TakeOrderedAndProject" in plan  # top-20 is not a global sort
+
+
+def test_token_budget_single_lang_window(spark, sf_dir):
+    df = SPECS["ext_token_budget_trim"].fn(spark, sf_dir)
+    # one shuffle to (lang) for the running window, nothing else
+    assert count_exchanges(df) <= 1, physical_plan(df)[:2000]
