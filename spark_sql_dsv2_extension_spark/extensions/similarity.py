@@ -1023,6 +1023,47 @@ _PQ_DIMS = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
 _PQ_K = 16  # centroids per subspace codebook
 
 
+def _pq_dist_table(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, cid, d6): micro-unit squared L2 distance from every
+    vector's subspace-s subvector to codebook centroid cid (first _PQ_K
+    corpus vectors). Shared by the PQ encoder, ADC search, and IVF-PQ —
+    one expression so all three stay bit-identical to the oracle."""
+    cent = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    sub = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
+    )
+
+    def diff(j):
+        return F.element_at(
+            F.col("embedding"), (j + 1).cast("int")
+        ).cast("double") - F.element_at(F.col("c"), (j + 1).cast("int"))
+
+    d6 = F.round(
+        F.aggregate(
+            F.transform(
+                F.sequence(
+                    F.col("s") * _PQ_DIMS, F.col("s") * _PQ_DIMS + (_PQ_DIMS - 1)
+                ),
+                lambda j: diff(j) * diff(j),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return sub.join(F.broadcast(cent)).select(
+        "vec_id", "s", "cid", d6.alias("d6")
+    )
+
+
 _PQ_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
@@ -1069,39 +1110,8 @@ def ext_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec, subspace) min-aggregation — the same shape that encodes billions
     of vectors for ANN serving."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
-    cent = (
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
-        )
-    )
-    sub = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
-    )
-
-    def diff(j):
-        return F.element_at(
-            F.col("embedding"), (j + 1).cast("int")
-        ).cast("double") - F.element_at(F.col("c"), (j + 1).cast("int"))
-
-    d6 = F.round(
-        F.aggregate(
-            F.transform(
-                F.sequence(
-                    F.col("s") * _PQ_DIMS, F.col("s") * _PQ_DIMS + (_PQ_DIMS - 1)
-                ),
-                lambda j: diff(j) * diff(j),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        * F.lit(1e6)
-    ).cast("long")
-    d = sub.join(F.broadcast(cent)).select(
-        "vec_id", "s", (d6 * 1024 + F.col("cid")).alias("key")
+    d = _pq_dist_table(emb).select(
+        "vec_id", "s", (F.col("d6") * 1024 + F.col("cid")).alias("key")
     )
     best = d.groupBy("vec_id", "s").agg(F.min("key").alias("k"))
     code = lambda s: F.max(F.when(F.col("s") == s, F.col("k") % 1024)).alias(
@@ -1176,38 +1186,7 @@ def ext_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora from RAM. Composes with IVF routing (ext_knn_ivf) to skip most
     codes entirely."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
-    cent = (
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
-        )
-    )
-    sub = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
-    )
-
-    def diff(j):
-        return F.element_at(
-            F.col("embedding"), (j + 1).cast("int")
-        ).cast("double") - F.element_at(F.col("c"), (j + 1).cast("int"))
-
-    d6 = F.round(
-        F.aggregate(
-            F.transform(
-                F.sequence(
-                    F.col("s") * _PQ_DIMS, F.col("s") * _PQ_DIMS + (_PQ_DIMS - 1)
-                ),
-                lambda j: diff(j) * diff(j),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        * F.lit(1e6)
-    ).cast("long")
-    d = sub.join(F.broadcast(cent)).select("vec_id", "s", F.col("cid"), d6.alias("d6"))
+    d = _pq_dist_table(emb)
     best = (
         d.groupBy("vec_id", "s")
         .agg(F.min(F.col("d6") * 1024 + F.col("cid")).alias("k"))
@@ -1228,5 +1207,164 @@ def ext_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("adc6").asc(), F.col("neighbor_id").asc())
     return (
         adc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _ADC_TOP)
+    )
+
+
+_IVFPQ_CELLS = 8
+_IVFPQ_NPROBE = 2
+
+
+_IVFPQ_ORACLE = f"""
+    WITH coarse AS (
+      SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cc
+      FROM embeddings WHERE vec_id < {_IVFPQ_CELLS}
+    ), cd AS (
+      SELECT e.vec_id, coarse.cell_id,
+             CAST(round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(0, 64),
+                   j -> (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                         - coarse.cc[CAST(j + 1 AS INT)])
+                        * (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                           - coarse.cc[CAST(j + 1 AS INT)]))),
+               (acc, v) -> acc + v) * 1e6) AS BIGINT) AS cd6
+      FROM embeddings e, coarse
+    ), cells AS (
+      SELECT vec_id, min(cd6 * 1024 + cell_id) % 1024 AS cell
+      FROM cd GROUP BY 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cd6, cell_id) AS rn
+        FROM cd WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ), pcent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < {_PQ_K}
+    ), d AS (
+      SELECT e.vec_id, s.s, pcent.cid,
+             CAST(round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(s.s * {_PQ_DIMS}, s.s * {_PQ_DIMS} + {_PQ_DIMS}),
+                   j -> (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                         - pcent.c[CAST(j + 1 AS INT)])
+                        * (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                           - pcent.c[CAST(j + 1 AS INT)]))),
+               (acc, v) -> acc + v) * 1e6) AS BIGINT) AS d6
+      FROM embeddings e, range(0, {_PQ_S}) s(s), pcent
+    ), best AS (
+      SELECT vec_id, s, min(d6 * 1024 + cid) % 1024 AS code
+      FROM d GROUP BY 1, 2
+    ), lut AS (
+      SELECT vec_id AS query_id, s, cid, d6 FROM d
+      WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT probes.query_id, cells.vec_id AS neighbor_id
+      FROM probes JOIN cells ON cells.cell = probes.cell_id
+      WHERE cells.vec_id <> probes.query_id
+    ), adc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(lut.d6) AS BIGINT) AS adc6
+      FROM cand c
+      JOIN best ON best.vec_id = c.neighbor_id
+      JOIN lut ON lut.query_id = c.query_id AND lut.s = best.s
+              AND lut.cid = best.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc6, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc6 ASC, neighbor_id ASC) AS rk
+      FROM adc
+    )
+    WHERE rk <= {_ADC_TOP}
+"""
+
+
+@query("ext_ivfpq_search", oracle=_IVFPQ_ORACLE)
+def ext_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the index structure behind essentially every billion-scale
+    ANN deployment, composed from this module's pieces in ONE declarative
+    plan: a coarse quantizer routes each vector to its nearest of
+    {_IVFPQ_CELLS} cells (inverted lists); queries probe their
+    {_IVFPQ_NPROBE} nearest cells; only vectors in probed cells are scored,
+    and scoring is PQ asymmetric distance (LUT lookups over 4-byte codes,
+    ext_pq_adc_search), never raw floats. Both codebooks are stand-ins
+    (first-K vectors — swap in ext_kmeans_train output); distances are
+    packed-integer argmins, fully oracle-exact.
+
+    Scale: the probe join is an equi-join on cell id (the inverted-list
+    read), candidates shrink by ~nprobe/cells, and per-candidate work is
+    {_PQ_S} integer adds. Memory is codes + codebooks, not vectors. This
+    is the composition the module's docstring promises: routing x
+    compression x LUT scoring, all Catalyst-planned."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    coarse = emb.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cc"),
+    )
+
+    def cdiff(j):
+        return F.element_at(
+            F.col("embedding"), (j + 1).cast("int")
+        ).cast("double") - F.element_at(F.col("cc"), (j + 1).cast("int"))
+
+    cd6 = F.round(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)), lambda j: cdiff(j) * cdiff(j)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    cd = emb.join(F.broadcast(coarse)).select(
+        "vec_id", "cell_id", cd6.alias("cd6")
+    )
+    cells = (
+        cd.groupBy("vec_id")
+        .agg(F.min(F.col("cd6") * 1024 + F.col("cell_id")).alias("k"))
+        .select("vec_id", (F.col("k") % 1024).alias("cell"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy("cd6", "cell_id")
+    probes = (
+        cd.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    d = _pq_dist_table(emb)
+    best = (
+        d.groupBy("vec_id", "s")
+        .agg(F.min(F.col("d6") * 1024 + F.col("cid")).alias("k"))
+        .select("vec_id", "s", (F.col("k") % 1024).alias("code"))
+    )
+    lut = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", "cid", "d6"
+    )
+    cand = (
+        probes.join(cells, cells.cell == probes.cell_id)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(best, best.vec_id == cand.neighbor_id)
+        .join(
+            F.broadcast(lut),
+            (lut.query_id == cand.query_id)
+            & (lut.s == best.s)
+            & (F.col("cid") == F.col("code")),
+        )
+        .groupBy("neighbor_id", cand.query_id)
+        .agg(F.sum("d6").alias("adc6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc6").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.select("query_id", "neighbor_id", "adc6")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _ADC_TOP)
     )

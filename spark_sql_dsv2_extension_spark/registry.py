@@ -137,6 +137,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_hard_negatives",
     "ext_product_quantize",
     "ext_pq_adc_search",
+    "ext_ivfpq_search",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",

@@ -373,3 +373,10 @@ def test_token_budget_single_lang_window(spark, sf_dir):
     df = SPECS["ext_token_budget_trim"].fn(spark, sf_dir)
     # one shuffle to (lang) for the running window, nothing else
     assert count_exchanges(df) <= 1, physical_plan(df)[:2000]
+
+
+def test_ivfpq_probe_join_shapes(spark, sf_dir):
+    df = SPECS["ext_ivfpq_search"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df)  # LUT + probe joins
+    assert "CartesianProduct" not in plan  # codebook BNLJs only
