@@ -624,3 +624,96 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      FROM events
+    ), w AS (
+      SELECT user_id, ts, event_id, tag,
+             last_value(click_id IGNORE NULLS) OVER bw AS prev_id,
+             last_value(click_us IGNORE NULLS) OVER bw AS prev_us,
+             first_value(click_id IGNORE NULLS) OVER fw AS next_id,
+             first_value(click_us IGNORE NULLS) OVER fw AS next_us
+      FROM u
+      WINDOW bw AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id,
+           CASE WHEN prev_id IS NULL THEN next_id
+                WHEN next_id IS NULL THEN prev_id
+                WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+                  THEN prev_id ELSE next_id END AS asof_click_id,
+           CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+                WHEN prev_id IS NULL THEN 'next'
+                WHEN next_id IS NULL THEN 'prev'
+                WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+                  THEN 'prev' ELSE 'next' END AS direction
+    FROM w WHERE tag = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof direction=
+    'nearest'): each non-click event pairs with the temporally closest
+    same-user click, before OR after, ties to the earlier click. Same
+    union + window shape as join_asof_time — one shuffle on the key, two
+    frames over one sort instead of an inequality join (which is a per-key
+    cross product) — so the 100 TB posture is identical: backward and
+    forward candidates come from running last/first(ignorenulls), and the
+    winner is integer µs arithmetic. Same-ts clicks sort before events
+    (tag), so they are 'prev' candidates exactly like the backward key."""
+    ev = load(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(is_click, F.col("event_id")).alias("click_id"),
+        F.when(is_click, F.unix_micros("ts")).alias("click_us"),
+        F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    order = [F.col("ts"), F.col("tag"), F.col("event_id")]
+    bw = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "event_id",
+        "tag",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last("click_id", ignorenulls=True).over(bw).alias("prev_id"),
+        F.last("click_us", ignorenulls=True).over(bw).alias("prev_us"),
+        F.first("click_id", ignorenulls=True).over(fw).alias("next_id"),
+        F.first("click_us", ignorenulls=True).over(fw).alias("next_us"),
+    )
+    prev_closer = (F.col("ts_us") - F.col("prev_us")) <= (
+        F.col("next_us") - F.col("ts_us")
+    )
+    return w.filter(F.col("tag") == 1).select(
+        "event_id",
+        F.when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(prev_closer, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("asof_click_id"),
+        F.when(F.col("prev_id").isNull() & F.col("next_id").isNull(), F.lit(None).cast("string"))
+        .when(F.col("prev_id").isNull(), F.lit("next"))
+        .when(F.col("next_id").isNull(), F.lit("prev"))
+        .when(prev_closer, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("direction"),
+    )

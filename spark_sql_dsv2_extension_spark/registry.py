@@ -138,6 +138,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_product_quantize",
     "ext_pq_adc_search",
     "ext_ivfpq_search",
+    "join_asof_nearest",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
