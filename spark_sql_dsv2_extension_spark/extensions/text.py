@@ -1988,3 +1988,92 @@ def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+@query(
+    "ext_quality_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT n_chars >= 200 AS g1,
+             (CASE WHEN length(text) = 0 THEN 0
+                   ELSE length(text) - length(replace(text, ' ', '')) + 1
+              END) >= 30 AS g2,
+             length(replace(replace(replace(text, 'the', ''), 'and', ''),
+                            'of', '')) < length(text) AS g3,
+             NOT regexp_matches(text, '[^ ]{31,}') AS g4
+      FROM documents
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS s1,
+             CAST(count(*) FILTER (WHERE g1 AND g2) AS BIGINT) AS s2,
+             CAST(count(*) FILTER (WHERE g1 AND g2 AND g3) AS BIGINT) AS s3,
+             CAST(count(*) FILTER (WHERE g1 AND g2 AND g3 AND g4) AS BIGINT)
+               AS s4
+      FROM f
+    )
+    SELECT 1 AS stage, 'min_chars' AS gate, n AS n_in, s1 AS n_out FROM agg
+    UNION ALL
+    SELECT 2, 'min_tokens', s1, s2 FROM agg
+    UNION ALL
+    SELECT 3, 'has_stopword', s2, s3 FROM agg
+    UNION ALL
+    SELECT 4, 'no_overlong_token', s3, s4 FROM agg
+    """,
+)
+def ext_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate FUNNEL with per-stage attrition — the observability
+    layer every production filter chain needs: not just who survives, but
+    which gate is doing the killing (a gate dropping 40% overnight is a
+    data-drift alarm, not a quality improvement). Four ordered gates
+    (length floor, token floor, English-stopword presence, no 5+ repeated
+    no 31+-char token) evaluated as flags in ONE scan; the funnel is a single
+    aggregate with conditional counts unpivoted to one row per stage —
+    corpus size never re-scanned per gate.
+
+    Scale: one pass, one 1-row aggregate, 4 output rows. The same flags
+    feed ext_corpus_pipeline's gate; this key is the report beside it."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    n_tokens = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    stop_stripped = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("the"), F.lit("")),
+            F.lit("and"),
+            F.lit(""),
+        ),
+        F.lit("of"),
+        F.lit(""),
+    )
+    f = docs.select(
+        (F.col("n_chars") >= 200).alias("g1"),
+        (n_tokens >= 30).alias("g2"),
+        (F.length(stop_stripped) < F.length("text")).alias("g3"),
+        (~F.col("text").rlike("[^ ]{31,}")).alias("g4"),
+    )
+    agg = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("g1"), 1)).alias("s1"),
+        F.count(F.when(F.col("g1") & F.col("g2"), 1)).alias("s2"),
+        F.count(F.when(F.col("g1") & F.col("g2") & F.col("g3"), 1)).alias("s3"),
+        F.count(
+            F.when(F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4"), 1)
+        ).alias("s4"),
+    )
+    stages = [
+        (1, "min_chars", "n", "s1"),
+        (2, "min_tokens", "s1", "s2"),
+        (3, "has_stopword", "s2", "s3"),
+        (4, "no_overlong_token", "s3", "s4"),
+    ]
+    out = None
+    for stage, gate, n_in, n_out in stages:
+        row = agg.select(
+            F.lit(stage).alias("stage"),
+            F.lit(gate).alias("gate"),
+            F.col(n_in).alias("n_in"),
+            F.col(n_out).alias("n_out"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

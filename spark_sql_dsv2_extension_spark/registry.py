@@ -139,6 +139,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_pq_adc_search",
     "ext_ivfpq_search",
     "join_asof_nearest",
+    "ext_quality_funnel",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
