@@ -14,7 +14,7 @@ Spark runs a distinct-scan of the pivot column first (an extra job over
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -318,4 +318,66 @@ def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_offset",
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+@query(
+    "ext_ohlc_resample",
+    oracle="""
+    WITH v AS (
+      SELECT (epoch_us(ts) // 900000000) * 900 AS bucket,
+             CAST(round(value * 1e4) AS BIGINT) AS v4,
+             ts, event_id
+      FROM events
+    ), r AS (
+      SELECT bucket, v4,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM v
+    )
+    SELECT bucket,
+           CAST(max(CASE WHEN ra = 1 THEN v4 END) AS BIGINT) AS open4,
+           CAST(max(v4) AS BIGINT) AS high4,
+           CAST(min(v4) AS BIGINT) AS low4,
+           CAST(max(CASE WHEN rd = 1 THEN v4 END) AS BIGINT) AS close4,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY bucket
+    """,
+)
+def ext_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: 15-minute bars over the event stream — open/
+    high/low/close of value (scaled to 1e-4 ints for exactness) with
+    deterministic open/close selection by (ts, event_id), the time-series
+    resample every metrics store and feature pipeline runs. First/last
+    are row_number flags folded into the same grouped aggregate — no
+    self-join, no min_by tie ambiguity.
+
+    Scale: one shuffle on the bucket key; windows and the aggregate share
+    the same partitioning, so Catalyst plans one exchange. Bars per day
+    are constant regardless of event rate."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        (F.expr("unix_micros(ts) DIV 900000000") * 900).alias("bucket"),
+        F.round(F.col("value") * 1e4).cast("long").alias("v4"),
+        "ts",
+        "event_id",
+    )
+    ra = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    rd = Window.partitionBy("bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = v.select(
+        "bucket",
+        "v4",
+        F.row_number().over(ra).alias("ra"),
+        F.row_number().over(rd).alias("rd"),
+    )
+    return r.groupBy("bucket").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("v4"))).alias("open4"),
+        F.max("v4").alias("high4"),
+        F.min("v4").alias("low4"),
+        F.max(F.when(F.col("rd") == 1, F.col("v4"))).alias("close4"),
+        F.count(F.lit(1)).alias("n"),
     )
