@@ -421,3 +421,63 @@ def ext_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             pkn6.alias("pkn6"),
         )
     )
+
+
+@query(
+    "ext_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1
+             END AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) // count(*) AS BIGINT) AS mean_tokens_floor
+    FROM t
+    """,
+)
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card, one row: the header block of a corpus release —
+    document/token/char totals, language and source cardinalities, exact-
+    duplicate rate (via md5 text digests, the same engine-native digest
+    both DuckDB and Spark expose), and token-length extremes. Everything a
+    consumer checks before training lands in one aggregate.
+
+    Scale: one scan; the distinct counts are the only shuffled state
+    (count(DISTINCT) expands to per-key partials — for a 100 TB card,
+    swap ext_hll_union sketches in per shard and merge)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.expr("sum(n_tokens) DIV count(*)").alias("mean_tokens_floor"),
+    )

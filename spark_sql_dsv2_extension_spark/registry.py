@@ -141,6 +141,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "ext_quality_funnel",
     "ext_ohlc_resample",
+    "ext_dataset_card",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
