@@ -481,3 +481,71 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
         F.expr("sum(n_tokens) DIV count(*)").alias("mean_tokens_floor"),
     )
+
+
+# Benford expected first-digit shares in permille, precomputed as literals
+# so neither engine computes a log at query time.
+_BENFORD_PM = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+def _benford_case(col: str) -> str:
+    return (
+        "CASE " + " ".join(f"WHEN {col} = {d} THEN {pm}" for d, pm in _BENFORD_PM.items()) + " END"
+    )
+
+
+@query(
+    "ext_benford_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, n,
+           CAST(n * 1000 // total AS BIGINT) AS observed_pm,
+           CAST({_benford_case('digit')} AS BIGINT) AS benford_pm,
+           CAST(n * 1000 // total - {_benford_case('digit')} AS BIGINT)
+             AS deviation_pm
+    FROM c, t
+    """,
+)
+def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    synthetic-data / fraud / corruption smoke test: natural multi-scale
+    amounts follow P(d) = log10(1+1/d), and a generator or a broken
+    ingest that doesn't shows up as permille deviations here (TPC-H's
+    uniform pricing is exactly such a generator — the audit DETECTS it).
+    First digits come from exact integer-cents string prefixes (no float
+    formatting), expected shares are precomputed literals, and the
+    observed share is integer permille — fully oracle-exact.
+
+    Scale: one 9-bucket aggregate over the scan; the audit costs one pass
+    regardless of table size."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.coalesce(
+        *[
+            F.when(F.col("digit") == dd, F.lit(pm))
+            for dd, pm in _BENFORD_PM.items()
+        ]
+    )
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.expr("n * 1000 DIV total").alias("observed_pm"),
+        benford.cast("long").alias("benford_pm"),
+        (F.expr("n * 1000 DIV total") - benford).cast("long").alias(
+            "deviation_pm"
+        ),
+    )

@@ -368,3 +368,47 @@ def win_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 10000).cast("long")).over(w) / F.lit(1e4)
         ).alias("rolling_10m"),
     )
+
+
+@query(
+    "win_gap_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ), g AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    )
+    SELECT user_id,
+           CAST(min(day) AS BIGINT) AS island_start,
+           CAST(max(day) AS BIGINT) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days (day − row_number is constant within a run — the classic trick),
+    the data-completeness primitive behind "which shards/days are missing"
+    audits and streak features. One distinct + one window + one aggregate,
+    all sharing the user_id partitioning — a single exchange at any
+    scale."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("grp")
+    )

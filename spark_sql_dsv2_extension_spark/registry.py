@@ -142,6 +142,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_quality_funnel",
     "ext_ohlc_resample",
     "ext_dataset_card",
+    "win_gap_islands",
+    "ext_benford_audit",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
