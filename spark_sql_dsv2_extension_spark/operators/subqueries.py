@@ -125,3 +125,47 @@ def subq_scalar_correlated_select(spark: SparkSession, sf_dir: str) -> DataFrame
     NULL/0 exactly like the oracle. max/count are both exact (no float
     accumulation)."""
     return _run(spark, sf_dir, _SCALAR_SELECT_SQL, ("orders", "lineitem"))
+
+
+_RECURSIVE_SPARK_SQL = """
+WITH RECURSIVE h(k, name, depth, path) AS (
+  SELECT n_nationkey, n_name, CAST(0 AS BIGINT), CAST(n_name AS STRING)
+  FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT n.n_nationkey, n.n_name, h.depth + 1, h.path || '>' || n.n_name
+  FROM nation n JOIN h ON (n.n_nationkey - 1) DIV 2 = h.k
+  WHERE n.n_nationkey > 0
+)
+SELECT k AS n_nationkey, name AS n_name, depth, path FROM h
+"""
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE h(k, name, depth, path) AS (
+      SELECT n_nationkey, n_name, CAST(0 AS BIGINT), CAST(n_name AS VARCHAR)
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, n.n_name, h.depth + 1, h.path || '>' || n.n_name
+      FROM nation n JOIN h ON (n.n_nationkey - 1) // 2 = h.k
+      WHERE n.n_nationkey > 0
+    )
+    SELECT k AS n_nationkey, name AS n_name, depth, path FROM h
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4): hierarchy traversal in pure SQL — the
+    nation table arranged as a binary tree (parent(k) = (k−1) div 2) and
+    walked from the root, accumulating depth and the root path. This is
+    the org-chart / category-tree / BOM-rollup query shape that previously
+    required a driver-side loop of joins (ext_dedup_clusters' pattern);
+    WITH RECURSIVE pushes the whole fixpoint into the engine, one
+    iteration per level (tree depth, here 5), each iteration a small
+    broadcast-able join.
+
+    Scale: work per iteration is the frontier x edge join — for fan-out
+    hierarchies the frontier is bounded by the level width, and Spark
+    plans each step like any other join (AQE included). Dialects differ
+    only in integer division (DIV vs //) and the string cast."""
+    return _run(spark, sf_dir, _RECURSIVE_SPARK_SQL, ("nation",))

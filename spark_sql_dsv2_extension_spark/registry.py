@@ -144,6 +144,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dataset_card",
     "win_gap_islands",
     "ext_benford_audit",
+    "sql_recursive_hierarchy",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
