@@ -145,6 +145,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "win_gap_islands",
     "ext_benford_audit",
     "sql_recursive_hierarchy",
+    "sink_python_stream",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",

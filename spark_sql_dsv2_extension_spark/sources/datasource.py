@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -246,6 +247,9 @@ class EngineTableDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "EngineTableStreamReader":
         return EngineTableStreamReader(schema, self.options)
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "EngineTableStreamWriter":
+        return EngineTableStreamWriter(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(EngineTableDataSource)
@@ -308,3 +312,57 @@ class EngineTableStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are pure file lists; nothing to clean up
+
+
+class EngineTableStreamWriter(DataSourceStreamWriter):
+    """Streaming write into the engine table layout (PySpark 4
+    ``DataSourceStreamWriter``) with the same two-phase discipline as the
+    batch writer: tasks stage uuid-named parquet parts, and ``commit``
+    publishes them under a ``batch_id={N}`` directory — ATOMICALLY per
+    micro-batch, because a replayed batch re-commits into the same
+    directory after clearing it (idempotent), mirroring the reference's
+    staging-dir-then-metastore protocol (HiveFileBatchWrite.scala:20-69)
+    and Spark's own file-sink manifest semantics.
+
+    Scale: each task writes its partition directly (no driver data path);
+    commit renames a handful of files — O(#tasks), not O(rows)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("engine_table stream write requires option 'path'")
+        self.stage = os.path.join(self.path, "_staging")
+        os.makedirs(self.stage, exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        fname = os.path.join(self.stage, f"part-{uuid.uuid4().hex}.parquet")
+        cols = [f.name for f in self.schema.fields]
+        data = {c: [getattr(r, c) for r in rows] for c in cols}
+        pq.write_table(pa.table(data), fname)
+        return _StagedFile(staged_path=fname)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        dest = os.path.join(self.path, f"batch_id={batchId}")
+        if os.path.isdir(dest):  # replayed batch: idempotent re-publish
+            shutil.rmtree(dest)
+        os.makedirs(dest)
+        for m in messages:
+            if m is not None:
+                os.rename(
+                    m.staged_path,
+                    os.path.join(dest, os.path.basename(m.staged_path)),
+                )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)

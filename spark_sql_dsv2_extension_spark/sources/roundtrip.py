@@ -578,3 +578,54 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.option("mergeSchema", "true").parquet(out).select(
         "s_suppkey", "s_name", "s_acctbal"
     )
+
+
+@query(
+    "sink_python_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WRITE through the engine's Python DataSource
+    (``DataSourceStreamWriter``): the events stream (two file micro-batches
+    under availableNow) lands through the connector's two-phase staged
+    commit — tasks stage uuid parts, commit publishes them atomically under
+    ``batch_id={N}`` — and the published table is read back and compared to
+    the batch oracle. A replayed batch republishes the same directory
+    (idempotent), which is the exactly-once discipline the reference's
+    staging+metastore protocol provides for batch writes
+    (HiveFileBatchWrite.scala:20-69), extended to streams."""
+    import uuid as _uuid
+
+    from .datasource import register
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = os.path.join(_scratch("pystreamsink"), "src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out = os.path.join(_scratch("pystreamsink"), "out")
+    chk = os.path.join(_scratch("pystreamsink"), "chk_" + _uuid.uuid4().hex)
+    register(spark)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("engine_table")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "false").parquet(out).select(
+        "event_id", "user_id", "event_type", "value"
+    )
