@@ -549,3 +549,58 @@ def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation_pm"
         ),
     )
+
+
+_NEG_TOP = 25
+
+
+@query(
+    "ext_negative_sampling_table",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), c AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE length(w) > 0 GROUP BY w
+    ), p AS (
+      SELECT w, n, power(CAST(n AS DOUBLE), 0.75) AS u FROM c
+    ), t AS (SELECT SUM(u) AS z FROM p)
+    SELECT w AS word, n,
+           CAST(round(u / z * 1e6) AS BIGINT) AS noise_prob6
+    FROM p, t
+    ORDER BY n DESC, w LIMIT {_NEG_TOP}
+    """,
+)
+def ext_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling noise distribution: P(w) ∝ count(w)^0.75
+    — the 3/4-power flattening that makes frequent words slightly less
+    dominant as negatives (Mikolov et al.). One vocabulary count, one
+    power, one normalize; probabilities reported in micro-units for the
+    top {_NEG_TOP} tokens. power(n, 0.75) is a single libm call on the
+    identical double in both engines, and the only float rounding is the
+    final micro-unit report.
+
+    Scale: the table is vocabulary-sized (shuffle on token), the
+    normalizer is a 1-row broadcast — the sampler itself then consumes
+    the cumulative table via binary search, off-engine."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = c.withColumn("u", F.pow(F.col("n").cast("double"), F.lit(0.75)))
+    t = p.agg(F.sum("u").alias("z"))
+    return (
+        p.join(F.broadcast(t))
+        .select(
+            F.col("w").alias("word"),
+            "n",
+            F.round(F.col("u") / F.col("z") * 1e6).cast("long").alias(
+                "noise_prob6"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "word")
+        .limit(_NEG_TOP)
+    )

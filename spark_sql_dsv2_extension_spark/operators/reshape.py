@@ -381,3 +381,69 @@ def ext_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rd") == 1, F.col("v4"))).alias("close4"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "ext_scd2_versions",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS attr_cents,
+             o_orderkey
+      FROM orders
+    ), dedup AS (
+      -- one change per (custkey, ts): highest orderkey wins
+      SELECT custkey, valid_from, attr_cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY custkey, valid_from
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT custkey, valid_from,
+           lead(valid_from) OVER (PARTITION BY custkey
+                                  ORDER BY valid_from) AS valid_to,
+           attr_cents,
+           lead(valid_from) OVER (PARTITION BY custkey
+                                  ORDER BY valid_from) IS NULL AS is_current,
+           CAST(row_number() OVER (PARTITION BY custkey
+                                   ORDER BY valid_from) AS BIGINT) AS version
+    FROM dedup
+    """,
+)
+def ext_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: a change stream (orders as
+    per-customer attribute changes) becomes a versioned dimension — each
+    row carries [valid_from, valid_to) and an is_current flag, built with
+    lead() over the change order; same-timestamp collisions resolve
+    deterministically (highest orderkey wins) before versioning. This is
+    THE dimension-history op every warehouse merge pipeline implements,
+    and the interval shape join_asof_time then probes.
+
+    Scale: one shuffle on the dimension key; versions are windows over it
+    — no self-join. Incremental refresh appends changes and re-windows
+    only touched keys."""
+    o = load(spark, sf_dir, "orders")
+    ch = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("attr_cents"),
+        "o_orderkey",
+    )
+    wdup = Window.partitionBy("custkey", "valid_from").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    dedup = (
+        ch.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "o_orderkey")
+    )
+    wv = Window.partitionBy("custkey").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(wv)
+    return dedup.select(
+        "custkey",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "attr_cents",
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(wv).cast("long").alias("version"),
+    )

@@ -146,6 +146,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_benford_audit",
     "sql_recursive_hierarchy",
     "sink_python_stream",
+    "ext_scd2_versions",
+    "ext_negative_sampling_table",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
