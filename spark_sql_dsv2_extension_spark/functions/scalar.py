@@ -819,3 +819,51 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(ci).alias("n_ci_distinct"),
         F.count(F.when(ci == F.lit("the"), 1)).alias("n_the_ci"),
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    WITH x AS (
+      SELECT '<o><k>' || CAST(o_orderkey AS VARCHAR) || '</k><s>'
+             || o_orderstatus || '</s><c>'
+             || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             || '</c></o>' AS xml
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT CAST(regexp_extract(xml, '<k>([0-9]+)</k>', 1) AS BIGINT)
+             AS orderkey,
+           regexp_extract(xml, '<s>(.*?)</s>', 1) AS status,
+           CAST(regexp_extract(xml, '<c>([0-9]+)</c>', 1) AS BIGINT)
+             AS cents
+    FROM x
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 ``from_xml``): order rows serialized to XML
+    and parsed back through a typed schema — the log/feed format the
+    pre-JSON world still emits at volume. The oracle states the same
+    extraction with regexes (what XML parsing subsumes); Spark gets the
+    real parser with a schema, which also handles nesting/escaping the
+    regex version cannot.
+
+    Scale: from_xml is a per-row JVM expression inside codegen — scans at
+    projection speed, no UDF."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s><c>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</c></o>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "k BIGINT, s STRING, c BIGINT").alias("p")
+    )
+    return parsed.select(
+        F.col("p.k").alias("orderkey"),
+        F.col("p.s").alias("status"),
+        F.col("p.c").alias("cents"),
+    )

@@ -148,6 +148,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_python_stream",
     "ext_scd2_versions",
     "ext_negative_sampling_table",
+    "fn_xml",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
