@@ -920,3 +920,145 @@ def ext_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("err"),
         )
     )
+
+
+# Band configurations evaluated by ext_minhash_band_tuning over the same
+# 16-component signature: (rows per band, bands).
+_TUNE_CONFIGS = ((4, 4), (8, 2), (16, 1))
+
+
+def _band_match_sql(r: int, b: int) -> str:
+    """OR over bands of AND over each band's components (a.si = b.si)."""
+    bands = []
+    for band in range(b):
+        comps = " AND ".join(
+            f"sa.s{band * r + i} = sb.s{band * r + i}" for i in range(r)
+        )
+        bands.append(f"({comps})")
+    return "(" + " OR ".join(bands) + ")"
+
+
+@query(
+    "ext_minhash_band_tuning",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), ph AS (
+      SELECT doc_id, shingle,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(shingle) + 1),
+                   i -> CAST(ascii(substring(shingle, CAST(i AS INT), 1))
+                        AS BIGINT))),
+               (acc, c) -> (acc * 131 + c) % {_SH_MOD}) AS p
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             {", ".join(
+               f"min(((2 * {i} + 1) * p + 1000003 * {i} + 12345) % {_SH_MOD})"
+               f" AS s{i}" for i in range(16))}
+      FROM ph GROUP BY doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inter.d1, inter.d2,
+           inter.i * 1.0 / (s1.n + s2.n - inter.i) AS jaccard,
+           {", ".join(
+             f"{_band_match_sql(r, b)} AS cand_r{r}b{b},"
+             f" round(1 - power(1 - power("
+             f"inter.i * 1.0 / (s1.n + s2.n - inter.i), {r}), {b}), 4)"
+             f" AS p_r{r}b{b}" for r, b in _TUNE_CONFIGS)}
+    FROM inter
+    JOIN sigs sa ON sa.doc_id = inter.d1
+    JOIN sigs sb ON sb.doc_id = inter.d2
+    JOIN sizes s1 ON inter.d1 = s1.doc_id
+    JOIN sizes s2 ON inter.d2 = s2.doc_id
+    """,
+)
+def ext_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-shape tuning table: for every candidate pair, whether each
+    of three band configurations over the SAME 16-hash signature — 4x4
+    (recall-leaning), 2x8, 1x16 (precision-leaning) — would surface it,
+    next to the exact Jaccard and the theoretical s-curve capture
+    probability 1−(1−s^r)^b. This is the table you read to pick r and b
+    for a target similarity threshold (the curve's inflection sits near
+    (1/b)^(1/r)); the production minhash key's 24x4 choice comes from
+    exactly this analysis. Signatures, matches, and probabilities are all
+    bit-reproducible (explicit affine hashes; one power() expression per
+    config)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    poly = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("shingle")),
+            lambda i: F.ascii(F.col("shingle").substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 131 + c) % _SH_MOD,
+    )
+    ph = sh.select("doc_id", poly.alias("p"))
+    sigs = ph.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("p") + F.lit(1000003 * i + 12345))
+                % _SH_MOD
+            ).alias(f"s{i}")
+            for i in range(16)
+        ]
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    n1, n2 = sizes.alias("n1"), sizes.alias("n2")
+    jac = F.col("i") * 1.0 / (F.col("n1.n") + F.col("n2.n") - F.col("i"))
+
+    def band_match(r: int, b: int):
+        bands = []
+        for band in range(b):
+            m = F.lit(True)
+            for i in range(r):
+                m = m & (
+                    F.col(f"sa.s{band * r + i}") == F.col(f"sb.s{band * r + i}")
+                )
+            bands.append(m)
+        out = bands[0]
+        for m in bands[1:]:
+            out = out | m
+        return out
+
+    cols = [F.col("d1"), F.col("d2"), jac.alias("jaccard")]
+    for r, b in _TUNE_CONFIGS:
+        cols.append(band_match(r, b).alias(f"cand_r{r}b{b}"))
+        cols.append(
+            F.round(
+                F.lit(1) - F.pow(F.lit(1) - F.pow(jac, F.lit(r)), F.lit(b)), 4
+            ).alias(f"p_r{r}b{b}")
+        )
+    return (
+        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .join(n1, F.col("d1") == F.col("n1.doc_id"))
+        .join(n2, F.col("d2") == F.col("n2.doc_id"))
+        .select(*cols)
+    )

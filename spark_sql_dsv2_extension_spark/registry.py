@@ -149,6 +149,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_scd2_versions",
     "ext_negative_sampling_table",
     "fn_xml",
+    "ext_minhash_band_tuning",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
