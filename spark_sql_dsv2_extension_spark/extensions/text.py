@@ -2077,3 +2077,62 @@ def ext_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_SENT_POS = ("good", "great", "best", "love", "new")
+_SENT_NEG = ("bad", "worst", "hate", "old", "wrong")
+
+
+@query(
+    "ext_sentiment_lexicon",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(count(*) FILTER (WHERE w IN
+               ({", ".join(repr(w) for w in _SENT_POS)})) AS BIGINT) AS n_pos,
+             CAST(count(*) FILTER (WHERE w IN
+               ({", ".join(repr(w) for w in _SENT_NEG)})) AS BIGINT) AS n_neg
+      FROM tok GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_pos, n_neg,
+           n_pos - n_neg AS polarity,
+           CASE WHEN n_pos > n_neg THEN 'pos'
+                WHEN n_neg > n_pos THEN 'neg' ELSE 'neutral' END AS label
+    FROM scored
+    """,
+)
+def ext_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the Spark-at-scale classic, cf.
+    EDBT'16 Twitter sentiment): per document, counts of positive- and
+    negative-lexicon tokens, an integer polarity, and a 3-way label — the
+    cheap weak-supervision signal pipelines use to slice corpora before a
+    model-based pass. Word lists are literals; counting is one conditional
+    aggregate over the token explode, fully exact.
+
+    Scale: one scan + one grouped count; the lexicon lives in the
+    expression (no join). A 10k-word production lexicon becomes a
+    broadcast map lookup, same single-pass plan."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    pos = F.array(*[F.lit(w) for w in _SENT_POS])
+    neg = F.array(*[F.lit(w) for w in _SENT_NEG])
+    scored = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.when(F.array_contains(pos, F.col("w")), 1)).alias("n_pos"),
+        F.count(F.when(F.array_contains(neg, F.col("w")), 1)).alias("n_neg"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_pos",
+        "n_neg",
+        (F.col("n_pos") - F.col("n_neg")).alias("polarity"),
+        F.when(F.col("n_pos") > F.col("n_neg"), "pos")
+        .when(F.col("n_neg") > F.col("n_pos"), "neg")
+        .otherwise("neutral")
+        .alias("label"),
+    )

@@ -447,3 +447,86 @@ def ext_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.row_number().over(wv).cast("long").alias("version"),
     )
+
+
+@query(
+    "ext_behavior_similarity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), grams AS (
+      SELECT DISTINCT user_id, event_type || '>' || nxt AS g
+      FROM seq WHERE nxt IS NOT NULL
+    ), sizes AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY user_id
+    ), inter AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, CAST(count(*) AS BIGINT) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT u1, u2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+      FROM inter JOIN sizes s1 ON u1 = s1.user_id
+                 JOIN sizes s2 ON u2 = s2.user_id
+    )
+    SELECT u1, u2, jaccard, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY jaccard DESC, u1, u2) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def ext_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k behavioral similarity (the trajectory-similarity shape, cf.
+    REPOSE ICDE'21 scaled to sets): each user's event stream becomes its
+    set of consecutive event-type TRANSITIONS (order-aware bigrams — two
+    users match when they DO the same things in the same local order),
+    and the global top-20 most-similar user pairs rank by exact Jaccard
+    over those transition sets. Candidate pairs come from the shared-gram
+    equi-join (never user x user); with a transition vocabulary of
+    |event_types|^2 the blocking is coarse — at web scale the gram key
+    extends to k-step paths exactly like shingles, then minhash bands
+    (ext_near_dedup_minhash) replace the exact intersection.
+
+    Scale: one window per user for the transitions, one equi-join on the
+    gram, one top-k — the identical skeleton as document near-dup, proven
+    cartesian-free there."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    grams = (
+        seq.filter(F.col("nxt").isNotNull())
+        .select(
+            "user_id", F.concat_ws(">", "event_type", "nxt").alias("g")
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jac = F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i"))
+    scored = (
+        inter.join(s1, F.col("u1") == F.col("s1.user_id"))
+        .join(s2, F.col("u2") == F.col("s2.user_id"))
+        .select("u1", "u2", jac.alias("jaccard"))
+    )
+    wr = Window.orderBy(F.col("jaccard").desc(), "u1", "u2")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )

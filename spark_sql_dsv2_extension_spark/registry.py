@@ -150,6 +150,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_negative_sampling_table",
     "fn_xml",
     "ext_minhash_band_tuning",
+    "ext_behavior_similarity",
+    "ext_sentiment_lexicon",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
