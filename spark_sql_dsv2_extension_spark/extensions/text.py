@@ -2136,3 +2136,117 @@ def ext_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+@query(
+    "ext_intradoc_dedup",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, '. '), 1) AS idx,
+             unnest(string_split(text, '. ')) AS sentence
+      FROM documents
+    ), keep AS (
+      SELECT doc_id, sentence, min(idx) AS first_idx,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM s WHERE length(sentence) > 0
+      GROUP BY doc_id, sentence
+    )
+    SELECT doc_id,
+           CAST(SUM(n_copies) AS BIGINT) AS n_sentences,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(sentence, '. ' ORDER BY first_idx) AS text_dedup
+    FROM keep GROUP BY doc_id
+    """,
+)
+def ext_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document dedup (the FineWeb/RefinedWeb line-dedup step):
+    repeated sentences inside one document — boilerplate, nav text,
+    templated headers — are dropped, keeping each sentence's FIRST
+    occurrence and rebuilding the document in original order. Cross-doc
+    dedup (ext_exact_dedup et al.) removes copies of documents; this
+    removes the copies hiding inside them, and at web scale it deletes
+    more tokens than document dedup does.
+
+    Scale: explode → (doc, sentence) group → ordered string_agg, all
+    partition-local after one shuffle on doc_id; no cross-document state
+    at all."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    s = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\\. ")).alias("idx0", "sentence"),
+    ).filter(F.length("sentence") > 0)
+    keep = s.groupBy("doc_id", "sentence").agg(
+        F.min("idx0").alias("first_idx"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("first_idx", "sentence"))
+            ),
+            lambda x: x.sentence,
+        ),
+        ". ",
+    )
+    return keep.groupBy("doc_id").agg(
+        F.sum("n_copies").alias("n_sentences"),
+        F.count(F.lit(1)).alias("n_kept"),
+        rebuilt.alias("text_dedup"),
+    )
+
+
+@query(
+    "ext_html_extract",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+             || '</title></head><body><p>'
+             || replace(text, '. ', '.</p><p>') || '</p></body></html>'
+               AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                ' +', ' ', 'g')) AS body_text,
+           CAST(length(html) - length(regexp_replace(html, '<[^>]+>', '', 'g'))
+                AS BIGINT) AS markup_chars
+    FROM h
+    """,
+)
+def ext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction, the step zero of every web-corpus pipeline:
+    title pulled from its tag, body linearized by replacing tags with
+    whitespace and collapsing runs, plus a markup-overhead count (the
+    boilerplate-ratio signal trafilatura-class extractors threshold on).
+    The HTML is synthesized in-query from the fixture text (documents are
+    stored extracted), so the oracle sees the identical input; patterns
+    are RE2-safe and tag-only, semantics identical across engines. A real
+    DOM extractor slots in as a mapInPandas stage behind the same schema
+    (the multimodal-decode pattern).
+
+    Scale: pure per-row regex inside codegen — scan-speed, no shuffle."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+        F.lit("</p></body></html>"),
+    )
+    h = docs.select("doc_id", html.alias("html"))
+    return h.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("html", "<[^>]+>", " "), " +", " "
+            )
+        ).alias("body_text"),
+        (
+            F.length("html")
+            - F.length(F.regexp_replace("html", "<[^>]+>", ""))
+        ).cast("long").alias("markup_chars"),
+    )

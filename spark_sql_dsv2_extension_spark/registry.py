@@ -152,6 +152,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_minhash_band_tuning",
     "ext_behavior_similarity",
     "ext_sentiment_lexicon",
+    "ext_intradoc_dedup",
+    "ext_html_extract",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
