@@ -380,3 +380,59 @@ def test_ivfpq_probe_join_shapes(spark, sf_dir):
     plan = physical_plan(df)
     assert has_broadcast_hash_join(df)  # LUT + probe joins
     assert "CartesianProduct" not in plan  # codebook BNLJs only
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew handling must actually fire: build a deliberately skewed
+    join (90% of fact rows on one key), lower the skew thresholds so the
+    fixture-sized partitions qualify, execute, and assert the FINAL
+    adaptive plan marked the sort-merge join as skew-handled. This is the
+    runtime half of the skew story (join_skew_salted is the explicit
+    half): at 100 TB, AQE splitting oversized partitions is what keeps a
+    hot key from pinning one executor for hours."""
+    pinned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # threshold sits ABOVE every dim partition (so the build side is
+        # never itself flagged skewed, which would veto the split) and far
+        # below the hot fact partition
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        # single-file fixture => repartition first: a skewed REDUCE
+        # partition is split along MAP-output boundaries, so one mapper
+        # means nothing to split
+        li = load(spark, sf_dir, "lineitem").repartition(8)
+        # 90% of rows collapse onto key 1 => one partition dwarfs the rest
+        skewed = li.select(
+            F.when(F.col("l_orderkey") % 10 != 0, 1)
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_extendedprice",
+        )
+        # dim keys are naturally unique (orders PK) — a distinct() here
+        # would interpose a HashAggregate between the shuffle stage and the
+        # join, and OptimizeSkewedJoin only matches SMJ(Sort(shuffle),
+        # Sort(shuffle)) directly
+        dim = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k")
+        )
+        j = skewed.join(dim, "k")
+        j.collect()  # execute the JOIN itself so AQE finalizes its stages
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:3000]
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
