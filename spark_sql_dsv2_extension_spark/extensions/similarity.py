@@ -1368,3 +1368,100 @@ def ext_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _ADC_TOP)
     )
+
+
+_HYBRID_TOP = 10
+
+
+_HYBRID_ORACLE = f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('data', 'query', 'join') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               * 1e6) AS BIGINT) AS sc
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ), top AS (
+      SELECT doc_id, SUM(sc) / 1e6 AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    ), mx AS (SELECT max(bm25) AS m FROM top),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    rer AS (
+      SELECT top.doc_id, top.bm25,
+             list_dot_product(e.embedding::DOUBLE[], qv.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[])))
+               AS cos
+      FROM top JOIN embeddings e ON e.vec_id = top.doc_id, qv
+    )
+    SELECT doc_id, bm25, cos AS cosine_sim,
+           bm25 / m * 0.5 + cos * 0.5 AS hybrid_score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT rer.*, mx.m,
+             row_number() OVER (
+               ORDER BY bm25 / mx.m * 0.5 + cos * 0.5 DESC, doc_id) AS rk
+      FROM rer, mx
+    ) WHERE rk <= {_HYBRID_TOP}
+"""
+
+
+@query("ext_hybrid_retrieval", oracle=_HYBRID_ORACLE)
+def ext_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval — the RAG-era standard: a cheap LEXICAL
+    stage (BM25 top-20 for the query terms, reusing ext_bm25's exact
+    scorer) prunes the corpus, then a DENSE stage reranks only those
+    candidates by embedding cosine to the query vector, blended 50/50
+    after max-normalizing the BM25 leg. Stage-2 cost is per-candidate,
+    not per-corpus — the whole point of the cascade; swap stage 1's
+    candidates up and the dense leg's cost doesn't move.
+
+    Scale: stage 1 is the ext_bm25 plan (one token shuffle, tiny stats
+    broadcast); stage 2 touches 20 rows. The embedding join is on the
+    (doc_id = vec_id) aligned fixture ids."""
+    from .text import ext_bm25
+
+    top = ext_bm25(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    mx = top.agg(F.max("bm25").alias("m"))
+    rer = (
+        top.join(emb, top.doc_id == emb.vec_id)
+        .join(F.broadcast(qv))
+        .join(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "bm25",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cosine_sim"),
+            "m",
+        )
+    )
+    hybrid = F.col("bm25") / F.col("m") * 0.5 + F.col("cosine_sim") * 0.5
+    w = Window.orderBy(hybrid.desc(), "doc_id")
+    return (
+        rer.withColumn("hybrid_score", hybrid)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _HYBRID_TOP)
+        .select("doc_id", "bm25", "cosine_sim", "hybrid_score", "rk")
+    )
