@@ -530,3 +530,106 @@ def ext_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rk") <= 20)
     )
+
+
+_PR_ITERS = 3
+_PR_D6 = 850000  # damping 0.85 in micro-units
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One power-iteration CTE: rank_i+1 = (1-d)/N + d * Σ_in rank_i * w."""
+    return f"""r{i + 1} AS (
+      SELECT n.node,
+             CAST((1000000 - {_PR_D6}) // nn.n AS BIGINT)
+             + CAST({_PR_D6} * coalesce(SUM(r{i}.rank6 * e.w6 // 1000000), 0)
+                    // 1000000 AS BIGINT) AS rank6
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r{i} ON r{i}.node = e.src
+      GROUP BY n.node, nn.n
+    )"""
+
+
+@query(
+    "ext_pagerank_bounded",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), trans AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), out_tot AS (
+      SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM trans GROUP BY src
+    ), edges AS (
+      SELECT src, dst, CAST(c * 1000000 // tot AS BIGINT) AS w6
+      FROM trans JOIN out_tot USING (src)
+    ), nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1000000 // nn.n AS BIGINT) AS rank6
+      FROM nodes, nn
+    ),
+    {", ".join(_pr_iter_sql(i) for i in range(_PR_ITERS))}
+    SELECT node, rank6 FROM r{_PR_ITERS}
+    """,
+)
+def ext_pagerank_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {_PR_ITERS} unrolled power iterations over the event-type
+    transition graph (nodes = event types, edge weights = observed
+    transition fractions): rank flows along weighted in-edges with 0.85
+    damping. All arithmetic is integer micro-units with floor division, so
+    each iteration is bit-exact across engines — the fixpoint loop that
+    usually needs a driver loop (ext_kmeans_train, ext_dedup_clusters)
+    expressed as pure unrolled relational algebra.
+
+    Scale: each iteration is (ranks JOIN edges) then a per-node sum —
+    shuffle by node; for web-scale graphs the same plan partitions by
+    destination and the rank vector stays columnar. Iteration count is
+    compile-time (unrolled), the standard bounded-sweep approximation."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    out_tot = trans.groupBy("src").agg(F.sum("c").alias("tot"))
+    edges = trans.join(out_tot, "src").select(
+        "src", "dst", F.expr("c * 1000000 DIV tot").alias("w6")
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.join(F.broadcast(nn)).select(
+        "node", F.expr("1000000 DIV n").alias("rank6")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"), F.col("rank6").alias("src_rank6")
+                ),
+                "src",
+            )
+            .select("dst", F.expr("src_rank6 * w6 DIV 1000000").alias("part6"))
+            .groupBy("dst")
+            .agg(F.sum("part6").alias("in6"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(nn))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"(1000000 - {_PR_D6}) DIV n")
+                    + F.expr(
+                        f"{_PR_D6} * coalesce(in6, 0) DIV 1000000"
+                    )
+                ).alias("rank6"),
+            )
+        )
+    return ranks

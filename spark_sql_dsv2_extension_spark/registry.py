@@ -155,6 +155,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_intradoc_dedup",
     "ext_html_extract",
     "ext_hybrid_retrieval",
+    "ext_pagerank_bounded",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
