@@ -1465,3 +1465,72 @@ def ext_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HYBRID_TOP)
         .select("doc_id", "bm25", "cosine_sim", "hybrid_score", "rk")
     )
+
+
+_AGREE_K = 5
+
+
+_AGREE_ORACLE = f"""
+    WITH sims AS (
+      SELECT a.vec_id AS vid, a.label AS own_label,
+             b.vec_id AS nid, b.label AS nbr_label,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), top AS (
+      SELECT vid, own_label, nbr_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vid ORDER BY cos DESC, nid ASC) AS rk
+        FROM sims
+      ) WHERE rk <= {_AGREE_K}
+    )
+    SELECT vid AS vec_id, CAST(own_label AS BIGINT) AS label,
+           CAST(count(*) FILTER (WHERE nbr_label = own_label) AS BIGINT)
+             AS n_agree,
+           count(*) FILTER (WHERE nbr_label = own_label) <= 1 AS suspect
+    FROM top GROUP BY vid, own_label
+"""
+
+
+@query("ext_knn_label_agreement", oracle=_AGREE_ORACLE)
+def ext_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by neighborhood vote (the Cleanlab-style
+    geometric screen): every vector's {_AGREE_K} nearest neighbors vote on
+    its label; a vector whose neighborhood almost never agrees (<=1 of
+    {_AGREE_K}) is flagged suspect — mislabeled, or sitting on a class
+    boundary. The per-example version of ext_label_cohesion's per-class
+    diagnostics.
+
+    Scale: all-queries brute force here (every vector is a query); at
+    corpus scale the candidate set comes from the LSH/IVF bucket joins
+    (ext_knn_lsh / ext_knn_ivf) and the vote is identical. Ranking is
+    (cos desc, id) — fully deterministic."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("own_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    sims = emb.join(F.broadcast(a), F.col("vec_id") != F.col("vid")).select(
+        "vid",
+        "own_label",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nbr_label"),
+        cosine(F.col("a_emb"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    top = sims.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _AGREE_K
+    )
+    agree = F.count(F.when(F.col("nbr_label") == F.col("own_label"), 1))
+    return top.groupBy("vid", "own_label").agg(
+        agree.alias("n_agree"),
+        (agree <= 1).alias("suspect"),
+    ).select(
+        F.col("vid").alias("vec_id"),
+        F.col("own_label").cast("long").alias("label"),
+        "n_agree",
+        "suspect",
+    )

@@ -633,3 +633,64 @@ def ext_pagerank_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+@query(
+    "ext_distribution_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type
+      FROM events
+    ), daily AS (
+      SELECT day, event_type, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+    ), day_tot AS (
+      SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM daily GROUP BY day
+    ), gmix AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS gc FROM d GROUP BY 1
+    ), gtot AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM d),
+    terms AS (
+      SELECT daily.day,
+             CAST(round(
+               (CAST(daily.c AS DOUBLE) / day_tot.n)
+               * ln((CAST(daily.c AS DOUBLE) / day_tot.n)
+                    / (CAST(gmix.gc AS DOUBLE) / gtot.gn)) * 1e6)
+               AS BIGINT) AS t6
+      FROM daily
+      JOIN day_tot USING (day)
+      JOIN gmix USING (event_type)
+      CROSS JOIN gtot
+    )
+    SELECT terms.day, day_tot.n AS n_events,
+           CAST(SUM(t6) AS BIGINT) AS kl6
+    FROM terms JOIN day_tot USING (day)
+    GROUP BY terms.day, day_tot.n
+    """,
+)
+def ext_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-day KL divergence of the
+    event-type mix against the corpus-wide mix — the alarm that catches an
+    upstream producer silently changing shape (a new client version, a
+    broken event, a bot wave) before it poisons downstream aggregates.
+    Per-term p·ln(p/q) values are rounded to 1e-6 and integer-summed
+    (order-independent, oracle-exact); a day's kl6 spiking is the signal.
+
+    Scale: two grouped counts (day x type, type) + a tiny broadcast of the
+    global mix — one pass over the stream regardless of horizon."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"), "event_type"
+    )
+    daily = d.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    day_tot = daily.groupBy("day").agg(F.sum("c").alias("n"))
+    glob = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("gc"))
+    gtot = d.agg(F.count(F.lit(1)).alias("gn"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("gc").cast("double") / F.col("gn")
+    t6 = F.round(p * F.log(p / q) * F.lit(1e6)).cast("long")
+    terms = (
+        daily.join(day_tot, "day")
+        .join(F.broadcast(glob), "event_type")
+        .join(F.broadcast(gtot))
+        .select("day", F.col("n").alias("n_events"), t6.alias("t6"))
+    )
+    return terms.groupBy("day", "n_events").agg(F.sum("t6").alias("kl6"))
