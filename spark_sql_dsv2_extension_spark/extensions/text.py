@@ -2250,3 +2250,51 @@ def ext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.length(F.regexp_replace("html", "<[^>]+>", ""))
         ).cast("long").alias("markup_chars"),
     )
+
+
+@query(
+    "ext_lsa_power_step",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY doc_id, w
+    ), u AS (
+      -- u = A v0 with v0 = all-ones: per-document activation
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS u FROM tf GROUP BY doc_id
+    ), wvec AS (
+      -- w = A^T u: per-term centrality after one power half-pair
+      SELECT tf.w AS term, CAST(SUM(tf.c * u.u) AS BIGINT) AS score
+      FROM tf JOIN u USING (doc_id) GROUP BY tf.w
+    )
+    SELECT term, score FROM wvec
+    ORDER BY score DESC, term LIMIT 20
+    """,
+)
+def ext_lsa_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unnormalized power-iteration step toward the doc-term matrix's
+    top singular direction (the LSA axis): v0 = ones, u = A·v0, w = Aᵀ·u —
+    terms ranked by w are the corpus's dominant-topic vocabulary, computed
+    as two join-aggregates with EXACT integer arithmetic (no floats at
+    all, so the ranking is bit-deterministic). Further iterations repeat
+    the same pair of shapes; normalization only matters for convergence
+    monitoring, not the ranking.
+
+    Scale: matrix-times-vector as relational algebra — the tf matrix
+    never materializes densely; each half-step is one shuffle (doc, then
+    term). This is how sparse linear algebra actually runs on an engine."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = tf.groupBy("doc_id").agg(F.sum("c").alias("u"))
+    wvec = (
+        tf.join(u, "doc_id")
+        .groupBy(F.col("w").alias("term"))
+        .agg(F.sum(F.col("c") * F.col("u")).alias("score"))
+    )
+    return wvec.orderBy(F.col("score").desc(), "term").limit(20)

@@ -694,3 +694,57 @@ def ext_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.col("n").alias("n_events"), t6.alias("t6"))
     )
     return terms.groupBy("day", "n_events").agg(F.sum("t6").alias("kl6"))
+
+
+@query(
+    "ext_conversion_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS clicks,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchases
+      FROM events GROUP BY user_id
+    ), binned AS (
+      SELECT ntile(10) OVER (ORDER BY clicks, user_id) AS decile,
+             clicks, purchases
+      FROM per_user WHERE clicks > 0
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(clicks) AS BIGINT) AS clicks,
+           CAST(SUM(purchases) AS BIGINT) AS purchases,
+           CAST(SUM(purchases) * 1000000 // SUM(clicks) AS BIGINT)
+             AS conv_rate6
+    FROM binned GROUP BY decile
+    """,
+)
+def ext_conversion_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-by-activity deciles — the calibration-curve shape model
+    evaluation runs on real traffic: users bucketed into activity deciles
+    (ntile over click count, user_id tie-break = deterministic), each
+    decile reporting its purchase-per-click rate in micro-units. A model
+    whose predicted propensity deciles don't reproduce this monotone-ish
+    curve is miscalibrated.
+
+    Scale: one per-user aggregate, one decile window (single ordered pass
+    — at billions of users swap ntile for approx-quantile cut points),
+    one 10-row rollup."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+    )
+    w = Window.orderBy("clicks", "user_id")
+    binned = per_user.filter(F.col("clicks") > 0).withColumn(
+        "decile", F.ntile(10).over(w)
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("clicks").alias("clicks"),
+        F.sum("purchases").alias("purchases"),
+        F.expr("sum(purchases) * 1000000 DIV sum(clicks)").alias("conv_rate6"),
+    )

@@ -158,6 +158,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_pagerank_bounded",
     "ext_knn_label_agreement",
     "ext_distribution_drift",
+    "ext_lsa_power_step",
+    "ext_conversion_deciles",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
