@@ -1534,3 +1534,125 @@ def ext_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_agree",
         "suspect",
     )
+
+
+_KC_STEPS = 3  # greedy selections after the seed
+_KC_POS = 1 << 20
+
+
+def _kc_d6_sql(other: str) -> str:
+    return f"""CAST(round(list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(0, 64),
+          j -> (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                - {other}[CAST(j + 1 AS INT)])
+               * (CAST(e.embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                  - {other}[CAST(j + 1 AS INT)]))),
+      (acc, v) -> acc + v) * 1e6) AS BIGINT)"""
+
+
+_KC_ORACLE = f"""
+    WITH seed AS (
+      SELECT embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id = 0
+    ), d0 AS (
+      SELECT e.vec_id, {_kc_d6_sql('seed.c')} AS d6
+      FROM embeddings e, seed
+    ), pick1 AS (
+      SELECT max(d6 * {_KC_POS} + ({_KC_POS} - 1 - vec_id)) AS k FROM d0
+    ), c1 AS (
+      SELECT embedding::DOUBLE[] AS c FROM embeddings, pick1
+      WHERE vec_id = {_KC_POS} - 1 - k % {_KC_POS}
+    ), d1 AS (
+      SELECT d0.vec_id, least(d0.d6, {_kc_d6_sql('c1.c')}) AS d6
+      FROM d0 JOIN embeddings e USING (vec_id), c1
+    ), pick2 AS (
+      SELECT max(d6 * {_KC_POS} + ({_KC_POS} - 1 - vec_id)) AS k FROM d1
+    ), c2 AS (
+      SELECT embedding::DOUBLE[] AS c FROM embeddings, pick2
+      WHERE vec_id = {_KC_POS} - 1 - k % {_KC_POS}
+    ), d2 AS (
+      SELECT d1.vec_id, least(d1.d6, {_kc_d6_sql('c2.c')}) AS d6
+      FROM d1 JOIN embeddings e USING (vec_id), c2
+    ), pick3 AS (
+      SELECT max(d6 * {_KC_POS} + ({_KC_POS} - 1 - vec_id)) AS k FROM d2
+    )
+    SELECT CAST(0 AS BIGINT) AS sel_order, CAST(0 AS BIGINT) AS vec_id
+    UNION ALL
+    SELECT 1, CAST({_KC_POS} - 1 - k % {_KC_POS} AS BIGINT) FROM pick1
+    UNION ALL
+    SELECT 2, CAST({_KC_POS} - 1 - k % {_KC_POS} AS BIGINT) FROM pick2
+    UNION ALL
+    SELECT 3, CAST({_KC_POS} - 1 - k % {_KC_POS} AS BIGINT) FROM pick3
+"""
+
+
+@query("ext_kcenter_coreset", oracle=_KC_ORACLE)
+def ext_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal): starting from
+    vector 0, repeatedly select the point FARTHEST from the current
+    selection ({_KC_STEPS} unrolled steps) — the classic 2-approximation
+    for diversity sampling, the geometric complement to the density-based
+    selectors (DSIR picks representative, k-center picks COVERING). Every
+    argmax packs (distance6, -vec_id) into one integer MAX, so the chosen
+    ids are bit-deterministic.
+
+    Scale: each step is one corpus-wide min-update against ONE new center
+    (broadcast) plus a 1-row argmax — k passes total, the textbook
+    distributed Gonzalez sweep. The distance state (one int per vector)
+    carries between steps as a column."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+
+    def d6_to(center_df):
+        c = F.col("c")
+
+        def diff(j):
+            return F.element_at(
+                F.col("embedding"), (j + 1).cast("int")
+            ).cast("double") - F.element_at(c, (j + 1).cast("int"))
+
+        return F.round(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: diff(j) * diff(j),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(1e6)
+        ).cast("long")
+
+    def center(vid_df):
+        return F.broadcast(
+            emb.join(vid_df, "vec_id").select(
+                F.transform("embedding", lambda x: x.cast("double")).alias("c")
+            )
+        )
+
+    seed = spark.createDataFrame([(0,)], "vec_id BIGINT")
+    d = emb.join(center(seed)).select("vec_id", "embedding", d6_to(None).alias("d6"))
+    picks = [(0, seed)]
+    for step in range(1, _KC_STEPS + 1):
+        k = d.agg(
+            F.max(
+                F.col("d6") * _KC_POS + (F.lit(_KC_POS - 1) - F.col("vec_id"))
+            ).alias("k")
+        )
+        vid = k.select(
+            (F.lit(_KC_POS - 1) - F.col("k") % _KC_POS).alias("vec_id")
+        )
+        picks.append((step, vid))
+        if step < _KC_STEPS:
+            d = d.join(center(vid)).select(
+                "vec_id",
+                "embedding",
+                F.least(F.col("d6"), d6_to(None)).alias("d6"),
+            )
+    out = None
+    for step, vid in picks:
+        row = vid.select(
+            F.lit(step).cast("long").alias("sel_order"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

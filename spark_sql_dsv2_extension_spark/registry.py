@@ -160,6 +160,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_distribution_drift",
     "ext_lsa_power_step",
     "ext_conversion_deciles",
+    "ext_kcenter_coreset",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
