@@ -1062,3 +1062,51 @@ def ext_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("d2") == F.col("n2.doc_id"))
         .select(*cols)
     )
+
+
+_EDGE_N = 24  # boundary gram length
+
+
+@query(
+    "ext_split_doc_detect",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id,
+             substring(text, 1, {_EDGE_N}) AS head,
+             substring(text, length(text) - {_EDGE_N} + 1, {_EDGE_N}) AS tail
+      FROM documents WHERE length(text) >= {_EDGE_N}
+    )
+    SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc
+    FROM e a JOIN e b
+      ON a.tail = b.head AND a.doc_id <> b.doc_id
+    """,
+)
+def ext_split_doc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document detection: pairs where one document's last
+    {_EDGE_N} characters exactly equal another's first {_EDGE_N} — the
+    signature of a source document cut in two by upstream chunking (or of
+    re-assembled shards overlapping at the seam). Ordinary dedup misses
+    these: the halves share almost no full-shingle mass, but training on
+    both leaks a verbatim span across what the loader thinks are distinct
+    documents.
+
+    Scale: one equi-join on a fixed-width boundary gram — the candidate
+    key is {_EDGE_N} bytes per doc per side, never the text."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= _EDGE_N
+    )
+    e = docs.select(
+        "doc_id",
+        F.col("text").substr(F.lit(1), F.lit(_EDGE_N)).alias("head"),
+        F.col("text")
+        .substr(F.length("text") - (_EDGE_N - 1), F.lit(_EDGE_N))
+        .alias("tail"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.tail") == F.col("b.head"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("tail_doc"), F.col("b.doc_id").alias("head_doc")
+    )

@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_lsa_power_step",
     "ext_conversion_deciles",
     "ext_kcenter_coreset",
+    "ext_split_doc_detect",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
