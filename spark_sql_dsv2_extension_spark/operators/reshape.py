@@ -748,3 +748,149 @@ def ext_conversion_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("purchases").alias("purchases"),
         F.expr("sum(purchases) * 1000000 DIV sum(clicks)").alias("conv_rate6"),
     )
+
+
+@query(
+    "ext_session_bounce_rate",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s
+    ), sess_stats AS (
+      SELECT user_id, sess,
+             CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sid GROUP BY user_id, sess
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+           CAST(count(*) FILTER (WHERE n_events = 1) * 1000000 // count(*)
+                AS BIGINT) AS bounce_rate6
+    FROM sess_stats GROUP BY day
+    """,
+)
+def ext_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: sessionize each user's stream (30-minute
+    inactivity gap), attribute each session to its start day, and report
+    the share of single-event sessions in micro-units — the canonical
+    engagement KPI, built on the same gap-sessionization the
+    win_session_gaps key demonstrates and the exact-integer rate pattern
+    every other ratio here uses.
+
+    Scale: one window pass per user (sessionization), one grouped count —
+    both share the user_id shuffle; the daily rollup is tiny."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap >= 1_800_000_000), 1
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = s.withColumn("sess", F.sum("new_s").over(cum))
+    sess_stats = sid.groupBy("user_id", "sess").agg(
+        F.expr("unix_micros(min(ts)) DIV 86400000000").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.count(F.when(F.col("n_events") == 1, 1))
+    return sess_stats.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        F.expr(
+            "count(CASE WHEN n_events = 1 THEN 1 END) * 1000000 DIV count(*)"
+        ).alias("bounce_rate6"),
+    )
+
+
+_AB_HASH_A = 2654435761
+_AB_M = 2_147_483_647
+
+
+@query(
+    "ext_ab_test_lift",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN (user_id * {_AB_HASH_A} + 17) % {_AB_M} % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS clicks,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchases
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(SUM(clicks) AS BIGINT) AS clicks,
+             CAST(SUM(purchases) AS BIGINT) AS purchases,
+             CAST(SUM(purchases) * 1000000 // greatest(SUM(clicks), 1)
+                  AS BIGINT) AS conv6
+      FROM assigned GROUP BY arm
+    )
+    SELECT a.arm, a.n_users, a.clicks, a.purchases, a.conv6,
+           CAST(a.conv6 - b.conv6 AS BIGINT) AS lift_vs_other6
+    FROM arms a JOIN arms b ON a.arm <> b.arm
+    """,
+)
+def ext_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned to
+    two arms (multiplicative hash — the assignment every experimentation
+    platform uses so a user keeps their arm across sessions and reruns),
+    per-arm conversion in micro-units, and the lift of each arm over the
+    other. Exact integer arithmetic end to end.
+
+    Scale: one per-user aggregate + a 2-row arm rollup; assignment is a
+    pure map (no state, no shuffle of its own)."""
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+    ).select(
+        F.when(
+            (F.col("user_id") * _AB_HASH_A + 17) % _AB_M % 2 == 0, "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "clicks",
+        "purchases",
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("clicks").alias("clicks"),
+        F.sum("purchases").alias("purchases"),
+        F.expr(
+            "sum(purchases) * 1000000 DIV greatest(sum(clicks), 1)"
+        ).alias("conv6"),
+    )
+    a, b = arms.alias("a"), arms.alias("b")
+    return a.join(b, F.col("a.arm") != F.col("b.arm")).select(
+        F.col("a.arm").alias("arm"),
+        F.col("a.n_users").alias("n_users"),
+        F.col("a.clicks").alias("clicks"),
+        F.col("a.purchases").alias("purchases"),
+        F.col("a.conv6").alias("conv6"),
+        (F.col("a.conv6") - F.col("b.conv6")).alias("lift_vs_other6"),
+    )

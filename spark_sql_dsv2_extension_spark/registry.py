@@ -162,6 +162,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_conversion_deciles",
     "ext_kcenter_coreset",
     "ext_split_doc_detect",
+    "ext_session_bounce_rate",
+    "ext_ab_test_lift",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
