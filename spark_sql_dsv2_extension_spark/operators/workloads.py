@@ -1061,3 +1061,127 @@ def tpch_q20_potential_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "s_acctbal")
     )
+
+
+@query(
+    "ext_forget_cascade",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    ), lines AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_delete,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM ords) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lines) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+)
+def ext_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion manifest: a forget-list of customers
+    cascades through the foreign-key chain (customer → orders → lineitem),
+    and the manifest reports per table how many rows a compliant purge
+    must touch, next to the table totals — the dry-run every GDPR delete
+    job emits for sign-off before rewriting files.
+
+    Scale: two semi-join hops (each a broadcast of the shrinking key set)
+    plus three counts; the actual purge is then an anti-join rewrite of
+    exactly the partitions holding those keys (sink_merge_upsert's
+    partition-scoped pattern)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    ords = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    lines = li.join(
+        F.broadcast(ords), li.l_orderkey == ords.o_orderkey, "left_semi"
+    )
+    rows = [
+        ("customer", forget, cust),
+        ("orders", ords, orders),
+        ("lineitem", lines, li),
+    ]
+    out = None
+    for name, del_df, tot_df in rows:
+        row = (
+            del_df.agg(F.count(F.lit(1)).alias("n_delete"))
+            .join(tot_df.agg(F.count(F.lit(1)).alias("n_total")))
+            .select(F.lit(name).alias("tbl"), "n_delete", "n_total")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "ext_integrity_audit",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_bad_nation',
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                AS BIGINT)
+    """,
+)
+def ext_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned orders, orphaned line items,
+    and customers pointing at unknown nations — the constraint checks a
+    lake table can't enforce on write and therefore must ASSERT on read
+    (the reference's Hive tables have exactly this property). Zero
+    violations on healthy fixtures; any non-zero is an ingest bug.
+
+    Scale: three anti-join counts; each parent key set broadcasts (dims)
+    or semi-join-shuffles once (orders). The audit reads every fact table
+    once, total."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    checks = [
+        (
+            "orders_without_customer",
+            orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "left_anti"
+            ),
+        ),
+        (
+            "lineitem_without_order",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        (
+            "customer_bad_nation",
+            cust.join(
+                F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey,
+                "left_anti",
+            ),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -164,6 +164,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_split_doc_detect",
     "ext_session_bounce_rate",
     "ext_ab_test_lift",
+    "ext_forget_cascade",
+    "ext_integrity_audit",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
