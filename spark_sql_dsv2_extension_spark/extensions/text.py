@@ -2298,3 +2298,71 @@ def ext_lsa_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("u")).alias("score"))
     )
     return wvec.orderBy(F.col("score").desc(), "term").limit(20)
+
+
+@query(
+    "ext_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks
+    ), df AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS df FROM bi GROUP BY g
+    )
+    SELECT bi.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_unique,
+           CAST(count(*) FILTER (WHERE df.df = 1) * 1000000 // count(*)
+                AS BIGINT) AS novelty6
+    FROM bi JOIN df USING (g)
+    GROUP BY bi.doc_id
+    """,
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a document's distinct bigrams
+    that appear NOWHERE else in the corpus — low novelty means the text is
+    assembled from phrases the corpus already contains (template/boiler-
+    plate or near-copy; the memorization-risk signal), high novelty means
+    genuinely new phrasing. Denominator and numerator are exact distinct
+    counts, the rate is integer micro-units.
+
+    Scale: one bigram document-frequency aggregation (the token-stream
+    shuffle) joined back to per-doc bigram sets — the identical two-pass
+    shape as TF-IDF, and at 100 TB the df table is the only wide state."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = bi.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.count(F.when(F.col("df") == 1, 1))
+    return (
+        bi.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            uniq.alias("n_unique"),
+            F.expr(
+                "count(CASE WHEN df = 1 THEN 1 END) * 1000000 DIV count(*)"
+            ).alias("novelty6"),
+        )
+    )
