@@ -604,3 +604,75 @@ def ext_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(_NEG_TOP)
     )
+
+
+@query(
+    "ext_dataset_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), v2 AS (
+      -- simulated next release: drop %17 docs, modify %13 texts, append
+      -- a re-ingested shard with shifted ids for %19 docs
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN md5(text || ' [rev2]')
+                  ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 19 = 0
+    ), joined AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v1.h <> v2.h THEN 'modified'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n
+    FROM joined GROUP BY status
+    """,
+)
+def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release diff: two corpus versions compared by key and
+    content digest into added / removed / modified / unchanged counts —
+    the review gate between dataset releases (a diff that says
+    'modified: 40000' when the changelog says 'metadata-only' blocks the
+    release). The v2 side is synthesized deterministically (drops, edits,
+    and a shifted-id re-ingest) so the diff logic itself is what's under
+    test; digests are md5, identical in both engines.
+
+    Scale: one full-outer join on the key with digest comparison — the
+    content never moves, only (key, 16-byte hash); at 100 TB this is the
+    cheapest possible two-version comparison."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("h"),
+            )
+        )
+    )
+    joined = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("v2.doc_id").isNull(), "removed")
+        .when(F.col("v1.doc_id").isNull(), "added")
+        .when(F.col("v1.h") != F.col("v2.h"), "modified")
+        .otherwise("unchanged")
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -167,6 +167,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_forget_cascade",
     "ext_integrity_audit",
     "ext_ngram_novelty",
+    "ext_dataset_diff",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
