@@ -717,3 +717,110 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("next"))
         .alias("direction"),
     )
+
+
+@query(
+    "ext_point_in_time_join",
+    oracle="""
+    WITH versions AS (
+      SELECT o_custkey AS custkey, o_orderdate AS vts,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderkey AS vid
+      FROM orders
+    ), probes AS (
+      SELECT user_id % 1500 + 1 AS custkey, ts AS pts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), u AS (
+      SELECT custkey, vts AS t, 0 AS tag, vid AS oid,
+             price_cents, NULL::BIGINT AS event_id
+      FROM versions
+      UNION ALL
+      SELECT custkey, pts, 1, event_id, NULL, event_id FROM probes
+    ), w AS (
+      SELECT custkey, tag, event_id,
+             last_value(price_cents IGNORE NULLS) OVER (
+               PARTITION BY custkey ORDER BY t, tag, oid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pit_price_cents
+      FROM u
+    ), latest AS (
+      SELECT custkey, price_cents AS latest_price_cents FROM (
+        SELECT custkey, price_cents,
+               row_number() OVER (PARTITION BY custkey
+                                  ORDER BY vts DESC, vid DESC) AS rn
+        FROM versions
+      ) WHERE rn = 1
+    )
+    SELECT w.event_id, w.custkey, w.pit_price_cents,
+           latest.latest_price_cents,
+           w.pit_price_cents IS NOT NULL
+             AND w.pit_price_cents <> latest.latest_price_cents
+             AS naive_join_leaks
+    FROM w JOIN latest USING (custkey)
+    WHERE w.tag = 1
+    """,
+)
+def ext_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store POINT-IN-TIME join: each purchase event is enriched
+    with the attribute version that was current AT THE EVENT'S TIME (the
+    as-of union+window shape over the SCD2 stream, ext_scd2_versions'
+    sibling), next to what a naive latest-version join would have fetched
+    — with a per-row flag for where the naive join LEAKS the future.
+    That leak is exactly the train/serve skew feature stores exist to
+    prevent; here it is measured, not assumed.
+
+    Scale: one shuffle on the entity key for the merged version+probe
+    window — the same O(n log n) per key as join_asof_time; the naive
+    comparison reuses the version table's top-1 window."""
+    orders = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    versions = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.col("o_orderkey").alias("oid"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 1500 + 1).alias("custkey"),
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("oid"),
+        F.col("event_id"),
+    )
+    u = versions.select(
+        "custkey", "t", F.lit(0).alias("tag"), "oid", "price_cents",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionAll(
+        probes.select(
+            "custkey", "t", F.lit(1).alias("tag"), "oid",
+            F.lit(None).cast("long").alias("price_cents"), "event_id",
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy("t", "tag", "oid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pit = u.select(
+        "custkey",
+        "tag",
+        "event_id",
+        F.last("price_cents", ignorenulls=True).over(w).alias(
+            "pit_price_cents"
+        ),
+    ).filter(F.col("tag") == 1)
+    wl = Window.partitionBy("custkey").orderBy(
+        F.col("t").desc(), F.col("oid").desc()
+    )
+    latest = (
+        versions.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("custkey", F.col("price_cents").alias("latest_price_cents"))
+    )
+    return pit.join(latest, "custkey").select(
+        "event_id",
+        "custkey",
+        "pit_price_cents",
+        "latest_price_cents",
+        (
+            F.col("pit_price_cents").isNotNull()
+            & (F.col("pit_price_cents") != F.col("latest_price_cents"))
+        ).alias("naive_join_leaks"),
+    )
