@@ -836,3 +836,113 @@ def ext_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "ext_wasserstein_1d",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             ntile(100) OVER (ORDER BY value, event_id) AS tile
+      FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             ntile(100) OVER (ORDER BY value, event_id) AS tile
+      FROM events WHERE event_type = 'purchase'
+    ), qa AS (
+      SELECT tile, CAST(SUM(cents) // count(*) AS BIGINT) AS mean_cents
+      FROM a GROUP BY tile
+    ), qb AS (
+      SELECT tile, CAST(SUM(cents) // count(*) AS BIGINT) AS mean_cents
+      FROM b GROUP BY tile
+    )
+    SELECT qa.tile,
+           qa.mean_cents AS click_cents,
+           qb.mean_cents AS purchase_cents,
+           CAST(abs(qa.mean_cents - qb.mean_cents) AS BIGINT) AS absdiff_cents
+    FROM qa JOIN qb USING (tile)
+    """,
+)
+def ext_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D optimal transport (Wasserstein-1) profile between two value
+    distributions: click vs purchase amounts aligned percentile-by-
+    percentile (the quantile-coupling that IS the optimal transport plan
+    in one dimension), reporting per-percentile means and their absolute
+    gap — summing absdiff_cents/100 gives W1. Unlike KL (ext_distribution_
+    drift) this is a metric on the VALUE scale, defined even for disjoint
+    supports — the distance distribution-shift monitors actually want for
+    numeric features. Percentile means are exact integer division over
+    deterministic ntile cuts.
+
+    Scale: two ordered window passes (swap ntile for approx-quantile cuts
+    at extreme cardinality) and a 100-row join."""
+    ev = load(spark, sf_dir, "events")
+
+    def quantiles(etype: str):
+        w = Window.orderBy("value", "event_id")
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+                F.ntile(100).over(w).alias("tile"),
+            )
+            .groupBy("tile")
+            .agg(F.expr("sum(cents) DIV count(*)").alias("mean_cents"))
+        )
+
+    qa = quantiles("click").withColumnRenamed("mean_cents", "click_cents")
+    qb = quantiles("purchase").withColumnRenamed("mean_cents", "purchase_cents")
+    return qa.join(qb, "tile").select(
+        "tile",
+        "click_cents",
+        "purchase_cents",
+        F.abs(F.col("click_cents") - F.col("purchase_cents")).alias(
+            "absdiff_cents"
+        ),
+    )
+
+
+@query(
+    "ext_gini_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+      FROM per_user
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM ranked
+    )
+    SELECT n AS n_users, sx AS n_events,
+           CAST((2 * six * 1000000) // (n * sx) - ((n + 1) * 1000000) // n
+                AS BIGINT) AS gini6
+    FROM agg
+    """,
+)
+def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the concentration metric
+    for 'is this corpus/source dominated by a few heavy hitters':
+    G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over rank-ordered counts, computed in
+    integer micro-units with deterministic (count, user_id) ranking.
+    The same statistic gates training mixes (one domain contributing 90%
+    of tokens) and flags bot-heavy event sources.
+
+    Scale: one per-user count, one global ordered ranking (at extreme n,
+    rank via sort + zipWithIndex partitioning), one scalar aggregate."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("n_events"),
+        F.expr(
+            "(2 * sum(i * x) * 1000000) DIV (count(*) * sum(x))"
+            " - ((count(*) + 1) * 1000000) DIV count(*)"
+        ).alias("gini6"),
+    )

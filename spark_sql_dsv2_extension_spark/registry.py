@@ -169,6 +169,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ngram_novelty",
     "ext_dataset_diff",
     "ext_point_in_time_join",
+    "ext_wasserstein_1d",
+    "ext_gini_concentration",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
