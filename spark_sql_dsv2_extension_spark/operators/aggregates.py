@@ -946,3 +946,107 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - ((count(*) + 1) * 1000000) DIV count(*)"
         ).alias("gini6"),
     )
+
+
+@query(
+    "ext_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT e.event_type AS x, n.n_name AS y,
+             CAST(count(*) AS BIGINT) AS cxy
+      FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      GROUP BY 1, 2
+    ), mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM joint GROUP BY y),
+    tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM joint),
+    terms AS (
+      SELECT CAST(round(
+               (CAST(cxy AS DOUBLE) / n)
+               * ln(CAST(cxy AS DOUBLE) * n
+                    / (CAST(cx AS DOUBLE) * cy)) * 1e6) AS BIGINT) AS t6
+      FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    )
+    SELECT CAST((SELECT count(*) FROM joint) AS BIGINT) AS n_cells,
+           CAST(SUM(t6) AS BIGINT) AS mi6
+    FROM terms
+    """,
+)
+def ext_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (event type x
+    user nation): I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — the feature-
+    selection statistic that says whether a column carries signal about a
+    label before any model is trained (MI ≈ 0 here means the nation
+    assignment is independent of behavior, as the synthetic fixture
+    implies). Per-cell terms integer-scaled and summed (order-independent);
+    the log argument is one exact integer ratio, so both engines take ln
+    of the identical double.
+
+    Scale: one joint-count aggregation (the only data-sized shuffle); the
+    marginals derive from the joint table, which is |X|x|Y| cells."""
+    ev = load(spark, sf_dir, "events")
+    nation = load(spark, sf_dir, "nation")
+    joint = (
+        ev.withColumn("nk", F.pmod("user_id", F.lit(25)))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .groupBy(F.col("event_type").alias("x"), F.col("n_name").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    tot = joint.agg(F.sum("cxy").alias("n"))
+    t6 = F.round(
+        (F.col("cxy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("cxy").cast("double")
+            * F.col("n")
+            / (F.col("cx").cast("double") * F.col("cy"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    terms = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .join(F.broadcast(tot))
+        .select(t6.alias("t6"))
+    )
+    n_cells = joint.agg(F.count(F.lit(1)).alias("n_cells"))
+    return terms.agg(F.sum("t6").alias("mi6")).join(n_cells).select(
+        "n_cells", "mi6"
+    )
+
+
+@query(
+    "ext_simpson_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS ci FROM documents GROUP BY lang
+    ), t AS (SELECT CAST(SUM(ci) AS BIGINT) AS n FROM c)
+    SELECT t.n AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(SUM(ci * ci) * 1000000 // (t.n * t.n) AS BIGINT)
+             AS simpson6,
+           CAST(1000000 - SUM(ci * ci) * 1000000 // (t.n * t.n) AS BIGINT)
+             AS diversity6
+    FROM c, t GROUP BY t.n
+    """,
+)
+def ext_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration / diversity of the language mix: Σpᵢ² (the
+    probability two random docs share a language) and its complement —
+    the single-number balance check next to ext_gini_concentration's
+    rank-based view and ext_temperature_mixture's corrective weights.
+    Exact rational arithmetic: Σcᵢ²·10⁶ // n².
+
+    Scale: one tiny grouped count; the corpus is touched once."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("ci"))
+    return c.agg(
+        F.sum("ci").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.expr(
+            "sum(ci * ci) * 1000000 DIV (sum(ci) * sum(ci))"
+        ).alias("simpson6"),
+        F.expr(
+            "1000000 - sum(ci * ci) * 1000000 DIV (sum(ci) * sum(ci))"
+        ).alias("diversity6"),
+    )

@@ -171,6 +171,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_point_in_time_join",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
+    "ext_mutual_information",
+    "ext_simpson_diversity",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
