@@ -676,3 +676,50 @@ def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(status.alias("status")).groupBy("status").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_KPG = 20  # sample size per language
+
+
+@query(
+    "ext_sample_k_per_group",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761 + 40503) % 2147483647 AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+               AS rk
+      FROM h
+    ) WHERE rk <= {_KPG}
+    """,
+)
+def ext_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sampling without replacement: exactly
+    {_KPG} documents per language, chosen by multiplicative-hash rank —
+    the distributed, rerun-stable equivalent of per-group reservoir
+    sampling (same marginal uniformity, but deterministic and mergeable:
+    two runs agree, and a shard's top-k by hash IS the global sample
+    restricted to that shard, so samples compose by rank-merge).
+    Complements ext_stratified_sample's rate-based draw with the exact-k
+    contract evaluation sets need.
+
+    Scale: one hash (map-side) + one per-group top-k — rank via window
+    here; at extreme group sizes the same top-k runs as a partial
+    per-partition heap then merge, which is what TakeOrderedAndProject
+    already does for the global case."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * 2654435761 + 40503) % 2147483647).alias("hv"),
+    )
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _KPG)
+        .select("doc_id", "lang", "rk")
+    )
