@@ -65,6 +65,13 @@ _loaded = False
 # inserted right AFTER position 50 so they head the round-4 window. Keys
 # absent from this list follow in module registration order; driver-green
 # keys go last (they stay fully covered by tests/test_parity.py either way).
+#
+# ROUND-4 PROTOCOL: once CORRECTNESS_r03 confirms the current first 50,
+# move that block behind the r2 block below; the queued keys (everything
+# between the round-3 boundary and the r2 block — ALL vanilla-session
+# verified via tests/driver_sim.py this round, r3 session) then occupy the
+# round-4/5/6 windows in order. Keep inserting NEW keys right after
+# whatever 50-key window is current.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # round-3 window: the 50 keys with no driver row yet
     "ext_embedding_quantize",
