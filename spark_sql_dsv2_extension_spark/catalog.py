@@ -740,6 +740,24 @@ class EngineCatalog:
         self.update_table_stats(ns, table)
         return True
 
+    def truncate_table(self, ns: str, table: str) -> None:
+        """TRUNCATE capability (the reference advertises TRUNCATE in its
+        write capabilities, V2Table.scala:45-47): delete every data file
+        and registered partition, keep schema and table registration."""
+        meta = self._table_meta(ns, table)
+        d = self._table_dir(ns, table)
+        if os.path.isdir(d):
+            for entry in os.listdir(d):
+                p = os.path.join(d, entry)
+                if entry.startswith(("_", ".")):
+                    continue
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        if meta.partition_locations:
+            meta.partition_locations.clear()
+            self._meta["tables"][self._table_key(ns, table)] = meta.__dict__
+            self._save()
+        self.update_table_stats(ns, table)
+
     def replace_partition_metadata(self, *_a: Any, **_k: Any) -> None:
         raise NotImplementedError("unsupported, matching V2Table.scala:100-106")
 
@@ -838,6 +856,19 @@ _ADD_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"PARTITION\s*\((?P<spec>[^)]*)\)\s*(?:LOCATION\s+'(?P<loc>[^']*)')?\s*$",
     re.IGNORECASE,
+)
+_DROP_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s+DROP\s+(?:IF\s+EXISTS\s+)?"
+    r"PARTITION\s*\((?P<spec>[^)]*)\)\s*$",
+    re.IGNORECASE,
+)
+_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s+RENAME\s+TO\s+"
+    r"(?:(\w+)\.)?(?:(\w+)\.)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s*$", re.IGNORECASE
 )
 
 
@@ -946,6 +977,27 @@ def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
             m.group(2), m.group(3), _parse_spec(m.group("spec")),
             location=m.group("loc"),
         )
+        return None
+    m = _DROP_PART_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        cat.drop_partition(m.group(2), m.group(3), _parse_spec(m.group("spec")))
+        return None
+    m = _RENAME_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        # target may be bare, ns.table, or cat.ns.table (same catalog/ns only)
+        tgt_cat, tgt_ns, tgt = m.group(4), m.group(5), m.group(6)
+        if tgt_cat and tgt_ns and tgt_cat != m.group(1):
+            raise CatalogError("RENAME across catalogs is unsupported")
+        if tgt_cat and tgt_ns and tgt_ns != m.group(2):
+            raise CatalogError("RENAME across namespaces is unsupported")
+        cat.rename_table(m.group(2), m.group(3), tgt)
+        return None
+    m = _TRUNCATE_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        cat.truncate_table(m.group(2), m.group(3))
         return None
     m = _INSERT_RE.match(query)
     if m:

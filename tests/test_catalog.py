@@ -601,3 +601,35 @@ def test_sql_cross_catalog_join(spark, tmp_path):
         "GROUP BY d.name ORDER BY d.name",
     ).collect()
     assert [(r.name, r.total) for r in got] == [("one", 15.0), ("two", 7.0)]
+
+
+def test_sql_truncate_rename_drop_partition(spark, tmp_path):
+    """Round-3 lifecycle verbs: TRUNCATE TABLE keeps schema and drops all
+    data; ALTER TABLE ... DROP PARTITION removes one partition's data and
+    registration; RENAME TO re-addresses the table (reference A8)."""
+    from spark_sql_dsv2_extension_spark.catalog import EngineCatalog, engine_sql
+
+    cat = EngineCatalog(spark, "lifec", str(tmp_path / "w"))
+    cat.create_table(
+        "default", "t", "k BIGINT, v STRING, p STRING", partition_by=["p"]
+    )
+    cat.insert(
+        "default",
+        "t",
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "k BIGINT, v STRING, p STRING"
+        ),
+    )
+    # DROP PARTITION removes exactly one partition
+    engine_sql(spark, "ALTER TABLE lifec.default.t DROP PARTITION (p='y')")
+    got = engine_sql(spark, "SELECT k, p FROM lifec.default.t").collect()
+    assert [(r.k, r.p) for r in got] == [(1, "x")]
+    # RENAME keeps data under the new name
+    engine_sql(spark, "ALTER TABLE lifec.default.t RENAME TO t2")
+    got = engine_sql(spark, "SELECT k FROM lifec.default.t2").collect()
+    assert [r.k for r in got] == [1]
+    # TRUNCATE drops all rows, keeps the (queryable) schema
+    engine_sql(spark, "TRUNCATE TABLE lifec.default.t2")
+    assert engine_sql(spark, "SELECT k FROM lifec.default.t2").count() == 0
+    cols = engine_sql(spark, "DESCRIBE TABLE lifec.default.t2").collect()
+    assert [c.col_name for c in cols] == ["k", "v", "p"]
