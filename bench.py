@@ -69,6 +69,10 @@ HEADLINE = [
     "ext_dsir_importance",
     "join_bloom_runtime",
     "ext_winnow_fingerprints",
+    "ext_ivfpq_search",
+    "ext_point_in_time_join",
+    "ext_intradoc_dedup",
+    "ext_kneser_ney_bigrams",
 ]
 
 
