@@ -723,3 +723,53 @@ def ext_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KPG)
         .select("doc_id", "lang", "rk")
     )
+
+
+@query(
+    "ext_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT CAST(median(n_chars) AS BIGINT) AS m FROM documents
+    ), dev AS (
+      SELECT doc_id, n_chars, abs(n_chars - med.m) AS ad, med.m
+      FROM documents, med
+    ), mad AS (
+      SELECT CAST(median(ad) AS BIGINT) AS mad FROM dev
+    )
+    SELECT dev.doc_id, dev.n_chars, CAST(dev.m AS BIGINT) AS median_chars,
+           CAST(mad.mad AS BIGINT) AS mad_chars,
+           CAST(dev.ad AS BIGINT) AS abs_dev
+    FROM dev, mad
+    WHERE dev.ad > 3 * mad.mad
+    """,
+)
+def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate via median absolute deviation: documents whose
+    length deviates from the corpus median by more than 3x the MAD — the
+    estimator that, unlike ext_length_outliers' mean/sigma gate, is NOT
+    dragged by the very outliers it hunts (one 10 MB document shifts a
+    mean; it cannot shift a median). Medians are exact (F.median over
+    int64), deviations are integers, so the flagged set is deterministic.
+
+    Scale: two exact-median passes (swap for percentile_approx at extreme
+    cardinality, same contract) and one broadcast of two scalars."""
+    docs = load(spark, sf_dir, "documents")
+    med = docs.agg(F.median("n_chars").cast("long").alias("m"))
+    dev = docs.join(F.broadcast(med)).select(
+        "doc_id",
+        "n_chars",
+        F.abs(F.col("n_chars") - F.col("m")).alias("ad"),
+        "m",
+    )
+    mad = dev.agg(F.median("ad").cast("long").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad))
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("m").alias("median_chars"),
+            F.col("mad").alias("mad_chars"),
+            F.col("ad").alias("abs_dev"),
+        )
+    )

@@ -894,3 +894,48 @@ def ext_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.conv6").alias("conv6"),
         (F.col("a.conv6") - F.col("b.conv6")).alias("lift_vs_other6"),
     )
+
+
+@query(
+    "ext_seasonal_profile",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+    ), daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY day
+    ), dow AS (
+      SELECT day, n, CAST((day + 4) % 7 AS BIGINT) AS dow FROM daily
+    ), profile AS (
+      SELECT dow AS dw, CAST(SUM(n) // count(*) AS BIGINT) AS dow_mean
+      FROM dow GROUP BY dow
+    )
+    SELECT dow.day, dow.dow, dow.n, profile.dow_mean,
+           CAST(dow.n - profile.dow_mean AS BIGINT) AS residual
+    FROM dow JOIN profile ON dow.dow = profile.dw
+    """,
+)
+def ext_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive seasonal decomposition of the event volume: per-day counts
+    split into a day-of-week profile (epoch-day + 4 mod 7, so 0 = Monday)
+    and residuals against the weekday mean — the first-cut seasonality
+    model every volume-anomaly monitor starts from; a residual spike is a
+    real anomaly, a raw-count spike on Monday is just Monday. Means use
+    exact integer division.
+
+    Scale: one daily rollup (tiny), one 7-row profile joined back
+    broadcast."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    dow = daily.withColumn("dow", (F.col("day") + 4) % 7)
+    profile = dow.groupBy(F.col("dow").alias("dw")).agg(
+        F.expr("sum(n) DIV count(*)").alias("dow_mean")
+    )
+    return dow.join(F.broadcast(profile), dow.dow == profile.dw).select(
+        "day",
+        "dow",
+        "n",
+        "dow_mean",
+        (F.col("n") - F.col("dow_mean")).alias("residual"),
+    )

@@ -181,6 +181,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_mutual_information",
     "ext_simpson_diversity",
     "ext_sample_k_per_group",
+    "ext_mad_outliers",
+    "ext_seasonal_profile",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
