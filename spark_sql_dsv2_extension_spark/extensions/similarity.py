@@ -1656,3 +1656,125 @@ def ext_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_RRF_K = 60
+
+
+_RRF_ORACLE = f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ('data', 'query', 'join') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               * 1e6) AS BIGINT) AS sc
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ), lex AS (
+      -- fuse over the lexical TOP-20 candidate set (ext_bm25's contract)
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+      FROM (
+        SELECT doc_id, SUM(sc) AS s FROM scored GROUP BY doc_id
+        ORDER BY s DESC, doc_id LIMIT 20
+      )
+    ), qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (ORDER BY
+               list_dot_product(e.embedding::DOUBLE[], qv.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[])))
+               DESC, e.vec_id) AS dense_rank
+      FROM embeddings e, qv
+    )
+    SELECT lex.doc_id,
+           CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense.dense_rank AS BIGINT) AS dense_rank,
+           CAST(1000000 // ({_RRF_K} + lex.lex_rank)
+                + 1000000 // ({_RRF_K} + dense.dense_rank) AS BIGINT)
+             AS rrf6,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT lex.doc_id,
+             row_number() OVER (ORDER BY
+               1000000 // ({_RRF_K} + lex.lex_rank)
+               + 1000000 // ({_RRF_K} + dense.dense_rank) DESC,
+               lex.doc_id) AS rk
+      FROM lex JOIN dense USING (doc_id)
+    ) r
+    JOIN lex ON lex.doc_id = r.doc_id
+    JOIN dense ON dense.doc_id = r.doc_id
+    WHERE rk <= 10
+"""
+
+
+@query("ext_rank_fusion_rrf", oracle=_RRF_ORACLE)
+def ext_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of a lexical and a dense ranker:
+    RRF(d) = Σ 1/(k + rank_r(d)) over rankers, k={_RRF_K} — the
+    score-free fusion that beats weighted blends when ranker score
+    scales are incomparable (the reason every hybrid-search engine ships
+    it). Both input rankings and the fused scores are exact integers
+    (micro-unit reciprocal with floor division), so the fused top-10 is
+    bit-deterministic — contrast ext_hybrid_retrieval's score blend.
+
+    Scale: two rankings (each one ordered pass) joined on doc id; fusion
+    itself is arithmetic on two small rank columns."""
+    from .text import ext_bm25
+
+    lex_w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    # re-rank the FULL bm25 scoring (not just its top-20): recompute via
+    # the registered key, which returns top-20 already ranked — fuse those
+    lex = ext_bm25(spark, sf_dir).select(
+        "doc_id", F.row_number().over(lex_w).alias("lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dense_w = Window.orderBy(F.col("cos").desc(), "doc_id")
+    dense = (
+        emb.join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        )
+        .select("doc_id", F.row_number().over(dense_w).alias("dense_rank"))
+    )
+    fused = lex.join(dense, "doc_id").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.expr(f"1000000 DIV ({_RRF_K} + lex_rank)")
+            + F.expr(f"1000000 DIV ({_RRF_K} + dense_rank)")
+        ).alias("rrf6"),
+    )
+    w = Window.orderBy(F.col("rrf6").desc(), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+            "rrf6",
+            "rk",
+        )
+    )

@@ -183,6 +183,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_sample_k_per_group",
     "ext_mad_outliers",
     "ext_seasonal_profile",
+    "ext_rank_fusion_rrf",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
