@@ -824,3 +824,75 @@ def ext_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pit_price_cents") != F.col("latest_price_cents"))
         ).alias("naive_join_leaks"),
     )
+
+
+_CARD_BUCKETS = 64
+
+
+@query(
+    "ext_join_cardinality_estimate",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey % {_CARD_BUCKETS} AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d
+      FROM orders GROUP BY 1
+    ), bb AS (
+      SELECT l_orderkey % {_CARD_BUCKETS} AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d
+      FROM lineitem GROUP BY 1
+    ), est AS (
+      SELECT CAST(SUM(a.n * bb.n // greatest(a.d, bb.d)) AS BIGINT) AS est_rows
+      FROM a JOIN bb USING (b)
+    ), exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_rows
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT exact.exact_rows, est.est_rows,
+           CAST(est.est_rows * 1000000 // exact.exact_rows AS BIGINT)
+             AS est_ratio6
+    FROM exact, est
+    """,
+)
+def ext_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation, the planner statistic demystified:
+    per-side {_CARD_BUCKETS}-bucket key histograms (row count + distinct
+    count per bucket) predict |orders ⋈ lineitem| under the textbook
+    within-bucket uniformity assumption — Σ_b nA·nB/max(dA,dB) — and the
+    prediction is scored against the true join size. This is exactly the
+    estimate a cost-based optimizer derives from column histograms, and
+    the diagnostic to run when a real plan picks a catastrophic join
+    order: a ratio far from 1e6 means the histogram's assumption broke
+    (skew, correlation). Integer arithmetic throughout.
+
+    Scale: histograms are one aggregate per side ({_CARD_BUCKETS} rows
+    each); the exact count here is the verification half, which a planner
+    never pays."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def hist(df, key):
+        return df.groupBy((F.col(key) % _CARD_BUCKETS).alias("b")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(key).alias("d"),
+        )
+    a = hist(orders, "o_orderkey")
+    b = hist(li, "l_orderkey")
+    est = (
+        a.alias("a")
+        .join(b.alias("bb"), "b")
+        .agg(
+            F.sum(
+                F.expr("a.n * bb.n DIV greatest(a.d, bb.d)")
+            ).alias("est_rows")
+        )
+    )
+    exact = orders.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    ).agg(F.count(F.lit(1)).alias("exact_rows"))
+    return exact.join(est).select(
+        "exact_rows",
+        "est_rows",
+        F.expr("est_rows * 1000000 DIV exact_rows").alias("est_ratio6"),
+    )

@@ -184,6 +184,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_mad_outliers",
     "ext_seasonal_profile",
     "ext_rank_fusion_rrf",
+    "ext_join_cardinality_estimate",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
