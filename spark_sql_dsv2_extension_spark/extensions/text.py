@@ -2366,3 +2366,86 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty6"),
         )
     )
+
+
+@query(
+    "ext_classifier_metrics",
+    oracle=f"""
+    WITH preds AS (
+      {_LANGID_ORACLE.strip()}
+    ), classes AS (
+      SELECT DISTINCT actual_lang AS cls FROM preds
+    ), stats AS (
+      SELECT classes.cls,
+             (SELECT count(*) FROM preds
+              WHERE pred_lang = classes.cls AND actual_lang = classes.cls)
+               AS tp,
+             (SELECT count(*) FROM preds
+              WHERE pred_lang = classes.cls AND actual_lang <> classes.cls)
+               AS fp,
+             (SELECT count(*) FROM preds
+              WHERE actual_lang = classes.cls AND pred_lang <> classes.cls)
+               AS fn
+      FROM classes
+    )
+    SELECT cls,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT)
+             AS precision6,
+           CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall6,
+           CAST(2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS BIGINT)
+             AS f1_6
+    FROM stats
+    """,
+)
+def ext_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the language-ID classifier
+    against the labeled fixture — the evaluation table every classifier
+    deployed as a PIPELINE GATE needs next to its confusion matrix
+    (ext_lang_confusion): a class with high precision but low recall
+    under-fills its bucket; the reverse contaminates it. All rates are
+    exact integer micro-units (F1 as 2tp/(2tp+fp+fn), no float means).
+
+    Scale: one prediction pass + a per-class aggregate over the
+    (tiny) prediction-label pair counts."""
+    preds = ext_langid(spark, sf_dir).select("actual_lang", "pred_lang")
+    pair = preds.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    classes = pair.select(F.col("actual_lang").alias("cls")).distinct()
+    tp = pair.filter(F.col("pred_lang") == F.col("actual_lang")).select(
+        F.col("actual_lang").alias("cls"), F.col("c").alias("tp")
+    )
+    fp = (
+        pair.filter(F.col("pred_lang") != F.col("actual_lang"))
+        .groupBy(F.col("pred_lang").alias("cls"))
+        .agg(F.sum("c").alias("fp"))
+    )
+    fn = (
+        pair.filter(F.col("pred_lang") != F.col("actual_lang"))
+        .groupBy(F.col("actual_lang").alias("cls"))
+        .agg(F.sum("c").alias("fn"))
+    )
+    stats = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    return stats.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("tp * 1000000 DIV greatest(tp + fp, 1)").alias("precision6"),
+        F.expr("tp * 1000000 DIV greatest(tp + fn, 1)").alias("recall6"),
+        F.expr("2 * tp * 1000000 DIV greatest(2 * tp + fp + fn, 1)").alias(
+            "f1_6"
+        ),
+    )

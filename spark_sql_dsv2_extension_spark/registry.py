@@ -185,6 +185,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_seasonal_profile",
     "ext_rank_fusion_rrf",
     "ext_join_cardinality_estimate",
+    "ext_classifier_metrics",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
