@@ -773,3 +773,105 @@ def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ad").alias("abs_dev"),
         )
     )
+
+
+_EPOCHS = (0, 1)
+
+
+@query(
+    "ext_epoch_shuffle_plan",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, t.epoch,
+             (doc_id * 2654435761 + t.epoch * 97003 + 12289)
+               % 2147483647 AS hv
+      FROM documents, (SELECT unnest([0, 1]) AS epoch) t
+    )
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY hv, doc_id)
+                AS BIGINT) AS position
+    FROM e
+    WHERE doc_id < 50
+    """,
+)
+def ext_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic shuffle plan: each training epoch orders
+    the corpus by hash(doc_id, epoch) — a DIFFERENT permutation every
+    epoch (the mixing training needs) that any worker can recompute from
+    (doc_id, epoch) alone (the reproducibility training also needs — no
+    shared shuffle state, no RNG checkpoint). Emitted for the first 50
+    docs across two epochs so the oracle pins both permutations.
+
+    Scale: the 'shuffle' is a rank over a hash — data never moves; the
+    dataloader reads positions, not rows, and at shard granularity the
+    same hash orders shards within an epoch."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    e = docs.select("doc_id").join(
+        F.broadcast(
+            spark.createDataFrame([(e,) for e in _EPOCHS], "epoch INT")
+        )
+    ).select(
+        "epoch",
+        "doc_id",
+        (
+            (F.col("doc_id") * 2654435761 + F.col("epoch") * 97003 + 12289)
+            % 2147483647
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("epoch").orderBy("hv", "doc_id")
+    return e.select(
+        "epoch", "doc_id", F.row_number().over(w).cast("long").alias("position")
+    )
+
+
+_CURVE_PCTS = (10, 30, 100)
+
+
+@query(
+    "ext_learning_curve_subsets",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1
+             END AS n_tokens,
+             (doc_id * 2654435761 + 54321) % 2147483647 % 100 AS bucket
+      FROM documents
+    )
+    SELECT t.pct,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM h, (SELECT unnest([10, 30, 100]) AS pct) t
+    WHERE h.bucket < t.pct
+    GROUP BY t.pct
+    """,
+)
+def ext_learning_curve_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED learning-curve subsets: 10% / 30% / 100% slices drawn by one
+    hash against rising thresholds, so every smaller subset is contained
+    in every larger one — the property that makes scaling-law points
+    comparable (the 30% run trains on a superset of the 10% run's data,
+    never a resample). Reports docs and tokens per slice.
+
+    Scale: one hash per row evaluated against each threshold — a single
+    scan; the subsets are views (filters), never materialized copies."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    h = docs.select(
+        n_tokens.alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761 + 54321) % 2147483647 % 100).alias(
+            "bucket"
+        ),
+    )
+    pcts = spark.createDataFrame([(p,) for p in _CURVE_PCTS], "pct INT")
+    return (
+        h.join(F.broadcast(pcts), h.bucket < pcts.pct)
+        .groupBy("pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

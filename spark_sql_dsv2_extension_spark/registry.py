@@ -186,6 +186,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_rank_fusion_rrf",
     "ext_join_cardinality_estimate",
     "ext_classifier_metrics",
+    "ext_epoch_shuffle_plan",
+    "ext_learning_curve_subsets",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
