@@ -2449,3 +2449,87 @@ def ext_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f1_6"
         ),
     )
+
+
+_CLIP_N = 4  # n-gram size for repetition clipping
+
+
+@query(
+    "ext_repetition_clip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             generate_subscripts(list_transform(
+               range(1, greatest(len(t) - {_CLIP_N} + 2, 1)),
+               i -> array_to_string(t[CAST(i AS INT):CAST(i + {_CLIP_N} - 1 AS INT)], ' ')), 1)
+               AS pos,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_CLIP_N} + 2, 1)),
+               i -> array_to_string(t[CAST(i AS INT):CAST(i + {_CLIP_N} - 1 AS INT)], ' ')))
+               AS g
+      FROM toks
+    ), firsts AS (
+      SELECT doc_id, g, min(pos) AS first_pos, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY doc_id, g
+    ), rep AS (
+      SELECT grams.doc_id, min(grams.pos) AS clip_pos
+      FROM grams JOIN firsts
+        ON grams.doc_id = firsts.doc_id AND grams.g = firsts.g
+      WHERE firsts.c > 1 AND grams.pos > firsts.first_pos
+      GROUP BY grams.doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(rep.clip_pos AS BIGINT) AS clip_pos,
+           CAST(coalesce(rep.clip_pos - 1, len(toks.t)) AS BIGINT)
+             AS kept_tokens
+    FROM toks LEFT JOIN rep ON toks.doc_id = rep.doc_id
+    """,
+)
+def ext_repetition_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition clipping: the first token position where a {_CLIP_N}-gram
+    RECURS within the document — everything from there on is the
+    degenerate-repetition tail that generated text and scraped boilerplate
+    both produce, and that inference post-processors truncate. Reports the
+    clip position (NULL = no repetition) and the kept prefix length;
+    ext_repetition_score gates whole documents, this computes WHERE to cut
+    instead of dropping.
+
+    Scale: per-document gram grouping — all work is partition-local after
+    the doc shuffle; the recurrence test is (gram count > 1 AND pos >
+    first occurrence), no cross-document state."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("t") - (_CLIP_N - 1), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(F.col("t"), i, _CLIP_N), " "),
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "g")
+    firsts = grams.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("c")
+    )
+    rep = (
+        grams.join(firsts, ["doc_id", "g"])
+        .filter((F.col("c") > 1) & (F.col("pos") > F.col("first_pos")))
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("clip_pos"))
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.col("clip_pos").cast("long").alias("clip_pos"),
+        F.coalesce(F.col("clip_pos") - 1, F.col("n_tokens"))
+        .cast("long")
+        .alias("kept_tokens"),
+    )

@@ -188,6 +188,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_classifier_metrics",
     "ext_epoch_shuffle_plan",
     "ext_learning_curve_subsets",
+    "ext_repetition_clip",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
