@@ -1778,3 +1778,77 @@ def ext_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+_AUC_SCALE = 1_000_000
+
+
+_AUC_ORACLE = f"""
+    WITH q AS (
+      SELECT embedding AS q_emb, label AS q_label FROM embeddings
+      WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id,
+             CAST(round(
+               list_dot_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])))
+               * 1e9) AS BIGINT) AS score9,
+             e.label = q.q_label AS is_pos
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ), ranked AS (
+      SELECT is_pos,
+             CAST(row_number() OVER (ORDER BY score9, vec_id) AS BIGINT) AS r
+      FROM scored
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN is_pos THEN r END) AS BIGINT) AS rsum,
+             CAST(count(*) FILTER (WHERE is_pos) AS BIGINT) AS np,
+             CAST(count(*) FILTER (WHERE NOT is_pos) AS BIGINT) AS nn
+      FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST((rsum - np * (np + 1) // 2) * {_AUC_SCALE} // (np * nn)
+                AS BIGINT) AS auc6
+    FROM agg
+"""
+
+
+@query("ext_retrieval_auc", oracle=_AUC_ORACLE)
+def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of the embedding space as a same-label retriever: scoring
+    every corpus vector by cosine to the query (vec 0), with its label
+    match as ground truth, AUC = the Mann-Whitney rank-sum statistic —
+    the probability a random positive outranks a random negative. Scores
+    are rounded to 1e-9 BEFORE ranking so the rank order itself (not just
+    the final number) is identical in both engines; the statistic is then
+    pure integer arithmetic. The single-number cousin of
+    ext_ann_recall_eval's top-k view and ext_knn_label_agreement's
+    per-point view.
+
+    Scale: one scoring pass + one global ordered rank (the same sort any
+    top-k already pays) + a 1-row aggregate."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
+    )
+    scored = emb.filter(F.col("vec_id") != 0).join(F.broadcast(q)).select(
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("q_emb")) * 1e9)
+        .cast("long")
+        .alias("score9"),
+        (F.col("label") == F.col("q_label")).alias("is_pos"),
+    )
+    w = Window.orderBy("score9", "vec_id")
+    ranked = scored.select(
+        "is_pos", F.row_number().over(w).cast("long").alias("r")
+    )
+    return ranked.agg(
+        F.count(F.when(F.col("is_pos"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("is_pos"), 1)).alias("n_neg"),
+        F.expr(
+            f"(sum(CASE WHEN is_pos THEN r END) - count(CASE WHEN is_pos THEN 1 END)"
+            f" * (count(CASE WHEN is_pos THEN 1 END) + 1) DIV 2) * {_AUC_SCALE}"
+            f" DIV (count(CASE WHEN is_pos THEN 1 END)"
+            f" * count(CASE WHEN NOT is_pos THEN 1 END))"
+        ).alias("auc6"),
+    )

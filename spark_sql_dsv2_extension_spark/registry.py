@@ -189,6 +189,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_epoch_shuffle_plan",
     "ext_learning_curve_subsets",
     "ext_repetition_clip",
+    "ext_retrieval_auc",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
