@@ -436,3 +436,26 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_point_in_time_join_single_entity_shuffle(spark, sf_dir):
+    df = SPECS["ext_point_in_time_join"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the union+window PIT shape: no inequality join anywhere
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_hybrid_retrieval_stage2_broadcasts(spark, sf_dir):
+    df = SPECS["ext_hybrid_retrieval"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df)  # candidate/emb join is broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_retrieval_auc_broadcasts_query(spark, sf_dir):
+    df = SPECS["ext_retrieval_auc"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the 1-row query side must come in as a broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in plan
