@@ -2533,3 +2533,65 @@ def ext_repetition_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+@query(
+    "ext_zipf_fit",
+    oracle="""
+    WITH c AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) > 0 GROUP BY w
+    ), ranked AS (
+      SELECT f, CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+      FROM c
+    ), logs AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS lr6,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS lf6
+      FROM ranked
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(lr6) AS BIGINT) AS sr, CAST(SUM(lf6) AS BIGINT) AS sf,
+             CAST(SUM(lr6 * lf6) AS BIGINT) AS srf,
+             CAST(SUM(lr6 * lr6) AS BIGINT) AS srr
+      FROM logs
+    )
+    SELECT n AS n_types,
+           round((CAST(n AS DOUBLE) * srf - CAST(sr AS DOUBLE) * sf)
+                 / (CAST(n AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr), 4)
+             AS zipf_slope
+    FROM agg
+    """,
+)
+def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: least-squares slope of log-frequency against log-rank
+    over the full vocabulary — natural language sits near −1, and a corpus
+    that drifts far from it is telling you something (templated text
+    flattens the head, OCR noise fattens the tail). Per-type logs are
+    rounded to 1e-6 and the regression runs on exact int64 moment sums, so
+    the fitted slope is deterministic to the last micro-unit.
+
+    Scale: one vocabulary count, one ordered rank, one scalar aggregate —
+    the regression never materializes anything but five numbers."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "w")
+    ranked = c.select("f", F.row_number().over(w).cast("long").alias("r"))
+    logs = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1e6).cast("long").alias("lr6"),
+        F.round(F.log(F.col("f").cast("double")) * 1e6).cast("long").alias("lf6"),
+    )
+    return logs.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            "round((CAST(count(*) AS DOUBLE) * sum(lr6 * lf6)"
+            " - CAST(sum(lr6) AS DOUBLE) * sum(lf6))"
+            " / (CAST(count(*) AS DOUBLE) * sum(lr6 * lr6)"
+            " - CAST(sum(lr6) AS DOUBLE) * sum(lr6)), 4)"
+        ).alias("zipf_slope"),
+    )

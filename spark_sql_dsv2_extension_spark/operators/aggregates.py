@@ -1050,3 +1050,47 @@ def ext_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000000 - sum(ci * ci) * 1000000 DIV (sum(ci) * sum(ci))"
         ).alias("diversity6"),
     )
+
+
+@query(
+    "ext_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS days,
+             CAST(SUM(n) AS BIGINT) AS sn,
+             CAST(SUM(n * n) AS BIGINT) AS snn
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, days, sn AS n_events,
+           CAST((days * snn - sn * sn) * 1000000
+                // (greatest(days - 1, 1) * sn) AS BIGINT) AS fano6
+    FROM agg
+    """,
+)
+def ext_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of daily event volume per type:
+    variance-to-mean ratio of the per-day counts — 1e6 means Poisson-like
+    steady arrivals, far above means bursts (bot storms, batch uploads),
+    far below means throttled/scheduled traffic. Computed from exact
+    integer moments (n·Σx² − (Σx)²), so the ratio is deterministic; the
+    same moment trick as agg_stats_exact, specialized to the monitor every
+    ingest pipeline should run.
+
+    Scale: one (day, type) rollup then a per-type scalar aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"), "event_type"
+    ).groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n").alias("n_events"),
+        F.expr(
+            "(count(*) * sum(n * n) - sum(n) * sum(n)) * 1000000"
+            " DIV (greatest(count(*) - 1, 1) * sum(n))"
+        ).alias("fano6"),
+    )

@@ -190,6 +190,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_learning_curve_subsets",
     "ext_repetition_clip",
     "ext_retrieval_auc",
+    "ext_zipf_fit",
+    "ext_burstiness_fano",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
