@@ -2595,3 +2595,45 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sum(lr6) AS DOUBLE) * sum(lr6)), 4)"
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "ext_heaps_law_points",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), t AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+    slices AS (SELECT unnest([10, 30, 100]) AS pct)
+    SELECT slices.pct,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT t.w) AS BIGINT) AS vocab
+    FROM t JOIN slices
+      ON (t.doc_id * 2654435761 + 54321) % 2147483647 % 100 < slices.pct
+    GROUP BY slices.pct
+    """,
+)
+def ext_heaps_law_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law curve points: vocabulary size against token count over
+    the NESTED 10/30/100% corpus slices (the ext_learning_curve_subsets
+    hash, so each point's corpus contains the previous one's) — the
+    V(n) = K·n^β growth that predicts how much NEW vocabulary the next
+    10 TB of crawl will add, which sizes tokenizers and OOV budgets. The
+    points are exact counts; fit β downstream on three (ln n, ln V)
+    pairs.
+
+    Scale: one token pass fanned across the three thresholds — the slice
+    predicate is arithmetic on the hash, so no slice is materialized."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    slices = spark.createDataFrame([(10,), (30,), (100,)], "pct INT")
+    bucket = (F.col("doc_id") * 2654435761 + 54321) % 2147483647 % 100
+    return (
+        t.join(F.broadcast(slices), bucket < F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("vocab"),
+        )
+    )

@@ -1094,3 +1094,62 @@ def ext_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (greatest(count(*) - 1, 1) * sum(n))"
         ).alias("fano6"),
     )
+
+
+@query(
+    "ext_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS days, CAST(SUM(n) AS BIGINT) AS sn
+      FROM daily
+    ), cus AS (
+      SELECT day, n,
+             SUM(n * tot.days - tot.sn) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS c
+      FROM daily, tot
+    )
+    SELECT day AS changepoint_day, n AS day_count,
+           CAST(c AS BIGINT) AS cusum_scaled
+    FROM cus
+    ORDER BY abs(c) DESC, day LIMIT 1
+    """,
+)
+def ext_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume: the cumulative
+    sum of deviations from the global mean peaks (in absolute value) at
+    the most likely level-shift point — the standard offline changepoint
+    estimator, and the alarm that localizes WHEN the drift
+    ext_distribution_drift scores actually happened. Deviations are kept
+    exactly integer by scaling through the day count (n·days − total)
+    instead of subtracting a fractional mean.
+
+    Scale: one daily rollup, one running window over #days rows, one
+    top-1."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("days"), F.sum("n").alias("sn")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cus = daily.join(F.broadcast(tot)).select(
+        "day",
+        "n",
+        F.sum(F.col("n") * F.col("days") - F.col("sn")).over(w).alias("c"),
+    )
+    return (
+        cus.orderBy(F.abs(F.col("c")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("n").alias("day_count"),
+            F.col("c").cast("long").alias("cusum_scaled"),
+        )
+    )

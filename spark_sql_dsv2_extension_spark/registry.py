@@ -192,6 +192,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_retrieval_auc",
     "ext_zipf_fit",
     "ext_burstiness_fano",
+    "ext_cusum_changepoint",
+    "ext_heaps_law_points",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
