@@ -2637,3 +2637,56 @@ def ext_heaps_law_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("w").alias("vocab"),
         )
     )
+
+
+@query(
+    "ext_good_turing",
+    oracle="""
+    WITH c AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS r
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) > 0 GROUP BY w
+    ), coc AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS nr FROM c GROUP BY r
+    )
+    SELECT a.r,
+           a.nr,
+           b.nr AS nr_next,
+           CAST((a.r + 1) * b.nr * 1000000 // a.nr AS BIGINT)
+             AS adjusted_r6
+    FROM coc a JOIN coc b ON b.r = a.r + 1
+    WHERE a.r <= 10
+    """,
+)
+def ext_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing: the count-of-counts table and the
+    adjusted count r* = (r+1)·N(r+1)/N(r) for the low-frequency region
+    (r ≤ 10) — the estimator that says how much probability mass belongs
+    to words seen r times, and the mass N₁/N that belongs to UNSEEN words
+    (the r=1 row's tale). Kneser-Ney's ancestor, still the quick check
+    on any smoother's low-count behavior. Exact integers into a
+    micro-unit ratio.
+
+    Scale: vocabulary count then a count-of-counts over it (tiny) —
+    two grouped aggregates."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    coc = c.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
+    a, b = coc.alias("a"), coc.alias("b")
+    return (
+        a.join(b, F.col("b.r") == F.col("a.r") + 1)
+        .filter(F.col("a.r") <= 10)
+        .select(
+            F.col("a.r").alias("r"),
+            F.col("a.nr").alias("nr"),
+            F.col("b.nr").alias("nr_next"),
+            F.expr("(a.r + 1) * b.nr * 1000000 DIV a.nr").alias(
+                "adjusted_r6"
+            ),
+        )
+    )

@@ -629,3 +629,54 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "false").parquet(out).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "scan_union_multiformat",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value4
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_union_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-format read: the SAME logical table split across
+    parquet, csv, and json shards (the real state of most lakes after a
+    few ingestion generations), read back format-by-format, aligned with
+    unionByName, and aggregated — totals must equal the single-format
+    truth. Values ride as integer 1e-4 units through csv/json so text
+    round-tripping is exact.
+
+    Scale: each format scan parallelizes independently; the union is
+    plan-level (no shuffle) and the aggregate is the only exchange. This
+    is the migration posture: old csv shards coexist with new parquet
+    until rewritten, queries never notice."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    root = _scratch("multifmt")
+    pq_dir = os.path.join(root, "pq")
+    csv_dir = os.path.join(root, "csv")
+    json_dir = os.path.join(root, "json")
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("overwrite").parquet(pq_dir)
+    ev.filter(F.col("event_id") % 3 == 1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(csv_dir)
+    ev.filter(F.col("event_id") % 3 == 2).write.mode("overwrite").json(json_dir)
+    schema = "event_id BIGINT, event_type STRING, v4 BIGINT"
+    parts = [
+        spark.read.parquet(pq_dir),
+        spark.read.schema(schema).option("header", "true").csv(csv_dir),
+        spark.read.schema(schema).json(json_dir),
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v4").alias("sum_value4"),
+    )
