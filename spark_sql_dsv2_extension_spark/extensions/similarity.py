@@ -1852,3 +1852,135 @@ def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * count(CASE WHEN NOT is_pos THEN 1 END))"
         ).alias("auc6"),
     )
+
+
+_MULTIPROBE_ORACLE = f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, {N_PLANES}),
+               p -> CASE WHEN list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(0, 64),
+                          j -> embedding[CAST(j + 1 AS INT)] *
+                               (((p * 64 + j) * {_LSH_A} + {_LSH_B}) % {_LSH_M}
+                                / {_LSH_M}.0 - 0.5))),
+                      (acc, v) -> acc + v) > 0
+                    THEN 1 << CAST({N_PLANES} - 1 - p AS INT) ELSE 0 END))
+               AS BIGINT) AS sig
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, sig AS q_sig
+      FROM sigs WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT query_id, q_emb, q_sig AS probe FROM q
+      UNION ALL
+      SELECT query_id, q_emb, xor(q_sig, 1 << CAST(t.i AS INT))
+      FROM q, range(0, {N_PLANES}) t(i)
+    ), cand AS (
+      SELECT DISTINCT probes.query_id, probes.q_emb, e.vec_id, e.embedding
+      FROM probes JOIN sigs e ON e.sig = probes.probe
+      WHERE e.vec_id <> probes.query_id
+    ), sims AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+               AS cosine_sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+"""
+
+
+@query("ext_knn_lsh_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def ext_knn_lsh_multiprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = N_PLANES,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """MULTI-PROBE LSH: each query probes its own bucket AND every
+    1-bit-flip neighbor bucket ({N_PLANES}+1 probes) — the standard
+    recall lever that trades a constant factor of candidates for the
+    memory cost of extra hash tables (Lv et al.); a near-miss on one
+    hyperplane's sign no longer loses the neighbor. Candidates stay an
+    equi-join on the signature; only the probe list fans out.
+
+    Scale: candidates grow ~(planes+1)x over single-probe, still
+    ~|corpus|·(planes+1)/2^planes per query — the knob that makes LSH
+    recall tunable WITHOUT re-hashing the corpus (contrast adding planes,
+    which rebuilds signatures)."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+
+    def projection(vec: Column, p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, j: x.cast("double")
+                * (
+                    F.pmod((p * 64 + j) * _LSH_A + _LSH_B, F.lit(_LSH_M)).cast(
+                        "double"
+                    )
+                    / F.lit(float(_LSH_M))
+                    - F.lit(0.5)
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    def signature(vec: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc * 2
+            + F.when(projection(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    sigs = emb.select(
+        "vec_id", "embedding", signature(F.col("embedding")).alias("sig")
+    ).cache()
+    q = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
+    )
+    flips = F.array(
+        F.col("q_sig"),
+        *[
+            F.expr(f"q_sig ^ {1 << i}").alias(f"f{i}")
+            for i in range(n_planes)
+        ],
+    )
+    probes = q.select(
+        "query_id", "q_emb", F.explode(flips).alias("probe")
+    )
+    cand = (
+        sigs.join(
+            F.broadcast(probes),
+            (F.col("sig") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+    )

@@ -196,6 +196,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_heaps_law_points",
     "ext_good_turing",
     "scan_union_multiformat",
+    "ext_knn_lsh_multiprobe",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
