@@ -939,3 +939,67 @@ def ext_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow_mean",
         (F.col("n") - F.col("dow_mean")).alias("residual"),
     )
+
+
+@query(
+    "ext_run_length_stats",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS new_run
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM s
+    ), rl AS (
+      SELECT user_id, run_id, CAST(count(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS n_events
+    FROM rl GROUP BY user_id
+    """,
+)
+def ext_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding statistics of each user's event-type sequence:
+    run count, longest run, and total length — n_runs << n_events means a
+    repetitive/bot-like stream (and quantifies how well the sequence
+    column would RLE-compress); the same new-run flag + running-sum shape
+    as sessionization (win_gap_islands), keyed on value change instead of
+    time gap.
+
+    Scale: one window pass and two grouped counts, all sharing the
+    user_id shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = s.withColumn("run_id", F.sum("new_run").over(cum))
+    rl = runs.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return rl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("n_events"),
+    )

@@ -197,6 +197,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_good_turing",
     "scan_union_multiformat",
     "ext_knn_lsh_multiprobe",
+    "ext_run_length_stats",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
