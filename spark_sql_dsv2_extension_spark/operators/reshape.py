@@ -1003,3 +1003,117 @@ def ext_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("longest_run"),
         F.sum("run_len").alias("n_events"),
     )
+
+
+@query(
+    "ext_freshness_lag",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS latest_us,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), g AS (SELECT CAST(max(latest_us) AS BIGINT) AS global_us FROM per_type)
+    SELECT event_type, n,
+           CAST((g.global_us - latest_us) // 1000000 AS BIGINT) AS lag_sec,
+           (g.global_us - latest_us) // 1000000 > 3600 AS stale
+    FROM per_type, g
+    """,
+)
+def ext_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness report: each event type's most recent event versus
+    the newest event anywhere, as a lag in seconds with a staleness flag
+    (>1 h behind) — the first page of every pipeline dashboard, answering
+    'which producer stopped' before anyone debugs a join. Integer
+    microsecond arithmetic throughout.
+
+    Scale: one per-type max (partial-aggregated at the scan) and a 1-row
+    broadcast — the report costs a metadata pass; with footer-stats
+    pruning (sink_sorted_layout) it needn't even scan data."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("latest_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = per_type.agg(F.max("latest_us").alias("global_us"))
+    return per_type.join(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        F.expr("(global_us - latest_us) DIV 1000000").alias("lag_sec"),
+        (F.expr("(global_us - latest_us) DIV 1000000") > 3600).alias("stale"),
+    )
+
+
+@query(
+    "ext_first_touch_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, event_type, tag,
+             first_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_click_id,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_id
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, first_click_id, last_click_id,
+           first_click_id IS NOT NULL
+             AND first_click_id <> last_click_id AS multi_touch
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def ext_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch vs LAST-touch attribution in one pass: every purchase
+    credited to both the user's earliest prior click (first touch — the
+    acquisition view) and the most recent one (last touch — the
+    join_asof_time view), with a multi-touch flag where the two disagree
+    — the disagreement rate is exactly the stake in every attribution-
+    model debate. Both credits come from running first/last(ignorenulls)
+    frames over one (ts, tag, id) sort.
+
+    Scale: single shuffle on user_id; two frames share the sort."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.first("click_id", ignorenulls=True).over(w).alias("first_click_id"),
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    return out.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "first_click_id",
+        "last_click_id",
+        (
+            F.col("first_click_id").isNotNull()
+            & (F.col("first_click_id") != F.col("last_click_id"))
+        ).alias("multi_touch"),
+    )

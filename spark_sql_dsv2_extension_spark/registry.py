@@ -198,6 +198,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_union_multiformat",
     "ext_knn_lsh_multiprobe",
     "ext_run_length_stats",
+    "ext_freshness_lag",
+    "ext_first_touch_attribution",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
