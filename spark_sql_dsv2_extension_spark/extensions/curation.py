@@ -875,3 +875,82 @@ def ext_learning_curve_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+_RING_M = 2_147_483_647
+_RING_NODES_BEFORE = 4
+_RING_NODES_AFTER = 5
+
+
+def _ring_assign_sql(n_nodes: int) -> str:
+    """Packed argmin over clockwise ring distance to each node point."""
+    return f"""(
+      SELECT min(((nh - dh) % {_RING_M} + {_RING_M}) % {_RING_M} * 8 + node)
+      FROM (SELECT t.node,
+                   (t.node * 48271 + 11) % {_RING_M} AS nh
+            FROM range(0, {n_nodes}) t(node))
+    ) % 8"""
+
+
+@query(
+    "ext_consistent_hash_ring",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + 97) % {_RING_M} AS dh
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id,
+             {_ring_assign_sql(_RING_NODES_BEFORE)} AS node_before,
+             {_ring_assign_sql(_RING_NODES_AFTER)} AS node_after
+      FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE node_before <> node_after) AS BIGINT)
+             AS n_moved,
+           CAST(count(*) FILTER (WHERE node_before <> node_after)
+                * 1000000 // count(*) AS BIGINT) AS moved_share6
+    FROM assigned
+    """,
+)
+def ext_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring rebalance: documents assigned to the node
+    with the smallest clockwise ring distance, under {_RING_NODES_BEFORE}
+    nodes and again after adding one — the moved fraction should sit near
+    1/{_RING_NODES_AFTER} (the consistent-hashing guarantee; naive
+    mod-N sharding would move ~{_RING_NODES_AFTER - 1}/{_RING_NODES_AFTER}
+    of all keys). This is the placement math behind shard maps, cache
+    tiers, and state-store scale-out, measured rather than asserted.
+    Packed-integer argmin, exact throughout.
+
+    Scale: pure per-row arithmetic against a broadcast node list — the
+    rebalance PLAN for a trillion keys costs one scan."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", ((F.col("doc_id") * 2654435761 + 97) % _RING_M).alias("dh")
+    )
+
+    def assign(n_nodes: int):
+        terms = [
+            (
+                ((F.lit((node * 48271 + 11) % _RING_M) - F.col("dh")) % _RING_M
+                 + _RING_M) % _RING_M * 8 + node
+            )
+            for node in range(n_nodes)
+        ]
+        return (F.least(*terms) % 8)
+
+    assigned = d.select(
+        "doc_id",
+        assign(_RING_NODES_BEFORE).alias("node_before"),
+        assign(_RING_NODES_AFTER).alias("node_after"),
+    )
+    moved = F.count(F.when(F.col("node_before") != F.col("node_after"), 1))
+    return assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        moved.alias("n_moved"),
+        F.expr(
+            "count(CASE WHEN node_before <> node_after THEN 1 END)"
+            " * 1000000 DIV count(*)"
+        ).alias("moved_share6"),
+    )

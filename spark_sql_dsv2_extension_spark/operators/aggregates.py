@@ -1153,3 +1153,48 @@ def ext_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("long").alias("cusum_scaled"),
         )
     )
+
+
+@query(
+    "ext_lorenz_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+    ), binned AS (
+      SELECT x, ntile(10) OVER (ORDER BY x, user_id) AS decile FROM per_user
+    ), d AS (
+      SELECT decile, CAST(SUM(x) AS BIGINT) AS dx FROM binned GROUP BY decile
+    ), t AS (SELECT CAST(SUM(dx) AS BIGINT) AS sx FROM d)
+    SELECT decile,
+           dx AS decile_events,
+           CAST(SUM(dx) OVER (ORDER BY decile
+                              ROWS UNBOUNDED PRECEDING) * 1000000 // t.sx
+                AS BIGINT) AS cum_share6
+    FROM d, t
+    """,
+)
+def ext_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of user activity: cumulative share of events held by
+    each activity decile (poorest first) — the curve whose gap from the
+    diagonal IS ext_gini_concentration's number, kept as 10 plottable
+    points for dashboards and mix reviews ('the top decile holds 40% of
+    traffic'). Deterministic deciles, exact integer cumulative shares.
+
+    Scale: per-user count, one decile window, a 10-row running sum."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    binned = per_user.select("x", F.ntile(10).over(w).alias("decile"))
+    d = binned.groupBy("decile").agg(F.sum("x").alias("dx"))
+    t = d.agg(F.sum("dx").alias("sx"))
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.join(F.broadcast(t)).select(
+        "decile",
+        F.col("dx").alias("decile_events"),
+        F.expr(
+            "sum(dx) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) * 1000000 DIV sx"
+        ).alias("cum_share6"),
+    )

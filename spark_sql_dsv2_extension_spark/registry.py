@@ -200,6 +200,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_run_length_stats",
     "ext_freshness_lag",
     "ext_first_touch_attribution",
+    "ext_lorenz_curve",
+    "ext_consistent_hash_ring",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
