@@ -270,3 +270,57 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_of("n_chars", "source").alias("shard"),
         tag_of("source", "lang").alias("tag"),
     )
+
+
+@query(
+    "udtf_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(['q1', 'q2', 'q3', 'q4']) AS quarter,
+           unnest([CAST(round(o_totalprice * 100) AS BIGINT) // 4,
+                   CAST(round(o_totalprice * 100) AS BIGINT) // 4,
+                   CAST(round(o_totalprice * 100) AS BIGINT) // 4,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                   - 3 * (CAST(round(o_totalprice * 100) AS BIGINT) // 4)])
+             AS cents
+    FROM orders WHERE o_totalprice > 500000.0
+    """,
+)
+def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-optimized Python UDTF (Spark 4 ``useArrow=True``): the same
+    table-function surface as udtf_python but with Arrow-batched transfer
+    instead of pickled rows — the variant that keeps UDTFs viable in a hot
+    path. The function splits each order's total into four quarter
+    installments with the remainder on the last (exact integer cents, so
+    the oracle reproduces every row).
+
+    Scale: per-partition execution, Arrow both directions — the 10-100x
+    row-transfer speedup every other Pandas-UDF rung in this module
+    already banks."""
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="quarter: string, cents: long", useArrow=True)
+    class QuarterInstallments:
+        def eval(self, cents: int):
+            q = cents // 4
+            yield "q1", q
+            yield "q2", q
+            yield "q3", q
+            yield "q4", cents - 3 * q
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 500000.0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents0"),
+        )
+    )
+    o.createOrReplaceTempView("huge_orders")
+    spark.udtf.register("quarter_installments", QuarterInstallments)
+    return spark.sql(
+        """
+        SELECT o_orderkey, s.quarter, s.cents
+        FROM huge_orders, LATERAL quarter_installments(cents0) s
+        """
+    )

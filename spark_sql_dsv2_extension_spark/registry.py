@@ -202,6 +202,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_first_touch_attribution",
     "ext_lorenz_curve",
     "ext_consistent_hash_ring",
+    "udtf_arrow",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
