@@ -85,8 +85,10 @@ def main() -> None:
 
     # Best-of-2 per key: the first pass pays JIT/codegen warm-up, the
     # second measures the steady state; min is the standard noise-robust
-    # aggregate for wall-clock microbenchmarks.
-    timings: dict[str, float] = {}
+    # aggregate for wall-clock microbenchmarks. Both runs are recorded so
+    # the payload carries the cold total (comparable to single-run rounds)
+    # and the per-key run spread.
+    runs: dict[str, list[float]] = {}
     for _run in range(2):
         for key in HEADLINE:
             spec = specs.get(key)
@@ -95,9 +97,10 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 4)
-            if key not in timings or dt < timings[key]:
-                timings[key] = dt
+            runs.setdefault(key, []).append(dt)
+    timings = {k: min(v) for k, v in runs.items()}
     total = round(sum(timings.values()), 4)
+    cold_total = round(sum(v[0] for v in runs.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -106,6 +109,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_runs": runs,
+                "cold_total_wall": cold_total,
                 "runs_per_key": 2,
                 "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -988,9 +988,13 @@ def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
         cat = _get_catalog(spark, m.group(1))
         # target may be bare, ns.table, or cat.ns.table (same catalog/ns only)
         tgt_cat, tgt_ns, tgt = m.group(4), m.group(5), m.group(6)
-        if tgt_cat and tgt_ns and tgt_cat != m.group(1):
+        if tgt_cat and not tgt_ns:
+            # exactly one qualifier present: it is the target NAMESPACE
+            # (ns.table), not a catalog — the regex binds it to group 4
+            tgt_cat, tgt_ns = None, tgt_cat
+        if tgt_cat and tgt_cat != m.group(1):
             raise CatalogError("RENAME across catalogs is unsupported")
-        if tgt_cat and tgt_ns and tgt_ns != m.group(2):
+        if tgt_ns and tgt_ns != m.group(2):
             raise CatalogError("RENAME across namespaces is unsupported")
         cat.rename_table(m.group(2), m.group(3), tgt)
         return None

@@ -249,11 +249,18 @@ _TEMP_NUM6 = 1_000_000  # probabilities reported at 1e-6 resolution
              END) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
     ), weighted AS (
-      SELECT lang, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+      -- integer-scaled weight: SUM over doubles is accumulation-order
+      -- dependent (Spark partial agg vs DuckDB sequential); summing
+      -- bigints is not, so the normalizer is bit-identical on both sides
+      SELECT lang, n_docs, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS w6
       FROM counts
     )
     SELECT lang, n_docs, n_tokens,
-           CAST(round(w / (SELECT SUM(w) FROM weighted) * 1e6) AS BIGINT)
+           CAST(round(CAST(w6 AS DOUBLE)
+                      / CAST((SELECT SUM(w6) FROM weighted) AS DOUBLE)
+                      * 1e6) AS BIGINT)
              AS sample_prob6
     FROM weighted
     """,
@@ -276,15 +283,26 @@ def ext_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.select("lang", n_tokens.alias("nt")).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
     )
-    weighted = counts.withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
-    tot = weighted.agg(F.sum("w").alias("tw"))
+    # weight scaled to an int64 at 1e-6 before summing: the normalizer is
+    # then an integer SUM (order-independent), so the final probability is
+    # one correctly-rounded double divide on identical operands — no
+    # accumulation-order ulp risk across engines
+    weighted = counts.withColumn(
+        "w6",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * _TEMP_NUM6).cast(
+            "long"
+        ),
+    )
+    tot = weighted.agg(F.sum("w6").alias("tw6"))
     return weighted.join(F.broadcast(tot)).select(
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(F.col("w") / F.col("tw") * _TEMP_NUM6).cast("long").alias(
-            "sample_prob6"
-        ),
+        F.round(
+            F.col("w6").cast("double") / F.col("tw6").cast("double") * _TEMP_NUM6
+        )
+        .cast("long")
+        .alias("sample_prob6"),
     )
 
 
@@ -563,10 +581,16 @@ _NEG_TOP = 25
       SELECT w, CAST(count(*) AS BIGINT) AS n
       FROM tok WHERE length(w) > 0 GROUP BY w
     ), p AS (
-      SELECT w, n, power(CAST(n AS DOUBLE), 0.75) AS u FROM c
-    ), t AS (SELECT SUM(u) AS z FROM p)
+      -- integer-scaled weight: double SUM is accumulation-order dependent
+      -- across engines; bigint SUM is exact, so z6 is bit-identical
+      SELECT w, n,
+             CAST(round(power(CAST(n AS DOUBLE), 0.75) * 1e6) AS BIGINT)
+               AS u6
+      FROM c
+    ), t AS (SELECT SUM(u6) AS z6 FROM p)
     SELECT w AS word, n,
-           CAST(round(u / z * 1e6) AS BIGINT) AS noise_prob6
+           CAST(round(CAST(u6 AS DOUBLE) / CAST(z6 AS DOUBLE) * 1e6)
+                AS BIGINT) AS noise_prob6
     FROM p, t
     ORDER BY n DESC, w LIMIT {_NEG_TOP}
     """,
@@ -590,16 +614,25 @@ def ext_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    p = c.withColumn("u", F.pow(F.col("n").cast("double"), F.lit(0.75)))
-    t = p.agg(F.sum("u").alias("z"))
+    # integer-scaled weights (see ext_temperature_mixture): the normalizer
+    # is an exact bigint SUM, so no accumulation-order ulp risk
+    p = c.withColumn(
+        "u6",
+        F.round(F.pow(F.col("n").cast("double"), F.lit(0.75)) * 1e6).cast(
+            "long"
+        ),
+    )
+    t = p.agg(F.sum("u6").alias("z6"))
     return (
         p.join(F.broadcast(t))
         .select(
             F.col("w").alias("word"),
             "n",
-            F.round(F.col("u") / F.col("z") * 1e6).cast("long").alias(
-                "noise_prob6"
-            ),
+            F.round(
+                F.col("u6").cast("double") / F.col("z6").cast("double") * 1e6
+            )
+            .cast("long")
+            .alias("noise_prob6"),
         )
         .orderBy(F.col("n").desc(), "word")
         .limit(_NEG_TOP)
@@ -729,12 +762,15 @@ def ext_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_mad_outliers",
     oracle="""
     WITH med AS (
-      SELECT CAST(median(n_chars) AS BIGINT) AS m FROM documents
+      -- floor(): DuckDB's CAST(double AS BIGINT) rounds-half-up while
+      -- Spark's .cast('long') truncates; values are non-negative so
+      -- floor == truncation and both engines agree at a .5 median.
+      SELECT CAST(floor(median(n_chars)) AS BIGINT) AS m FROM documents
     ), dev AS (
       SELECT doc_id, n_chars, abs(n_chars - med.m) AS ad, med.m
       FROM documents, med
     ), mad AS (
-      SELECT CAST(median(ad) AS BIGINT) AS mad FROM dev
+      SELECT CAST(floor(median(ad)) AS BIGINT) AS mad FROM dev
     )
     SELECT dev.doc_id, dev.n_chars, CAST(dev.m AS BIGINT) AS median_chars,
            CAST(mad.mad AS BIGINT) AS mad_chars,

@@ -513,43 +513,89 @@ FUZZY_MAX_RATIO = 0.3  # edit distance ≤ 30% of the longer text
     JOIN documents b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE levenshtein(a.text, b.text)
-          <= CAST({FUZZY_MAX_RATIO} * greatest(len(a.text), len(b.text)) AS BIGINT)
+          <= CAST(floor({FUZZY_MAX_RATIO} * greatest(len(a.text), len(b.text)))
+                  AS BIGINT)
     """,
 )
 def ext_fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicate pairs — the third dedup family next to
     shingle-Jaccard (MinHash/SimHash) and embedding-cosine: Levenshtein
     catches small in-place edits (typo fixes, template fills) that shingles
-    over-penalize. Integer metric → exact oracle with no float anywhere.
+    over-penalize. Integer metric → exact oracle with no float anywhere
+    (the oracle's threshold uses floor() so DuckDB's rounding CAST matches
+    Spark's truncating cast at a .5 boundary).
 
-    Blocked on ``lang``; at 100 TB the block would be an LSH/length bucket — edit
-    distance is O(len²) per pair, so the scale move is ALWAYS candidate
-    generation first (MinHash bands), Levenshtein only as the precise
-    re-check on candidates, exactly as exact-Jaccard re-checks MinHash
-    candidates in ``ext_near_dedup_minhash``."""
+    Candidate generation is blocked on (lang, length-band), NOT lang alone:
+    ed(a,b) ≥ |len(a)−len(b)|, so a qualifying pair needs
+    min_len ≥ (1−{FUZZY_MAX_RATIO})·max_len — geometric length bands of
+    ratio {1 - FUZZY_MAX_RATIO} put every such pair in the same or adjacent
+    band (EXACT recall, no LSH probability). Each doc probes its own and
+    the next band; an exact length-ratio filter prunes before the O(len²)
+    Levenshtein runs, so the expensive metric is verify-only — the same
+    candidates→verify shape as ``ext_near_dedup_minhash``. The equi-join
+    key is (lang, band): partition count scales with corpus length spread
+    instead of collapsing onto a handful of hot language blocks."""
+    import math
+
     docs = fan_out(load(spark, sf_dir, "documents"))
-    a = docs.select(
-        F.col("lang").alias("a_lang"),
-        F.col("doc_id").alias("d1"),
-        F.col("text").alias("a_text"),
+    ratio = 1.0 - FUZZY_MAX_RATIO
+    band_base = math.log(1.0 / ratio)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("len"),
+        F.floor(F.log(F.length("text") + 1) / band_base).alias("band"),
     )
-    b = docs.select(
-        F.col("lang").alias("b_lang"),
-        F.col("doc_id").alias("d2"),
-        F.col("text").alias("b_text"),
+    # each doc probes its home band and the band above; the lower-band side
+    # of any adjacent-band pair finds it, same-band pairs are found twice
+    # and deduped by least/greatest below
+    probe = base.select(
+        F.col("doc_id").alias("p_id"),
+        F.col("lang").alias("p_lang"),
+        F.col("text").alias("p_text"),
+        F.col("len").alias("p_len"),
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("band"),
+    )
+    home = base.select(
+        F.col("doc_id").alias("h_id"),
+        F.col("lang").alias("h_lang"),
+        F.col("text").alias("h_text"),
+        F.col("len").alias("h_len"),
+        "band",
+    )
+    cand = (
+        probe.join(
+            home,
+            (F.col("p_lang") == F.col("h_lang"))
+            & (probe["band"] == home["band"])
+            & (F.col("p_id") != F.col("h_id")),
+        )
+        # exact necessary condition: |len diff| ≤ ratio bound, else ed can't
+        # reach the threshold — prunes before Levenshtein
+        .filter(
+            F.greatest("p_len", "h_len") * F.lit(ratio)
+            <= F.least("p_len", "h_len") + 1
+        )
+        .select(
+            F.least("p_id", "h_id").alias("d1"),
+            F.greatest("p_id", "h_id").alias("d2"),
+            F.when(F.col("p_id") < F.col("h_id"), F.col("p_text"))
+            .otherwise(F.col("h_text"))
+            .alias("a_text"),
+            F.when(F.col("p_id") < F.col("h_id"), F.col("h_text"))
+            .otherwise(F.col("p_text"))
+            .alias("b_text"),
+        )
+        .distinct()
     )
     ed = F.levenshtein("a_text", "b_text")
-    return (
-        a.join(b, (F.col("a_lang") == F.col("b_lang")) & (F.col("d1") < F.col("d2")))
-        .filter(
-            ed
-            <= (
-                F.lit(FUZZY_MAX_RATIO)
-                * F.greatest(F.length("a_text"), F.length("b_text"))
-            ).cast("long")
-        )
-        .select("d1", "d2", ed.cast("long").alias("edit_dist"))
-    )
+    return cand.filter(
+        ed
+        <= F.floor(
+            F.lit(FUZZY_MAX_RATIO) * F.greatest(F.length("a_text"), F.length("b_text"))
+        ).cast("long")
+    ).select("d1", "d2", ed.cast("long").alias("edit_dist"))
 
 
 @query(
@@ -658,22 +704,70 @@ def ext_near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure that catches a short doc EMBEDDED in a long one (quote pages,
     concatenated crawls), which symmetric Jaccard dilutes below threshold.
     Emits both scores so the gap (high containment, low Jaccard) is
-    directly queryable. Same shingle-intersection join as the Jaccard
-    baseline — candidates only from docs sharing a shingle; at scale the
-    candidate generation is replaced by the MinHash band join, with this
-    exact containment as the verify stage."""
+    directly queryable.
+
+    Candidate generation is PREFIX FILTERING (AllPairs/PPJoin, Bayardo et
+    al. WWW'07), not the raw shingle self-join: order every doc's shingles
+    by ascending global document frequency and probe only the first
+    ⌊(1−t)·n⌋+1 ("prefix"). Pigeonhole gives EXACT recall — a pair with
+    containment ≥ t misses < (1−t)·n_small of the smaller doc's shingles,
+    so at least one PREFIX shingle of the smaller doc appears in the other
+    doc, and every doc probes, so whichever side is smaller finds the pair.
+    The join key is therefore always one of a doc's RAREST shingles:
+    boilerplate hot shingles (the quadratic bucket in the naive join) sort
+    to the end of the canonical order and are never probed. Exact
+    containment/Jaccard then run on candidates only — same
+    candidates→verify shape as ``ext_near_dedup_minhash``, but with a
+    deterministic (non-probabilistic) candidate guarantee, which is what
+    lets the exact oracle stay valid."""
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    # global document frequency per shingle -> canonical rarity order
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.floor((1.0 - CONTAINMENT_THRESHOLD) * F.col("n")).cast("int") + 1
+    ).select("doc_id", "shingle")
+
+    # candidates: a prefix shingle of one doc appearing anywhere in another
+    p = prefix.alias("p")
+    s = sh.alias("s")
+    candidates = (
+        p.join(
+            s,
+            (F.col("p.shingle") == F.col("s.shingle"))
+            & (F.col("p.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "s.doc_id").alias("d1"),
+            F.greatest("p.doc_id", "s.doc_id").alias("d2"),
+        )
+        .distinct()
+    )
+
+    # exact verification on candidates only
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        candidates.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("d2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     n1 = sizes.alias("n1")

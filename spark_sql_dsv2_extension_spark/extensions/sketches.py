@@ -219,8 +219,13 @@ def ext_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass and merged by cell-wise sum (the groupBy here IS that merge).
     The estimate join touches only the candidate set (top-{_CMS_TOP}
     exact, for measurement) against 512 broadcast cells."""
-    docs = fan_out(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
-    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    # token-level filter matches the oracle's length(w) > 0 exactly —
+    # consecutive/leading/trailing spaces split into '' tokens that must
+    # not reach the sketch (a doc-level text filter would miss them)
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
     freq = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("exact_n"))

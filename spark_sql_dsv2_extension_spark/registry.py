@@ -66,66 +66,13 @@ _loaded = False
 # absent from this list follow in module registration order; driver-green
 # keys go last (they stay fully covered by tests/test_parity.py either way).
 #
-# ROUND-4 PROTOCOL: once CORRECTNESS_r03 confirms the current first 50,
-# move that block behind the r2 block below; the queued keys (everything
-# between the round-3 boundary and the r2 block — ALL vanilla-session
-# verified via tests/driver_sim.py this round, r3 session) then occupy the
-# round-4/5/6 windows in order. Keep inserting NEW keys right after
+# ROUND-5 PROTOCOL: once CORRECTNESS_r04 confirms the current first 50,
+# move that block behind the r3 block below; the queued keys (everything
+# between the round-4 boundary and the r3 block) then occupy the
+# round-5/6 windows in order. Keep inserting NEW keys right after
 # whatever 50-key window is current.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-3 window: the 50 keys with no driver row yet
-    "ext_embedding_quantize",
-    "ext_knn_int8",
-    "scan_python_datasource",
-    "scan_python_stream_source",
-    "sink_python_datasource",
-    "sink_overwrite_dynamic",
-    "sink_sorted_layout",
-    "sink_merge_upsert",
-    "sink_compaction",
-    "scan_csv",
-    "scan_json",
-    "scan_orc",
-    "scan_partition_prune",
-    "scan_ignore_corrupt",
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udaf_grouped_map_zscore",
-    "udtf_python",
-    "subq_scalar",
-    "subq_in",
-    "subq_exists_correlated",
-    "subq_lateral",
-    "subq_not_in_null",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_union_by_name",
-    "set_intersect_all",
-    "distinct_rows",
-    "dedup_by_key",
-    "sort_multi_dir",
-    "topk_limit",
-    "topk_per_group",
-    "win_nth_value",
-    "win_fill_forward",
-    "fn_string",
-    "fn_regex",
-    "fn_date",
-    "fn_math",
-    "fn_conditional",
-    "fn_cast",
-    "fn_array_explode",
-    "fn_json",
-    "fn_bitwise",
-    "fn_hash",
-    "fn_json_nested",
-    "fn_struct",
-    # --- 50-key window boundary (round 3) ---
-    # new round-3 keys land here, heading the round-4 window
+    # round-4 window: next 50 keys with no driver row yet
     "ext_hll_union",
     "ext_cms_heavy_hitters",
     "ext_bloom_probe",
@@ -176,6 +123,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ngram_novelty",
     "ext_dataset_diff",
     "ext_point_in_time_join",
+    # --- 50-key window boundary (round 4) ---
+    # new round-4 keys land here, heading the round-5 window
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
@@ -336,6 +285,57 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_volume",
     "ext_corpus_pipeline",
     "stream_sink_catalog_table",
+    # r3-verified keys (50/50 green in CORRECTNESS_r03.json) rotate behind
+    "ext_embedding_quantize",
+    "ext_knn_int8",
+    "scan_python_datasource",
+    "scan_python_stream_source",
+    "sink_python_datasource",
+    "sink_overwrite_dynamic",
+    "sink_sorted_layout",
+    "sink_merge_upsert",
+    "sink_compaction",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "scan_partition_prune",
+    "scan_ignore_corrupt",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udaf_grouped_map_zscore",
+    "udtf_python",
+    "subq_scalar",
+    "subq_in",
+    "subq_exists_correlated",
+    "subq_lateral",
+    "subq_not_in_null",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "set_union_by_name",
+    "set_intersect_all",
+    "distinct_rows",
+    "dedup_by_key",
+    "sort_multi_dir",
+    "topk_limit",
+    "topk_per_group",
+    "win_nth_value",
+    "win_fill_forward",
+    "fn_string",
+    "fn_regex",
+    "fn_date",
+    "fn_math",
+    "fn_conditional",
+    "fn_cast",
+    "fn_array_explode",
+    "fn_json",
+    "fn_bitwise",
+    "fn_hash",
+    "fn_json_nested",
+    "fn_struct",
 )
 
 

@@ -453,6 +453,39 @@ def test_hybrid_retrieval_stage2_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_fuzzy_levenshtein_blocks_on_length_band(spark, sf_dir):
+    """Candidate generation must join on (lang, length-band), never lang
+    alone: a lang-only self-join is all-pairs within each language — the
+    quadratic scale-killer flagged in round 3. The band column must appear
+    among the join keys of the candidate equi-join."""
+    df = SPECS["ext_fuzzy_dedup_levenshtein"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    import re
+
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "lang" in ln
+    ]
+    assert join_lines, plan[:2000]
+    for ln in join_lines:
+        assert re.search(r"band#\d+", ln), f"lang-only candidate join: {ln}"
+
+
+def test_containment_prefix_filter_no_raw_shingle_self_join(spark, sf_dir):
+    """Candidates must come from the document-frequency-ordered PREFIX
+    probe (AllPairs prefix filtering), not the raw shingle self-join whose
+    hot-shingle buckets are quadratic. The prefix ranking window (pos by
+    df) must exist, and every shingle equi-join must have the pruned
+    prefix side (a Filter on pos) below it rather than two full shingle
+    relations."""
+    df = SPECS["ext_near_dup_containment"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan[:2000]
+    # the prefix filter on the rank column must be present in the plan
+    assert "pos" in plan and "df#" in plan, plan[:2000]
+
+
 def test_retrieval_auc_broadcasts_query(spark, sf_dir):
     df = SPECS["ext_retrieval_auc"].fn(spark, sf_dir)
     plan = physical_plan(df)
