@@ -880,6 +880,56 @@ def _parse_spec(text: str) -> dict[str, str]:
     return spec
 
 
+def _map_sql_code_segments(query: str, fn) -> str:
+    """Apply ``fn`` to the CODE portions of a SQL text, leaving string
+    literals (single/double-quoted, with doubled-quote escapes), backquoted
+    identifiers, and comments (``--`` to end of line, ``/* */``) untouched.
+
+    A minimal quote-aware scanner, not a parser: it only needs to know
+    where literals start and end so a 3-part table name inside a string
+    (e.g. ``SELECT 'see cat.db.t'``) is never rewritten into a view name.
+    """
+    out: list[str] = []
+    code_start = 0
+    i, n = 0, len(query)
+
+    def flush_code(end: int) -> None:
+        if end > code_start:
+            out.append(fn(query[code_start:end]))
+
+    while i < n:
+        ch = query[i]
+        if ch in ("'", '"', "`"):
+            flush_code(i)
+            j = i + 1
+            while j < n:
+                if query[j] == ch:
+                    if j + 1 < n and query[j + 1] == ch:  # doubled escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j + 1, n)
+            out.append(query[i:j])
+            i = code_start = j
+        elif ch == "-" and query[i : i + 2] == "--":
+            flush_code(i)
+            j = query.find("\n", i)
+            j = n if j == -1 else j + 1
+            out.append(query[i:j])
+            i = code_start = j
+        elif ch == "/" and query[i : i + 2] == "/*":
+            flush_code(i)
+            j = query.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            out.append(query[i:j])
+            i = code_start = j
+        else:
+            i += 1
+    flush_code(n)
+    return "".join(out)
+
+
 def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
     """Run SQL addressing registered :class:`EngineCatalog` tables by
     3-part ``catalog.namespace.table`` names — the reference's headline UX
@@ -897,8 +947,10 @@ def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
       ``ALTER TABLE ... ADD PARTITION (...) [LOCATION '...']`` (§3.3).
 
     DDL/DML statements return None, like ``spark.sql`` returns an empty
-    DataFrame for them. A text-level rewrite (not a parser) — identifiers
-    inside string literals would be rewritten too, acceptable for a shim.
+    DataFrame for them. A text-level rewrite (not a parser), but
+    quote-aware: 3-part names inside string literals, backquoted
+    identifiers, and comments pass through untouched
+    (see :func:`_map_sql_code_segments`).
     """
     m = _CTAS_RE.match(query)
     if m:
@@ -1019,17 +1071,19 @@ def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
         cat.insert(ns, table, df,
                    overwrite=m.group("mode").upper() == "OVERWRITE")
         return None
-    rewritten = query
-    for cat_name in _SQL_CATALOGS:
-        pattern = re.compile(
-            rf"\b{re.escape(cat_name)}\.(\w+)\.(\w+)\b"
-        )
+    def _rewrite_code(segment: str) -> str:
+        for cat_name in _SQL_CATALOGS:
+            pattern = re.compile(rf"\b{re.escape(cat_name)}\.(\w+)\.(\w+)\b")
 
-        def _sub(m: re.Match, _cat: str = cat_name) -> str:
-            ns, table = m.group(1), m.group(2)
-            view = f"__engine_{_cat}__{ns}__{table}"
-            resolve(spark, f"{_cat}.{ns}.{table}").createOrReplaceTempView(view)
-            return view
+            def _sub(m: re.Match, _cat: str = cat_name) -> str:
+                ns, table = m.group(1), m.group(2)
+                view = f"__engine_{_cat}__{ns}__{table}"
+                resolve(spark, f"{_cat}.{ns}.{table}").createOrReplaceTempView(
+                    view
+                )
+                return view
 
-        rewritten = pattern.sub(_sub, rewritten)
-    return spark.sql(rewritten)
+            segment = pattern.sub(_sub, segment)
+        return segment
+
+    return spark.sql(_map_sql_code_segments(query, _rewrite_code))

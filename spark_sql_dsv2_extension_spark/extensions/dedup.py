@@ -117,7 +117,13 @@ _EXACT_JACCARD_SQL = f"""
     "ext_near_dedup_minhash",
     oracle=_EXACT_JACCARD_SQL.format(thr=JACCARD_THRESHOLD),
 )
-def ext_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_near_dedup_minhash(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
 
     Pipeline (all DataFrame ops, shuffle only on band signatures and
@@ -142,20 +148,26 @@ def ext_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(N_HASHES)
+            for i in range(n_hashes)
         ]
     )
 
     # 24 bands of 4 minhashes; signature = xxhash64 of the band's values.
     # Cached: the self-join below consumes it twice, and without the cache
     # the whole 96-hash signature aggregation would execute once per side.
+    rows_per_band = n_hashes // n_bands
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[F.col(f"h{b * 4 + j}") for j in range(4)])
-                    for b in range(N_BANDS)
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band", "band_sig"),
@@ -201,7 +213,7 @@ def ext_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return jac.filter(F.col("jaccard") >= threshold)
 
 
 @query(

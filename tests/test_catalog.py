@@ -633,3 +633,59 @@ def test_sql_truncate_rename_drop_partition(spark, tmp_path):
     assert engine_sql(spark, "SELECT k FROM lifec.default.t2").count() == 0
     cols = engine_sql(spark, "DESCRIBE TABLE lifec.default.t2").collect()
     assert [c.col_name for c in cols] == ["k", "v", "p"]
+
+
+def test_sql_string_literal_names_not_rewritten(spark, tmp_path):
+    """The identifier rewrite must be quote-aware: a 3-part name inside a
+    string literal (or comment) passes through untouched, while the same
+    name in code position is rewritten (round-3 ADVICE)."""
+    import pytest
+
+    from spark_sql_dsv2_extension_spark.catalog import (
+        CatalogError,
+        EngineCatalog,
+        engine_sql,
+    )
+
+    cat = EngineCatalog(spark, "quotc", str(tmp_path / "w"))
+    cat.create_table("default", "t", "k BIGINT, v STRING")
+    cat.insert(
+        "default", "t",
+        spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"),
+    )
+    got = engine_sql(
+        spark,
+        "SELECT k, 'see quotc.default.t for details' AS note, v "
+        "-- quotc.default.t in a comment\n"
+        "FROM quotc.default.t /* and quotc.default.t here */",
+    ).collect()
+    assert [(r.k, r.note, r.v) for r in got] == [
+        (1, "see quotc.default.t for details", "a")
+    ]
+    # doubled-quote escape inside the literal
+    got = engine_sql(
+        spark,
+        "SELECT 'it''s quotc.default.t' AS s, k FROM quotc.default.t",
+    ).collect()
+    assert got[0].s == "it's quotc.default.t"
+
+
+def test_sql_rename_two_part_target_namespace_guard(spark, tmp_path):
+    """ALTER TABLE cat.ns.t RENAME TO ns2.t2 with a DIFFERENT namespace
+    must raise (round-3 ADVICE: the qualifier was silently dropped); the
+    same-namespace two-part form works."""
+    import pytest
+
+    from spark_sql_dsv2_extension_spark.catalog import (
+        CatalogError,
+        EngineCatalog,
+        engine_sql,
+    )
+
+    cat = EngineCatalog(spark, "renc", str(tmp_path / "w"))
+    cat.create_table("default", "t", "k BIGINT")
+    with pytest.raises(CatalogError, match="namespace"):
+        engine_sql(spark, "ALTER TABLE renc.default.t RENAME TO other.t2")
+    # same-namespace qualifier is accepted
+    engine_sql(spark, "ALTER TABLE renc.default.t RENAME TO default.t2")
+    assert cat.table_exists("default", "t2")
