@@ -990,3 +990,107 @@ def ext_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV count(*)"
         ).alias("moved_share6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+@query(
+    "ext_kanonymity_audit",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_n,
+           count(*) < {KANON_K} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def ext_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): equivalence-class sizes, with classes
+    smaller than k={KANON_K} flagged — the groups whose members a linkage
+    attack can single out, and exactly what a privacy review asks for
+    before customer attributes are released into a training set (the fix
+    is then generalization or suppression of the flagged classes).
+
+    Scale: one hash aggregation on the quasi-identifier tuple — group
+    count is bounded by the QI domain product, not the row count."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        (F.count(F.lit(1)) < KANON_K).alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT d.lang,
+             CAST(round(least(greatest(CAST(d.n_chars AS DOUBLE), q.lo),
+                              q.hi) * 100) AS BIGINT) AS c100
+      FROM documents d JOIN q USING (lang)
+    )
+    SELECT w.lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(q.lo * 100) AS BIGINT) AS lo100,
+           CAST(round(q.hi * 100) AS BIGINT) AS hi100,
+           CAST(SUM(c100) AS BIGINT) AS winsorized_sum100
+    FROM w JOIN q USING (lang)
+    GROUP BY w.lang, q.lo, q.hi
+    """,
+)
+def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized length statistics per language: clip document lengths at
+    the [p5, p95] interpolated percentiles, then aggregate — the robust
+    mean a curation report should quote instead of the raw mean that one
+    10 MB crawl artifact drags arbitrarily. Both engines interpolate
+    percentiles with the same (n−1)·p rule on exact integers, and the
+    clipped sum is integer-scaled (×100), so the result is exact.
+
+    Scale: one percentile aggregation per group (at extreme cardinality,
+    approx_percentile with the same clip contract) and one broadcast of
+    the per-group bounds back onto the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    w = docs.join(F.broadcast(q), "lang").select(
+        "lang",
+        "lo",
+        "hi",
+        F.round(
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("lo")),
+                F.col("hi"),
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("c100"),
+    )
+    return w.groupBy("lang", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c100").alias("winsorized_sum100"),
+    ).select(
+        "lang",
+        "n",
+        F.round(F.col("lo") * 100).cast("long").alias("lo100"),
+        F.round(F.col("hi") * 100).cast("long").alias("hi100"),
+        "winsorized_sum100",
+    )

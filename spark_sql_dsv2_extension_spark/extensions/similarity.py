@@ -1984,3 +1984,67 @@ def ext_knn_lsh_multiprobe(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (columnar exact mean pooling)
+# ---------------------------------------------------------------------------
+
+_CENTROID_DIMS = 8  # report the first 8 components per label
+
+
+@query(
+    "ext_label_centroids",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+               AS x6
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(x6) AS BIGINT) AS sum6,
+           CAST(round(CAST(SUM(x6) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean6
+    FROM comp WHERE pos < {_CENTROID_DIMS}
+    GROUP BY label, pos
+    """,
+)
+def ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids by EXACT columnar mean pooling: every
+    vector component is integer-scaled (×1e6) before summation, so the
+    per-class centroid is bit-identical regardless of aggregation order —
+    the quantity semantic-dedup thresholds, prototype classifiers, and
+    drift monitors are all computed against (first {_CENTROID_DIMS}
+    components reported; the shape is dimension-agnostic).
+
+    Scale: posexplode to (label, pos, component) then ONE partial-
+    aggregable groupBy — the canonical distributed dense-vector reduce:
+    the shuffle carries (label × dim) partial sums, never the vectors.
+    The float→int scaling is what makes the result mergeable without
+    float-order divergence — the same trick as tables.dsum."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).filter(F.col("pos") < _CENTROID_DIMS)
+    return (
+        comp.select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("x").cast("double") * 1e6).cast("long").alias("x6"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("x6").alias("sum6"),
+        )
+        .withColumn(
+            "mean6",
+            F.round(F.col("sum6").cast("double") / F.col("n_vecs")).cast(
+                "long"
+            ),
+        )
+    )

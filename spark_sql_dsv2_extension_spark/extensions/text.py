@@ -2690,3 +2690,187 @@ def ext_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate sentence detection (C4/RefinedWeb-style line dedup)
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 3
+
+
+@query(
+    "ext_boilerplate_sentences",
+    oracle=f"""
+    WITH s AS (
+      SELECT DISTINCT doc_id, sentence FROM (
+        SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+        FROM documents
+      ) WHERE length(sentence) > 0
+    )
+    SELECT sentence, CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) >= {BOILER_MIN_DOCS} AS is_boilerplate
+    FROM s GROUP BY sentence
+    ORDER BY n_docs DESC, sentence LIMIT 30
+    """,
+)
+def ext_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection at the SENTENCE level: sentences that recur
+    across ≥ {BOILER_MIN_DOCS} distinct documents (cookie banners,
+    nav/footer text, license blurbs) — the unit C4's and RefinedWeb's
+    line-dedup filters remove before any document-level dedup runs,
+    because repeated lines inflate n-gram counts and survive doc-level
+    near-dup checks.
+
+    Emits the top-30 sentences by document frequency with the boilerplate
+    flag (the current fixtures have no cross-doc sentence, so the flag is
+    all-false there — the ranking keeps the key's output non-trivial).
+
+    Scale: explode to (doc_id, sentence), distinct (hash shuffle on the
+    pair), then one count per sentence and a top-k (TakeOrdered, not a
+    global sort). At 100 TB, swap the raw sentence for its xxhash64 in
+    the shuffle and join the winning hashes back for display."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    s = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "\\. ")).alias("sentence")
+        )
+        .filter(F.length("sentence") > 0)
+        .distinct()
+    )
+    return (
+        s.groupBy("sentence")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "sentence",
+            "n_docs",
+            (F.col("n_docs") >= BOILER_MIN_DOCS).alias("is_boilerplate"),
+        )
+        .orderBy(F.col("n_docs").desc(), "sentence")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose heuristic
+# ---------------------------------------------------------------------------
+
+_CODE_SYMBOL_CLASS = r"[{}()\[\];=<>]"
+CODE_PER_MILLE = 30
+
+
+@query(
+    "ext_code_detect",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[{{}}()\\[\\];=<>]', '', 'g'))
+                  AS BIGINT) AS n_symbols,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digits,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_symbols, n_digits,
+           CAST(n_symbols * 1000 // n AS BIGINT) AS symbols_per_mille,
+           n_symbols * 1000 // n >= {CODE_PER_MILLE} AS is_code
+    FROM m
+    """,
+)
+def ext_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic: structural-symbol density (braces,
+    brackets, semicolons, operators) per 1000 chars, plus digit counts —
+    the cheap first-pass router that decides whether a crawled document
+    goes to the code pipeline or the text pipeline (a trained classifier
+    replaces the threshold; the plumbing — per-row counting, integer
+    densities, a boolean route — is identical). Counting is done by
+    char-class strip-and-diff (length minus symbol-free length), which
+    both engines compute identically; densities are integer per-mille, so
+    the flag is deterministic.
+
+    Scale: pure map-side row arithmetic, no shuffle at all."""
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    n = F.length("text").cast("long")
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", _CODE_SYMBOL_CLASS, ""))
+    ).cast("long")
+    n_dig = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("long")
+    per_mille = (n_sym * 1000 / n).cast("long")
+    return docs.select(
+        "doc_id",
+        n_sym.alias("n_symbols"),
+        n_dig.alias("n_digits"),
+        per_mille.alias("symbols_per_mille"),
+        (per_mille >= CODE_PER_MILLE).alias("is_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading ease)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+                  AS BIGINT) AS words,
+             CAST(len(list_filter(string_split(text, '. '),
+                                  s -> length(s) > 0)) AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CAST(round((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                       - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 100)
+                AS BIGINT) AS flesch100
+    FROM m WHERE words > 0 AND sentences > 0
+    """,
+)
+def ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with syllables approximated as vowel-group
+    runs — the standard pre-LLM quality prior (too-hard and too-easy
+    documents both get down-weighted in curation mixes). All three counts
+    are exact integers in both engines; the score is one fixed per-row
+    double expression, reported ×100 as an integer.
+
+    Scale: map-side only — two splits and one regexp scan per row, no
+    shuffle."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    words = F.size(
+        F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    ).cast("long")
+    sentences = F.size(
+        F.filter(F.split("text", "\\. "), lambda s: F.length(s) > 0)
+    ).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("([aeiouy]+)"))
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).filter((F.col("words") > 0) & (F.col("sentences") > 0))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    return m.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(score * 100).cast("long").alias("flesch100"),
+    )

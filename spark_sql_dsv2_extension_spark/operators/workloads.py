@@ -1185,3 +1185,153 @@ def ext_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "ext_schema_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT),
+           CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+    FROM orders
+    """,
+)
+def ext_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report: per-column row count, null count, distinct
+    count, and min/max (stringified; doubles integer-scaled ×100 so the
+    cross-engine comparison is exact) — the table a data platform renders
+    on every dataset page, and the first sanity gate after any ingest.
+
+    Scale: ONE pass over the table — all per-column aggregates fuse into a
+    single aggregation (count/min/max are partial-aggregable;
+    count(distinct) of several columns at once expands Spark's plan, so
+    each distinct count runs in its own aggregate over the same cached
+    scan); the profile rows then union driver-free. The profile is
+    columns × 1 rows regardless of table size."""
+    orders = load(spark, sf_dir, "orders").cache()
+
+    def profile(col: str, distinct_expr, min_expr, max_expr) -> DataFrame:
+        return orders.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(distinct_expr).alias("n_distinct"),
+            min_expr.cast("string").alias("min_s"),
+            max_expr.cast("string").alias("max_s"),
+        )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        profile("o_orderkey", F.col("o_orderkey"),
+                F.min("o_orderkey"), F.max("o_orderkey"))
+        .unionAll(profile("o_orderstatus", F.col("o_orderstatus"),
+                          F.min("o_orderstatus"), F.max("o_orderstatus")))
+        .unionAll(profile("o_orderpriority", F.col("o_orderpriority"),
+                          F.min("o_orderpriority"), F.max("o_orderpriority")))
+        .unionAll(profile("o_totalprice", cents,
+                          F.round(F.min("o_totalprice") * 100).cast("long"),
+                          F.round(F.max("o_totalprice") * 100).cast("long")))
+    )
+
+
+_EWMA_W = (128, 64, 32, 16, 8, 4, 2, 1)  # 2^-k weights x 128, k = 0..7
+
+
+@query(
+    "ext_ewma_events",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ), lagged AS (
+      SELECT user_id, event_id, ts,
+             c AS c0, lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+             lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4,
+             lag(c, 5) OVER w AS c5, lag(c, 6) OVER w AS c6,
+             lag(c, 7) OVER w AS c7
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(
+             (128 * c0 + coalesce(64 * c1, 0) + coalesce(32 * c2, 0)
+              + coalesce(16 * c3, 0) + coalesce(8 * c4, 0)
+              + coalesce(4 * c5, 0) + coalesce(2 * c6, 0)
+              + coalesce(1 * c7, 0))
+             * 1000000
+             // (128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                 + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                 + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                 + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                 + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                 + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                 + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS ewma_micro_cents
+    FROM lagged
+    """,
+)
+def ext_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of purchase values per user
+    (α = 1/2, truncated at 8 lags): the smoothed per-user spend signal a
+    fraud or LTV model consumes. All arithmetic is integer (values in
+    cents, power-of-two weights, integer normalization by the weights
+    actually present), so the result is exact and order-independent up to
+    the deterministic (ts, event_id) event ordering.
+
+    Scale: one window shuffle on user_id — the truncated-lag form is what
+    makes EWMA expressible as a fixed window expression instead of a
+    sequential recurrence, which is exactly the trade a distributed
+    engine wants (8 lags ≈ weight coverage 1 − 2⁻⁸ = 99.6%)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("c", k).over(w).alias(f"c{k}") for k in range(8)]
+    lagged = v.select("user_id", "event_id", *lags)
+    num = sum(
+        (
+            F.coalesce(F.col(f"c{k}") * _EWMA_W[k], F.lit(0))
+            for k in range(1, 8)
+        ),
+        F.col("c0") * _EWMA_W[0],
+    )
+    den = sum(
+        (
+            F.when(F.col(f"c{k}").isNull(), 0).otherwise(_EWMA_W[k])
+            for k in range(1, 8)
+        ),
+        F.lit(_EWMA_W[0]),
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.floor(num * 1000000 / den).cast("long").alias("ewma_micro_cents"),
+    )

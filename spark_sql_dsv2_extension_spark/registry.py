@@ -125,6 +125,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_point_in_time_join",
     # --- 50-key window boundary (round 4) ---
     # new round-4 keys land here, heading the round-5 window
+    "ext_boilerplate_sentences",
+    "ext_code_detect",
+    "ext_readability",
+    "ext_kanonymity_audit",
+    "ext_winsorized_stats",
+    "ext_schema_profile",
+    "ext_ewma_events",
+    "ext_label_centroids",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
