@@ -1263,3 +1263,166 @@ def ext_split_doc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("tail_doc"), F.col("b.doc_id").alias("head_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split leakage (near-dup pairs crossing the split boundary)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_split_leakage",
+    oracle=f"""
+    WITH pairs AS (
+      {_EXACT_JACCARD_SQL.format(thr=JACCARD_THRESHOLD)}
+    ), split AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761 + 12345) % 2147483647 % 100 < 80
+                  THEN 'train'
+                  WHEN (doc_id * 2654435761 + 12345) % 2147483647 % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.d1, p.d2, s1.split AS split_1, s2.split AS split_2, p.jaccard
+    FROM pairs p
+    JOIN split s1 ON p.d1 = s1.doc_id
+    JOIN split s2 ON p.d2 = s2.doc_id
+    WHERE s1.split <> s2.split
+    """,
+)
+def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE detection: near-duplicate pairs (MinHash-LSH,
+    exact-Jaccard-verified) that STRADDLE the hash-split boundary — each
+    one is an eval example whose near-copy sits in training, silently
+    inflating benchmark scores. This is the composition every serious
+    pipeline runs after splitting: dedup pairs ⋈ split assignment,
+    keep the crossers. (ext_decontamination checks against an EXTERNAL
+    benchmark; this key checks the pipeline's own split.)
+
+    Scale: the pair graph is dup-bounded (tiny vs corpus) and the split
+    column is a map-side hash — two broadcast-friendly id joins on top of
+    the LSH pass. Output rows = leaked pairs, the audit artifact."""
+    from .text import ext_hash_split
+
+    pairs = ext_near_dedup_minhash(spark, sf_dir)
+    split = ext_hash_split(spark, sf_dir).select("doc_id", "split")
+    s1 = split.alias("sp1")
+    s2 = split.alias("sp2")
+    return (
+        pairs.join(s1, F.col("d1") == F.col("sp1.doc_id"))
+        .join(s2, F.col("d2") == F.col("sp2.doc_id"))
+        .filter(F.col("sp1.split") != F.col("sp2.split"))
+        .select(
+            "d1",
+            "d2",
+            F.col("sp1.split").alias("split_1"),
+            F.col("sp2.split").alias("split_2"),
+            "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-style rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_GRAM = 8
+_CDC_BASE = 131
+_CDC_MOD = 2_147_483_647
+_CDC_DIV = 64  # expected chunk length ~ DIV chars
+
+
+@query(
+    "ext_cdc_chunking",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS len,
+             list_filter(
+               range(1, greatest(length(text) - {_CDC_GRAM} + 2, 1)),
+               p -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_transform(range(0, {_CDC_GRAM}),
+                          k -> CAST(ascii(substring(text, CAST(p + k AS INT), 1))
+                                    AS BIGINT))),
+                      (acc, c) -> (acc * {_CDC_BASE} + c) % {_CDC_MOD})
+                    % {_CDC_DIV} = 0
+             ) AS cuts
+      FROM documents WHERE length(text) >= {_CDC_GRAM}
+    ), st AS (
+      SELECT doc_id, len, cuts,
+             list_prepend(CAST(1 AS BIGINT),
+               list_transform(cuts, p -> CAST(p + {_CDC_GRAM} AS BIGINT)))
+               AS starts
+      FROM b
+    ), ch AS (
+      SELECT doc_id,
+             generate_subscripts(starts, 1) AS idx,
+             unnest(starts) AS start,
+             CAST(coalesce(starts[generate_subscripts(starts, 1) + 1],
+                           len + 1) - unnest(starts) AS BIGINT) AS chunk_len
+      FROM st
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start, chunk_len
+    FROM ch WHERE chunk_len > 0
+    """,
+)
+def ext_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary rule behind
+    FastCDC / restic / LBFS dedup stores): a chunk boundary falls after
+    any 8-char window whose Rabin-Karp hash ≡ 0 mod {_CDC_DIV}, so
+    boundaries follow CONTENT, not offsets — insert one word at the front
+    of a document and byte-offset chunking shifts every chunk, while CDC
+    re-synchronizes after one boundary and every later chunk still
+    dedupes. Emits (doc, chunk_idx, start, length); the chunk store keys
+    on hash(chunk) downstream. Explicit modular arithmetic (base
+    {_CDC_BASE}, mod 2³¹−1), bit-identical in the oracle.
+
+    Scale: one JVM higher-order-function expression per row (no shuffle,
+    no UDF) — the boundary scan runs at codegen throughput; the chunk
+    explode multiplies rows by len/{_CDC_DIV}, which is the output's
+    inherent size."""
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(
+        F.length("text") >= _CDC_GRAM
+    )
+
+    def gram_hash(p):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_CDC_GRAM - 1)),
+                lambda k: F.ascii(F.col("text").substr(p + k, F.lit(1))).cast(
+                    "long"
+                ),
+            ),
+            F.lit(7).cast("long"),
+            lambda acc, c: (acc * _CDC_BASE + c) % _CDC_MOD,
+        )
+
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (_CDC_GRAM - 1), F.lit(1))
+    )
+    cuts = F.filter(positions, lambda p: gram_hash(p) % _CDC_DIV == 0)
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(cuts, lambda p: (p + _CDC_GRAM).cast("long")),
+    )
+    st = docs.select(
+        "doc_id", F.length("text").cast("long").alias("len"), starts.alias("starts")
+    )
+    ch = st.select(
+        "doc_id",
+        "len",
+        "starts",
+        F.posexplode("starts").alias("idx0", "start"),
+    ).select(
+        "doc_id",
+        (F.col("idx0") + 1).cast("long").alias("chunk_idx"),
+        "start",
+        (
+            F.coalesce(
+                F.get("starts", F.col("idx0") + 1), F.col("len") + 1
+            )
+            - F.col("start")
+        ).alias("chunk_len"),
+    )
+    return ch.filter(F.col("chunk_len") > 0)

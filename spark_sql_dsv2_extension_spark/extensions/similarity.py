@@ -2048,3 +2048,110 @@ def ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Silhouette score (centroid-based, exact integer geometry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_silhouette_labels",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+               AS x6
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS c_label, pos,
+             CAST(round(CAST(SUM(x6) AS DOUBLE) / count(*)) AS BIGINT) AS m6
+      FROM comp GROUP BY label, pos
+    ), d2 AS (
+      SELECT comp.vec_id, comp.label, cent.c_label,
+             CAST(SUM((x6 - m6) * (x6 - m6)) AS BIGINT) AS dist2
+      FROM comp JOIN cent USING (pos)
+      GROUP BY 1, 2, 3
+    ), ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN label = c_label THEN dist2 END) AS a2,
+             min(CASE WHEN label <> c_label THEN dist2 END) AS b2
+      FROM d2 GROUP BY vec_id, label
+    ), s AS (
+      SELECT vec_id, label,
+             CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                        / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                   sqrt(CAST(b2 AS DOUBLE))) * 1e6)
+                  AS BIGINT) AS s6
+      FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           -- floor(), not //: DuckDB's integer // truncates toward zero
+           -- while Spark's floor() floors, and SUM(s6) is negative here
+           CAST(floor(CAST(SUM(s6) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_silhouette6
+    FROM s GROUP BY label
+    """,
+)
+def ext_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label silhouette score (centroid variant): for every vector,
+    a = distance to its own label centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b) — the standard cluster-quality
+    number, here grading how geometrically separable the LABELS are (the
+    go/no-go check before trusting kNN label propagation or semdedup
+    thresholds on these embeddings). Components and centroids are
+    integer-scaled (×1e6), so every squared distance is an EXACT int64
+    sum — order-independent — and the only floats are two per-row sqrt
+    calls on identical integers.
+
+    Scale: centroids are (labels × dim) — broadcast; the distance table
+    is vectors × labels rows built by one equi-join on the component
+    index and reduced by partial aggregation. The classic O(n²) pairwise
+    silhouette is replaced by the centroid form exactly because the
+    pairwise version cannot scale."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("x6"),
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.round(F.sum("x6").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("m6")
+    )
+    d2 = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("x6") - F.col("m6")) * (F.col("x6") - F.col("m6"))
+            ).alias("dist2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("label") == F.col("c_label"), F.col("dist2"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("label") != F.col("c_label"), F.col("dist2"))
+        ).alias("b2"),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    s = ab.select(
+        "label",
+        F.round((sb - sa) / F.greatest(sa, sb) * 1e6).cast("long").alias("s6"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("s6") / F.count(F.lit(1))).cast("long").alias(
+            "avg_silhouette6"
+        ),
+    )

@@ -2874,3 +2874,144 @@ def ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syllables",
         F.round(score * 100).cast("long").alias("flesch100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists)
+# ---------------------------------------------------------------------------
+
+_INV_TOP = 50
+
+
+@query(
+    "ext_inverted_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0
+    )
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+    FROM t GROUP BY w
+    ORDER BY df DESC, term LIMIT {_INV_TOP}
+    """,
+)
+def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the sorted
+    posting list (comma-joined here so the cross-engine comparison is a
+    plain string) — the core IR artifact BM25/boolean retrieval serve
+    from; top-{_INV_TOP} terms by df keep the key's output bounded.
+
+    Scale: distinct (doc, term) then ONE groupBy on term — the shuffle is
+    the index build itself, partitioned by term exactly as a sharded
+    index wants; collect_list of ids (not text) bounds memory per term,
+    and a production build would write per-term postings as the
+    partitioned sink rather than stringify them."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    t = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_INV_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application (the step after ext_bpe_pair_stats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_bpe_apply_merge",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM tok WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               i -> substring(w, CAST(i AS INT), 2))) AS pair, f
+      FROM freq
+    ), top_pair AS (
+      SELECT pair FROM (
+        SELECT pair, SUM(f) AS n FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 1
+      )
+    )
+    SELECT w AS word, f, top_pair.pair AS merged_pair,
+           CAST(length(w) AS BIGINT) AS n_symbols_before,
+           CAST(length(replace(w, top_pair.pair, chr(1))) AS BIGINT)
+             AS n_symbols_after
+    FROM freq, top_pair
+    WHERE contains(w, top_pair.pair)
+    ORDER BY f DESC, w LIMIT 20
+    """,
+)
+def ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training step: find the most frequent adjacent pair
+    (ext_bpe_pair_stats' statistic), then APPLY the merge — every
+    occurrence of the winning pair collapses to one symbol, with
+    before/after symbol counts per affected word. Greedy left-to-right
+    non-overlapping replacement is exactly ``replace()`` semantics in both
+    engines, so the post-merge symbol count is exact. Iterating this
+    key's shape N times IS BPE training; each round re-runs over the
+    distinct-word table, never the token stream.
+
+    Scale: the merge applies over distinct words with counts (vocabulary-
+    sized), the winning pair arrives as a 1-row broadcast, and the report
+    is a top-k."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("f")).cache()
+    pairs = freq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    top_pair = (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    return (
+        freq.join(F.broadcast(top_pair))
+        .filter(F.col("w").contains(F.col("pair")))
+        .select(
+            F.col("w").alias("word"),
+            "f",
+            F.col("pair").alias("merged_pair"),
+            F.length("w").cast("long").alias("n_symbols_before"),
+            F.length(
+                F.replace(F.col("w"), F.col("pair"), F.lit("\x01"))
+            )
+            .cast("long")
+            .alias("n_symbols_after"),
+        )
+        .orderBy(F.col("f").desc(), "word")
+        .limit(20)
+    )

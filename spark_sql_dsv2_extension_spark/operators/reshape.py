@@ -1117,3 +1117,118 @@ def ext_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("first_click_id") != F.col("last_click_id"))
         ).alias("multi_touch"),
     )
+
+
+@query(
+    "ext_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, SUM(n) AS tot FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n * 1000000 // o.tot AS BIGINT) AS prob6
+    FROM trans t JOIN totals o USING (from_type)
+    """,
+)
+def ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams: for
+    every (from, to) event-type pair, the transition count and the
+    row-normalized probability in micro-units — the session model behind
+    next-action prediction, anomaly scoring ("error after purchase is
+    20× base rate"), and simulated-user generation. Probabilities are
+    integer-ratio micro-units of exact counts, so cross-engine exact.
+
+    Scale: one window shuffle on user_id to order each user's stream,
+    then a (types × types)-sized aggregation — the matrix is tiny however
+    large the stream; the normalizing join is matrix-sized, broadcast."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.floor(F.col("n") * 1000000 / F.col("tot")).cast("long").alias(
+            "prob6"
+        ),
+    )
+
+
+_RFM_REF_TS = "2096-01-01 00:00:00"  # fixed reference instant (post-fixture)
+
+
+@query(
+    "ext_rfm_segmentation",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT user_id,
+             CAST(date_diff('second', max(ts), TIMESTAMP '{_RFM_REF_TS}')
+                  AS BIGINT) AS recency_s,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, recency_s, frequency, monetary_cents,
+           CAST(5 - ntile(4) OVER (ORDER BY recency_s, user_id) AS BIGINT)
+             AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS BIGINT)
+             AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+             AS m_score
+    FROM rfm
+    """,
+)
+def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (seconds before a fixed
+    reference instant), Frequency (purchase count), Monetary (exact cents),
+    each quartile-scored 1–4 by ntile with a deterministic user_id
+    tie-break — the classic marketing segmentation, and the standard demo
+    that windowed ranking composes with grouped aggregation. Recency is
+    inverted (most recent → highest score), matching the convention.
+
+    Scale: one aggregation to per-user rows (users ≪ events), then three
+    global ntile windows over the user table; at extreme user counts the
+    quartile boundaries come from approx percentiles and the score is a
+    broadcast range-join, same contract."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    rfm = ev.groupBy("user_id").agg(
+        (
+            F.lit(F.unix_timestamp(F.lit(_RFM_REF_TS).cast("timestamp")))
+            - F.unix_timestamp(F.max("ts"))
+        ).alias("recency_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    r_w = Window.orderBy("recency_s", "user_id")
+    f_w = Window.orderBy("frequency", "user_id")
+    m_w = Window.orderBy("monetary_cents", "user_id")
+    return rfm.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary_cents",
+        (F.lit(5) - F.ntile(4).over(r_w)).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )

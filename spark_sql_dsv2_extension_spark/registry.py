@@ -133,6 +133,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_schema_profile",
     "ext_ewma_events",
     "ext_label_centroids",
+    "ext_markov_transitions",
+    "ext_rfm_segmentation",
+    "ext_split_leakage",
+    "ext_cdc_chunking",
+    "ext_inverted_index",
+    "ext_bpe_apply_merge",
+    "ext_silhouette_labels",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
