@@ -2155,3 +2155,173 @@ def ext_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_silhouette6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers (mislabeled-sample candidates)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_TOP = 20
+
+
+@query(
+    "ext_embedding_outliers",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+               AS x6
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             CAST(round(CAST(SUM(x6) AS DOUBLE) / count(*)) AS BIGINT) AS m6
+      FROM comp GROUP BY label, pos
+    ), d2 AS (
+      SELECT comp.vec_id, comp.label,
+             CAST(SUM((x6 - m6) * (x6 - m6)) AS BIGINT) AS dist2
+      FROM comp JOIN cent USING (label, pos)
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, label, dist2,
+           CAST(row_number() OVER (ORDER BY dist2 DESC, vec_id) AS BIGINT)
+             AS rk
+    FROM d2
+    ORDER BY dist2 DESC, vec_id LIMIT {_OUTLIER_TOP}
+    """,
+)
+def ext_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-sample candidates: the {_OUTLIER_TOP} vectors FARTHEST
+    from their own label's centroid (exact integer-scaled squared
+    distance) — the cheap first-pass audit list a labeling team reviews,
+    and the deletion candidates confident-learning pipelines start from.
+    Shares the exact-centroid machinery of ext_silhouette_labels but
+    ranks individual vectors instead of grading labels.
+
+    Scale: centroid build + one self-distance per vector (equi-join on
+    (label, pos), partial-aggregated) and a global top-k — no pairwise
+    anything."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("x6"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.round(F.sum("x6").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("m6")
+    )
+    d2 = (
+        comp.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("x6") - F.col("m6")) * (F.col("x6") - F.col("m6"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.orderBy(F.col("dist2").desc(), "vec_id")
+    return (
+        d2.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _OUTLIER_TOP)
+        .select("vec_id", "label", "dist2", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN pairs (the edges clustering/UMAP graphs keep)
+# ---------------------------------------------------------------------------
+
+_MKNN_K = 5
+
+
+@query(
+    "ext_mutual_knn_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(a.embedding[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 100 AND b.vec_id < 100
+    ), ranked AS (
+      SELECT u, v, sim,
+             row_number() OVER (PARTITION BY u ORDER BY sim DESC, v) AS rk
+      FROM pairs
+    ), topk AS (
+      SELECT u, v, sim FROM ranked WHERE rk <= {_MKNN_K}
+    )
+    SELECT a.u AS d1, a.v AS d2, round(a.sim, 6) AS cosine6
+    FROM topk a JOIN topk b ON a.u = b.v AND a.v = b.u
+    WHERE a.u < a.v
+    """,
+)
+def ext_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL kNN edges: pairs where each vector is in the other's top-k
+    by cosine — the symmetric graph UMAP, HDBSCAN, and spectral methods
+    keep (one-directional edges are mostly hubness noise). Restricted to
+    the first 100 vectors so the exact all-pairs oracle stays affordable;
+    the Spark side computes the same brute-force kNN then inner-joins the
+    ranked edge list against its own transpose — at scale the kNN stage
+    swaps for the LSH/IVF path and the mutual join shape is unchanged.
+
+    Scale: the mutual check is one self-equi-join of the (n × k) edge
+    list on (u=v, v=u) — edge-list-sized, never touching vectors."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < 100
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
+    sim = (
+        a.join(b, F.col("u") != F.col("v"))
+        .select(
+            "u",
+            "v",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (
+                    F.sqrt(dot(F.col("ea"), F.col("ea")))
+                    * F.sqrt(dot(F.col("eb"), F.col("eb")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("sim").desc(), "v")
+    topk = (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MKNN_K)
+        .select("u", "v", "sim")
+    )
+    t2 = topk.select(
+        F.col("u").alias("v2"), F.col("v").alias("u2")
+    )
+    return (
+        topk.join(
+            t2, (F.col("u") == F.col("u2")) & (F.col("v") == F.col("v2"))
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select(
+            F.col("u").alias("d1"),
+            F.col("v").alias("d2"),
+            F.round("sim", 6).alias("cosine6"),
+        )
+    )

@@ -1335,3 +1335,68 @@ def ext_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(num * 1000000 / den).cast("long").alias("ewma_micro_cents"),
     )
+
+
+_Z_BITS = 8
+
+
+def _z_sql(x: str, y: str) -> str:
+    """DuckDB text of the 2-D Morton interleave (mirrors the Spark side)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+@query(
+    "ext_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_orderkey, l_partkey,
+             ({_z_sql("(l_orderkey & 255)", "(l_partkey & 255)")}) AS zval
+      FROM lineitem
+    )
+    SELECT CAST(zval >> 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_orderkey & 255) AS BIGINT) AS ok_lo,
+           CAST(max(l_orderkey & 255) AS BIGINT) AS ok_hi,
+           CAST(min(l_partkey & 255) AS BIGINT) AS pk_lo,
+           CAST(max(l_partkey & 255) AS BIGINT) AS pk_hi
+    FROM z GROUP BY 1
+    """,
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) layout planning: interleave the low 8 bits of two
+    join/filter keys into one curve value and bucket by its high byte —
+    each bucket then covers a SMALL RECTANGLE in (orderkey, partkey)
+    space, which is what makes multi-column data skipping work: a
+    predicate on either column prunes most buckets, where single-column
+    sort order only ever prunes on its leading column. The emitted
+    per-bucket min/max ranges ARE the skipping index a lakehouse writes
+    as file-level stats after a z-ordered repartition.
+
+    Scale: the curve value is pure per-row bit arithmetic (codegen, no
+    shuffle); the bucket aggregation is the same shuffle a
+    repartitionByRange(zval) write would do — this key measures the
+    layout before paying for the rewrite."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_orderkey").bitwiseAND(F.lit(255))
+    y = F.col("l_partkey").bitwiseAND(F.lit(255))
+    zval = F.lit(0)
+    for i in range(_Z_BITS):
+        zval = zval.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    z = li.select(x.alias("ok"), y.alias("pk"), zval.alias("zval"))
+    return z.groupBy(
+        F.shiftright("zval", 8).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ok").cast("long").alias("ok_lo"),
+        F.max("ok").cast("long").alias("ok_hi"),
+        F.min("pk").cast("long").alias("pk_lo"),
+        F.max("pk").cast("long").alias("pk_hi"),
+    )

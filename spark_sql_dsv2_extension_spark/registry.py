@@ -140,6 +140,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_inverted_index",
     "ext_bpe_apply_merge",
     "ext_silhouette_labels",
+    "ext_embedding_outliers",
+    "ext_mutual_knn_pairs",
+    "ext_zorder_layout",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
