@@ -870,6 +870,20 @@ _RENAME_RE = re.compile(
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s*$", re.IGNORECASE
 )
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s*$", re.IGNORECASE
+)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+NOSCAN)?\s*$",
+    re.IGNORECASE,
+)
+_INSERT_VALUES_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\.(\w+)\.(\w+)\s*"
+    r"(?:PARTITION\s*\((?P<spec>[^)]*)\)\s*)?"
+    r"(?P<values>VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _parse_spec(text: str) -> dict[str, str]:
@@ -1054,6 +1068,58 @@ def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
     if m:
         cat = _get_catalog(spark, m.group(1))
         cat.truncate_table(m.group(2), m.group(3))
+        return None
+    m = _SHOW_CREATE_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        meta = cat._table_meta(m.group(2), m.group(3))
+        ddl = "CREATE {}TABLE {}.{}.{} ({}) USING {}".format(
+            "EXTERNAL " if meta.external else "",
+            m.group(1),
+            m.group(2),
+            m.group(3),
+            meta.schema_ddl,
+            meta.provider,
+        )
+        if meta.partition_columns:
+            ddl += " PARTITIONED BY ({})".format(
+                ", ".join(meta.partition_columns)
+            )
+        if meta.location:
+            ddl += f" LOCATION '{meta.location}'"
+        return spark.createDataFrame([(ddl,)], "createtab_stmt STRING")
+    m = _ANALYZE_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        cat.update_table_stats(m.group(2), m.group(3))
+        return None
+    m = _INSERT_VALUES_RE.match(query)
+    if m:
+        # INSERT ... VALUES: Spark SQL evaluates the bare VALUES clause as
+        # an inline relation (col1, col2, ...); align by POSITION against
+        # the target's non-partition-spec columns, then cast
+        cat = _get_catalog(spark, m.group(2))
+        ns, table = m.group(3), m.group(4)
+        meta = cat._table_meta(ns, table)
+        fields = StructType.fromDDL(meta.schema_ddl).fields
+        spec = _parse_spec(m.group("spec")) if m.group("spec") else {}
+        targets = [f for f in fields if f.name not in spec]
+        df = spark.sql(m.group("values"))
+        if len(df.columns) != len(targets):
+            raise CatalogError(
+                f"VALUES arity {len(df.columns)} != expected {len(targets)}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(t.dataType).alias(t.name)
+                for c, t in zip(df.columns, targets)
+            ]
+        )
+        types = {f.name: f.dataType for f in fields}
+        for col, val in spec.items():
+            df = df.withColumn(col, F.lit(val).cast(types[col]))
+        cat.insert(ns, table, df,
+                   overwrite=m.group("mode").upper() == "OVERWRITE")
         return None
     m = _INSERT_RE.match(query)
     if m:

@@ -689,3 +689,34 @@ def test_sql_rename_two_part_target_namespace_guard(spark, tmp_path):
     # same-namespace qualifier is accepted
     engine_sql(spark, "ALTER TABLE renc.default.t RENAME TO default.t2")
     assert cat.table_exists("default", "t2")
+
+
+def test_sql_show_create_analyze_insert_values(spark, tmp_path):
+    """Round-4 lifecycle verbs: SHOW CREATE TABLE reconstructs the DDL,
+    ANALYZE TABLE persists file-size stats (reference A28), and
+    INSERT ... VALUES writes an inline relation positionally."""
+    from spark_sql_dsv2_extension_spark.catalog import EngineCatalog, engine_sql
+
+    cat = EngineCatalog(spark, "lif4", str(tmp_path / "w"))
+    cat.create_table(
+        "default", "t", "k BIGINT, v STRING, p STRING", partition_by=["p"]
+    )
+    stmt = engine_sql(spark, "SHOW CREATE TABLE lif4.default.t").collect()[0][0]
+    assert "CREATE TABLE lif4.default.t" in stmt
+    assert "k BIGINT" in stmt and "PARTITIONED BY (p)" in stmt
+
+    engine_sql(
+        spark,
+        "INSERT INTO lif4.default.t PARTITION (p='x') VALUES (1, 'a'), (2, 'b')",
+    )
+    engine_sql(spark, "INSERT INTO lif4.default.t VALUES (3, 'c', 'y')")
+    got = engine_sql(
+        spark, "SELECT k, v, p FROM lif4.default.t ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v, r.p) for r in got] == [
+        (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
+    ]
+
+    assert cat.table_size("default", "t") >= 0
+    engine_sql(spark, "ANALYZE TABLE lif4.default.t COMPUTE STATISTICS")
+    assert cat.table_size("default", "t") > 0
