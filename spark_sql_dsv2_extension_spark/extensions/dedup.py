@@ -66,13 +66,18 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     The input is fanned out across all cores first (see tables.fan_out):
     a single parquet split would serialize the CPU-heavy explode into one
     task.
+
+    Distinctness is per document, so it runs MAP-SIDE via array_distinct
+    before the explode — a row-level .distinct() here would shuffle the
+    entire shingle stream just to dedupe within each doc_id, the single
+    most expensive (and entirely avoidable) exchange in the dedup family.
     """
     docs = fan_out(docs)
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    return (
-        words.select(
-            "doc_id",
-            F.explode(
+    return words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), F.size("w") - n),
                     lambda i: F.concat_ws(
@@ -82,9 +87,8 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
                         F.col("w")[i + 2],
                     ),
                 )
-            ).alias("shingle"),
-        )
-        .distinct()
+            )
+        ).alias("shingle"),
     )
 
 
