@@ -19,6 +19,7 @@ equals a batch GROUP BY regardless of arrival order, giving an exact oracle.
 
 from __future__ import annotations
 
+import importlib.util
 import uuid
 from collections.abc import Iterator
 from typing import Any
@@ -98,6 +99,107 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# transformWithStateInPandas needs google.protobuf for its state-server
+# wire protocol; the module is not in every runtime, so the key registers
+# only where the dependency exists (SURVEY environment rule: gate optional
+# deps behind an import-try, never a hard crash at import or query time).
+_HAS_PROTOBUF = importlib.util.find_spec("google") is not None and (
+    importlib.util.find_spec("google.protobuf") is not None
+)
+
+
+def _register_tws(fn):
+    if _HAS_PROTOBUF:
+        return query(
+            "stream_transform_with_state",
+            oracle="""
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY user_id, event_type
+            """,
+        )(fn)
+    return fn
+
+
+@_register_tws
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas``: the successor API to
+    applyInPandasWithState, with TYPED, composable state primitives —
+    here a per-user MapState keyed by event_type holding a counter, the
+    canonical "per-entity feature counters" operator. Each micro-batch
+    updates the map and re-emits the user's current counters; counters
+    are monotone, so the final emission per (user, type) is selected by
+    max and the result equals the batch GROUP BY exactly.
+
+    Scale: state is O(distinct event types) per user key — bounded by
+    the type vocabulary, never event volume; the state store scales with
+    keys inside the retention horizon, and MapState gives per-field
+    point updates (no read-modify-write of a whole blob, which is the
+    concrete win over applyInPandasWithState at large state)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = _stream_source(spark, sf_dir).select("user_id", "event_type")
+
+    out_schema = "user_id BIGINT, event_type STRING, n BIGINT"
+
+    class CountsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "event_type STRING", "n BIGINT"
+            )
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in rows:
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.counts.getValue((et,))
+                        if self.counts.containsKey((et,))
+                        else None
+                    )
+                    base = prev[0] if prev is not None else 0
+                    self.counts.updateValue((et,), (base + int(cnt),))
+            pairs = [
+                (key[0], k[0], v[0]) for k, v in self.counts.iterator()
+            ]
+            yield pd.DataFrame(
+                pairs, columns=["user_id", "event_type", "n"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    counts = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountsProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+    name = "sink_" + uuid.uuid4().hex
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("n").desc())
     return (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
