@@ -1094,3 +1094,62 @@ def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hi") * 100).cast("long").alias("hi100"),
         "winsorized_sum100",
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_target_encoding_loo",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ), g AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(bal_c) AS BIGINT) AS tot_c
+      FROM cents GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, g.n AS group_n,
+           CASE WHEN g.n > 1
+                THEN CAST(round(CAST(g.tot_c - c.bal_c AS DOUBLE) / (g.n - 1))
+                          AS BIGINT)
+           END AS loo_mean_cents
+    FROM cents c JOIN g USING (c_nationkey)
+    """,
+)
+def ext_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out TARGET ENCODING of a categorical feature: each
+    customer's nation is encoded as the mean account balance of the
+    OTHER customers in that nation — (group_sum − own) / (n − 1) — the
+    encoding that avoids the self-leakage plain mean encoding bakes into
+    training labels (singleton groups encode NULL rather than leak
+    themselves). Balances are exact cents, so the only float is one
+    final rounded division on identical integers.
+
+    Scale: one grouped aggregate (categories rows) broadcast back onto
+    the fact — the LOO subtraction is per-row arithmetic, NOT a per-row
+    regrouping; this is why LOO encoding is free at any scale."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    g = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bal_c").alias("tot_c")
+    )
+    return cust.join(F.broadcast(g), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("n").alias("group_n"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("tot_c") - F.col("bal_c")).cast("double")
+                / (F.col("n") - 1)
+            ).cast("long"),
+        ).alias("loo_mean_cents"),
+    )

@@ -2325,3 +2325,84 @@ def ext_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("cosine6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_triangle_count",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(a.embedding[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 100 AND b.vec_id < 100
+    ), ranked AS (
+      SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY sim DESC, v)
+               AS rk
+      FROM pairs
+    ), topk AS (SELECT u, v FROM ranked WHERE rk <= {_MKNN_K}),
+    edges AS (
+      SELECT a.u, a.v FROM topk a JOIN topk b ON a.u = b.v AND a.v = b.u
+      WHERE a.u < a.v
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      SELECT a FROM tri UNION ALL SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    ) GROUP BY a
+    """,
+)
+def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node TRIANGLE counts over the mutual-kNN graph — the local
+    clustering signal: embeddings whose neighborhoods are mutually close
+    (dense dup clusters, tight topics) sit in many triangles; hub-noise
+    nodes sit in none. Classic distributed formulation: orient every edge
+    low→high, join edges-to-edges to enumerate wedges (a<b<c), then one
+    semi-join against the edge set closes them — never an all-pairs
+    anything, and each triangle is found exactly once.
+
+    Scale: wedge count is Σ deg², bounded here by k² per node (mutual-kNN
+    caps degree at k) — the orientation trick is what keeps the hot-node
+    wedge explosion polynomial at web scale (Suri & Vassilvitskii's
+    MapReduce triangle counting)."""
+    edges = ext_mutual_knn_pairs(spark, sf_dir).select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    ).cache()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+        .cache()
+    )
+    nodes = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionAll(tri.select(F.col("b").alias("vec_id")))
+        .unionAll(tri.select(F.col("c").alias("vec_id")))
+    )
+    return nodes.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import fan_out, load
+from .dedup import _sh_poly_sql
 from .dedup import _shingles as _dedup_shingles
 
 # tiny per-language marker vocabularies for the lang-ID heuristic
@@ -3015,3 +3016,54 @@ def ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("f").desc(), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 32
+
+
+@query(
+    "ext_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+      SELECT doc_id,
+             {_sh_poly_sql(131, 7)} % {_FH_BUCKETS} AS bucket
+      FROM tok WHERE length(w) > 0
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK: tokens land in a fixed {_FH_BUCKETS}-bucket
+    feature space via an explicit polynomial hash — the fixed-width sparse
+    featurization (Weinberger et al.) that needs NO vocabulary pass, which
+    is exactly what makes it the streaming/out-of-core featurizer: the
+    feature space is known before the first row arrives, and two shards
+    featurize independently with zero coordination. Emitted as sparse
+    (doc, bucket, count) rows — the layout a linear model or MinHash-style
+    consumer reads directly. The hash is the same polynomial the SimHash
+    oracle mirrors, so the result is engine-exact.
+
+    Scale: map-side hash + one (doc, bucket) aggregation; output is
+    bounded by docs × buckets."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    poly = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.ascii(F.col("w").substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 131 + c) % 2_147_483_647,
+    )
+    h = tok.select("doc_id", (poly % _FH_BUCKETS).alias("bucket"))
+    return h.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))

@@ -143,6 +143,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_embedding_outliers",
     "ext_mutual_knn_pairs",
     "ext_zorder_layout",
+    "ext_triangle_count",
+    "ext_feature_hashing",
+    "ext_target_encoding_loo",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
