@@ -1153,3 +1153,103 @@ def ext_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("loo_mean_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES / Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+_WS_A = 2654435761
+_WS_M = 2_147_483_647
+
+
+@query(
+    "ext_weighted_sample_aes",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             ((doc_id * {_WS_A} + 99991) % ({_WS_M} - 1)) + 1 AS h
+      FROM documents WHERE n_chars > 0
+    ), keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(round(ln(CAST(h AS DOUBLE) / {_WS_M})
+                        / n_chars * 1e6) AS BIGINT) AS r6
+      FROM u
+    )
+    SELECT doc_id, n_chars, r6,
+           CAST(row_number() OVER (ORDER BY r6 DESC, doc_id) AS BIGINT) AS rk
+    FROM keyed
+    ORDER BY r6 DESC, doc_id LIMIT {_WS_K}
+    """,
+)
+def ext_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each document draws key u^(1/w) from a deterministic hash-uniform u
+    with weight w = n_chars, and the global top-{_WS_K} keys ARE the
+    weighted sample — the one-pass, merge-friendly scheme (a shard's
+    top-k is the global sample restricted to that shard, so samples
+    compose by rank-merge; no sequential reservoir state). Ranked on
+    ln(u)/w in deterministic micro-units with a doc_id tie-break.
+
+    Scale: map-side key + one TakeOrdered top-k — no shuffle beyond the
+    k-row merge; the textbook distributed weighted sampler."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = ((F.col("doc_id") * _WS_A + 99991) % (_WS_M - 1)) + 1
+    r6 = F.round(
+        F.log(h.cast("double") / _WS_M) / F.col("n_chars") * 1e6
+    ).cast("long")
+    w = Window.orderBy(F.col("r6").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", r6.alias("r6"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _WS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group k-fold assignment (user-level, leakage-free CV)
+# ---------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@query(
+    "ext_group_kfold",
+    oracle=f"""
+    WITH folds AS (
+      SELECT user_id,
+             (user_id * {_WS_A} + 7919) % {_WS_M} % {_KFOLDS} AS fold
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT f.fold, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM events e JOIN folds f USING (user_id)
+    GROUP BY f.fold
+    """,
+)
+def ext_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment: every event of a user lands in the same
+    fold (fold = hash(user_id) mod {_KFOLDS}) — the split discipline that
+    keeps a user's behavior out of both train and eval simultaneously
+    (row-level folds leak entity signal; this is GroupKFold). Emits the
+    per-fold balance report (users, events, positives) a CV harness
+    checks before training.
+
+    Scale: the fold is a map-side hash of the GROUP key, so no
+    row-to-fold table ever materializes; the report is one aggregation."""
+    ev = load(spark, sf_dir, "events")
+    fold = (F.col("user_id") * _WS_A + 7919) % _WS_M % _KFOLDS
+    return (
+        ev.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+    )

@@ -146,6 +146,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_triangle_count",
     "ext_feature_hashing",
     "ext_target_encoding_loo",
+    "ext_weighted_sample_aes",
+    "ext_group_kfold",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
