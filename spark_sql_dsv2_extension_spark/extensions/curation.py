@@ -1199,12 +1199,15 @@ def ext_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = F.round(
         F.log(h.cast("double") / _WS_M) / F.col("n_chars") * 1e6
     ).cast("long")
-    w = Window.orderBy(F.col("r6").desc(), "doc_id")
-    return (
+    # top-k FIRST (TakeOrderedAndProject — a per-partition heap + k-row
+    # merge, never a global sort); the rank window then runs over k rows
+    top = (
         docs.select("doc_id", "n_chars", r6.alias("r6"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= _WS_K)
+        .orderBy(F.col("r6").desc(), "doc_id")
+        .limit(_WS_K)
     )
+    w = Window.orderBy(F.col("r6").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------

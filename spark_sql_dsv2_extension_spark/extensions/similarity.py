@@ -2224,11 +2224,13 @@ def ext_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist2")
         )
     )
+    # top-k first (TakeOrderedAndProject), then rank the k-row result —
+    # a global row_number window here would funnel every vector into one
+    # partition
+    top = d2.orderBy(F.col("dist2").desc(), "vec_id").limit(_OUTLIER_TOP)
     w = Window.orderBy(F.col("dist2").desc(), "vec_id")
-    return (
-        d2.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= _OUTLIER_TOP)
-        .select("vec_id", "label", "dist2", "rk")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "vec_id", "label", "dist2", "rk"
     )
 
 

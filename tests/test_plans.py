@@ -492,3 +492,56 @@ def test_retrieval_auc_broadcasts_query(spark, sf_dir):
     # the 1-row query side must come in as a broadcast, never a shuffle join
     assert "BroadcastNestedLoopJoin" in plan or has_broadcast_hash_join(df)
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    df = SPECS["ext_weighted_sample_aes"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_embedding_outliers_is_takeordered(spark, sf_dir):
+    df = SPECS["ext_embedding_outliers"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_cdc_chunking_is_mapside(spark, sf_dir):
+    """Content-defined chunking must stay a pure per-row HOF expression:
+    no shuffle at all (the only exchange would be the fan_out
+    round-robin, which count_exchanges excludes by... it doesn't - so
+    allow exactly the fan_out repartition) and no Python boundary."""
+    df = SPECS["ext_cdc_chunking"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Python" not in plan
+    assert count_exchanges(df) <= 1, plan[:2000]  # fan_out round-robin only
+
+
+def test_boilerplate_topk_not_global_sort(spark, sf_dir):
+    df = SPECS["ext_boilerplate_sentences"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_inverted_index_topk_and_single_term_shuffle(spark, sf_dir):
+    df = SPECS["ext_inverted_index"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_code_detect_no_shuffle(spark, sf_dir):
+    df = SPECS["ext_code_detect"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1  # fan_out only
+    assert "Python" not in physical_plan(df)
+
+
+def test_markov_normalizer_broadcast(spark, sf_dir):
+    df = SPECS["ext_markov_transitions"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df), plan[:2000]
+    assert not has_cartesian(df)
+
+
+def test_target_encoding_group_broadcast(spark, sf_dir):
+    df = SPECS["ext_target_encoding_loo"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian(df)
