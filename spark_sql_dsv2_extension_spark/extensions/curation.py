@@ -108,13 +108,31 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("weight6", F.lit(0)).alias("weight6"),
         )
     )
-    w = Window.orderBy(F.col("weight6").desc(), "doc_id")
-    return per_doc.select(
+    # selection WITHOUT a corpus-wide rank window: take the top-N boundary
+    # row (TakeOrdered, k-row merge), broadcast it, and flag each doc by
+    # sort-key comparison — same result as row_number() <= N, but the
+    # corpus never funnels into a single window partition
+    cut = (
+        per_doc.orderBy(F.col("weight6").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+        .orderBy(F.col("weight6").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(
+            F.col("weight6").alias("cut_w"), F.col("doc_id").alias("cut_id")
+        )
+    )
+    return per_doc.join(F.broadcast(cut)).select(
         "doc_id",
         "lang",
         "n_scored_tokens",
         (F.col("weight6") / F.lit(1e6)).alias("log_ratio"),
-        (F.row_number().over(w) <= _DSIR_TOP).alias("selected"),
+        (
+            (F.col("weight6") > F.col("cut_w"))
+            | (
+                (F.col("weight6") == F.col("cut_w"))
+                & (F.col("doc_id") <= F.col("cut_id"))
+            )
+        ).alias("selected"),
     )
 
 
