@@ -286,3 +286,105 @@ def ext_multimodal_meta_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("long").alias("total_bytes"),
         )
     )
+
+
+@query(
+    "ext_multimodal_payload_dedup",
+    oracle="""
+    WITH hashed AS (
+      -- DuckDB's sha256 takes VARCHAR and hashes its UTF-8 bytes — the
+      -- exact bytes Spark's sha2(encode(text,'utf-8')) hashes
+      SELECT doc_id,
+             sha256(text) AS payload_sha,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id, payload_sha, n_bytes,
+           CAST(min(doc_id) OVER (PARTITION BY payload_sha) AS BIGINT)
+             AS keeper_doc_id,
+           doc_id > min(doc_id) OVER (PARTITION BY payload_sha)
+             AS is_duplicate
+    FROM hashed
+    """,
+)
+def ext_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-payload exact dedup: media assets deduplicated by content
+    hash of the raw bytes (payload derived from text here; in production
+    it IS the image/audio blob) — the first pass of every multimodal
+    pipeline, because crawled media is duplicated far more heavily than
+    text and hashing bytes needs no codec at all. Deterministic keeper =
+    min doc_id, same contract as ext_exact_dedup.
+
+    Scale: the shuffle carries (32-byte sha, id) — payloads never move;
+    at 100 TB the hash is computed at ingest and this is pure metadata."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    hashed = docs.select(
+        "doc_id",
+        F.sha2(F.encode("text", "utf-8"), 256).alias("payload_sha"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+    w = Window.partitionBy("payload_sha")
+    return (
+        hashed.withColumn("keeper_doc_id", F.min("doc_id").over(w))
+        .withColumn(
+            "is_duplicate", F.col("doc_id") > F.col("keeper_doc_id")
+        )
+    )
+
+
+_SHARD_BYTES = 4096  # target shard payload size
+
+
+@query(
+    "ext_multimodal_shard_pack",
+    oracle=f"""
+    WITH assets AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_bytes,
+             SUM(n_bytes) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_bytes
+      FROM assets
+    )
+    SELECT doc_id, n_bytes,
+           CAST((cum_bytes - n_bytes) // {_SHARD_BYTES} AS BIGINT) AS shard,
+           CAST(cum_bytes AS BIGINT) AS cum_bytes
+    FROM cum
+    """,
+)
+def ext_multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential SHARD PACKING for media assets: walk assets in doc_id
+    order, cut a new shard whenever the running byte total crosses the
+    {_SHARD_BYTES}-byte target (shard = floor(bytes-before-me / target))
+    — the WebDataset/tar-shard layout multimodal loaders stream, where
+    shard size (not row count) is what bounds loader memory and request
+    fan-out. Assignment is a closed-form function of the exact cumulative
+    sum, so it is deterministic and the oracle reproduces it bit-for-bit.
+
+    Scale: one running-sum window over the (id, n_bytes) manifest —
+    metadata-sized; payload bytes never participate. A range-partitioned
+    prefix-sum (per-partition totals broadcast as offsets) replaces the
+    single-ordering window at extreme manifest sizes, same contract."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    assets = docs.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = assets.withColumn("cum_bytes", F.sum("n_bytes").over(w))
+    return cum.select(
+        "doc_id",
+        "n_bytes",
+        F.floor(
+            (F.col("cum_bytes") - F.col("n_bytes")) / _SHARD_BYTES
+        ).cast("long").alias("shard"),
+        "cum_bytes",
+    )

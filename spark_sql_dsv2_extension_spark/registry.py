@@ -148,6 +148,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_target_encoding_loo",
     "ext_weighted_sample_aes",
     "ext_group_kfold",
+    "ext_multimodal_payload_dedup",
+    "ext_multimodal_shard_pack",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
