@@ -1274,3 +1274,124 @@ def ext_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_purchases"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence interval (rank-by-proportion correctly)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_ctr_wilson",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n, k,
+           CAST(round((CAST(k AS DOUBLE)/n + 1.9208/n
+                       - 1.96 * sqrt((CAST(k AS DOUBLE)/n)
+                                     * (1 - CAST(k AS DOUBLE)/n)/n
+                                     + 0.9604/(n*n)))
+                      / (1 + 3.8416/n) * 1e6) AS BIGINT)
+             AS wilson_lo6
+    FROM s WHERE n >= 5
+    """,
+)
+def ext_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score LOWER BOUND for each user's purchase rate — the
+    correct way to rank entities by proportion (plain k/n ranks a 1/1
+    user above a 95/100 user; the Wilson bound penalizes small n), the
+    same formula behind "sort by best" comment ranking. One fixed per-row
+    double expression over exact integer (k, n), reported in micro-units.
+
+    Scale: one aggregation to per-entity counts, then map-side
+    arithmetic — nothing else."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    ).filter(F.col("n") >= 5)
+    p = F.col("k").cast("double") / F.col("n")
+    z2 = 1.9208  # z^2/2 for z = 1.96
+    lo = (
+        p
+        + z2 / F.col("n")
+        - 1.96
+        * F.sqrt(p * (1 - p) / F.col("n") + 0.9604 / (F.col("n") * F.col("n")))
+    ) / (1 + 3.8416 / F.col("n"))
+    return s.select(
+        "user_id",
+        "n",
+        "k",
+        F.round(lo * 1e6).cast("long").alias("wilson_lo6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-block jackknife variance
+# ---------------------------------------------------------------------------
+
+_JK_BLOCKS = 10
+
+
+@query(
+    "ext_jackknife_blocks",
+    oracle=f"""
+    WITH b AS (
+      SELECT (doc_id * 2654435761 + 271) % 2147483647 % {_JK_BLOCKS}
+               AS block,
+             n_chars
+      FROM documents
+    ), per_block AS (
+      SELECT block, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s
+      FROM b GROUP BY block
+    ), tot AS (
+      SELECT SUM(n) AS tn, SUM(s) AS ts FROM per_block
+    )
+    SELECT block, n, s,
+           CAST(round(CAST(tot.ts - s AS DOUBLE) / (tot.tn - n) * 1e6)
+                AS BIGINT) AS loo_mean6
+    FROM per_block, tot
+    """,
+)
+def ext_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-BLOCK jackknife: split the corpus into {_JK_BLOCKS}
+    hash blocks, and for each block compute the mean document length
+    with that block REMOVED — the {_JK_BLOCKS} leave-one-out replicate
+    means whose spread estimates the variance of the corpus mean (the
+    rigorous error bar a dataset card should quote, and the jackknife is
+    the deterministic cousin of the bootstrap: no random resampling, so
+    it is exactly reproducible and oracle-checkable). Replicates are
+    exact-integer ratios reported in micro-units.
+
+    Scale: one aggregation to {_JK_BLOCKS} block rows + a 1-row
+    broadcast of the totals — the corpus is touched once."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        ((F.col("doc_id") * 2654435761 + 271) % 2147483647 % _JK_BLOCKS).alias(
+            "block"
+        ),
+        "n_chars",
+    )
+    per_block = b.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    )
+    tot = per_block.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    return per_block.join(F.broadcast(tot)).select(
+        "block",
+        "n",
+        "s",
+        F.round(
+            (F.col("ts") - F.col("s")).cast("double") / (F.col("tn") - F.col("n"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("loo_mean6"),
+    )

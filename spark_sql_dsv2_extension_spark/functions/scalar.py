@@ -867,3 +867,59 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.s").alias("status"),
         F.col("p.c").alias("cents"),
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT e.event_id,
+           strftime(e.ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS plus_90m,
+           strftime(e.ts - INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS minus_36h,
+           strftime(e.ts + INTERVAL 2 DAY + INTERVAL 3 HOUR
+                    + INTERVAL 45 SECOND, '%Y-%m-%d %H:%M:%S')
+             AS plus_mixed,
+           CAST(date_diff('minute', e.ts,
+                          e.ts + INTERVAL 90 MINUTE) AS BIGINT)
+             AS diff_minutes,
+           CAST(epoch(e.ts + INTERVAL 1 DAY) - epoch(e.ts) AS BIGINT)
+             AS day_in_seconds
+    FROM events e WHERE e.event_id % 100 = 0
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-time INTERVAL arithmetic: make_dt_interval composition,
+    interval add/subtract on timestamps, timestamp differencing at minute
+    grain, and the seconds-in-a-day identity — the family every
+    windowing/SLA/retention computation leans on. Timestamps are compared
+    as formatted strings; all under the UTC session, so both engines walk
+    the same calendar.
+
+    Scale: pure per-row projections, codegen'd, no shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    plus90 = F.col("ts") + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(90))
+    return ev.select(
+        "event_id",
+        F.date_format(plus90, fmt).alias("plus_90m"),
+        F.date_format(
+            F.col("ts") - F.make_dt_interval(F.lit(0), F.lit(36)), fmt
+        ).alias("minus_36h"),
+        F.date_format(
+            F.col("ts")
+            + F.make_dt_interval(F.lit(2), F.lit(3), F.lit(0), F.lit(45)),
+            fmt,
+        ).alias("plus_mixed"),
+        ((F.unix_timestamp(plus90) - F.unix_timestamp("ts")) / 60)
+        .cast("long")
+        .alias("diff_minutes"),
+        (
+            F.unix_timestamp(
+                F.col("ts") + F.make_dt_interval(F.lit(1))
+            )
+            - F.unix_timestamp("ts")
+        )
+        .cast("long")
+        .alias("day_in_seconds"),
+    )

@@ -1400,3 +1400,87 @@ def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pk").cast("long").alias("pk_lo"),
         F.max("pk").cast("long").alias("pk_hi"),
     )
+
+
+@query(
+    "ext_ks_two_sample",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END
+               AS grp
+      FROM events WHERE event_type = 'purchase'
+    ), n AS (
+      SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
+      FROM v
+    ), steps AS (
+      SELECT c,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS k0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS k1
+      FROM v GROUP BY c
+    ), ecdf AS (
+      SELECT c,
+             SUM(k0) OVER (ORDER BY c) AS c0,
+             SUM(k1) OVER (ORDER BY c) AS c1
+      FROM steps
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n_weekday,
+           CAST(n.n1 AS BIGINT) AS n_weekend,
+           CAST(max(abs(CAST(c0 AS DOUBLE) * 1000000 // n.n0
+                        - CAST(c1 AS DOUBLE) * 1000000 // n.n1))
+                AS BIGINT) AS ks_d6
+    FROM ecdf, n
+    GROUP BY n.n0, n.n1
+    """,
+)
+def ext_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: D = max |ECDF₁ − ECDF₂|
+    between weekday and weekend purchase values — THE distribution-shift
+    test between two slices (drift gates, A/B sanity, source QA), and
+    the supremum-norm complement to ext_wasserstein_1d's integral-norm
+    distance. ECDF steps come from exact integer counts at each distinct
+    value; the sup runs over value steps, so the statistic is exact in
+    micro-units (each ECDF floored to 1e-6 identically in both engines).
+
+    Scale: one aggregation to distinct-value step counts, a cumulative
+    window over the (bounded, value-domain-sized) step table — range-
+    partitioned prefix sums replace the single ordering at extreme
+    domains — and a global max."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),
+    )
+    n = v.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    steps = v.groupBy("c").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("k0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = steps.select(
+        F.sum("k0").over(w).alias("c0"), F.sum("k1").over(w).alias("c1")
+    )
+    d = (
+        ecdf.join(F.broadcast(n))
+        .select(
+            "n0",
+            "n1",
+            F.abs(
+                F.floor(F.col("c0").cast("double") * 1000000 / F.col("n0"))
+                - F.floor(F.col("c1").cast("double") * 1000000 / F.col("n1"))
+            ).alias("step_d6"),
+        )
+        .groupBy("n0", "n1")
+        .agg(F.max("step_d6").cast("long").alias("ks_d6"))
+    )
+    return d.select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        "ks_d6",
+    )

@@ -150,6 +150,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_group_kfold",
     "ext_multimodal_payload_dedup",
     "ext_multimodal_shard_pack",
+    "fn_interval_arith",
+    "ext_ctr_wilson",
+    "ext_jackknife_blocks",
+    "ext_ks_two_sample",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
