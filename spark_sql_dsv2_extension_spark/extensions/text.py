@@ -3067,3 +3067,100 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = tok.select("doc_id", (poly % _FH_BUCKETS).alias("bucket"))
     return h.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-split LM evaluation (train a unigram LM on train, score test)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_holdout_lm_eval",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN (doc_id * {_SPLIT_A} + 12345) % {_SPLIT_M} % 100 < 80
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT s.split, s.doc_id, t.w
+      FROM split s,
+           unnest(string_split(s.text, ' ')) AS t(w)
+      WHERE length(t.w) > 0
+    ), lm AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE split = 'train' GROUP BY w
+    ), v AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM lm
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln((CAST(coalesce(lm.c, 0) AS DOUBLE) + 1)
+                           / (v.n + v.vocab)) * 1e6) AS BIGINT) AS lp6
+      FROM tok t LEFT JOIN lm USING (w), v
+      WHERE t.split = 'heldout'
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp6) AS BIGINT) AS logprob6,
+           -- floor(): DuckDB's integer // truncates toward zero on the
+           -- negative sums here; Spark's floor() floors
+           CAST(floor(CAST(SUM(lp6) AS DOUBLE) / count(*)) AS BIGINT)
+             AS per_token_lp6
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ext_holdout_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split language-model evaluation: an add-one-smoothed unigram
+    LM is FIT on the train split and SCORED on the held-out split (per-doc
+    log-probability and per-token average) — the end-to-end
+    train→evaluate loop every data-quality experiment runs, composed from
+    the hash split and the LM machinery with no leakage (held-out tokens
+    never touch the counts; OOV tokens get the smoothed floor). Per-token
+    log-probs are rounded to 1e-6 and summed as int64 — order-independent
+    and oracle-exact.
+
+    Scale: the LM is vocabulary-sized (broadcast back); both splits come
+    from ONE corpus scan, and scoring is an equi-join on token."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    split = docs.select(
+        "doc_id",
+        "text",
+        F.when(
+            (F.col("doc_id") * _SPLIT_A + 12345) % _SPLIT_M % 100 < 80,
+            "train",
+        )
+        .otherwise("heldout")
+        .alias("split"),
+    )
+    tok = split.select(
+        "split", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    lm = (
+        tok.filter(F.col("split") == "train")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    v = lm.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab"))
+    lp6 = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1)
+            / (F.col("n") + F.col("vocab"))
+        )
+        * 1e6
+    ).cast("long")
+    scored = (
+        tok.filter(F.col("split") == "heldout")
+        .join(F.broadcast(lm), "w", "left")
+        .join(F.broadcast(v))
+        .select("doc_id", lp6.alias("lp6"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp6").alias("logprob6"),
+        F.floor(F.sum("lp6") / F.count(F.lit(1))).cast("long").alias(
+            "per_token_lp6"
+        ),
+    )

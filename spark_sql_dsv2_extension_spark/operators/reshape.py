@@ -1232,3 +1232,62 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(f_w).cast("long").alias("f_score"),
         F.ntile(4).over(m_w).cast("long").alias("m_score"),
     )
+
+
+_SEQ_TOP = 20
+
+
+@query(
+    "ext_sequential_patterns",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), pat AS (
+      SELECT user_id, e1 || '>' || e2 || '>' || e3 AS pattern
+      FROM seq WHERE e3 IS NOT NULL
+    )
+    SELECT pattern,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pat GROUP BY pattern
+    ORDER BY n_users DESC, n_occurrences DESC, pattern LIMIT {_SEQ_TOP}
+    """,
+)
+def ext_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (GSP-lite): consecutive event-type
+    3-grams per user, ranked by SUPPORT (distinct users exhibiting the
+    pattern, the metric GSP/PrefixSpan maximize) then raw occurrences —
+    the behavioral motifs funnels are later designed around. Contiguous
+    3-grams keep the pattern space linear in the stream (general gapped
+    subsequences explode combinatorially; the contiguous form is the
+    scalable screen that feeds a targeted gapped search).
+
+    Scale: one window shuffle on user_id, one aggregation over a pattern
+    space bounded by |types|³, and a top-k."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    pat = seq.select(
+        "user_id",
+        F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
+    )
+    return (
+        pat.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(
+            F.col("n_users").desc(), F.col("n_occurrences").desc(), "pattern"
+        )
+        .limit(_SEQ_TOP)
+    )

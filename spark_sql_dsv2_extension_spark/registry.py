@@ -154,6 +154,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ctr_wilson",
     "ext_jackknife_blocks",
     "ext_ks_two_sample",
+    "ext_holdout_lm_eval",
+    "ext_sequential_patterns",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
