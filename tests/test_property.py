@@ -197,3 +197,155 @@ def test_sketch_invariants(spark, sf_dir):
         if src != "ALL":
             # union max-merges registers: its estimate dominates each shard's
             assert hll["ALL"]["est_distinct"] >= r["est_distinct"] - 1e-9
+
+
+def test_cdc_chunking_resync_property(spark, sf_dir):
+    """The CDC property that justifies content-defined over fixed-offset
+    chunking: prepending bytes to a document changes at most the chunks
+    before the first boundary — every boundary AFTER the first cut
+    re-synchronizes to the same content positions (shifted by the prefix
+    length), so downstream chunks still dedupe."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_dsv2_extension_spark.extensions.dedup import (
+        _CDC_DIV,
+        _CDC_GRAM,
+        ext_cdc_chunking,
+    )
+    from spark_sql_dsv2_extension_spark.registry import load_all
+
+    base = ext_cdc_chunking(spark, sf_dir).filter(F.col("doc_id") == 1)
+    rows = sorted(
+        base.collect(), key=lambda r: r.chunk_idx
+    )
+    assert rows, "doc 1 must chunk"
+    # simulate the prefix edit: same text with 'PREFIX ' prepended
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") == 1
+    )
+    prefix = "PREFIX-"
+    edited = docs.select(
+        "doc_id", F.concat(F.lit(prefix), F.col("text")).alias("text")
+    )
+    edited.createOrReplaceTempView("_cdc_edit")
+
+    def gram_hash(p):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_CDC_GRAM - 1)),
+                lambda k: F.ascii(F.col("text").substr(p + k, F.lit(1))).cast(
+                    "long"
+                ),
+            ),
+            F.lit(7).cast("long"),
+            lambda acc, c: (acc * 131 + c) % 2_147_483_647,
+        )
+
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (_CDC_GRAM - 1), F.lit(1))
+    )
+    cuts = edited.select(
+        F.filter(positions, lambda p: gram_hash(p) % _CDC_DIV == 0).alias(
+            "cuts"
+        )
+    ).collect()[0]["cuts"]
+    orig_starts = [r.start for r in rows][1:]  # drop the position-1 start
+    # compare boundary CONTENT positions: original start s (1-based in the
+    # unedited text) corresponds to start s + len(prefix) in the edited text
+    edited_starts = {c + _CDC_GRAM for c in cuts}
+    missing = [
+        s for s in orig_starts if (s + len(prefix)) not in edited_starts
+    ]
+    assert not missing, f"boundaries failed to re-sync: {missing}"
+
+
+def test_fuzzy_levenshtein_blocking_recall_exact(spark, sf_dir):
+    """The length-band candidate generator must have EXACT recall: every
+    pair the unblocked (lang-only) join qualifies must also be found by
+    the banded path. Verified by re-running the thresholded all-pairs
+    join and comparing pair sets."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_dsv2_extension_spark.extensions.dedup import (
+        FUZZY_MAX_RATIO,
+        ext_fuzzy_dedup_levenshtein,
+    )
+    from spark_sql_dsv2_extension_spark.tables import load
+
+    banded = {
+        (r.d1, r.d2)
+        for r in ext_fuzzy_dedup_levenshtein(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("lang").alias("al"), F.col("doc_id").alias("d1"),
+        F.col("text").alias("at"),
+    )
+    b = docs.select(
+        F.col("lang").alias("bl"), F.col("doc_id").alias("d2"),
+        F.col("text").alias("bt"),
+    )
+    ed = F.levenshtein("at", "bt")
+    brute = {
+        (r.d1, r.d2)
+        for r in a.join(
+            b, (F.col("al") == F.col("bl")) & (F.col("d1") < F.col("d2"))
+        )
+        .filter(
+            ed
+            <= F.floor(
+                F.lit(FUZZY_MAX_RATIO)
+                * F.greatest(F.length("at"), F.length("bt"))
+            ).cast("long")
+        )
+        .select("d1", "d2")
+        .collect()
+    }
+    assert banded == brute, (
+        f"banded missed {brute - banded}, extra {banded - brute}"
+    )
+
+
+def test_containment_prefix_filter_recall_exact(spark, sf_dir):
+    """AllPairs prefix filtering must have exact recall vs the raw
+    shingle-sharing join at the containment threshold."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_dsv2_extension_spark.extensions.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _shingles,
+        ext_near_dup_containment,
+    )
+    from spark_sql_dsv2_extension_spark.tables import load
+
+    prefixed = {
+        (r.d1, r.d2)
+        for r in ext_near_dup_containment(spark, sf_dir).collect()
+    }
+    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    aa, bb = sh.alias("a"), sh.alias("b")
+    inter = (
+        aa.join(
+            bb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1, n2 = sizes.alias("n1"), sizes.alias("n2")
+    brute = {
+        (r.d1, r.d2)
+        for r in inter.join(n1, F.col("d1") == F.col("n1.doc_id"))
+        .join(n2, F.col("d2") == F.col("n2.doc_id"))
+        .filter(
+            F.col("i") * 1.0 / F.least(F.col("n1.n"), F.col("n2.n"))
+            >= CONTAINMENT_THRESHOLD
+        )
+        .select("d1", "d2")
+        .collect()
+    }
+    assert prefixed == brute, (
+        f"prefix filter missed {brute - prefixed}, extra {prefixed - brute}"
+    )
