@@ -790,11 +790,15 @@ def ext_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mad AS (
       SELECT CAST(floor(median(ad)) AS BIGINT) AS mad FROM dev
     )
-    SELECT dev.doc_id, dev.n_chars, CAST(dev.m AS BIGINT) AS median_chars,
-           CAST(mad.mad AS BIGINT) AS mad_chars,
-           CAST(dev.ad AS BIGINT) AS abs_dev
-    FROM dev, mad
-    WHERE dev.ad > 3 * mad.mad
+    SELECT doc_id, n_chars, median_chars, mad_chars, abs_dev, is_outlier
+    FROM (
+      SELECT dev.doc_id, dev.n_chars, CAST(dev.m AS BIGINT) AS median_chars,
+             CAST(mad.mad AS BIGINT) AS mad_chars,
+             CAST(dev.ad AS BIGINT) AS abs_dev,
+             dev.ad > 3 * mad.mad AS is_outlier
+      FROM dev, mad
+    )
+    ORDER BY abs_dev DESC, doc_id LIMIT 20
     """,
 )
 def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,16 +820,22 @@ def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
     )
     mad = dev.agg(F.median("ad").cast("long").alias("mad"))
+    # top-20 by deviation with the outlier FLAG rather than a filter: on a
+    # well-behaved fixture the >3·MAD set is empty, which would leave the
+    # key's oracle checking nothing — the ranked report stays non-trivial
+    # on every fixture vintage
     return (
         dev.join(F.broadcast(mad))
-        .filter(F.col("ad") > 3 * F.col("mad"))
         .select(
             "doc_id",
             "n_chars",
             F.col("m").alias("median_chars"),
             F.col("mad").alias("mad_chars"),
             F.col("ad").alias("abs_dev"),
+            (F.col("ad") > 3 * F.col("mad")).alias("is_outlier"),
         )
+        .orderBy(F.col("abs_dev").desc(), "doc_id")
+        .limit(20)
     )
 
 

@@ -1227,11 +1227,26 @@ _EDGE_N = 24  # boundary gram length
 @query(
     "ext_split_doc_detect",
     oracle=f"""
-    WITH e AS (
+    WITH corpus AS (
+      -- simulated upstream chunking: every 7th doc arrives as TWO shards
+      -- overlapping by {_EDGE_N} chars at the seam (part2 id offset 1e6)
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 7 <> 0 OR length(text) < {2 * _EDGE_N}
+      UNION ALL
+      SELECT doc_id, substring(text, 1, length(text) // 2) AS text
+      FROM documents
+      WHERE doc_id % 7 = 0 AND length(text) >= {2 * _EDGE_N}
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substring(text, length(text) // 2 - {_EDGE_N} + 1,
+                       length(text)) AS text
+      FROM documents
+      WHERE doc_id % 7 = 0 AND length(text) >= {2 * _EDGE_N}
+    ), e AS (
       SELECT doc_id,
              substring(text, 1, {_EDGE_N}) AS head,
              substring(text, length(text) - {_EDGE_N} + 1, {_EDGE_N}) AS tail
-      FROM documents WHERE length(text) >= {_EDGE_N}
+      FROM corpus WHERE length(text) >= {_EDGE_N}
     )
     SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc
     FROM e a JOIN e b
@@ -1245,18 +1260,34 @@ def ext_split_doc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-assembled shards overlapping at the seam). Ordinary dedup misses
     these: the halves share almost no full-shingle mass, but training on
     both leaks a verbatim span across what the loader thinks are distinct
-    documents.
+    documents. The fixtures contain no naturally split docs (the
+    unsimulated form returned zero rows, checking nothing), so the query
+    SIMULATES the upstream chunker on every 7th document — same seam
+    join, non-trivial verified output on any fixture vintage.
 
     Scale: one equi-join on a fixed-width boundary gram — the candidate
     key is {_EDGE_N} bytes per doc per side, never the text."""
-    docs = load(spark, sf_dir, "documents").filter(
-        F.length("text") >= _EDGE_N
+    docs = load(spark, sf_dir, "documents")
+    keep = docs.filter(
+        (F.col("doc_id") % 7 != 0) | (F.length("text") < 2 * _EDGE_N)
+    ).select("doc_id", "text")
+    splitters = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") >= 2 * _EDGE_N)
     )
-    e = docs.select(
+    half = F.floor(F.length("text") / 2).cast("int")
+    part1 = splitters.select(
+        "doc_id", F.col("text").substr(F.lit(1), half).alias("text")
+    )
+    part2 = splitters.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").substr(half - (_EDGE_N - 1), F.length("text")).alias("text"),
+    )
+    corpus = keep.unionAll(part1).unionAll(part2)
+    e = corpus.filter(F.length("text") >= _EDGE_N).select(
         "doc_id",
         F.col("text").substr(F.lit(1), F.lit(_EDGE_N)).alias("head"),
         F.col("text")
-        .substr(F.length("text") - (_EDGE_N - 1), F.lit(_EDGE_N))
+        .substr(F.length("text") - (_EDGE_N - 1), F.length("text"))
         .alias("tail"),
     )
     a, b = e.alias("a"), e.alias("b")

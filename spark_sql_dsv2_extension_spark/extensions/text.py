@@ -2643,10 +2643,16 @@ def ext_heaps_law_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_good_turing",
     oracle="""
-    WITH c AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS r
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE length(w) > 0 GROUP BY w
+    WITH tok AS (
+      SELECT doc_id, w, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE length(w) > 0
+    ), c AS (
+      SELECT a.w || ' ' || b.w AS g, CAST(count(*) AS BIGINT) AS r
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1
     ), coc AS (
       SELECT r, CAST(count(*) AS BIGINT) AS nr FROM c GROUP BY r
     )
@@ -2663,20 +2669,32 @@ def ext_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing frequency smoothing: the count-of-counts table and the
     adjusted count r* = (r+1)·N(r+1)/N(r) for the low-frequency region
     (r ≤ 10) — the estimator that says how much probability mass belongs
-    to words seen r times, and the mass N₁/N that belongs to UNSEEN words
-    (the r=1 row's tale). Kneser-Ney's ancestor, still the quick check
-    on any smoother's low-count behavior. Exact integers into a
-    micro-unit ratio.
+    to events seen r times, and the mass N₁/N that belongs to UNSEEN
+    events (the r=1 row's tale). Computed over word BIGRAMS: unigram
+    counts on these fixtures have no low-count regime at all (every word
+    repeats hundreds of times), which made the r ≤ 10 report empty —
+    bigrams have real singletons and doubletons, which is precisely the
+    regime Good-Turing exists for. Kneser-Ney's ancestor, still the
+    quick check on any smoother's low-count behavior. Exact integers
+    into a micro-unit ratio.
 
-    Scale: vocabulary count then a count-of-counts over it (tiny) —
-    two grouped aggregates."""
+    Scale: bigram count then a count-of-counts over it (tiny) — grouped
+    aggregates only."""
     docs = fan_out(load(spark, sf_dir, "documents"))
-    c = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("r"))
+    w = F.split("text", " ")
+    pairs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0))),
+            lambda i: F.struct(w[i].alias("x"), w[i + 1].alias("y")),
+        ),
+        lambda s: (F.length(s["x"]) > 0) & (F.length(s["y"]) > 0),
     )
+    bigrams = docs.select(
+        F.explode(
+            F.transform(pairs, lambda s: F.concat_ws(" ", s["x"], s["y"]))
+        ).alias("g")
+    )
+    c = bigrams.groupBy("g").agg(F.count(F.lit(1)).alias("r"))
     coc = c.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
     a, b = coc.alias("a"), coc.alias("b")
     return (

@@ -283,7 +283,7 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(round(o_totalprice * 100) AS BIGINT)
                    - 3 * (CAST(round(o_totalprice * 100) AS BIGINT) // 4)])
              AS cents
-    FROM orders WHERE o_totalprice > 500000.0
+    FROM orders WHERE o_totalprice > 490000.0
     """,
 )
 def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,7 +310,7 @@ def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = (
         load(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 500000.0)
+        .filter(F.col("o_totalprice") > 490000.0)
         .select(
             "o_orderkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents0"),
