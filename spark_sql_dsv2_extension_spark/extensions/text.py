@@ -3182,3 +3182,83 @@ def ext_holdout_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_token_lp6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source vocabulary overlap
+# ---------------------------------------------------------------------------
+
+_VOCAB_OVERLAP_TOP = 25
+
+
+@query(
+    "ext_source_vocab_overlap",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source
+    ), inter AS (
+      SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS i
+      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, i,
+           CAST(i * 1000000 // (x.n + y.n - i) AS BIGINT) AS jaccard6
+    FROM inter
+    JOIN sizes x ON s1 = x.source
+    JOIN sizes y ON s2 = y.source
+    ORDER BY jaccard6 DESC, s1, s2 LIMIT {_VOCAB_OVERLAP_TOP}
+    """,
+)
+def ext_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE vocabulary overlap: Jaccard between each pair of
+    sources' distinct-word sets (micro-units, top-{_VOCAB_OVERLAP_TOP}
+    pairs) — the redundancy map that tells a mixture designer which
+    sources are near-interchangeable (merge or downweight) and which
+    bring genuinely new vocabulary, before any expensive document-level
+    cross-source dedup runs.
+
+    Scale: per-source distinct vocab (map-side distinct within source
+    via the aggregation), then the intersection join keyed on the WORD —
+    each word contributes its source-pair combinations, which is the
+    inverted-index formulation (never a source×source×vocab blowup;
+    sources-per-word is the bounded quantity)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    v = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    x, y = sizes.alias("x"), sizes.alias("y")
+    return (
+        inter.join(F.broadcast(x), F.col("s1") == F.col("x.source"))
+        .join(F.broadcast(y), F.col("s2") == F.col("y.source"))
+        .select(
+            "s1",
+            "s2",
+            "i",
+            F.floor(
+                F.col("i") * 1000000 / (F.col("x.n") + F.col("y.n") - F.col("i"))
+            )
+            .cast("long")
+            .alias("jaccard6"),
+        )
+        .orderBy(F.col("jaccard6").desc(), "s1", "s2")
+        .limit(_VOCAB_OVERLAP_TOP)
+    )

@@ -156,6 +156,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ks_two_sample",
     "ext_holdout_lm_eval",
     "ext_sequential_patterns",
+    "ext_source_vocab_overlap",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
