@@ -2408,3 +2408,80 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("vec_id")))
     )
     return nodes.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding whitening (z-score normalization)
+# ---------------------------------------------------------------------------
+
+_WHITEN_DIMS = 8
+
+
+@query(
+    "ext_embedding_whitening",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+               AS x6
+      FROM embeddings
+    ), stats AS (
+      SELECT pos,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x6) AS BIGINT) AS s1,
+             CAST(SUM(x6 * x6) AS BIGINT) AS s2
+      FROM comp GROUP BY pos
+    )
+    SELECT c.vec_id, CAST(c.pos AS BIGINT) AS pos,
+           CAST(round(
+             (c.x6 - CAST(s.s1 AS DOUBLE) / s.n)
+             / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+                    - (CAST(s.s1 AS DOUBLE) / s.n)
+                      * (CAST(s.s1 AS DOUBLE) / s.n))
+             * 1e6) AS BIGINT) AS z6
+    FROM comp c JOIN stats s USING (pos)
+    WHERE c.pos < {_WHITEN_DIMS} AND c.vec_id < 50
+    """,
+)
+def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension WHITENING (diagonal z-score): every embedding
+    component is centered by its dimension's mean and scaled by its
+    dimension's std — the preprocessing that stops high-variance
+    dimensions from dominating cosine/euclidean retrieval (and the
+    diagonal special case of full ZCA whitening). Moments are EXACT
+    integer sums of 1e-6-scaled components, so mean and variance are
+    bit-identical across engines; the one sqrt and divide run on
+    identical doubles. Reported for the first {_WHITEN_DIMS} dims × 50
+    vectors to bound output.
+
+    Scale: one (dim)-grouped moment aggregation (dim rows — broadcast
+    back), then a map-side transform of every vector; this is the
+    column-statistics + broadcast-normalize shape of every feature
+    scaler."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("x6"),
+    )
+    stats = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("s1"),
+        F.sum(F.col("x6") * F.col("x6")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return (
+        comp.filter((F.col("pos") < _WHITEN_DIMS) & (F.col("vec_id") < 50))
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round((F.col("x6") - mean) / F.sqrt(var) * 1e6)
+            .cast("long")
+            .alias("z6"),
+        )
+    )

@@ -3262,3 +3262,147 @@ def ext_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard6").desc(), "s1", "s2")
         .limit(_VOCAB_OVERLAP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "is",
+    "are", "was", "be", "with", "as", "at", "by", "it", "that", "this",
+)
+_RAKE_TOP = 30
+
+
+def _rake_stop_sql() -> str:
+    return ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+
+
+@query(
+    "ext_rake_keyphrases",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(w) AS w, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE length(w) > 0
+    ), marked AS (
+      SELECT doc_id, w, pos,
+             CASE WHEN w IN ({_rake_stop_sql()}) THEN 1 ELSE 0 END AS stop
+      FROM tok
+    ), runs AS (
+      -- phrase id: tokens between stopwords share a run (cumulative count
+      -- of stopwords seen up to each position)
+      SELECT doc_id, w, pos,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      FROM marked
+      QUALIFY stop = 0
+    ), phrases AS (
+      SELECT doc_id, run,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS deg
+      FROM runs GROUP BY doc_id, run
+    ), word_stats AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(deg) AS BIGINT) AS degsum
+      FROM (
+        SELECT p.doc_id, p.run, unnest(string_split(p.phrase, ' ')) AS w,
+               p.deg
+        FROM phrases p
+      ) GROUP BY w
+    ), per_phrase AS (
+      -- per OCCURRENCE (a repeated word in a phrase scores each time),
+      -- matching classic RAKE and the Spark side's explode+join
+      SELECT pw.doc_id, pw.run, pw.phrase,
+             CAST(SUM(ws.degsum * 1000000 // ws.freq) AS BIGINT) AS sc
+      FROM (
+        SELECT p.doc_id, p.run, p.phrase,
+               unnest(string_split(p.phrase, ' ')) AS w
+        FROM phrases p
+      ) pw JOIN word_stats ws USING (w)
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT phrase,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(SUM(sc) AS BIGINT) AS score6
+      FROM per_phrase GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences,
+           CAST(score6 // n_occurrences AS BIGINT) AS phrase_score6
+    FROM scored
+    ORDER BY phrase_score6 DESC, phrase LIMIT {_RAKE_TOP}
+    """,
+)
+def ext_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = total length of phrases containing it — favors words that
+    appear in long collocations), and a phrase scores the sum over its
+    words — the classic unsupervised keyword extractor, distributed as
+    pure window + aggregate shapes. Scores are integer micro-units of
+    exact counts, so cross-engine exact.
+
+    Scale: phrase segmentation is a per-doc cumulative window (shuffle on
+    doc_id), word stats are vocabulary-sized (broadcast back), and the
+    report is a top-k."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w0"),
+    ).filter(F.length("w0") > 0).select(
+        "doc_id", "pos", F.lower("w0").alias("w")
+    )
+    marked = tok.withColumn(
+        "stop",
+        F.when(F.col("w").isin(*_RAKE_STOPWORDS), 1).otherwise(0),
+    )
+    run_w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.withColumn("run", F.sum("stop").over(run_w))
+        .filter(F.col("stop") == 0)
+    )
+    phrases = runs.groupBy("doc_id", "run").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "w"))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("deg"),
+    ).cache()
+    phrase_words = phrases.select(
+        "doc_id", "run", "deg", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    word_stats = phrase_words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("deg").alias("degsum")
+    )
+    per_phrase = (
+        phrase_words.join(F.broadcast(word_stats), "w")
+        .groupBy("doc_id", "run")
+        .agg(
+            F.sum(
+                F.floor(F.col("degsum") * 1000000 / F.col("freq")).cast("long")
+            ).alias("sc")
+        )
+    )
+    scored = (
+        phrases.join(per_phrase, ["doc_id", "run"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum("sc").alias("score6"),
+        )
+    )
+    return scored.select(
+        "phrase",
+        "n_occurrences",
+        F.floor(F.col("score6") / F.col("n_occurrences"))
+        .cast("long")
+        .alias("phrase_score6"),
+    ).orderBy(F.col("phrase_score6").desc(), "phrase").limit(_RAKE_TOP)

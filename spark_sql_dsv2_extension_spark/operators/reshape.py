@@ -1291,3 +1291,55 @@ def ext_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_SEQ_TOP)
     )
+
+
+_CHURN_HORIZON_S = 7 * 86400  # inactive for 7 days before corpus end = churned
+
+
+@query(
+    "ext_churn_labels",
+    oracle=f"""
+    WITH horizon AS (
+      SELECT max(ts) AS end_ts FROM events
+    ), per_user AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_purchases,
+           CAST(date_diff('second', last_ts, horizon.end_ts) AS BIGINT)
+             AS idle_s,
+           date_diff('second', last_ts, horizon.end_ts)
+             > {_CHURN_HORIZON_S} AS churned
+    FROM per_user, horizon
+    """,
+)
+def ext_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN label generation: a user is labeled churned when their last
+    event precedes the corpus horizon (max ts) by more than 7 days — the
+    standard supervised-label construction for retention models, built
+    relative to the DATA's own horizon so the labels are reproducible on
+    any fixture vintage (a wall-clock 'now' would rot). Emits the
+    features a churn model starts from alongside the label.
+
+    Scale: one per-user aggregation + a 1-row horizon broadcast."""
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("end_ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+    )
+    idle = F.unix_timestamp("end_ts") - F.unix_timestamp("last_ts")
+    return per_user.join(F.broadcast(horizon)).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        idle.alias("idle_s"),
+        (idle > _CHURN_HORIZON_S).alias("churned"),
+    )

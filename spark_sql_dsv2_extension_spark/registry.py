@@ -157,6 +157,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_holdout_lm_eval",
     "ext_sequential_patterns",
     "ext_source_vocab_overlap",
+    "ext_rake_keyphrases",
+    "ext_embedding_whitening",
+    "ext_churn_labels",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
