@@ -3406,3 +3406,118 @@ def ext_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("phrase_score6"),
     ).orderBy(F.col("phrase_score6").desc(), "phrase").limit(_RAKE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Extractive summarization (TF-ISF sentence ranking)
+# ---------------------------------------------------------------------------
+
+_SUMMARY_K = 2
+
+
+@query(
+    "ext_extractive_summary",
+    oracle=f"""
+    WITH sent AS (
+      SELECT doc_id, sent_idx, sentence FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, '. '), 1) AS sent_idx,
+               unnest(string_split(text, '. ')) AS sentence
+        FROM documents
+      ) WHERE length(sentence) > 0
+    ), tok AS (
+      SELECT doc_id, sent_idx, lower(w) AS w FROM (
+        SELECT doc_id, sent_idx, unnest(string_split(sentence, ' ')) AS w
+        FROM sent
+      ) WHERE length(w) > 0
+    ), sf AS (
+      -- sentence frequency per (doc, word): in how many of the doc's
+      -- sentences does the word appear
+      SELECT doc_id, w, CAST(count(DISTINCT sent_idx) AS BIGINT) AS nsw
+      FROM tok GROUP BY doc_id, w
+    ), ns AS (
+      SELECT doc_id, CAST(count(DISTINCT sent_idx) AS BIGINT) AS n_sent
+      FROM sent GROUP BY doc_id
+    ), scored AS (
+      SELECT t.doc_id, t.sent_idx,
+             CAST(SUM((ns.n_sent + 1) * 1000000 // (sf.nsw + 1)) AS BIGINT)
+               AS score6,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM tok t
+      JOIN sf USING (doc_id, w)
+      JOIN ns USING (doc_id)
+      GROUP BY t.doc_id, t.sent_idx
+    )
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+           CAST(score6 // n_words AS BIGINT) AS sent_score6,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, sent_idx, score6, n_words,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score6 // n_words DESC, sent_idx)
+               AS rk
+      FROM scored
+    ) WHERE rk <= {_SUMMARY_K}
+    """,
+)
+def ext_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACTIVE summarization: each document's top-{_SUMMARY_K}
+    sentences by mean TF-ISF (inverse SENTENCE frequency — words that
+    concentrate in few of the doc's sentences mark its information-dense
+    lines; words spread over every sentence are the doc's background) —
+    the classic unsupervised summarizer, and the deterministic baseline
+    every learned summarizer is graded against. Scores are integer
+    micro-unit ratios of exact counts — engine-exact.
+
+    Scale: everything is keyed by doc_id (sentence stats never cross
+    documents), so the whole computation is embarrassingly parallel
+    after one doc-keyed shuffle; the per-doc rank window partitions by
+    doc_id."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    sent = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\\. ")).alias("idx0", "sentence"),
+    ).filter(F.length("sentence") > 0).select(
+        "doc_id", (F.col("idx0") + 1).alias("sent_idx"), "sentence"
+    )
+    tok = sent.select(
+        "doc_id",
+        "sent_idx",
+        F.explode(F.split("sentence", " ")).alias("w0"),
+    ).filter(F.length("w0") > 0).select(
+        "doc_id", "sent_idx", F.lower("w0").alias("w")
+    )
+    sf = tok.groupBy("doc_id", "w").agg(
+        F.countDistinct("sent_idx").alias("nsw")
+    )
+    ns = sent.groupBy("doc_id").agg(
+        F.countDistinct("sent_idx").alias("n_sent")
+    )
+    scored = (
+        tok.join(sf, ["doc_id", "w"])
+        .join(ns, "doc_id")
+        .groupBy("doc_id", "sent_idx")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("n_sent") + 1) * 1000000 / (F.col("nsw") + 1)
+                ).cast("long")
+            ).alias("score6"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.floor(F.col("score6") / F.col("n_words")).desc(), "sent_idx"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _SUMMARY_K)
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            F.floor(F.col("score6") / F.col("n_words"))
+            .cast("long")
+            .alias("sent_score6"),
+            "rk",
+        )
+    )

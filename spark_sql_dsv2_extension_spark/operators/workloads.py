@@ -14,7 +14,7 @@ driver materialization anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1484,3 +1484,87 @@ def ext_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_weekend"),
         "ks_d6",
     )
+
+
+@query(
+    "ext_join_order_cost_model",
+    oracle="""
+    WITH sizes AS (
+      SELECT 'customer' AS t, CAST(count(*) AS BIGINT) AS n FROM customer
+      UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+      UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+    ), keys AS (
+      SELECT 'customer' AS t, CAST(count(DISTINCT c_custkey) AS BIGINT) AS k
+      FROM customer
+      UNION ALL SELECT 'orders', CAST(count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL SELECT 'lineitem', CAST(count(DISTINCT l_orderkey) AS BIGINT)
+      FROM lineitem
+    ), params AS (
+      SELECT
+        (SELECT n FROM sizes WHERE t = 'customer') AS nc,
+        (SELECT n FROM sizes WHERE t = 'orders') AS no_,
+        (SELECT n FROM sizes WHERE t = 'lineitem') AS nl,
+        (SELECT count(DISTINCT o_custkey) FROM orders) AS dk_cust,
+        (SELECT k FROM keys WHERE t = 'orders') AS dk_ord
+    )
+    SELECT plan_order,
+           CAST(est_intermediate AS BIGINT) AS est_intermediate,
+           CAST(row_number() OVER (ORDER BY est_intermediate, plan_order)
+                AS BIGINT) AS plan_rank
+    FROM (
+      SELECT '(customer x orders) x lineitem' AS plan_order,
+             no_ AS est_intermediate FROM params
+      UNION ALL
+      SELECT '(orders x lineitem) x customer', nl FROM params
+      UNION ALL
+      SELECT '(customer x lineitem) x orders', nc * nl FROM params
+    )
+    """,
+)
+def ext_join_order_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook JOIN-ORDER cost model, made executable: for the 3-table
+    star customer⋈orders⋈lineitem, estimate each left-deep order's
+    intermediate cardinality from exact table stats (FK joins preserve
+    the fact side's count; the customer×lineitem start has NO join key —
+    a cartesian, estimated n_c·n_l) and rank the plans — precisely the
+    comparison Catalyst's CBO runs with its own statistics, surfaced as
+    a queryable result so a pipeline can sanity-check the optimizer's
+    choice against first principles. All estimates are exact-integer
+    arithmetic over counts.
+
+    Scale: three count aggregations; the model itself is constant-size."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    params = (
+        c.agg(F.count(F.lit(1)).alias("nc"))
+        .join(F.broadcast(o.agg(F.count(F.lit(1)).alias("no_"))))
+        .join(F.broadcast(li.agg(F.count(F.lit(1)).alias("nl"))))
+    )
+    plans = params.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("(customer x orders) x lineitem").alias(
+                        "plan_order"
+                    ),
+                    F.col("no_").alias("est_intermediate"),
+                ),
+                F.struct(
+                    F.lit("(orders x lineitem) x customer").alias(
+                        "plan_order"
+                    ),
+                    F.col("nl").alias("est_intermediate"),
+                ),
+                F.struct(
+                    F.lit("(customer x lineitem) x orders").alias(
+                        "plan_order"
+                    ),
+                    (F.col("nc") * F.col("nl")).alias("est_intermediate"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.plan_order", "p.est_intermediate")
+    w = Window.orderBy("est_intermediate", "plan_order")
+    return plans.withColumn("plan_rank", F.row_number().over(w).cast("long"))

@@ -160,6 +160,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_rake_keyphrases",
     "ext_embedding_whitening",
     "ext_churn_labels",
+    "ext_extractive_summary",
+    "ext_join_order_cost_model",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
