@@ -111,7 +111,11 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selection WITHOUT a corpus-wide rank window: take the top-N boundary
     # row (TakeOrdered, k-row merge), broadcast it, and flag each doc by
     # sort-key comparison — same result as row_number() <= N, but the
-    # corpus never funnels into a single window partition
+    # corpus never funnels into a single window partition. per_doc is
+    # cached because BOTH the boundary probe and the final projection
+    # consume it — without the cache the whole token-scoring pipeline
+    # executes twice.
+    per_doc = per_doc.cache()
     cut = (
         per_doc.orderBy(F.col("weight6").desc(), "doc_id")
         .limit(_DSIR_TOP)
