@@ -479,20 +479,22 @@ def ext_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k behavioral similarity (the trajectory-similarity shape, cf.
-    REPOSE ICDE'21 scaled to sets): each user's event stream becomes its
+    """Top-k behavioral similarity: each user's event stream becomes its
     set of consecutive event-type TRANSITIONS (order-aware bigrams — two
     users match when they DO the same things in the same local order),
     and the global top-20 most-similar user pairs rank by exact Jaccard
-    over those transition sets. Candidate pairs come from the shared-gram
-    equi-join (never user x user); with a transition vocabulary of
-    |event_types|^2 the blocking is coarse — at web scale the gram key
-    extends to k-step paths exactly like shingles, then minhash bands
-    (ext_near_dedup_minhash) replace the exact intersection.
+    over those transition sets.
 
-    Scale: one window per user for the transitions, one equi-join on the
-    gram, one top-k — the identical skeleton as document near-dup, proven
-    cartesian-free there."""
+    Scale design — PROFILE COLLAPSE: with a transition vocabulary of only
+    |event_types|² the shared-gram join degenerates to all-pairs over
+    users (every bucket holds almost every user — the hot-shingle problem
+    at its worst). But Jaccard depends only on the transition SET, so
+    users first collapse onto their distinct behavior PROFILE (the sorted
+    gram set); all pairwise work runs over D distinct profiles, not U
+    users (D is bounded by 2^|vocab| and in practice ≪ U — behavioral
+    data is massively redundant), and only the tie-groups that can reach
+    the top-20 expand back to user pairs. Exact same output as the naive
+    user-pair join, verified by the unchanged oracle."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -505,29 +507,96 @@ def ext_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = grams.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+    # users → profile key (hash of the sorted gram set)
+    prof = grams.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("g")).alias("gs")
+    ).select(
+        "user_id",
+        "gs",
+        F.xxhash64(F.concat_ws("|", "gs")).alias("pk"),
+    ).cache()
+    users_by_p = prof.select("user_id", "pk")
+    pcnt = users_by_p.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    pdistinct = prof.select("pk", "gs").dropDuplicates(["pk"])
+    pgrams = pdistinct.select(
+        "pk", F.size("gs").alias("n"), F.explode("gs").alias("g")
+    )
+    # pairwise over DISTINCT PROFILES (D², not U²)
+    pa, pb = pgrams.alias("pa"), pgrams.alias("pb")
+    pj = (
+        pa.join(
+            pb,
+            (F.col("pa.g") == F.col("pb.g"))
+            & (F.col("pa.pk") < F.col("pb.pk")),
         )
         .groupBy(
-            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+            F.col("pa.pk").alias("pk1"),
+            F.col("pb.pk").alias("pk2"),
+            F.col("pa.n").alias("n1"),
+            F.col("pb.n").alias("n2"),
         )
         .agg(F.count(F.lit(1)).alias("i"))
+        .select(
+            "pk1",
+            "pk2",
+            (F.col("i") * 1.0 / (F.col("n1") + F.col("n2") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
     )
-    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
-    jac = F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i"))
-    scored = (
-        inter.join(s1, F.col("u1") == F.col("s1.user_id"))
-        .join(s2, F.col("u2") == F.col("s2.user_id"))
-        .select("u1", "u2", jac.alias("jaccard"))
+    # same-profile pairs have jaccard exactly 1 (distinct profiles never do)
+    c1, c2 = pcnt.alias("c1"), pcnt.alias("c2")
+    cross = (
+        pj.join(c1, F.col("pk1") == F.col("c1.pk"))
+        .join(c2, F.col("pk2") == F.col("c2.pk"))
+        .select(
+            "pk1", "pk2", "jaccard",
+            (F.col("c1.cnt") * F.col("c2.cnt")).alias("mult"),
+        )
+    )
+    same = pcnt.filter(F.col("cnt") >= 2).select(
+        F.col("pk").alias("pk1"),
+        F.col("pk").alias("pk2"),
+        F.lit(1.0).alias("jaccard"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("mult"),
+    )
+    allp = cross.unionByName(same)
+    # keep every jaccard tie-group that can still reach rank 20: group the
+    # profile pairs by jaccard value, cumulative user-pair count, keep
+    # groups whose preceding cumulative count < 20
+    by_j = allp.groupBy("jaccard").agg(F.sum("mult").alias("pairs"))
+    wj = Window.orderBy(F.col("jaccard").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    keep_j = (
+        by_j.withColumn("before", F.coalesce(F.sum("pairs").over(wj), F.lit(0)))
+        .filter(F.col("before") < 20)
+        .select("jaccard")
+    )
+    sel = allp.join(F.broadcast(keep_j), "jaccard").select(
+        "pk1", "pk2", "jaccard"
+    )
+    # expand the selected profile pairs back to user pairs
+    ua, ub = users_by_p.alias("ua"), users_by_p.alias("ub")
+    expanded = (
+        sel.join(ua, F.col("pk1") == F.col("ua.pk"))
+        .join(ub, F.col("pk2") == F.col("ub.pk"))
+        .filter(
+            # same-profile pairs need u1<u2; cross-profile pairs take both
+            # orientations via least/greatest below
+            (F.col("pk1") != F.col("pk2"))
+            | (F.col("ua.user_id") < F.col("ub.user_id"))
+        )
+        .select(
+            F.least("ua.user_id", "ub.user_id").alias("u1"),
+            F.greatest("ua.user_id", "ub.user_id").alias("u2"),
+            "jaccard",
+        )
+        .distinct()
     )
     wr = Window.orderBy(F.col("jaccard").desc(), "u1", "u2")
     return (
-        scored.withColumn("rk", F.row_number().over(wr).cast("long"))
+        expanded.withColumn("rk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rk") <= 20)
     )
 
