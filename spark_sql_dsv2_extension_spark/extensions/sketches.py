@@ -23,7 +23,7 @@ dyadic/integer arithmetic, so the driver's value-hash comparison is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -384,4 +384,123 @@ def ext_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flagged",
         F.coalesce(F.col("is_dup"), F.lit(False)).alias("true_dup"),
         (F.col("flagged") & F.col("is_dup").isNull()).alias("false_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch with intersection estimation
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SRC_A = "src1"
+_KMV_SRC_B = "src2"
+
+
+@query(
+    "ext_kmv_intersection",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE source IN ('{_KMV_SRC_A}', '{_KMV_SRC_B}')
+      ) WHERE length(w) > 0
+    ), hashed AS (
+      SELECT DISTINCT source,
+             (1103515245 * {_word_poly_sql('w')} + 54321) % {_MOD} AS h
+      FROM tok
+    ), ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM hashed
+    ), kmv AS (SELECT source, h FROM ranked WHERE rk <= {_KMV_K}),
+    theta AS (
+      -- per-source theta = the k-th smallest normalized hash
+      SELECT source, max(h) AS kth FROM kmv GROUP BY source
+    ), merged AS (
+      -- theta intersection: joint theta = min of the two thetas; sample =
+      -- hashes below joint theta present in BOTH sketches
+      SELECT least((SELECT kth FROM theta WHERE source = '{_KMV_SRC_A}'),
+                   (SELECT kth FROM theta WHERE source = '{_KMV_SRC_B}'))
+               AS jt
+    ), inter_sample AS (
+      SELECT count(*) AS m FROM (
+        SELECT a.h FROM kmv a JOIN kmv b ON a.h = b.h
+        WHERE a.source = '{_KMV_SRC_A}' AND b.source = '{_KMV_SRC_B}'
+          AND a.h <= (SELECT jt FROM merged)
+      )
+    ), truth AS (
+      SELECT count(*) AS true_i FROM (
+        SELECT w FROM tok WHERE source = '{_KMV_SRC_A}'
+        INTERSECT
+        SELECT w FROM tok WHERE source = '{_KMV_SRC_B}'
+      )
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST((SELECT m FROM inter_sample) AS BIGINT) AS shared_in_sample,
+           CAST(round((SELECT m FROM inter_sample) * 1.0
+                      * {_MOD}.0
+                      / (SELECT jt FROM merged)) AS BIGINT) AS est_shared,
+           CAST((SELECT true_i FROM truth) AS BIGINT) AS true_shared
+    """,
+)
+def ext_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketch with INTERSECTION estimation — the capability
+    HLL does not have: each source keeps only its {_KMV_K} smallest
+    (deterministic) token hashes; the joint theta is the min of the two
+    k-th-smallest values, and distinct tokens shared by both sources are
+    estimated as (matches below joint theta) / joint-theta-fraction (the
+    Theta-sketch set-operation rule, Dasgupta et al.). The sketch is
+    {_KMV_K} int64s per source regardless of vocabulary — mergeable,
+    unionable, intersectable. Hashes are the module's explicit affine
+    polynomial (bit-identical in both engines), and the true intersection
+    rides along for error inspection.
+
+    Scale: per-source top-k-smallest (TakeOrdered shape) over distinct
+    hashes; every set operation downstream touches only k values per
+    source."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_KMV_SRC_A, _KMV_SRC_B)
+    )
+    tok = (
+        fan_out(docs)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    h = (F.lit(1103515245) * _word_poly(F.col("w")) + F.lit(54321)) % _MOD
+    hashed = tok.select("source", h.alias("h")).distinct()
+    wk = Window.partitionBy("source").orderBy("h")
+    kmv = (
+        hashed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("source", "h")
+        .cache()
+    )
+    theta = kmv.groupBy("source").agg(F.max("h").alias("kth"))
+    jt = theta.agg(F.min("kth").alias("jt"))
+    ka = kmv.filter(F.col("source") == _KMV_SRC_A).select(
+        F.col("h").alias("ha")
+    )
+    kb = kmv.filter(F.col("source") == _KMV_SRC_B).select(
+        F.col("h").alias("hb")
+    )
+    m = (
+        ka.join(kb, F.col("ha") == F.col("hb"))
+        .join(F.broadcast(jt))
+        .filter(F.col("ha") <= F.col("jt"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    ta = tok.filter(F.col("source") == _KMV_SRC_A).select("w").distinct()
+    tb = tok.filter(F.col("source") == _KMV_SRC_B).select("w").distinct()
+    truth = ta.intersect(tb).agg(F.count(F.lit(1)).alias("true_i"))
+    return (
+        m.join(F.broadcast(jt))
+        .join(F.broadcast(truth))
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("m").cast("long").alias("shared_in_sample"),
+            F.round(F.col("m") * 1.0 * float(_MOD) / F.col("jt"))
+            .cast("long")
+            .alias("est_shared"),
+            F.col("true_i").cast("long").alias("true_shared"),
+        )
     )

@@ -162,6 +162,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_churn_labels",
     "ext_extractive_summary",
     "ext_join_order_cost_model",
+    "ext_kmv_intersection",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
