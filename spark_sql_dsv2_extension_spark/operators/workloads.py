@@ -1568,3 +1568,135 @@ def ext_join_order_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.plan_order", "p.est_intermediate")
     w = Window.orderBy("est_intermediate", "plan_order")
     return plans.withColumn("plan_rank", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "ext_power_analysis",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+           -- MDE at 80% power / 5% two-sided: (1.96 + 0.8416)·sqrt(2σ²/n)
+           CAST(round((1.96 + 0.8416)
+                      * sqrt(2.0 * (CAST(s2 AS DOUBLE) / n
+                                    - (CAST(s1 AS DOUBLE) / n)
+                                      * (CAST(s1 AS DOUBLE) / n)) / n))
+                AS BIGINT) AS mde_cents
+    FROM s WHERE n >= 2
+    """,
+)
+def ext_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER ANALYSIS: per metric (event type), the minimum
+    detectable effect at 80% power / 5% significance given the observed
+    variance and sample size — (z_{0.975}+z_{0.80})·√(2σ²/n), the number
+    an experimenter needs BEFORE launching an A/B test ("can this test
+    even see the effect size we care about?"), complementing
+    ext_ab_test_lift's after-the-fact readout. Moments are exact integer
+    sums of cents, so σ² and the MDE are computed from bit-identical
+    operands in both engines.
+
+    Scale: one grouped moment aggregation — nothing else touches the
+    events."""
+    ev = load(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    ).filter(F.col("n") >= 2)
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mean).cast("long").alias("mean_cents"),
+        F.round((1.96 + 0.8416) * F.sqrt(2.0 * var / F.col("n")))
+        .cast("long")
+        .alias("mde_cents"),
+    )
+
+
+@query(
+    "ext_did_estimate",
+    oracle="""
+    WITH bound AS (
+      -- pre/post boundary = midpoint of the data's own time range, so the
+      -- four cells are populated on any fixture vintage
+      SELECT (epoch(min(ts)) + epoch(max(ts))) // 2 AS mid
+      FROM events WHERE event_type = 'purchase'
+    ), assign AS (
+      SELECT user_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             (user_id * 2654435761 + 17) % 2147483647 % 2 AS arm,
+             CASE WHEN epoch(ts) >= bound.mid THEN 1 ELSE 0 END AS post
+      FROM events, bound WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT arm, post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM assign GROUP BY arm, post
+    ), means AS (
+      SELECT arm, post, CAST(s AS DOUBLE) / n AS m FROM cells
+    )
+    SELECT CAST(t1.m - t0.m - (c1.m - c0.m) AS DOUBLE) AS did_cents,
+           CAST((SELECT SUM(n) FROM cells) AS BIGINT) AS n_total
+    FROM means t1, means t0, means c1, means c0
+    WHERE t1.arm = 1 AND t1.post = 1 AND t0.arm = 1 AND t0.post = 0
+      AND c1.arm = 0 AND c1.post = 1 AND c0.arm = 0 AND c0.post = 0
+    """,
+)
+def ext_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: treatment effect estimated as
+    (treated post − treated pre) − (control post − control pre) over a
+    hash-assigned arm and a pre/post boundary at the data's own time-range midpoint — the causal
+    workhorse when randomization happens at rollout time and a parallel
+    control trend absorbs seasonality. All four cell means are exact
+    integer-cent ratios; the estimate is three subtractions on identical
+    doubles.
+
+    Scale: one 4-cell aggregation; the arm is a map-side hash (no
+    assignment table), the same pattern as ext_ab_test_lift."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bound = ev.agg(
+        F.floor(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("mid")
+    )
+    assign = ev.join(F.broadcast(bound)).select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        ((F.col("user_id") * 2654435761 + 17) % 2147483647 % 2).alias("arm"),
+        F.when(F.unix_timestamp("ts") >= F.col("mid"), 1)
+        .otherwise(0)
+        .alias("post"),
+    )
+    cells = assign.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    ).withColumn("m", F.col("s").cast("double") / F.col("n"))
+    n_total = cells.agg(F.sum("n").alias("n_total"))
+
+    def cell(arm: int, post: int, alias: str):
+        return F.broadcast(
+            cells.filter((F.col("arm") == arm) & (F.col("post") == post))
+            .select(F.col("m").alias(alias))
+        )
+
+    return (
+        cell(1, 1, "t1")
+        .join(cell(1, 0, "t0"))
+        .join(cell(0, 1, "c1"))
+        .join(cell(0, 0, "c0"))
+        .join(F.broadcast(n_total))
+        .select(
+            (
+                F.col("t1") - F.col("t0") - (F.col("c1") - F.col("c0"))
+            ).alias("did_cents"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+    )

@@ -163,6 +163,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_extractive_summary",
     "ext_join_order_cost_model",
     "ext_kmv_intersection",
+    "ext_power_analysis",
+    "ext_did_estimate",
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
