@@ -1409,3 +1409,248 @@ def ext_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("loo_mean6"),
     )
+
+
+@query(
+    "ext_effective_sample_size",
+    oracle="""
+    WITH counts AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1
+             END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), weighted AS (
+      SELECT lang,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e3) AS BIGINT) AS w3
+      FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(round(CAST(SUM(w3) AS DOUBLE) * CAST(SUM(w3) AS DOUBLE)
+                      / CAST(SUM(w3 * w3) AS DOUBLE) * 1e6) AS BIGINT)
+             AS ess6,
+           CAST(round(CAST(SUM(w3) AS DOUBLE) * CAST(SUM(w3) AS DOUBLE)
+                      / CAST(SUM(w3 * w3) AS DOUBLE)
+                      / count(*) * 1e6) AS BIGINT) AS ess_ratio6
+    FROM weighted
+    """,
+)
+def ext_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the temperature-mixture weights (Kish:
+    (Σw)²/Σw²): how many of the mixture's languages effectively contribute
+    — ESS ≈ #langs means balanced, ESS ≈ 1 means one language dominates
+    despite the T=2 flattening. The go/no-go check on any proposed
+    sampling-weight vector before a training run. Weights are the same
+    sqrt(n_tokens) used by ext_temperature_mixture, integer-scaled at 1e3
+    so Σw² stays far inside int64 and the sums are order-independent.
+
+    Scale: one grouped count + a #languages-row reduction."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    weighted = (
+        docs.select("lang", n_tokens.alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .select(
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1e3)
+            .cast("long")
+            .alias("w3")
+        )
+    )
+    s1 = F.sum("w3").cast("double")
+    s2 = F.sum(F.col("w3") * F.col("w3")).cast("double")
+    n = F.count(F.lit(1))
+    return weighted.agg(
+        n.alias("n_langs"),
+        F.round(s1 * s1 / s2 * 1e6).cast("long").alias("ess6"),
+        F.round(s1 * s1 / s2 / n * 1e6).cast("long").alias("ess_ratio6"),
+    )
+
+
+@query(
+    "ext_quantile_align_sources",
+    oracle="""
+    WITH pooled AS (
+      SELECT ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile, n_chars
+      FROM documents
+    ), ref AS (
+      SELECT decile, CAST(max(n_chars) AS BIGINT) AS pooled_max
+      FROM pooled GROUP BY decile
+    ), per_src AS (
+      SELECT source,
+             ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS decile,
+             n_chars
+      FROM documents
+    ), agg AS (
+      SELECT source, decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(n_chars) AS BIGINT) AS src_max
+      FROM per_src GROUP BY source, decile
+    )
+    SELECT source, CAST(agg.decile AS BIGINT) AS decile, n_docs, src_max,
+           ref.pooled_max,
+           CAST(src_max - ref.pooled_max AS BIGINT) AS shift_chars
+    FROM agg JOIN ref ON agg.decile = ref.decile
+    """,
+)
+def ext_quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile ALIGNMENT map per source: each source's within-source
+    decile boundaries of document length next to the pooled corpus's
+    boundaries — the lookup table for quantile normalization (map a
+    source's length distribution onto the corpus's) and a per-source
+    drift readout (shift_chars ≠ 0 = this source is long/short-heavy at
+    that decile). Deciles use ntile over the (n_chars, doc_id) total
+    order, so bucket assignment is deterministic on both engines.
+
+    Scale: two rank windows (one global, one per-source — the global one
+    becomes a range-partitioned rank at 100 TB) + a 10-row broadcast
+    join."""
+    docs = load(spark, sf_dir, "documents")
+    pooled = docs.select(
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
+        "n_chars",
+    )
+    ref = pooled.groupBy("decile").agg(F.max("n_chars").alias("pooled_max"))
+    per_src = docs.select(
+        "source",
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("decile"),
+        "n_chars",
+    )
+    agg = per_src.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("n_chars").alias("src_max")
+    )
+    return agg.join(F.broadcast(ref), "decile").select(
+        "source",
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs",
+        "src_max",
+        "pooled_max",
+        (F.col("src_max") - F.col("pooled_max")).alias("shift_chars"),
+    )
+
+
+_HILL_K = 100
+
+
+@query(
+    "ext_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ), logs AS (
+      SELECT rk, CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
+               AS l6
+      FROM ranked WHERE rk <= {_HILL_K} + 1
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           (SELECT CAST(min(n_chars) AS BIGINT) FROM ranked
+            WHERE rk = {_HILL_K} + 1) AS threshold_chars,
+           CAST(round(
+             (SELECT CAST(SUM(l6) AS DOUBLE) / {_HILL_K} FROM logs
+              WHERE rk <= {_HILL_K})
+             - (SELECT CAST(min(l6) AS DOUBLE) FROM logs
+                WHERE rk = {_HILL_K} + 1)
+           ) AS BIGINT) AS hill_gamma6
+    """,
+)
+def ext_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill TAIL-INDEX estimator over document lengths: γ̂ = mean of
+    ln(x_(i)/x_(k+1)) over the top-k order statistics — the standard
+    heavy-tail exponent estimate (γ ≈ 1/α). Answers "how pathological is
+    the length tail?" quantitatively, where ext_zipf_fit answers it for
+    token frequencies: partition sizing and packing strategies key off
+    this number. Logs are micro-scaled integers before summing (the DSIR
+    idiom), so the mean-excess is computed from order-independent sums.
+
+    Scale: a global top-(k+1) (TakeOrdered — no full sort) then k-row
+    arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= _HILL_K + 1)
+    logs = ranked.select(
+        "rk",
+        "n_chars",
+        F.round(F.log(F.col("n_chars").cast("double")) * 1e6)
+        .cast("long")
+        .alias("l6"),
+    )
+    top = logs.filter(F.col("rk") <= _HILL_K).agg(
+        F.sum("l6").cast("double").alias("sl6"),
+    )
+    tail = logs.filter(F.col("rk") == _HILL_K + 1).agg(
+        F.min("n_chars").alias("threshold_chars"),
+        F.min("l6").cast("double").alias("l6k"),
+    )
+    return top.join(F.broadcast(tail)).select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        "threshold_chars",
+        F.round(F.col("sl6") / _HILL_K - F.col("l6k"))
+        .cast("long")
+        .alias("hill_gamma6"),
+    )
+
+
+_SOURCE_CAP_K = 20
+
+
+@query(
+    "ext_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN rk > {_SOURCE_CAP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_docs,
+           CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP_K} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document CAP (FineWeb-style domain cap): keep at most K
+    documents per source, preferring the longest (quality proxy), and
+    account for what was dropped — the anti-spam guard that stops one
+    domain from flooding the mixture, complementing ext_label_balance's
+    min-count downsample (cap vs equalize are different contracts).
+
+    Scale: one per-source rank window + grouped accounting; the window
+    key is the natural partition key, so no skew beyond the source's own
+    size (which is exactly what the cap bounds)."""
+    docs = load(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rk"),
+    )
+    return ranked.groupBy("source").agg(
+        F.sum(F.when(F.col("rk") <= _SOURCE_CAP_K, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_docs"),
+        F.sum(F.when(F.col("rk") > _SOURCE_CAP_K, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_docs"),
+        F.sum(F.when(F.col("rk") <= _SOURCE_CAP_K, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )

@@ -3521,3 +3521,366 @@ def ext_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "ext_chi2_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, w
+      FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0
+    ), totals AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS ta,
+             CAST(SUM(1 - pos) AS BIGINT) AS tb
+      FROM tok
+    ), per_w AS (
+      SELECT w, CAST(SUM(pos) AS BIGINT) AS a,
+             CAST(SUM(1 - pos) AS BIGINT) AS b
+      FROM tok GROUP BY w
+    ), chi AS (
+      SELECT w, a, b,
+             (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+               * (CAST(a AS DOUBLE) * CAST(tb - b AS DOUBLE)
+                  - CAST(b AS DOUBLE) * CAST(ta - a AS DOUBLE))
+               * (CAST(a AS DOUBLE) * CAST(tb - b AS DOUBLE)
+                  - CAST(b AS DOUBLE) * CAST(ta - a AS DOUBLE))
+               / (CAST(a + b AS DOUBLE)
+                  * CAST(ta + tb - a - b AS DOUBLE)
+                  * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS chi2
+      FROM per_w, totals
+    )
+    SELECT w, a AS in_class, b AS out_class,
+           CAST(round(chi2 * 1000) AS BIGINT) AS chi2_milli
+    FROM chi ORDER BY chi2 DESC, w LIMIT 20
+    """,
+)
+def ext_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: rank tokens by association with a
+    document class (here lang='en' vs rest) from the 2x2 token-level
+    contingency table — the classic filter for label-discriminative
+    vocabulary before training a router/classifier on corpus slices.
+
+    chi2 = N(x11*x22 - x12*x21)^2 / (rowsum*colsum products), every cell
+    an exact integer count; the statistic is ONE double expression over
+    bit-identical integer operands (the power-analysis pattern), reported
+    at millis. Scale: token explode + two groupBys + a 2-scalar broadcast;
+    vocabulary-sized output, corpus touched once."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    totals = tok.agg(
+        F.sum("pos").alias("ta"), F.sum(1 - F.col("pos")).alias("tb")
+    )
+    per_w = tok.groupBy("w").agg(
+        F.sum("pos").alias("a"), F.sum(1 - F.col("pos")).alias("b")
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ta, tb = F.col("ta").cast("double"), F.col("tb").cast("double")
+    det = a * (F.col("tb") - F.col("b")).cast("double") - b * (
+        F.col("ta") - F.col("a")
+    ).cast("double")
+    chi2 = (
+        (ta + tb)
+        * det
+        * det
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("ta") + F.col("tb") - F.col("a") - F.col("b")).cast("double")
+            * ta
+            * tb
+        )
+    )
+    return (
+        per_w.join(F.broadcast(totals))
+        .select(
+            "w",
+            F.col("a").alias("in_class"),
+            F.col("b").alias("out_class"),
+            F.round(chi2 * 1000).cast("long").alias("chi2_milli"),
+            chi2.alias("_chi2"),
+        )
+        .orderBy(F.col("_chi2").desc(), "w")
+        .limit(20)
+        .drop("_chi2")
+    )
+
+
+@query(
+    "ext_log_odds_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0
+    ), prior AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS aw FROM tok GROUP BY w
+    ), a0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS a0 FROM tok
+    ), cnt AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS yi,
+             CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS yj
+      FROM tok GROUP BY w
+    ), ni AS (
+      SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ni,
+             CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nj
+      FROM tok
+    )
+    SELECT w, yi, yj,
+           CAST(round(
+             (ln((CAST(yi AS DOUBLE) + aw)
+                 / (CAST(ni AS DOUBLE) + a0 - yi - aw))
+              - ln((CAST(yj AS DOUBLE) + aw)
+                   / (CAST(nj AS DOUBLE) + a0 - yj - aw)))
+             / sqrt(1.0 / (CAST(yi AS DOUBLE) + aw)
+                    + 1.0 / (CAST(yj AS DOUBLE) + aw)) * 1e6
+           ) AS BIGINT) AS zscore6
+    FROM cnt JOIN prior USING (w), a0, ni
+    """,
+)
+def ext_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted log-odds-ratio with an informative Dirichlet prior (Monroe
+    et al., "Fightin' Words"): which tokens distinguish source src0 from
+    src1, with the full corpus as the prior — the statistically-grounded
+    alternative to raw frequency ratios (rare words get shrunk toward the
+    prior instead of dominating). The z-score divides the log-odds delta by
+    its estimated standard deviation.
+
+    Every input is an exact integer count; ln/sqrt run on bit-identical
+    doubles and the result is micro-rounded (the DSIR idiom — the 1-ulp
+    libm risk is confined to a measure-zero .5 boundary). Scale: one token
+    explode feeding three vocabulary-sized aggregates."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    prior = tok.groupBy("w").agg(F.count(F.lit(1)).alias("aw"))
+    a0 = tok.agg(F.count(F.lit(1)).alias("a0"))
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("yi"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("yj"),
+    )
+    ni = tok.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ni"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("nj"),
+    )
+    yi, yj = F.col("yi").cast("double"), F.col("yj").cast("double")
+    aw = F.col("aw").cast("double")
+    delta = F.log(
+        (yi + aw) / (F.col("ni").cast("double") + F.col("a0") - F.col("yi") - F.col("aw"))
+    ) - F.log(
+        (yj + aw) / (F.col("nj").cast("double") + F.col("a0") - F.col("yj") - F.col("aw"))
+    )
+    sigma = F.sqrt(1.0 / (yi + aw) + 1.0 / (yj + aw))
+    return (
+        cnt.join(prior, "w")
+        .join(F.broadcast(a0))
+        .join(F.broadcast(ni))
+        .select(
+            "w",
+            "yi",
+            "yj",
+            F.round(delta / sigma * 1e6).cast("long").alias("zscore6"),
+        )
+    )
+
+
+@query(
+    "ext_tokenizer_fertility",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0)) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS subwords,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(subwords) AS BIGINT) AS total_subwords,
+           CAST(round(CAST(SUM(subwords) AS DOUBLE)
+                      / CAST(SUM(words) AS DOUBLE) * 1e6) AS BIGINT)
+             AS fertility6,
+           CAST(round(CAST(SUM(chars) AS DOUBLE)
+                      / CAST(SUM(subwords) AS DOUBLE) * 1e6) AS BIGINT)
+             AS chars_per_token6
+    FROM per_doc GROUP BY lang
+    """,
+)
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword tokens emitted per
+    whitespace word, plus chars per subword — the number that decides
+    whether a tokenizer taxes some languages with 2-3x the sequence length
+    (the standard multilingual-tokenizer audit before committing a vocab).
+    Uses the BPE-ish regex tokenizer from ext_token_count as the subword
+    model. Integer sums, one double division, micro-rounded.
+
+    Scale: per-doc counting is a codegen'd projection; the aggregate is
+    #languages rows."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+        .cast("long")
+        .alias("words"),
+        # idx=0 = whole match (Spark defaults to group 1; DuckDB to 0)
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("subwords"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("words").alias("total_words"),
+        F.sum("subwords").alias("total_subwords"),
+        F.round(
+            F.sum("subwords").cast("double") / F.sum("words").cast("double") * 1e6
+        )
+        .cast("long")
+        .alias("fertility6"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("subwords").cast("double") * 1e6
+        )
+        .cast("long")
+        .alias("chars_per_token6"),
+    )
+
+
+_COVERAGE_KS = (5, 10, 20)
+
+
+@query(
+    "ext_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0
+    ), freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w
+    ), ranked AS (
+      SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM freq
+    ), total AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tot FROM freq
+    )
+    SELECT k, CAST(SUM(CASE WHEN rk <= k THEN n ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(max(tot) AS BIGINT) AS total_tokens,
+           CAST(round(CAST(SUM(CASE WHEN rk <= k THEN n ELSE 0 END) AS DOUBLE)
+                      / CAST(max(tot) AS DOUBLE) * 1e6) AS BIGINT) AS share6
+    FROM ranked, (SELECT unnest([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k) ks,
+         total
+    GROUP BY k
+    """,
+)
+def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: share of total token mass covered by the
+    top-k vocabulary for k in {5, 10, 20} — the curve that sizes a
+    tokenizer vocab (where does coverage saturate?) and generalizes
+    ext_vocab_oov_rate's single point. Ranking ties break on the token
+    string, so the curve is deterministic.
+
+    Scale: the vocabulary aggregate is the only corpus-sized pass; the
+    curve itself is a broadcast of |vocab| rows crossed with 3 constants."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("n").desc(), "w"))
+    )
+    total = freq.agg(F.sum("n").alias("tot"))
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k INT")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .join(F.broadcast(total))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("tot").alias("total_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0)
+                ).cast("double")
+                / F.max("tot").cast("double")
+                * 1e6
+            )
+            .cast("long")
+            .alias("share6"),
+        )
+    )
+
+
+@query(
+    "ext_dup_saturation_curve",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS ch,
+             ntile(10) OVER (ORDER BY doc_id) AS decile
+      FROM documents
+    ), flagged AS (
+      SELECT decile,
+             CASE WHEN row_number() OVER (PARTITION BY ch ORDER BY doc_id) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM h
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           CAST(round(CAST(SUM(is_dup) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT)
+             AS dup_share6
+    FROM flagged GROUP BY decile
+    """,
+)
+def ext_dup_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication SATURATION curve: walking the corpus in ingestion order
+    (doc_id), what fraction of each decile is an exact duplicate of
+    something already seen? Rising deciles mean the crawl is saturating
+    (each new batch adds less novel content) — the operational signal for
+    when to stop crawling a source. Exact sha256 content identity, winner
+    = first occurrence, deciles by ntile over the ingestion order.
+
+    Scale: hash + two windows (one partitioned by hash, one a global
+    ntile); at 100 TB the global ntile becomes a range-partitioned rank
+    over pre-aggregated per-shard counts — same contract."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("ch"),
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+    )
+    flagged = h.select(
+        "decile",
+        F.when(
+            F.row_number().over(Window.partitionBy("ch").orderBy("doc_id")) > 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    return flagged.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.round(
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double") * 1e6
+        )
+        .cast("long")
+        .alias("dup_share6"),
+    ).withColumn("decile", F.col("decile").cast("long"))

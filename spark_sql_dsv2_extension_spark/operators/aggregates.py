@@ -1198,3 +1198,42 @@ def ext_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND CURRENT ROW) * 1000000 DIV sx"
         ).alias("cum_share6"),
     )
+
+
+@query(
+    "agg_hll_native_union",
+    oracle="""
+    SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
+           true AS union_ok
+    FROM documents
+    """,
+)
+def agg_hll_native_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native HLL sketch surface (Spark 3.5+ Datasketches bindings):
+    hll_sketch_agg builds one sketch per source partition, hll_union_agg
+    merges the per-source sketches, hll_sketch_estimate reads the merged
+    estimate — the build→merge→read lifecycle a 100 TB pipeline uses to
+    count distincts incrementally (per-shard sketches unioned at close,
+    never re-scanning closed shards). Checked as the boolean invariant
+    (merged estimate within ±10%% of exact, rsd default lgK=12 gives <2%%)
+    like agg_approx_count_distinct; exact count computed side by side.
+    Unlike ext_hll_union's hand-rolled 64-register sketch (oracle-exact by
+    construction), this key pins the BUILT-IN binary-sketch surface."""
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    )
+    merged = per_source.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = docs.agg(F.count_distinct("doc_id").alias("exact_docs"))
+    return merged.join(F.broadcast(exact)).select(
+        "n_sources",
+        "exact_docs",
+        (
+            (F.col("est") >= F.col("exact_docs") * 0.9)
+            & (F.col("est") <= F.col("exact_docs") * 1.1)
+        ).alias("union_ok"),
+    )

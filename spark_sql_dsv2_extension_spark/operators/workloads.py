@@ -1700,3 +1700,249 @@ def ext_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total").cast("long").alias("n_total"),
         )
     )
+
+
+@query(
+    "ext_user_trend_slope",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ), rel AS (
+      SELECT user_id, t - min(t) OVER (PARTITION BY user_id) AS x, c
+      FROM base
+    ), mom AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(c) AS BIGINT) AS sy,
+             CAST(SUM(x * c) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM rel GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(round(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 86400 * 1e6) AS BIGINT) AS slope_cents_day6
+    FROM mom
+    WHERE n >= 2 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+    ORDER BY abs(CAST(round(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 86400 * 1e6) AS BIGINT)) DESC, user_id
+    LIMIT 20
+    """,
+)
+def ext_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend TREND: the OLS slope of purchase value over time
+    (cents/day), top-20 by magnitude — the whale-detection / churn-risk
+    readout analytics teams run weekly. The closed-form slope
+    (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) is computed from exact integer moments;
+    timestamps are re-based to each user's first purchase so Sxx stays
+    far inside int64 (epoch² would not).
+
+    Scale: one grouped moment aggregation (map-side combinable) after a
+    per-user min window — no per-user iteration, no driver math."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    rel = base.select(
+        "user_id",
+        (F.col("t") - F.min("t").over(Window.partitionBy("user_id"))).alias("x"),
+        "c",
+    )
+    mom = rel.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("x") * F.col("c")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    denom = n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope6 = F.round(
+        (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / denom
+        * 86400
+        * 1e6
+    ).cast("long")
+    return (
+        mom.filter((F.col("n") >= 2) & (denom > 0))
+        .select("user_id", "n", slope6.alias("slope_cents_day6"))
+        .orderBy(F.abs(F.col("slope_cents_day6")).desc(), "user_id")
+        .limit(20)
+    )
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@query(
+    "ext_acf_daily",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+      FROM events
+    ), days AS (
+      -- range() as a scalar list function (not the lateral table function,
+      -- which rejects column arguments) -> one row per calendar day
+      SELECT unnest(range(0, CAST(datediff('day', d0, d1) AS BIGINT) + 1)) AS d
+      FROM bounds
+    ), counts AS (
+      SELECT datediff('day', bounds.d0, CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events, bounds GROUP BY 1
+    ), series AS (
+      SELECT days.d, COALESCE(counts.c, 0) AS c
+      FROM days LEFT JOIN counts USING (d)
+    ), gstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM series
+    ), lagged AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS nk,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS axy,
+             CAST(SUM(a.c) AS BIGINT) AS bx,
+             CAST(SUM(b.c) AS BIGINT) AS cy
+      FROM series a
+      JOIN (SELECT unnest([{", ".join(str(k) for k in _ACF_LAGS)}]) AS k) ks ON true
+      JOIN series b ON b.d = a.d + k
+      GROUP BY k
+    )
+    SELECT k, CAST(nn AS BIGINT) AS n_days,
+           CAST(round(
+             (CAST(axy AS DOUBLE)
+              - CAST(s1 AS DOUBLE) / nn * (CAST(bx AS DOUBLE) + cy)
+              + CAST(nk AS DOUBLE) * (CAST(s1 AS DOUBLE) / nn)
+                * (CAST(s1 AS DOUBLE) / nn))
+             / (CAST(s2 AS DOUBLE)
+                - CAST(nn AS DOUBLE) * (CAST(s1 AS DOUBLE) / nn)
+                  * (CAST(s1 AS DOUBLE) / nn)) * 1e6) AS BIGINT) AS acf6
+    FROM lagged, gstats
+    """,
+)
+def ext_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-volume series at lags 1-3: the
+    quick periodicity/memory diagnostic behind capacity planning and
+    anomaly baselines (lag-1 high = momentum; all low = white noise),
+    complementing ext_seasonal_profile's day-of-week means. The day axis
+    is gap-filled (sequence over the observed range) so lags align on
+    calendar days, not row adjacency.
+
+    ACF_k = (Σc_t·c_{{t+k}} − m(B+C) + n_k·m²) / (Σc² − N·m²) expanded so
+    every sum is an exact integer; m = S1/N enters as one double. Scale:
+    the series is #days rows — trivially broadcastable after one grouped
+    count of the corpus."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("d0"),
+        F.max(F.to_date(F.date_trunc("day", "ts"))).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("d")
+    )
+    counts = (
+        ev.join(F.broadcast(bounds))
+        .select(
+            F.datediff(F.to_date(F.date_trunc("day", "ts")), "d0").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    series = (
+        days.join(counts, "d", "left")
+        .select("d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    glob = series.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _ACF_LAGS], "k INT")
+    a = series.alias("a")
+    b = series.alias("b")
+    lagged = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("axy"),
+            F.sum(F.col("a.c")).alias("bx"),
+            F.sum(F.col("b.c")).alias("cy"),
+        )
+    )
+    m = F.col("s1").cast("double") / F.col("nn")
+    acf6 = F.round(
+        (
+            F.col("axy").cast("double")
+            - m * (F.col("bx").cast("double") + F.col("cy"))
+            + F.col("nk").cast("double") * m * m
+        )
+        / (F.col("s2").cast("double") - F.col("nn").cast("double") * m * m)
+        * 1e6
+    ).cast("long")
+    return lagged.join(F.broadcast(glob)).select(
+        "k", F.col("nn").alias("n_days"), acf6.alias("acf6")
+    )
+
+
+@query(
+    "ext_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(CAST(median(gap) AS DOUBLE), 4) AS med_gap_sec,
+           round(CAST(quantile_cont(gap, 0.9) AS DOUBLE), 4) AS p90_gap_sec,
+           CAST(max(gap) AS BIGINT) AS max_gap_sec
+    FROM seq WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ext_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile: per event type, the distribution of
+    seconds between a user's consecutive events (median / p90 / max) —
+    the statistic that calibrates session-gap thresholds
+    (win_session_gaps' 30-min cutoff) and streaming watermark delays
+    against what the data actually does, instead of folklore defaults.
+
+    Gaps are exact integer seconds from a per-user lag; percentiles use
+    the established interpolated-percentile-rounded-to-4 idiom. Scale:
+    one window partitioned by user (the natural key) + one small-group
+    aggregation."""
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    seq = ev.select(
+        "event_type",
+        (
+            t
+            - F.lag(t).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+        ).alias("gap"),
+    )
+    return (
+        seq.filter(F.col("gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.round(F.percentile("gap", F.lit(0.5)), 4).alias("med_gap_sec"),
+            F.round(F.percentile("gap", F.lit(0.9)), 4).alias("p90_gap_sec"),
+            F.max("gap").alias("max_gap_sec"),
+        )
+    )

@@ -125,6 +125,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_point_in_time_join",
     # --- 50-key window boundary (round 4) ---
     # new round-4 keys land here, heading the round-5 window
+    "ext_chi2_terms",
+    "ext_log_odds_terms",
+    "ext_tokenizer_fertility",
+    "ext_vocab_coverage_curve",
+    "ext_dup_saturation_curve",
+    "ext_user_trend_slope",
+    "ext_acf_daily",
+    "ext_interarrival_stats",
+    "ext_effective_sample_size",
+    "ext_quantile_align_sources",
+    "ext_hill_tail_index",
+    "ext_source_cap",
+    "agg_hll_native_union",
     "ext_boilerplate_sentences",
     "ext_code_detect",
     "ext_readability",
