@@ -1,0 +1,725 @@
+"""Ranking-quality / statistical-evaluation / layout-planning operators.
+
+The LLM-data-pipeline counterpart to a model-eval harness: once a corpus is
+deduped, filtered, and mixed, teams need to SCORE retrieval rankings (NDCG,
+MRR), quantify uncertainty (bootstrap CIs), check monotone association
+(Spearman), and plan the physical layout of what they write back (file
+sizing, zone-map skip rates). The reference engine exposes the relational
+primitives these compose from (scan/join/window/agg — e.g. window machinery
+per spark-dsv2-hive-catalog's delegation of SQL execution to Catalyst,
+V2ExternalCatalog.scala:55-92); this module proves the compositions.
+
+Determinism contract (same as tables.py): every metric is computed from
+exact int64 counts; each double op (log2, sqrt, one final divide) is applied
+to bit-identical operands in both engines, then rounded to a 1e-6 integer
+BEFORE any order-dependent aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import fan_out, load
+
+NDCG_K = 10
+BOOTSTRAP_B = 20  # resamples; CI = 2nd/19th order statistic (~90%)
+PREFIX_LEN = 32
+SKIP_FILES = 64
+
+
+@query(
+    "ext_ndcg_eval",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS pos
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(rel) AS BIGINT) AS n_relevant,
+             CAST(SUM(CASE WHEN rel = 1 AND pos <= {NDCG_K}
+                      THEN CAST(round(1000000 / log2(pos + 1)) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS dcg6
+      FROM ranked GROUP BY user_id
+    ), ideal AS (
+      SELECT m, CAST(SUM(g) OVER (ORDER BY m) AS BIGINT) AS idcg6
+      FROM (SELECT i AS m,
+                   CAST(round(1000000 / log2(i + 1)) AS BIGINT) AS g
+            FROM (SELECT unnest(range(1, {NDCG_K} + 1)) AS i))
+    )
+    SELECT u.user_id, u.n_events, u.n_relevant, u.dcg6,
+           ideal.idcg6,
+           CAST((u.dcg6 * 1000000) // ideal.idcg6 AS BIGINT) AS ndcg6
+    FROM per_user u
+    JOIN ideal ON ideal.m = least(u.n_relevant, {NDCG_K})
+    WHERE u.n_relevant >= 1
+    ORDER BY ndcg6 DESC, u.user_id LIMIT 50
+    """,
+)
+def ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of a value-ranked event feed against purchase relevance — THE
+    graded ranking metric for retrieval/recommendation QA (binary gains
+    here; the formula is the general one). Exact: the position gain
+    1e6/log2(pos+1) is one double op on an integer operand, rounded to an
+    int before the per-user SUM, and the ideal DCG is a 10-row cumulative
+    table broadcast onto users, so NDCG is a ratio of two int64s.
+
+    Scale: one window rank per user partition + one grouped SUM — the
+    shuffle key is user_id both times (AQE coalesces); the ideal table is
+    K rows, broadcast. Top-50 report via TakeOrdered, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    pos_w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("rel"),
+        F.row_number().over(pos_w).alias("pos"),
+    )
+    gain6 = F.round(F.lit(1000000) / F.log2(F.col("pos") + 1)).cast("long")
+    per_user = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.sum(
+            F.when((F.col("rel") == 1) & (F.col("pos") <= NDCG_K), gain6).otherwise(
+                F.lit(0)
+            )
+        ).alias("dcg6"),
+    )
+    ideal = (
+        spark.range(1, NDCG_K + 1)
+        .select(
+            F.col("id").alias("m"),
+            F.round(F.lit(1000000) / F.log2(F.col("id") + 1))
+            .cast("long")
+            .alias("g"),
+        )
+        .select(
+            "m",
+            F.sum("g")
+            .over(
+                Window.orderBy("m").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("idcg6"),
+        )
+    )
+    return (
+        per_user.filter(F.col("n_relevant") >= 1)
+        .join(
+            F.broadcast(ideal),
+            F.least(F.col("n_relevant"), F.lit(NDCG_K)) == F.col("m"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_relevant",
+            "dcg6",
+            "idcg6",
+            F.expr("dcg6 * 1000000 div idcg6").alias("ndcg6"),
+        )
+        .orderBy(F.desc("ndcg6"), "user_id")
+        .limit(50)
+    )
+
+
+@query(
+    "ext_mrr_eval",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS pos
+      FROM events
+    ), per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             MIN(CASE WHEN rel = 1 THEN pos END) AS first_rel
+      FROM ranked GROUP BY user_id
+    )
+    SELECT least(n_events // 10, 5) AS activity_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(1000000 // first_rel) AS BIGINT) AS sum_rr6,
+           CAST(SUM(1000000 // first_rel) // count(*) AS BIGINT) AS mean_rr6
+    FROM per_user WHERE first_rel IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def ext_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first relevant item in each user's
+    value-ranked feed, reported per activity band (events//10, capped) —
+    the metric that tells a retrieval pipeline how deep users must scroll
+    before the ranking pays off, and whether that differs for heavy users.
+    Exact: reciprocal ranks are integer-floored micro-units (1e6 // pos),
+    so band sums and means are pure int64 arithmetic.
+
+    Scale: one user-partitioned window + two grouped aggregations; band
+    cardinality is 6, so the final shuffle is trivial."""
+    ev = load(spark, sf_dir, "events")
+    pos_w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("rel"),
+        F.row_number().over(pos_w).alias("pos"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("rel") == 1, F.col("pos"))).alias("first_rel"),
+    )
+    return (
+        per_user.filter(F.col("first_rel").isNotNull())
+        .select(
+            F.expr("least(n_events div 10, 5)").alias("activity_band"),
+            F.expr("1000000 div first_rel").alias("rr6"),
+        )
+        .groupBy("activity_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("rr6").cast("long").alias("sum_rr6"),
+        )
+        .select(
+            "activity_band",
+            "n_users",
+            "sum_rr6",
+            F.expr("sum_rr6 div n_users").alias("mean_rr6"),
+        )
+    )
+
+
+@query(
+    "ext_spearman_corr",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity) AS rx,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice) AS ry
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sum_d2,
+           CAST(round(1000000 * (1 - 6.0 * sum_d2
+                / (CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1))))
+                AS BIGINT) AS rho6
+    FROM s
+    """,
+)
+def ext_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per return
+    flag — the monotone-association check that, unlike Pearson (see
+    agg_stats_corr), is immune to outliers and nonlinear scaling; the
+    standard drift diagnostic between a feature and a quality score.
+    Ranks are rank() — the min-rank tie convention, so every row's rank is
+    a pure function of its VALUE (row_number tiebreaks are nondeterministic
+    across engines when full rows duplicate); d² sums are exact int64,
+    and ρ is one shared-operand double expression rounded at 1e-6.
+    n³ is computed in doubles so no int64 overflow at any corpus size.
+
+    Scale: two window ranks over the same partition key (one exchange —
+    Catalyst reuses the hash partitioning; each is a per-group sort) and a
+    3-row aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        F.rank().over(wq).alias("rx"),
+        F.rank().over(wp).alias("ry"),
+    )
+    s = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sum_d2",
+        F.round(
+            1000000
+            * (
+                1
+                - 6.0
+                * F.col("sum_d2")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n").cast("double") * F.col("n").cast("double") - 1)
+                )
+            )
+        )
+        .cast("long")
+        .alias("rho6"),
+    )
+
+
+@query(
+    "ext_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), rs AS (
+      SELECT b.b,
+             CASE (v.event_id * 2654435761 + b.b * 97003 + 12289)
+                  % 2147483647 % 4
+               WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS m,
+             v.cents
+      FROM v, (SELECT unnest(range(0, {BOOTSTRAP_B})) AS b) b
+    ), means AS (
+      SELECT b, CAST((CAST(SUM(m * cents) AS BIGINT) * 10000)
+                     // CAST(SUM(m) AS BIGINT) AS BIGINT) AS mean6
+      FROM rs GROUP BY b
+    ), ci AS (
+      SELECT list_sort(list(mean6))[2] AS ci_lo6,
+             list_sort(list(mean6))[{BOOTSTRAP_B} - 1] AS ci_hi6
+      FROM means
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST((CAST(SUM(cents) AS BIGINT) * 10000) // count(*)
+                  AS BIGINT) AS mean6
+      FROM v
+    )
+    SELECT base.n_purchases, base.mean6, ci.ci_lo6, ci.ci_hi6,
+           CAST({BOOTSTRAP_B} AS BIGINT) AS n_resamples
+    FROM base, ci
+    """,
+)
+def ext_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean purchase value — the
+    resampling scheme that actually works distributed (Chamandy et al.'s
+    streaming bootstrap): instead of drawing n rows WITH replacement
+    (impossible without a global pass), each row independently gets a
+    multiplicity per resample. Multiplicities here are a deterministic
+    {{0,1,1,2}} hash mix (mean 1, variance 1/2 — same first two moments a
+    Poisson(1) draw contributes), so both engines materialize identical
+    resamples and the CI is exact: order statistics 2 and {BOOTSTRAP_B}-1
+    of {BOOTSTRAP_B} integer resample means.
+
+    Scale: the corpus is scanned once, fanned out ×B map-side (a projection,
+    not a shuffle), and aggregated to B rows. No per-row state, no driver
+    randomness — the 100 TB-safe uncertainty estimate."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rs = v.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "cents",
+        F.expr(
+            "CASE (event_id * 2654435761 + b * 97003 + 12289) "
+            "% 2147483647 % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END"
+        ).alias("m"),
+    )
+    means = rs.groupBy("b").agg(
+        F.expr("sum(m * cents) * 10000 div sum(m)").alias("mean6")
+    )
+    ci = means.agg(
+        F.element_at(F.sort_array(F.collect_list("mean6")), 2).alias("ci_lo6"),
+        F.element_at(
+            F.sort_array(F.collect_list("mean6")), BOOTSTRAP_B - 1
+        ).alias("ci_hi6"),
+    )
+    base = v.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.expr("sum(cents) * 10000 div count(*)").alias("mean6"),
+    )
+    return base.join(F.broadcast(ci)).select(
+        "n_purchases",
+        "mean6",
+        "ci_lo6",
+        "ci_hi6",
+        F.lit(BOOTSTRAP_B).cast("long").alias("n_resamples"),
+    )
+
+
+@query(
+    "ext_doc_prefix_dedup",
+    oracle=f"""
+    SELECT sha256(substr(lower(text), 1, {PREFIX_LEN})) AS prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    ORDER BY n_docs DESC, keeper_doc_id LIMIT 100
+    """,
+)
+def ext_doc_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-hash duplicate groups: documents sharing their first
+    {PREFIX_LEN} normalized characters — the cheap catch for template
+    spam, mirrored pages, and truncation variants that full-content
+    hashing (ext_exact_dedup) misses because the tails differ. The
+    standard first pass of a crawl dedup cascade: prefix → MinHash →
+    exact, each stage shrinking the candidate set for the next.
+
+    Scale: only (32-byte hash, doc_id, lang) shuffles — the text never
+    leaves the scan. One groupBy + top-100 TakeOrdered."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.sha2(F.substring(F.lower("text"), 1, PREFIX_LEN), 256).alias(
+                "prefix_hash"
+            ),
+            "doc_id",
+            "lang",
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "keeper_doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "ext_ngram_overlap_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT DISTINCT doc_id, source, bigram FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(0, len(toks) - 1),
+                      i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+        FROM t WHERE len(toks) > 1
+      )
+    ), df AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS docfreq
+      FROM bg GROUP BY bigram
+    ), per_doc AS (
+      SELECT bg.doc_id, bg.source,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN df.docfreq >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS shared
+      FROM bg JOIN df USING (bigram)
+      GROUP BY bg.doc_id, bg.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(total) AS BIGINT) AS sum_bigrams,
+           CAST(SUM(shared) AS BIGINT) AS sum_shared,
+           CAST((CAST(SUM(shared) AS BIGINT) * 1000000)
+                // CAST(SUM(total) AS BIGINT) AS BIGINT) AS overlap6
+    FROM per_doc GROUP BY source
+    """,
+)
+def ext_ngram_overlap_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity via cross-document bigram overlap (the inverse of
+    Self-BLEU): per source, the fraction of each document's distinct
+    bigrams that also occur in at least one OTHER document... measured as
+    docfreq ≥ 2 over per-doc-distinct bigrams. High overlap = templated /
+    repetitive source (boilerplate mills score ~1); low = diverse prose.
+    The per-source sampling-weight input that dedup alone doesn't give.
+    Exact: integer doc-frequency counts, one integer ratio per source.
+
+    Scale: per-doc-distinct shingling is map-side (array_distinct before
+    explode); the docfreq join ships (bigram, docfreq) pairs only. Same
+    shape as ext_tfidf_topterms — no cartesian anywhere."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    bg = (
+        toks.filter(F.size("toks") > 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(bigrams)).alias("bigram"),
+        )
+    )
+    df = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("docfreq"))
+    per_doc = (
+        bg.join(df, "bigram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("shared"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("total").alias("sum_bigrams"),
+        F.sum("shared").alias("sum_shared"),
+        F.expr("sum(shared) * 1000000 div sum(total)").alias("overlap6"),
+    )
+
+
+@query(
+    "ext_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_docs,
+             CAST(round(n_docs * sqrt(
+               (CAST(n_docs AS DOUBLE) * sx2
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n_docs AS DOUBLE) * (n_docs - 1.0))))
+               AS BIGINT) AS w0
+      FROM s WHERE n_docs > 1
+    )
+    SELECT lang, n_docs, w0 AS stratum_weight,
+           CAST((10000 * w0)
+                // (SELECT CAST(SUM(w0) AS BIGINT) FROM w)
+                AS BIGINT) AS alloc_n
+    FROM w
+    """,
+)
+def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: a 10k-row sampling
+    budget split across language strata proportionally to N_h·S_h (stratum
+    size × stddev of doc length) — the allocation that minimizes estimator
+    variance, vs the naive proportional split ext_stratified_sample uses.
+    Exact: variance comes from integer moments (n, Σx, Σx²) in one shared
+    double expression; weights are rounded to int64 BEFORE the global sum,
+    so the normalizer and every quota are pure integer arithmetic.
+
+    Scale: one grouped aggregation to #languages rows + a broadcast scalar
+    — corpus touched once, like ext_temperature_mixture."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sx2"),
+    )
+    w = s.filter(F.col("n_docs") > 1).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs")
+            * F.sqrt(
+                (
+                    F.col("n_docs").cast("double") * F.col("sx2")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                / (F.col("n_docs").cast("double") * (F.col("n_docs") - 1.0))
+            )
+        )
+        .cast("long")
+        .alias("w0"),
+    )
+    tot = w.agg(F.sum("w0").alias("tw"))
+    return w.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.col("w0").alias("stratum_weight"),
+        F.expr("10000 * w0 div tw").alias("alloc_n"),
+    )
+
+
+@query(
+    "ext_file_skip_effectiveness",
+    oracle=f"""
+    WITH nat AS (
+      SELECT ntile({SKIP_FILES}) OVER (ORDER BY l_orderkey, l_linenumber)
+               AS file_id,
+             l_shipdate
+      FROM lineitem
+    ), sorted_l AS (
+      SELECT ntile({SKIP_FILES}) OVER (ORDER BY l_shipdate, l_orderkey,
+                                                l_linenumber) AS file_id,
+             l_shipdate
+      FROM lineitem
+    ), stats AS (
+      SELECT 'natural' AS layout, file_id,
+             min(l_shipdate) AS lo, max(l_shipdate) AS hi
+      FROM nat GROUP BY file_id
+      UNION ALL
+      SELECT 'shipdate_sorted', file_id, min(l_shipdate), max(l_shipdate)
+      FROM sorted_l GROUP BY file_id
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+           CAST(SUM(CASE WHEN lo <= TIMESTAMP '1995-06-30'
+                          AND hi >= TIMESTAMP '1995-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(((count(*) - CAST(SUM(CASE WHEN lo <= TIMESTAMP '1995-06-30'
+                                            AND hi >= TIMESTAMP '1995-01-01'
+                                           THEN 1 ELSE 0 END) AS BIGINT))
+                 * 1000000) // count(*) AS BIGINT) AS skip6
+    FROM stats GROUP BY layout
+    """,
+)
+def ext_file_skip_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skip-rate audit: simulate writing lineitem as {SKIP_FILES}
+    files under two layouts (natural key order vs shipdate-sorted — what
+    sink_sorted_layout actually writes) and measure how many files a
+    6-month shipdate predicate could prune using per-file min/max footer
+    stats. THE quantified argument for paying a sort before a write: at
+    100 TB the sorted layout prunes ~92% of files for a date-bounded scan,
+    the natural layout prunes none.
+
+    Scale: this is the planning-time estimator — ntile is a stand-in for
+    the writer's range partitioner; at scale the same numbers come from
+    repartitionByRange + per-partition min/max, one pass either way."""
+    li = load(spark, sf_dir, "lineitem")
+    lo, hi = "1995-01-01", "1995-06-30"
+    natural = li.select(
+        F.ntile(SKIP_FILES)
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("file_id"),
+        "l_shipdate",
+    )
+    sorted_l = li.select(
+        F.ntile(SKIP_FILES)
+        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+        .alias("file_id"),
+        "l_shipdate",
+    )
+    stats = (
+        natural.groupBy("file_id")
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .select(F.lit("natural").alias("layout"), "lo", "hi")
+        .unionAll(
+            sorted_l.groupBy("file_id")
+            .agg(
+                F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+            )
+            .select(F.lit("shipdate_sorted").alias("layout"), "lo", "hi")
+        )
+    )
+    scanned = F.sum(
+        F.when(
+            (F.col("lo") <= F.lit(hi).cast("timestamp"))
+            & (F.col("hi") >= F.lit(lo).cast("timestamp")),
+            1,
+        ).otherwise(0)
+    )
+    return stats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("files_total"),
+        scanned.cast("long").alias("files_scanned"),
+        F.expr(
+            f"(count(*) - sum(CASE WHEN lo <= TIMESTAMP '{hi} 00:00:00' "
+            f"AND hi >= TIMESTAMP '{lo} 00:00:00' THEN 1 ELSE 0 END)) "
+            "* 1000000 div count(*)"
+        ).alias("skip6"),
+    )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_types_so_far
+    FROM flagged
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — an operator SQL window
+    frames cannot express directly (DISTINCT is illegal in windowed
+    aggregates in both engines): rewritten as first-occurrence flagging
+    (row_number = 1 per (user, type)) + a cumulative SUM. Tracks per-user
+    breadth of behavior over time — the engagement-funnel feature.
+
+    Scale: both windows partition by user_id — one exchange, two per-group
+    sorts. No distinct-state blowup: the flag rewrite keeps window state
+    O(1) per row where a naive distinct-window would hold a set."""
+    ev = load(spark, sf_dir, "events")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(cum_w).cast("long").alias("n_types_so_far"),
+    )
+
+
+@query(
+    "ext_output_file_planner",
+    oracle="""
+    WITH p AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes_est
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, bytes_est,
+           greatest((bytes_est + 262143) // 262144, 1) AS n_files,
+           (n_docs + greatest((bytes_est + 262143) // 262144, 1) - 1)
+             // greatest((bytes_est + 262143) // 262144, 1)
+             AS rows_per_file,
+           bytes_est < 65536 AS is_small_partition
+    FROM p
+    """,
+)
+def ext_output_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-layout planner: per (source, lang) output partition, the file
+    count at a 256 KiB target (ceil division), rows per file, and a
+    small-partition flag — the computation behind every sane
+    `.repartition(n, keys)` before a partitioned sink, and the planning
+    half of sink_compaction (which fixes the small files this report
+    predicts). n_chars is the serialized-size proxy the fixtures afford;
+    the arithmetic is target-size-agnostic.
+
+    Scale: one grouped aggregation at partition granularity — exactly the
+    statistics AQE's coalesce and a writer's bin-packing consume."""
+    docs = load(spark, sf_dir, "documents")
+    target, small = 262144, 65536
+    p = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("bytes_est"),
+    )
+    n_files = F.greatest(
+        F.expr(f"(bytes_est + {target - 1}) div {target}"), F.lit(1)
+    )
+    return p.select(
+        "source",
+        "lang",
+        "n_docs",
+        "bytes_est",
+        n_files.alias("n_files"),
+        F.expr(
+            f"(n_docs + greatest((bytes_est + {target - 1}) div {target}, 1) - 1) "
+            f"div greatest((bytes_est + {target - 1}) div {target}, 1)"
+        ).alias("rows_per_file"),
+        (F.col("bytes_est") < small).alias("is_small_partition"),
+    )

@@ -49,6 +49,7 @@ _MODULES = (
     "spark_sql_dsv2_extension_spark.extensions.sketches",
     "spark_sql_dsv2_extension_spark.extensions.curation",
     "spark_sql_dsv2_extension_spark.extensions.multimodal",
+    "spark_sql_dsv2_extension_spark.extensions.evaluation",
 )
 
 _loaded = False
@@ -125,6 +126,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_point_in_time_join",
     # --- 50-key window boundary (round 4) ---
     # new round-4 keys land here, heading the round-5 window
+    "ext_ndcg_eval",
+    "ext_mrr_eval",
+    "ext_spearman_corr",
+    "ext_poisson_bootstrap_ci",
+    "ext_doc_prefix_dedup",
+    "ext_ngram_overlap_diversity",
+    "ext_neyman_allocation",
+    "ext_file_skip_effectiveness",
+    "win_cumulative_distinct",
+    "ext_output_file_planner",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
