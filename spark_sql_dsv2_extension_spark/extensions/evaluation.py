@@ -723,3 +723,595 @@ def ext_output_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rows_per_file"),
         (F.col("bytes_est") < small).alias("is_small_partition"),
     )
+
+
+PERM_P = 20  # sign-flip permutations
+
+
+@query(
+    "ext_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END
+               AS grp
+      FROM events WHERE event_type = 'purchase'
+    ), steps AS (
+      SELECT c,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY c
+    ), ranked AS (
+      SELECT c, c0, c1, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) - cnt AS cum_before
+      FROM steps
+    ), agg AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c1 * (2 * cum_before + cnt + 1)) AS BIGINT) AS r1_2x
+      FROM ranked
+    )
+    SELECT n0 AS n_weekday, n1 AS n_weekend,
+           r1_2x - n1 * (n1 + 1) AS u2x,
+           n0 * n1 AS eu2x
+    FROM agg
+    """,
+)
+def ext_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum statistic between weekday and weekend
+    purchase values — the nonparametric location test that complements
+    ext_ks_two_sample's shape test (U asks "does one slice stochastically
+    dominate?", KS asks "do the distributions differ anywhere?"). Reported
+    DOUBLED (u2x) so tie-averaged ranks stay integral: with min-rank m and
+    tie count t, twice the average rank is 2·(m−1) + t + 1 — exact int64;
+    eu2x = n0·n1 is twice the null expectation for comparison.
+
+    Scale: distinct-value step counts (bounded by the value domain), one
+    cumulative window over steps, one scalar aggregate — same shape as
+    ext_ks_two_sample, no per-row ranking shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),
+    )
+    steps = v.groupBy("c").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = steps.select(
+        "c0",
+        "c1",
+        "cnt",
+        (F.sum("cnt").over(w).cast("long") - F.col("cnt")).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c1") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r1_2x"),
+    )
+    return agg.select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).alias("u2x"),
+        (F.col("n0") * F.col("n1")).alias("eu2x"),
+    )
+
+
+@query(
+    "ext_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ), r AS (
+      SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM o GROUP BY lang
+    ), c AS (
+      SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM o GROUP BY source
+    ), n AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM o
+    ), terms AS (
+      SELECT CAST(round(1000000
+               * (CAST(o.o AS DOUBLE) * n.n - CAST(r.rt AS DOUBLE) * c.ct)
+               * (CAST(o.o AS DOUBLE) * n.n - CAST(r.rt AS DOUBLE) * c.ct)
+               / (CAST(n.n AS DOUBLE) * r.rt * c.ct)) AS BIGINT) AS t6
+      FROM o JOIN r USING (lang) JOIN c USING (source), n
+    )
+    SELECT n.n, n.n_langs, n.n_sources,
+           CAST(SUM(t6) AS BIGINT) AS chi2_6,
+           CAST(round(1000000 * sqrt(
+             CAST(SUM(t6) AS BIGINT) / 1e6
+             / (CAST(n.n AS DOUBLE)
+                * (least(n.n_langs, n.n_sources) - 1)))) AS BIGINT) AS v6
+    FROM terms, n
+    GROUP BY n.n, n.n_langs, n.n_sources
+    """,
+)
+def ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between language and source — the bounded
+    [0,1] effect size telling a curation pipeline whether two categorical
+    facets are redundant (V→1: source determines language, stratify on one)
+    or independent (V→0: stratify on both). Chi-squared per-cell terms are
+    computed from exact integer marginals in one shared double expression,
+    rounded to 1e-6 integers BEFORE the (order-dependent) sum, then one
+    sqrt on the identical quotient — the engine-wide determinism contract.
+
+    Scale: the contingency table is |langs|×|sources| rows; marginals are
+    two more tiny aggregates; everything after the first groupBy is
+    broadcast-sized."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    o.cache()
+    r = o.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("o").cast("long").alias("ct"))
+    n = o.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    dev = (
+        F.col("o").cast("double") * F.col("n")
+        - F.col("rt").cast("double") * F.col("ct")
+    )
+    terms = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .join(F.broadcast(n))
+        .select(
+            F.round(
+                1000000
+                * dev
+                * dev
+                / (F.col("n").cast("double") * F.col("rt") * F.col("ct"))
+            )
+            .cast("long")
+            .alias("t6"),
+            "n",
+            "n_langs",
+            "n_sources",
+        )
+    )
+    return terms.groupBy("n", "n_langs", "n_sources").agg(
+        F.sum("t6").cast("long").alias("chi2_6"),
+        F.round(
+            1000000
+            * F.sqrt(
+                F.sum("t6").cast("long") / F.lit(1e6)
+                / (
+                    F.col("n").cast("double")
+                    * (F.least("n_langs", "n_sources") - 1)
+                )
+            )
+        )
+        .cast("long")
+        .alias("v6"),
+    )
+
+
+@query(
+    "ext_permutation_test",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END
+               AS grp
+      FROM events WHERE event_type = 'purchase'
+    ), obs AS (
+      SELECT CAST((CAST(SUM(CASE WHEN grp = 0 THEN cents END) AS BIGINT)
+                   * 10000)
+                  // SUM(CASE WHEN grp = 0 THEN 1 END)
+                - (CAST(SUM(CASE WHEN grp = 1 THEN cents END) AS BIGINT)
+                   * 10000)
+                  // SUM(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS d6
+      FROM v
+    ), perms AS (
+      SELECT p.p,
+             CASE WHEN (v.event_id * 2654435761 + p.p * 97003 + 40503)
+                       % 2147483647 % 2 = 0
+                  THEN 0 ELSE 1 END AS pgrp,
+             v.cents
+      FROM v, (SELECT unnest(range(0, {PERM_P})) AS p) p
+    ), pd AS (
+      SELECT p,
+             CAST((CAST(SUM(CASE WHEN pgrp = 0 THEN cents END) AS BIGINT)
+                   * 10000)
+                  // SUM(CASE WHEN pgrp = 0 THEN 1 END)
+                - (CAST(SUM(CASE WHEN pgrp = 1 THEN cents END) AS BIGINT)
+                   * 10000)
+                  // SUM(CASE WHEN pgrp = 1 THEN 1 END) AS BIGINT) AS d6
+      FROM perms GROUP BY p
+    )
+    SELECT obs.d6 AS obs_diff6,
+           CAST((SELECT count(*) FROM pd WHERE abs(pd.d6) >= abs(obs.d6))
+                AS BIGINT) AS n_extreme,
+           CAST({PERM_P} AS BIGINT) AS n_perms
+    FROM obs
+    """,
+)
+def ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the weekday/weekend purchase-value gap: the
+    group labels are re-dealt {PERM_P} times by a deterministic hash and
+    the observed mean difference is ranked against the permutation
+    distribution — the assumption-free significance check behind
+    ext_ab_test_lift's point estimate (n_extreme/{PERM_P} is the p-value).
+    Deterministic: label re-deals are pure hash functions of (event_id,
+    perm), means are integer micro-unit floors, so both engines count the
+    same extreme set.
+
+    Scale: one fan-out ×P projection (no shuffle growth — the groupBy key
+    is the perm index, P partial sums per executor), two scalar rows
+    joined at the end. Same 100 TB idiom as ext_poisson_bootstrap_ci."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),
+    )
+
+    def mean_diff6(grp_col: str):
+        s0 = F.sum(F.when(F.col(grp_col) == 0, F.col("cents"))).cast("long")
+        n0 = F.sum(F.when(F.col(grp_col) == 0, 1))
+        s1 = F.sum(F.when(F.col(grp_col) == 1, F.col("cents"))).cast("long")
+        n1 = F.sum(F.when(F.col(grp_col) == 1, 1))
+        return (
+            F.expr(
+                f"CAST(sum(CASE WHEN {grp_col} = 0 THEN cents END) AS BIGINT)"
+                f" * 10000 div sum(CASE WHEN {grp_col} = 0 THEN 1 END)"
+                f" - CAST(sum(CASE WHEN {grp_col} = 1 THEN cents END) AS BIGINT)"
+                f" * 10000 div sum(CASE WHEN {grp_col} = 1 THEN 1 END)"
+            ).cast("long")
+        )
+
+    obs = v.agg(mean_diff6("grp").alias("d6"))
+    perms = v.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_P - 1))).alias("p"),
+        "event_id",
+    ).select(
+        "p",
+        "cents",
+        F.expr(
+            "CASE WHEN (event_id * 2654435761 + p * 97003 + 40503) "
+            "% 2147483647 % 2 = 0 THEN 0 ELSE 1 END"
+        ).alias("pgrp"),
+    )
+    pd_means = perms.groupBy("p").agg(mean_diff6("pgrp").alias("d6"))
+    extreme = (
+        pd_means.join(F.broadcast(obs.select(F.col("d6").alias("od6"))))
+        .filter(F.abs(F.col("d6")) >= F.abs(F.col("od6")))
+        .agg(F.count(F.lit(1)).alias("n_extreme"))
+    )
+    return (
+        obs.select(F.col("d6").alias("obs_diff6"))
+        .join(F.broadcast(extreme))
+        .select(
+            "obs_diff6",
+            "n_extreme",
+            F.lit(PERM_P).cast("long").alias("n_perms"),
+        )
+    )
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, cents, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist
+    )
+    SELECT event_type, n AS n_events,
+           min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS p50_cents
+    FROM cum GROUP BY event_type, n
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via a salted two-phase histogram — the
+    skew-proof pattern for holistic aggregates: a naive
+    percentile-per-group shuffles EVERY row of a hot group to one reducer;
+    instead phase 1 aggregates (group, salt=value-hash) partial histograms
+    map-side across all executors, phase 2 merges the (much smaller)
+    distinct-value counts and reads the order statistic off the cumulative
+    histogram. The lower median (first value with cum ≥ ⌈n/2⌉) is pure
+    integer arithmetic.
+
+    Scale: the reduce-side record count is distinct-values-per-group, not
+    rows-per-group — a hot group with 1e9 rows but 1e4 distinct cents
+    values shuffles 1e4 records. This is how exact percentiles stay
+    feasible at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    # phase 1: salted partial histograms (explicit salt keeps ANY single
+    # reduce key bounded even before Spark's own partial aggregation)
+    phase1 = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.crc32(F.col("value").cast("string")) % 16).alias("salt"),
+        )
+        .groupBy("event_type", "cents", "salt")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+    )
+    # phase 2: merge partials into the per-group value histogram
+    hist = phase1.groupBy("event_type", "cents").agg(
+        F.sum("pcnt").cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    return (
+        cum.groupBy("event_type", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("cents"))
+            ).alias("p50_cents")
+        )
+        .select("event_type", F.col("n").alias("n_events"), "p50_cents")
+    )
+
+
+@query(
+    "ext_incremental_agg_merge",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def ext_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: the corpus
+    is split into a BASE partition and a NEW shard (doc_id % 10 == 9 — the
+    daily increment), each aggregated independently, and the shard's
+    partials are MERGED into the base's (sum+sum, max of max) without
+    touching base rows again. The oracle recomputes from scratch; equality
+    proves merge(agg(A), agg(B)) == agg(A ∪ B) — the algebraic property
+    every incremental pipeline (and every Spark partial aggregation)
+    relies on.
+
+    Scale: the point of the pattern — a 100 TB base is NEVER rescanned;
+    each increment costs only its own aggregation plus a merge at
+    #groups cardinality."""
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 9
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+
+    base = partial(docs.filter(~is_new))
+    shard = partial(docs.filter(is_new))
+    return (
+        base.unionByName(shard)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_chars").cast("long").alias("sum_chars"),
+            F.max("max_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+COOC_MIN_SUPPORT = 3
+
+
+@query(
+    "ext_item_cooccurrence_lift",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      FROM events
+    ), ic AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY item
+    ), nu AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ui
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM ui a JOIN ui b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_SUPPORT}
+    )
+    SELECT item_a, item_b, c_ab,
+           CAST(round(1000000 * CAST(c_ab AS DOUBLE) * nu.n
+                      / (CAST(ca.c AS DOUBLE) * cb.c)) AS BIGINT) AS lift6
+    FROM pairs
+    JOIN ic ca ON ca.item = item_a
+    JOIN ic cb ON cb.item = item_b, nu
+    ORDER BY lift6 DESC, item_a, item_b LIMIT 50
+    """,
+)
+def ext_item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over the (user, item) interactions hiding in
+    events.props: lift(a,b) = P(a∧b)/(P(a)·P(b)) over users, the
+    association-rule score behind "users who touched X also touched Y" —
+    and the data-curation tool for finding redundant content facets.
+    Exact: supports are integer user counts; lift is one shared-operand
+    double rounded at 1e-6; ties at the top-50 boundary break on the item
+    pair.
+
+    Scale: the pair join is per-user (bounded by per-user basket size, the
+    classic market-basket shape — salt any whale user), supports broadcast
+    back onto pairs. No item×item cartesian: pairs exist only where a
+    basket witnessed them."""
+    ev = load(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    ui.cache()
+    ic = ui.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    nu = ui.agg(F.countDistinct("user_id").alias("n"))
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= COOC_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            F.broadcast(ic.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))),
+            "item_b",
+        )
+        .join(F.broadcast(nu))
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            F.round(
+                1000000
+                * F.col("c_ab").cast("double")
+                * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cb"))
+            )
+            .cast("long")
+            .alias("lift6"),
+        )
+        .orderBy(F.desc("lift6"), "item_a", "item_b")
+        .limit(50)
+    )
+
+
+@query(
+    "ext_cooccurrence_degree_dist",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      FROM events
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM ui a JOIN ui b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_SUPPORT}
+    ), edges AS (
+      SELECT item_a AS item, item_b AS nbr FROM pairs
+      UNION ALL
+      SELECT item_b, item_a FROM pairs
+    ), deg AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY item
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_items
+    FROM deg GROUP BY degree
+    """,
+)
+def ext_cooccurrence_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the item co-occurrence graph (edges =
+    item pairs with ≥{COOC_MIN_SUPPORT} shared users): the one-glance
+    graph-health profile — a heavy right tail means hub items that will
+    blow up any downstream graph walk or pairwise computation, the graph
+    analogue of ext_join_skew_report's key-skew audit.
+
+    Scale: reuses the bounded per-user pair expansion, then two tiny
+    groupBys; degree cardinality is at most #items."""
+    ev = load(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= COOC_MIN_SUPPORT)
+    )
+    edges = pairs.select(F.col("item_a").alias("item")).unionAll(
+        pairs.select(F.col("item_b").alias("item"))
+    )
+    deg = edges.groupBy("item").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+@query(
+    "ext_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts)) // 1000000 AS dur_s
+      FROM events
+    ), agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(dur_s) AS BIGINT) AS total_s,
+             CAST(SUM(cents * dur_s) AS BIGINT) AS wsum
+      FROM seq WHERE dur_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, total_s,
+           CAST((wsum * 10000) // total_s AS BIGINT) AS twap6
+    FROM agg WHERE total_s > 0
+    """,
+)
+def ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value is
+    weighted by how long it remained the latest observation — the correct
+    average for irregularly-sampled series (plain AVG over-weights bursts;
+    a monitoring gauge sampled 100× in one bad minute would poison a naive
+    mean). Durations are exact integer seconds from µs epochs; the TWAP is
+    one integer division at 1e-6 precision.
+
+    Scale: one user-partitioned window (lead) + one grouped aggregation —
+    the same single-exchange shape as win_session_gaps."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("dur_s"),
+    )
+    agg = (
+        seq.filter(F.col("dur_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_s").cast("long").alias("total_s"),
+            F.sum(F.col("cents") * F.col("dur_s")).cast("long").alias("wsum"),
+        )
+    )
+    return agg.filter(F.col("total_s") > 0).select(
+        "user_id",
+        "n_intervals",
+        "total_s",
+        F.expr("wsum * 10000 div total_s").alias("twap6"),
+    )

@@ -136,6 +136,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_file_skip_effectiveness",
     "win_cumulative_distinct",
     "ext_output_file_planner",
+    "ext_mann_whitney_u",
+    "ext_cramers_v",
+    "ext_permutation_test",
+    "agg_salted_twophase",
+    "ext_incremental_agg_merge",
+    "ext_item_cooccurrence_lift",
+    "ext_cooccurrence_degree_dist",
+    "ext_time_weighted_avg",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
