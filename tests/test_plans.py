@@ -545,3 +545,69 @@ def test_target_encoding_group_broadcast(spark, sf_dir):
     df = SPECS["ext_target_encoding_loo"].fn(spark, sf_dir)
     assert has_broadcast_hash_join(df)
     assert not has_cartesian(df)
+
+
+def test_ndcg_ideal_table_broadcast_topk(spark, sf_dir):
+    df = SPECS["ext_ndcg_eval"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df)  # 10-row ideal-DCG table
+    assert "TakeOrderedAndProject" in plan  # top-50, no global sort
+    assert not has_cartesian(df)
+
+
+def test_prefix_dedup_never_shuffles_text(spark, sf_dir):
+    df = SPECS["ext_doc_prefix_dedup"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # hash computed map-side: no Exchange carries the raw text column
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bootstrap_resamples_single_scan_no_join(spark, sf_dir):
+    df = SPECS["ext_poisson_bootstrap_ci"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # fan-out is a Generate (explode), not a join against a perm table;
+    # the only join is the broadcast of two ONE-ROW aggregates (the
+    # scalar base × ci combine — a keyless BNLJ of 1×1 rows is fine)
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_permutation_test_no_cartesian(spark, sf_dir):
+    df = SPECS["ext_permutation_test"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_twophase_has_two_aggregate_stages(spark, sf_dir):
+    df = SPECS["agg_salted_twophase"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # phase-1 (salted) and phase-2 (merge) aggregations both present,
+    # i.e. at least two distinct HashAggregate pairs in the plan
+    assert plan.count("HashAggregate") >= 4, plan.count("HashAggregate")
+
+
+def test_cooccurrence_lift_support_joins_broadcast(spark, sf_dir):
+    df = SPECS["ext_item_cooccurrence_lift"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_hash_join(df)  # item supports broadcast onto pairs
+    # the only keyless join is the 1-row user-count scalar (BNLJ of 1 row);
+    # a true item×item cartesian would surface as CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_neyman_normalizer_broadcast(spark, sf_dir):
+    df = SPECS["ext_neyman_allocation"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def test_twap_single_user_exchange(spark, sf_dir):
+    df = SPECS["ext_time_weighted_avg"].fn(spark, sf_dir)
+    # window + groupBy both keyed on user_id: Catalyst reuses the
+    # partitioning, so only the one shuffle into the window remains
+    assert count_exchanges(df) <= 2
