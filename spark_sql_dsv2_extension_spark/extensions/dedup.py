@@ -1461,3 +1461,116 @@ def ext_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_len"),
     )
     return ch.filter(F.col("chunk_len") > 0)
+
+
+@query(
+    "ext_dup_pair_bleu",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE i * 1.0 / (s1.n + s2.n - i) >= {{thr}}
+    ), bgc AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bigram,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM bgc GROUP BY doc_id
+    ), matched AS (
+      SELECT p.d1, p.d2,
+             CAST(SUM(least(x.c, y.c)) AS BIGINT) AS m
+      FROM pairs p
+      JOIN bgc x ON x.doc_id = p.d1
+      JOIN bgc y ON y.doc_id = p.d2 AND y.bigram = x.bigram
+      GROUP BY 1, 2
+    )
+    SELECT m.d1, m.d2, m.m AS matched_bigrams,
+           CAST((m.m * 1000000) // t1.t AS BIGINT) AS p12_6,
+           CAST((m.m * 1000000) // t2.t AS BIGINT) AS p21_6
+    FROM matched m
+    JOIN totals t1 ON t1.doc_id = m.d1
+    JOIN totals t2 ON t2.doc_id = m.d2
+    """.format(thr=JACCARD_THRESHOLD),
+)
+def ext_dup_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-ness audit of near-duplicate pairs: clipped bigram
+    precision (the BLEU-2 modified-precision core, both directions) for
+    every MinHash-verified pair — distinguishes true copy-paste dups
+    (precision ≈ 1: drop one side blindly) from shingle-level lookalikes
+    that merely share vocabulary (keep and route to human QA). The
+    standard sanity layer between candidate generation and deletion.
+
+    Exact: bigram multiplicity counts are integers, clipping is least(),
+    precisions are integer micro-ratios. Candidates come from the
+    LSH-banded pipeline (recall ≈ 1 at the 0.8 threshold — same argument
+    as ext_near_dedup_minhash's exact oracle); BLEU is computed only on
+    that tiny pair set, so the bigram joins ship pair-count × doc-bigram
+    rows, never a corpus self-join."""
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    bgc = (
+        toks.filter(F.size("toks") > 1)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bgc.cache()
+    totals = bgc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("t"))
+    x = bgc.select(
+        F.col("doc_id").alias("d1"), "bigram", F.col("c").alias("c1")
+    )
+    y = bgc.select(
+        F.col("doc_id").alias("d2y"),
+        F.col("bigram").alias("bigram2"),
+        F.col("c").alias("c2"),
+    )
+    matched = (
+        pairs.join(x, "d1")
+        .join(
+            y,
+            (F.col("d2") == F.col("d2y")) & (F.col("bigram") == F.col("bigram2")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.least("c1", "c2")).cast("long").alias("m"))
+    )
+    return (
+        matched.join(
+            F.broadcast(totals.select(F.col("doc_id").alias("d1"), F.col("t").alias("t1"))),
+            "d1",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("doc_id").alias("d2"), F.col("t").alias("t2"))),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            F.col("m").alias("matched_bigrams"),
+            F.expr("m * 1000000 div t1").alias("p12_6"),
+            F.expr("m * 1000000 div t2").alias("p21_6"),
+        )
+    )

@@ -1315,3 +1315,146 @@ def ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_s",
         F.expr("wsum * 10000 div total_s").alias("twap6"),
     )
+
+
+@query(
+    "ext_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.day < b.day
+    ), agg AS (
+      SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+             CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tie_pairs
+      FROM pairs
+    )
+    SELECT n_days, s_stat, n_tie_pairs,
+           n_days * (n_days - 1) * (2 * n_days + 5) AS var18
+    FROM agg
+    """,
+)
+def ext_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on daily purchase revenue: S = Σ sign(x_j −
+    x_i) over all ordered day pairs — the nonparametric "is this series
+    drifting?" monitor (robust to outliers and any monotone transform,
+    unlike a fitted slope; complements ext_user_trend_slope's OLS). S and
+    the tie count are exact integers; var18 = 18·Var(S) under H0 (no-ties
+    form) ships as an integer so the consumer can z-score without any
+    float leaving the engine.
+
+    Scale: the pairwise join is over DAYS, not rows — bounded by the
+    calendar (a 10-year corpus is ~3.7k days → 7M cheap pairs) while the
+    corpus-sized work is one groupBy."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    daily.cache()
+    a = daily.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    sgn = (
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(sgn.alias("sgn"))
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    agg = pairs.agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tie_pairs"),
+    )
+    return agg.join(F.broadcast(nd)).select(
+        "n_days",
+        "s_stat",
+        "n_tie_pairs",
+        (
+            F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        ).alias("var18"),
+    )
+
+
+@query(
+    "ext_khop_neighborhood",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      FROM events
+    ), p AS (
+      SELECT a.item AS ia, b.item AS ib
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_SUPPORT}
+    ), e AS (
+      SELECT ia AS u, ib AS v FROM p UNION ALL SELECT ib, ia FROM p
+    ), one AS (
+      SELECT DISTINCT u, v FROM e
+    ), two AS (
+      SELECT DISTINCT a.u, b.v FROM one a JOIN one b ON a.v = b.u
+      WHERE b.v <> a.u
+    ), reach AS (
+      SELECT u, v, 1 AS hop FROM one
+      UNION ALL SELECT u, v, 2 FROM two
+    )
+    SELECT u AS item,
+           CAST(count(DISTINCT CASE WHEN hop = 1 THEN v END) AS BIGINT)
+             AS n_1hop,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_within_2hop
+    FROM reach GROUP BY u
+    """,
+)
+def ext_khop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop neighborhood size over the item co-occurrence graph
+    (k=2): per item, how many items are reachable in one hop vs within
+    two — the expansion profile that predicts whether graph-propagation
+    workloads (label spreading, collaborative filters) will fan out
+    gently or explode, and the per-node refinement of
+    ext_cooccurrence_degree_dist's global histogram.
+
+    Scale: each hop is one self-equi-join on node id + distinct — the
+    standard BFS-frontier relational encoding (sql_recursive_hierarchy is
+    the unbounded-depth cousin); hop count is fixed so the plan is static
+    and AQE sizes each frontier join independently."""
+    ev = load(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    a = ui.select("user_id", F.col("item").alias("ia"))
+    b = ui.select("user_id", F.col("item").alias("ib"))
+    p = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= COOC_MIN_SUPPORT)
+    )
+    one = (
+        p.select(F.col("ia").alias("u"), F.col("ib").alias("v"))
+        .unionAll(p.select(F.col("ib").alias("u"), F.col("ia").alias("v")))
+        .distinct()
+    )
+    one.cache()
+    two = (
+        one.alias("a")
+        .join(one.alias("b"), F.col("a.v") == F.col("b.u"))
+        .filter(F.col("b.v") != F.col("a.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        .distinct()
+    )
+    reach = one.select("u", "v", F.lit(1).alias("hop")).unionAll(
+        two.select("u", "v", F.lit(2).alias("hop"))
+    )
+    return reach.groupBy(F.col("u").alias("item")).agg(
+        F.countDistinct(F.when(F.col("hop") == 1, F.col("v"))).alias("n_1hop"),
+        F.countDistinct("v").alias("n_within_2hop"),
+    )

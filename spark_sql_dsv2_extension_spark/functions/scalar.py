@@ -923,3 +923,39 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day_in_seconds"),
     )
+
+
+@query(
+    "fn_string_extras",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS first_tok,
+           split_part(text, ' ', 3) AS third_tok,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+           reverse(source) AS source_rev,
+           left(source, 3) AS source_left3,
+           right(source, 2) AS source_right2,
+           repeat(lang, 2) AS lang_x2
+    FROM documents
+    """,
+)
+def fn_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second tier of the string surface (split_part / translate /
+    reverse / left / right / repeat) — the token-surgery builtins ETL
+    actually leans on beyond fn_string's basics. All JVM-codegen scalar
+    expressions; one narrow projection, zero shuffles.
+
+    Edge-semantic note: split_part past the last field returns '' in BOTH
+    engines (Spark split_part follows the PostgreSQL contract DuckDB also
+    implements), so short texts stay hash-identical."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("split_part(text, ' ', 1)").alias("first_tok"),
+        F.expr("split_part(text, ' ', 3)").alias("third_tok"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_tr"),
+        F.reverse("source").alias("source_rev"),
+        F.expr("left(source, 3)").alias("source_left3"),
+        F.expr("right(source, 2)").alias("source_right2"),
+        F.repeat("lang", 2).alias("lang_x2"),
+    )

@@ -144,6 +144,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_item_cooccurrence_lift",
     "ext_cooccurrence_degree_dist",
     "ext_time_weighted_avg",
+    "ext_mann_kendall_trend",
+    "ext_khop_neighborhood",
+    "ext_dup_pair_bleu",
+    "fn_string_extras",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
