@@ -884,6 +884,36 @@ _INSERT_VALUES_RE = re.compile(
     r"(?P<values>VALUES\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNSET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\.(\w+)\s+UNSET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_NS_RE = re.compile(
+    r"^\s*SHOW\s+(?:NAMESPACES|DATABASES)\s+(?:IN|FROM)\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_CREATE_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\.(\w+)\.(\w+)\s+"
+    r"LIKE\s+(\w+)\.(\w+)\.(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_props(text: str) -> dict[str, str]:
+    """Parse a TBLPROPERTIES list: 'k' = 'v' pairs (quotes optional)."""
+    props: dict[str, str] = {}
+    for kv in text.split(","):
+        if not kv.strip():
+            continue
+        k, v = kv.split("=", 1)
+        props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+    return props
 
 
 def _parse_spec(text: str) -> dict[str, str]:
@@ -1068,6 +1098,44 @@ def engine_sql(spark: SparkSession, query: str) -> DataFrame | None:
     if m:
         cat = _get_catalog(spark, m.group(1))
         cat.truncate_table(m.group(2), m.group(3))
+        return None
+    m = _SET_PROPS_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        cat.alter_table(
+            m.group(2), m.group(3), set_properties=_parse_props(m.group("props"))
+        )
+        return None
+    m = _UNSET_PROPS_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        keys = [k.strip().strip("'\"") for k in m.group("props").split(",") if k.strip()]
+        cat.alter_table(m.group(2), m.group(3), unset_properties=keys)
+        return None
+    m = _SHOW_NS_RE.match(query)
+    if m:
+        cat = _get_catalog(spark, m.group(1))
+        return spark.createDataFrame(
+            [(ns,) for ns in cat.list_namespaces()] or [], "namespace STRING"
+        )
+    m = _CREATE_LIKE_RE.match(query)
+    if m:
+        # CREATE TABLE t2 LIKE t1: copy schema/provider/partitioning, no
+        # data, no location (the new table is always MANAGED — copying an
+        # EXTERNAL source's location would alias two tables onto one
+        # directory, matching Spark's own CREATE TABLE LIKE default)
+        cat = _get_catalog(spark, m.group(1))
+        src_cat = _get_catalog(spark, m.group(4))
+        meta = src_cat._table_meta(m.group(5), m.group(6))
+        if "IF NOT EXISTS" in query.upper() and cat.table_exists(
+            m.group(2), m.group(3)
+        ):
+            return None
+        cat.create_table(
+            m.group(2), m.group(3), meta.schema_ddl,
+            partition_by=list(meta.partition_columns) or None,
+            provider=meta.provider,
+        )
         return None
     m = _SHOW_CREATE_RE.match(query)
     if m:

@@ -720,3 +720,48 @@ def test_sql_show_create_analyze_insert_values(spark, tmp_path):
     assert cat.table_size("default", "t") >= 0
     engine_sql(spark, "ANALYZE TABLE lif4.default.t COMPUTE STATISTICS")
     assert cat.table_size("default", "t") > 0
+
+
+def test_sql_props_namespaces_and_like(cat, spark):
+    """Round-4 engine_sql verbs: SET/UNSET TBLPROPERTIES, SHOW NAMESPACES,
+    CREATE TABLE ... LIKE (schema/provider/partitioning copied, no data,
+    managed — matching Spark's CREATE TABLE LIKE default)."""
+    from spark_sql_dsv2_extension_spark.catalog import engine_sql
+
+    engine_sql(spark, """
+        CREATE TABLE hive1_external.default.src (
+            id BIGINT, amt DOUBLE
+        ) USING parquet PARTITIONED BY (dt STRING)
+    """)
+    engine_sql(spark, """
+        ALTER TABLE hive1_external.default.src
+        SET TBLPROPERTIES ('owner.team' = 'data', 'ttl' = '30d')
+    """)
+    meta = cat._table_meta("default", "src")
+    assert meta.properties["owner.team"] == "data"
+    assert meta.properties["ttl"] == "30d"
+    engine_sql(spark, """
+        ALTER TABLE hive1_external.default.src UNSET TBLPROPERTIES ('ttl')
+    """)
+    assert "ttl" not in cat._table_meta("default", "src").properties
+
+    cat.create_namespace("dbx")
+    ns = engine_sql(spark, "SHOW NAMESPACES IN hive1_external").collect()
+    assert {r.namespace for r in ns} >= {"default", "dbx"}
+
+    engine_sql(spark, """
+        CREATE TABLE hive1_external.dbx.src2 LIKE hive1_external.default.src
+    """)
+    m2 = cat._table_meta("dbx", "src2")
+    assert m2.partition_columns == ["dt"]
+    assert m2.provider == meta.provider
+    assert not m2.external
+    # IF NOT EXISTS is a no-op on an existing target
+    engine_sql(spark, """
+        CREATE TABLE IF NOT EXISTS hive1_external.dbx.src2
+        LIKE hive1_external.default.src
+    """)
+    # empty LIKE-created table is readable
+    assert engine_sql(
+        spark, "SELECT count(*) AS n FROM hive1_external.dbx.src2"
+    ).collect()[0].n == 0
