@@ -1458,3 +1458,93 @@ def ext_khop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(F.col("hop") == 1, F.col("v"))).alias("n_1hop"),
         F.countDistinct("v").alias("n_within_2hop"),
     )
+
+
+@query(
+    "ext_kaplan_meier_retention",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifespan
+      FROM events GROUP BY user_id
+    ), deaths AS (
+      SELECT lifespan AS t, CAST(count(*) AS BIGINT) AS d
+      FROM spans GROUP BY lifespan
+    ), risk AS (
+      SELECT t, d,
+             CAST(SUM(d) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n
+      FROM deaths
+    ), terms AS (
+      SELECT t, d, n,
+             CASE WHEN n > d
+                  THEN CAST(round(1000000 * ln(
+                         CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS BIGINT)
+                  ELSE -999000000 END AS term6
+      FROM risk
+    )
+    SELECT t AS t_days, n AS n_risk, d AS n_churned,
+           CAST(SUM(term6) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumlog6,
+           CAST(round(1000000 * exp(
+             CAST(SUM(term6) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / 1000000)) AS BIGINT) AS survival6
+    FROM terms
+    """,
+)
+def ext_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curve over user lifespans (days between
+    first and last event): S(t) = Π_{i≤t} (1 − d_i/n_i) — THE estimator
+    behind every retention chart, computed the numerically-safe
+    distributed way: per-step log-hazard ln((n−d)/n) on exact integer
+    (deaths, risk-set) counts, rounded to a 1e-6 integer per step, then a
+    cumulative INTEGER sum and one exp at the end. The risk set n_t is a
+    reverse-cumulative sum over the death histogram — no per-user
+    resorting. The final all-churned step (n == d) carries a −999 sentinel
+    log so survival rounds to exactly 0 in both engines.
+
+    Scale: corpus → per-user span (one groupBy) → death histogram
+    (#distinct lifespans rows) → two windows over that tiny series. The
+    curve length is bounded by the calendar, not the user count."""
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "lifespan"
+        )
+    )
+    deaths = spans.groupBy(F.col("lifespan").alias("t")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = deaths.select(
+        "t", "d", F.sum("d").over(w_desc).cast("long").alias("n")
+    )
+    term6 = F.when(
+        F.col("n") > F.col("d"),
+        F.round(
+            1000000
+            * F.log(
+                (F.col("n") - F.col("d")).cast("double") / F.col("n").cast("double")
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(-999000000))
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = risk.select("t", "d", "n", term6.alias("term6"))
+    return terms.select(
+        F.col("t").alias("t_days"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_churned"),
+        F.sum("term6").over(w_asc).cast("long").alias("cumlog6"),
+        F.round(
+            1000000
+            * F.exp(F.sum("term6").over(w_asc).cast("double") / F.lit(1000000))
+        )
+        .cast("long")
+        .alias("survival6"),
+    )

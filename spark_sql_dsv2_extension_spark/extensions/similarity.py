@@ -2485,3 +2485,83 @@ def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("z6"),
         )
     )
+
+
+RECALL_KS = (1, 3, 5)
+
+
+def _recall_curve_oracle() -> str:
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["ext_knn_cosine"].oracle
+    ann = REGISTRY["ext_knn_lsh"].oracle
+    ks = ", ".join(str(k) for k in RECALL_KS)
+    return f"""
+    WITH exact_k AS (
+      SELECT query_id, neighbor_id, rk FROM ({exact})
+    ), ann_k AS (
+      SELECT query_id, neighbor_id, rk FROM ({ann})
+    ), ks AS (
+      SELECT unnest([{ks}]) AS k
+    ), hits AS (
+      SELECT ks.k,
+             CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+             CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM ks
+      JOIN exact_k e ON e.rk <= ks.k
+      LEFT JOIN ann_k a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       AND a.rk <= ks.k
+      GROUP BY ks.k
+    )
+    SELECT k, n_queries, n_hits,
+           CAST((n_hits * 1000000) // (k * n_queries) AS BIGINT) AS recall6
+    FROM hits
+    """
+
+
+@query("ext_ann_recall_curve", oracle=_recall_curve_oracle())
+def ext_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k CURVE for the LSH index against exact brute force (k = 1,
+    3, 5) — the operating-point view an ANN deployment actually tunes
+    with: recall@1 tells you whether the single best neighbor survives
+    bucketing, recall@5 whether the candidate set is broad enough; the
+    single-k ext_ann_recall_eval is one point on this curve. Exact: hit
+    counts are integers joined on (query, neighbor, rank-threshold);
+    recall is an integer micro-ratio.
+
+    Scale: both inputs are the already-bounded top-k relations (queries ×
+    k rows); the k-threshold join multiplies by |ks|=3 — trivial. The
+    expensive parts (exact scan, LSH bucketing) are the operators under
+    evaluation, not the evaluator."""
+    exact = ext_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id", "rk")
+    ann = ext_knn_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"),
+        F.col("rk").alias("a_rk"),
+    )
+    ks = spark.createDataFrame([(k,) for k in RECALL_KS], "k INT")
+    hits = (
+        ks.join(exact, F.col("rk") <= F.col("k"))
+        .join(
+            ann,
+            (F.col("a_qid") == F.col("query_id"))
+            & (F.col("a_nid") == F.col("neighbor_id"))
+            & (F.col("a_rk") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(F.when(F.col("a_nid").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return hits.select(
+        "k",
+        "n_queries",
+        "n_hits",
+        F.expr("n_hits * 1000000 div (k * n_queries)").alias("recall6"),
+    )

@@ -148,6 +148,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_khop_neighborhood",
     "ext_dup_pair_bleu",
     "fn_string_extras",
+    "ext_ann_recall_curve",
+    "ext_kaplan_meier_retention",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
