@@ -1548,3 +1548,123 @@ def ext_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("survival6"),
     )
+
+
+COVERAGE_ROUNDS = 5
+
+
+def _coverage_oracle() -> str:
+    """Unrolled greedy max-coverage SQL: round r picks the doc with the
+    most not-yet-covered tokens (ties → min doc_id), then folds its tokens
+    into the covered set. Generated programmatically so the SQL stays in
+    lock-step with COVERAGE_ROUNDS."""
+    parts = [
+        """
+    WITH tkn AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), dt AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) - 1),
+                      i -> toks[i + 1] || ' ' || toks[i + 2])) AS w
+        FROM tkn WHERE len(toks) > 1
+      )
+    ), m1 AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY doc_id
+    ), s1 AS (
+      SELECT doc_id, c FROM m1 ORDER BY c DESC, doc_id LIMIT 1
+    ), cov1 AS (
+      SELECT DISTINCT w FROM dt JOIN s1 USING (doc_id)
+    )"""
+    ]
+    for r in range(2, COVERAGE_ROUNDS + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{i}" for i in range(1, r)
+        )
+        parts.append(
+            f""", m{r} AS (
+      SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM dt LEFT JOIN cov{r - 1} cv ON dt.w = cv.w
+      WHERE cv.w IS NULL AND dt.doc_id NOT IN ({prev_sel})
+      GROUP BY dt.doc_id
+    ), s{r} AS (
+      SELECT doc_id, c FROM m{r} ORDER BY c DESC, doc_id LIMIT 1
+    ), cov{r} AS (
+      SELECT w FROM cov{r - 1}
+      UNION
+      SELECT DISTINCT w FROM dt JOIN s{r} USING (doc_id)
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, doc_id,
+               c AS new_terms,
+               (SELECT CAST(count(*) AS BIGINT) FROM cov{r}) AS covered_total
+        FROM s{r}"""
+        for r in range(1, COVERAGE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query("ext_coverage_maximization", oracle=_coverage_oracle())
+def ext_coverage_maximization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection: pick {COVERAGE_ROUNDS} docs
+    that together cover the most BIGRAM vocabulary (the unigram vocab of
+    these fixtures is degenerate — 31 words — so bigrams are the
+    informative universe), one argmax-marginal-gain doc per round — the
+    classic submodular facility-location heuristic behind
+    "select the K most informative examples" (greedy is (1−1/e)-optimal).
+    Deterministic: marginal gains are integer distinct-token counts, ties
+    break on doc_id.
+
+    Scale shape: the inherently sequential part is K (tiny); each round is
+    one anti-join against the covered vocabulary + one grouped count —
+    all cluster-side. The selected-doc and covered-set relations pass
+    between rounds as localCheckpointed DataFrames (executor-resident,
+    constant-size plans — same lineage-truncation discipline as
+    the connected-components loop in extensions/dedup.py); nothing is
+    collected to the driver."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    dt = (
+        toks.filter(F.size("toks") > 1)
+        .select("doc_id", F.explode(F.array_distinct(bigrams)).alias("w"))
+    )
+    dt.cache()
+    cov = None
+    excl = None
+    out = None
+    for r in range(1, COVERAGE_ROUNDS + 1):
+        cand = dt if cov is None else dt.join(cov, "w", "left_anti")
+        if excl is not None:
+            cand = cand.join(excl, "doc_id", "left_anti")
+        marg = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+        s = (
+            marg.orderBy(F.desc("c"), "doc_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        new_cov = dt.join(s.select("doc_id"), "doc_id").select("w").distinct()
+        cov = (
+            new_cov if cov is None else cov.union(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+        excl = (
+            s.select("doc_id")
+            if excl is None
+            else excl.union(s.select("doc_id"))
+        ).localCheckpoint(eager=True)
+        row = (
+            s.select(
+                F.lit(r).cast("long").alias("round"),
+                "doc_id",
+                F.col("c").alias("new_terms"),
+            )
+            .join(F.broadcast(cov.agg(F.count(F.lit(1)).alias("covered_total"))))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

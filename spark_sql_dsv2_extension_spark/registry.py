@@ -150,6 +150,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_string_extras",
     "ext_ann_recall_curve",
     "ext_kaplan_meier_retention",
+    "ext_coverage_maximization",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
