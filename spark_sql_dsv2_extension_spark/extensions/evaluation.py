@@ -1668,3 +1668,137 @@ def ext_coverage_maximization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "ext_entropy_rate_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT event_type AS s, nxt AS t, CAST(count(*) AS BIGINT) AS cij
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), rowtot AS (
+      SELECT s, CAST(SUM(cij) AS BIGINT) AS ci FROM c GROUP BY s
+    ), n AS (
+      SELECT CAST(SUM(cij) AS BIGINT) AS n FROM c
+    )
+    SELECT c.s AS from_state, rowtot.ci AS n_out,
+           CAST((rowtot.ci * 1000000) // n.n AS BIGINT) AS pi6,
+           CAST(SUM(CAST(round(-1000000 * (CAST(c.cij AS DOUBLE) / rowtot.ci)
+                    * ln(CAST(c.cij AS DOUBLE) / rowtot.ci)) AS BIGINT))
+                AS BIGINT) AS h6
+    FROM c JOIN rowtot USING (s), n
+    GROUP BY c.s, rowtot.ci, n.n
+    """,
+)
+def ext_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy of the event-type Markov chain (the
+    ingredients of the chain's entropy rate H = Σ_i π_i H_i): for each
+    current state, how unpredictable is the NEXT action — the sequence-
+    compressibility / bot-detection signal that complements
+    ext_markov_transitions' raw matrix and ext_word_entropy's i.i.d.
+    token entropy. Each −p·ln(p) term is computed from one exact integer
+    fraction, rounded to a 1e-6 integer BEFORE summing; π is an integer
+    micro-ratio.
+
+    Scale: one user-partitioned lead window (single exchange) + counts at
+    state-pair cardinality (~25 rows) — everything after the window is
+    broadcast-sized."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("s"), F.col("nxt").alias("t")
+    ).agg(F.count(F.lit(1)).alias("cij"))
+    c.cache()
+    rowtot = c.groupBy("s").agg(F.sum("cij").cast("long").alias("ci"))
+    n = c.agg(F.sum("cij").cast("long").alias("n"))
+    p = F.col("cij").cast("double") / F.col("ci")
+    term6 = F.round(-1000000 * p * F.log(p)).cast("long")
+    return (
+        c.join(F.broadcast(rowtot), "s")
+        .join(F.broadcast(n))
+        .groupBy(F.col("s").alias("from_state"), F.col("ci").alias("n_out"), "n")
+        .agg(F.sum(term6).cast("long").alias("h6"))
+        .select(
+            "from_state",
+            "n_out",
+            F.expr("n_out * 1000000 div n").alias("pi6"),
+            "h6",
+        )
+    )
+
+
+@query(
+    "ext_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS t,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), slopes AS (
+      SELECT CAST(round(1000000 * CAST(b.cents - a.cents AS DOUBLE)
+                        / (b.t - a.t)) AS BIGINT) AS slope6
+      FROM daily a JOIN daily b ON a.t < b.t
+    ), ranked AS (
+      SELECT slope6,
+             row_number() OVER (ORDER BY slope6) AS rn,
+             count(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN rn = (n + 1) // 2 THEN slope6 END) AS BIGINT)
+             AS median_slope6
+    FROM ranked
+    """,
+)
+def ext_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope of daily purchase revenue: the median
+    of all pairwise day-to-day slopes — the estimator that tolerates up to
+    ~29% outlier days where OLS (ext_user_trend_slope) is dragged by one
+    flash sale. Pairs with Mann–Kendall (same day-pair machinery: MK gives
+    the trend's significance, Theil–Sen its magnitude). Each slope is one
+    shared-operand double rounded to a 1e-6 integer; the median is the
+    LOWER order statistic (rank ⌈n/2⌉) — an actual element, no
+    two-element averaging, so no .5 boundary exists.
+
+    Scale: pairs are over DAYS (calendar-bounded), the global rank window
+    runs on that tiny slope set."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")).alias("t")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    daily.cache()
+    a = daily.select(F.col("t").alias("ta"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cents").alias("cb"))
+    slopes = a.join(b, F.col("ta") < F.col("tb")).select(
+        F.round(
+            1000000
+            * (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("tb") - F.col("ta"))
+        )
+        .cast("long")
+        .alias("slope6")
+    )
+    ranked = slopes.select(
+        "slope6",
+        F.row_number().over(Window.orderBy("slope6")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope6"))
+        )
+        .cast("long")
+        .alias("median_slope6"),
+    )

@@ -151,6 +151,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ann_recall_curve",
     "ext_kaplan_meier_retention",
     "ext_coverage_maximization",
+    "ext_entropy_rate_markov",
+    "ext_theil_sen_slope",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
