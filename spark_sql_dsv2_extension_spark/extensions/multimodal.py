@@ -388,3 +388,68 @@ def ext_multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("shard"),
         "cum_bytes",
     )
+
+
+# SDXL-style aspect buckets over the stub decoder's 1..64 dimension range
+_ASPECT_BUCKETS = ((1, 64, 64), (2, 64, 32), (3, 32, 64), (4, 64, 48), (5, 48, 64))
+
+_ASPECT_ORACLE = f"""
+    WITH img AS ({_DECODE_ORACLE}),
+    buckets AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, {w}, {h})" for i, w, h in _ASPECT_BUCKETS)})
+        AS t(bucket_id, bucket_w, bucket_h)
+    ), scored AS (
+      SELECT img.doc_id, b.bucket_id, b.bucket_w, b.bucket_h,
+             abs(img.fake_width * b.bucket_h - img.fake_height * b.bucket_w)
+               AS dev,
+             row_number() OVER (
+               PARTITION BY img.doc_id
+               ORDER BY abs(img.fake_width * b.bucket_h
+                            - img.fake_height * b.bucket_w), b.bucket_id)
+               AS rn
+      FROM img, buckets b
+    )
+    SELECT bucket_id, bucket_w, bucket_h,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(SUM(dev) AS BIGINT) AS sum_aspect_dev
+    FROM scored WHERE rn = 1
+    GROUP BY bucket_id, bucket_w, bucket_h
+"""
+
+
+@query("ext_multimodal_aspect_buckets", oracle=_ASPECT_ORACLE)
+def ext_multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (the SDXL / NovelAI training trick): every
+    image is routed to the fixed-resolution bucket whose aspect ratio is
+    nearest its own, so a batch never mixes shapes and crop/pad waste is
+    minimized. Nearness is the exact INTEGER cross-product deviation
+    |w·bh − h·bw| (no float ratios), argmin per image with bucket-id
+    tie-break; the report is per-bucket volume plus total deviation — the
+    numbers a loader uses to size per-bucket batches.
+
+    Scale: decode (mapInPandas, Arrow-batched) emits only metadata; the
+    bucket table is 5 rows crossed map-side (broadcast), and the argmin is
+    a per-image window over 5 rows — no shuffle grows with bucket count."""
+    from pyspark.sql import Window
+
+    img = ext_multimodal_decode(spark, sf_dir).select(
+        "doc_id", "fake_width", "fake_height"
+    )
+    buckets = spark.createDataFrame(
+        list(_ASPECT_BUCKETS), "bucket_id INT, bucket_w INT, bucket_h INT"
+    )
+    dev = F.abs(
+        F.col("fake_width") * F.col("bucket_h")
+        - F.col("fake_height") * F.col("bucket_w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("dev", "bucket_id")
+    scored = (
+        img.join(F.broadcast(buckets))
+        .select("doc_id", "bucket_id", "bucket_w", "bucket_h", dev.alias("dev"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return scored.groupBy("bucket_id", "bucket_w", "bucket_h").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("dev").cast("long").alias("sum_aspect_dev"),
+    )

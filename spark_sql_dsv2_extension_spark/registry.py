@@ -153,6 +153,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_coverage_maximization",
     "ext_entropy_rate_markov",
     "ext_theil_sen_slope",
+    "ext_multimodal_aspect_buckets",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
