@@ -1802,3 +1802,101 @@ def ext_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_slope6"),
     )
+
+
+WF_FOLDS = 4
+WF_DENOM = 6  # timeline sixths: fold k trains on [0, k), evals on [k, k+1)
+
+
+@query(
+    "ext_walk_forward_splits",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT epoch_us(min(ts)) AS lo,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // {WF_DENOM} AS step
+      FROM events
+    ), folds AS (
+      SELECT unnest(range(1, {WF_FOLDS} + 1)) AS fold
+    ), tagged AS (
+      SELECT f.fold, e.user_id,
+             CASE WHEN epoch_us(e.ts) < b.lo + f.fold * b.step
+                  THEN 1 ELSE 0 END AS in_train,
+             CASE WHEN epoch_us(e.ts) >= b.lo + f.fold * b.step
+                   AND epoch_us(e.ts) < b.lo + (f.fold + 1) * b.step
+                  THEN 1 ELSE 0 END AS in_eval
+      FROM events e, bounds b, folds f
+    ), per_user AS (
+      SELECT fold, user_id,
+             max(in_train) AS ut, max(in_eval) AS ue,
+             CAST(SUM(in_train) AS BIGINT) AS n_train,
+             CAST(SUM(in_eval) AS BIGINT) AS n_eval
+      FROM tagged GROUP BY fold, user_id
+    )
+    SELECT fold, CAST(SUM(n_train) AS BIGINT) AS train_events,
+           CAST(SUM(n_eval) AS BIGINT) AS eval_events,
+           CAST(SUM(ut) AS BIGINT) AS train_users,
+           CAST(SUM(ue) AS BIGINT) AS eval_users,
+           CAST(SUM(CASE WHEN ue = 1 AND ut = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS cold_start_users
+    FROM per_user GROUP BY fold
+    """,
+)
+def ext_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (rolling-origin) cross-validation plan: {WF_FOLDS}
+    folds where fold k trains on the first k sixths of the timeline and
+    evaluates on the next sixth — the ONLY leakage-safe CV for temporal
+    data (random k-fold lets the future train the past; ext_group_kfold
+    handles entity leakage, this handles time). Reports per-fold event and
+    user volumes plus COLD-START users (present in eval, absent from
+    train) — the number that decides whether the eval measures
+    generalization or just memory. Boundaries are exact integer µs
+    arithmetic on the min/max epochs.
+
+    Scale: one min/max aggregate (broadcast), one ×{WF_FOLDS} fan-out, two
+    grouped aggregations keyed on (fold, user) then fold."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(
+        F.min("us").alias("lo"),
+        # integer div, not `/`+cast: a double quotient can round up across
+        # the next integer before truncation, diverging from DuckDB's `//`
+        F.expr(f"(max(us) - min(us)) div {WF_DENOM}").alias("step"),
+    )
+    folds = spark.range(1, WF_FOLDS + 1).select(F.col("id").alias("fold"))
+    tagged = (
+        ev.join(F.broadcast(bounds))
+        .join(F.broadcast(folds))
+        .select(
+            "fold",
+            "user_id",
+            F.when(F.col("us") < F.col("lo") + F.col("fold") * F.col("step"), 1)
+            .otherwise(0)
+            .alias("in_train"),
+            F.when(
+                (F.col("us") >= F.col("lo") + F.col("fold") * F.col("step"))
+                & (
+                    F.col("us")
+                    < F.col("lo") + (F.col("fold") + 1) * F.col("step")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("in_eval"),
+        )
+    )
+    per_user = tagged.groupBy("fold", "user_id").agg(
+        F.max("in_train").alias("ut"),
+        F.max("in_eval").alias("ue"),
+        F.sum("in_train").cast("long").alias("n_train"),
+        F.sum("in_eval").cast("long").alias("n_eval"),
+    )
+    return per_user.groupBy("fold").agg(
+        F.sum("n_train").cast("long").alias("train_events"),
+        F.sum("n_eval").cast("long").alias("eval_events"),
+        F.sum("ut").cast("long").alias("train_users"),
+        F.sum("ue").cast("long").alias("eval_users"),
+        F.sum(F.when((F.col("ue") == 1) & (F.col("ut") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("cold_start_users"),
+    )
