@@ -1900,3 +1900,121 @@ def ext_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cold_start_users"),
     )
+
+
+DELTA_TOP_TERMS = 20
+
+
+@query(
+    "ext_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE length(w) > 0 GROUP BY source, w
+    ), tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY source
+    ), top_terms AS (
+      SELECT w FROM (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM tf GROUP BY w
+        ORDER BY ct DESC, w LIMIT {DELTA_TOP_TERMS}
+      )
+    ), dense AS (
+      SELECT tot.source, top_terms.w,
+             CAST(coalesce(tf.c, 0) * 1000000 // tot.n AS BIGINT) AS rf6
+      FROM tot CROSS JOIN top_terms
+      LEFT JOIN tf ON tf.source = tot.source AND tf.w = top_terms.w
+    ), stats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS ns,
+             CAST(SUM(rf6) AS BIGINT) AS sx,
+             CAST(SUM(rf6 * rf6) AS BIGINT) AS sx2
+      FROM dense GROUP BY w
+    ), z AS (
+      SELECT dense.source, dense.w,
+             CAST(round(1000000.0
+               * (dense.rf6 - CAST(stats.sx AS DOUBLE) / stats.ns)
+               / sqrt((CAST(stats.ns AS DOUBLE) * stats.sx2
+                       - CAST(stats.sx AS DOUBLE) * stats.sx)
+                      / (CAST(stats.ns AS DOUBLE) * (stats.ns - 1.0))))
+               AS BIGINT) AS z6
+      FROM dense JOIN stats USING (w)
+      WHERE CAST(stats.ns AS DOUBLE) * stats.sx2
+            - CAST(stats.sx AS DOUBLE) * stats.sx > 0
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(abs(a.z6 - b.z6)) // count(*) AS BIGINT) AS delta6
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def ext_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources: z-score each
+    source's relative frequency of the corpus's top-{DELTA_TOP_TERMS}
+    terms, then average |z_a − z_b| per source pair — the century-old
+    authorship-attribution measure that doubles as a source-homogeneity
+    audit (two crawls of the same site score near 0; machine-generated
+    spam sticks out). Relative frequencies are integer micro-units, the
+    z-scores one shared-operand double rounded at 1e-6, the pairwise mean
+    an integer division; zero-variance terms are excluded identically on
+    both sides.
+
+    Scale: term stats shrink to ({DELTA_TOP_TERMS} terms × #sources)
+    immediately after one corpus-wide count; every join after that is
+    broadcast-sized."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tf.cache()
+    tot = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    top_terms = (
+        tf.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), "w")
+        .limit(DELTA_TOP_TERMS)
+        .select("w")
+    )
+    dense = (
+        tot.crossJoin(F.broadcast(top_terms))
+        .join(tf, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr("coalesce(c, 0) * 1000000 div n").alias("rf6"),
+        )
+    )
+    stats = dense.groupBy("w").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("rf6").cast("long").alias("sx"),
+        F.sum(F.col("rf6") * F.col("rf6")).cast("long").alias("sx2"),
+    )
+    var = (
+        F.col("ns").cast("double") * F.col("sx2")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    z = (
+        dense.join(F.broadcast(stats), "w")
+        .filter(var > 0)
+        .select(
+            "source",
+            "w",
+            F.round(
+                1000000.0
+                * (F.col("rf6") - F.col("sx").cast("double") / F.col("ns"))
+                / F.sqrt(
+                    var / (F.col("ns").cast("double") * (F.col("ns") - 1.0))
+                )
+            )
+            .cast("long")
+            .alias("z6"),
+        )
+    )
+    a = z.select(F.col("source").alias("src_a"), "w", F.col("z6").alias("za"))
+    b = z.select(F.col("source").alias("src_b"), F.col("w").alias("wb"), F.col("z6").alias("zb"))
+    return (
+        a.join(b, (F.col("w") == F.col("wb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.expr("sum(abs(za - zb)) div count(*)").alias("delta6"))
+    )

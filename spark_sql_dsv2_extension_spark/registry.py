@@ -155,6 +155,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_theil_sen_slope",
     "ext_multimodal_aspect_buckets",
     "ext_walk_forward_splits",
+    "ext_burrows_delta",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
