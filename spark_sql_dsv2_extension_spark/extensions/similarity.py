@@ -2543,7 +2543,7 @@ def ext_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = spark.createDataFrame([(k,) for k in RECALL_KS], "k INT")
     hits = (
-        ks.join(exact, F.col("rk") <= F.col("k"))
+        exact.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
         .join(
             ann,
             (F.col("a_qid") == F.col("query_id"))

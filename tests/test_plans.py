@@ -611,3 +611,56 @@ def test_twap_single_user_exchange(spark, sf_dir):
     # window + groupBy both keyed on user_id: Catalyst reuses the
     # partitioning, so only the one shuffle into the window remains
     assert count_exchanges(df) <= 2
+
+
+def test_mann_kendall_pairs_are_day_bounded(spark, sf_dir):
+    df = SPECS["ext_mann_kendall_trend"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the day-pair theta join is over the aggregated daily relation, so a
+    # BroadcastNestedLoopJoin over days is acceptable; a CartesianProduct
+    # over raw events is not
+    assert "CartesianProduct" not in plan
+
+
+def test_khop_frontier_joins_no_cartesian(spark, sf_dir):
+    df = SPECS["ext_khop_neighborhood"].fn(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_dup_pair_bleu_totals_broadcast(spark, sf_dir):
+    df = SPECS["ext_dup_pair_bleu"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_recall_curve_no_cartesian_over_corpus(spark, sf_dir):
+    df = SPECS["ext_ann_recall_curve"].fn(spark, sf_dir)
+    # the k-threshold join is over top-k relations (queries x k rows);
+    # the corpus-sized side appears only inside the kNN operators
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_string_extras_no_shuffle(spark, sf_dir):
+    df = SPECS["fn_string_extras"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_aspect_buckets_broadcast_and_mapinpandas(spark, sf_dir):
+    df = SPECS["ext_multimodal_aspect_buckets"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan  # decode stays Arrow-batched
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_hash_join(df)
+
+
+def test_walk_forward_bounds_broadcast(spark, sf_dir):
+    df = SPECS["ext_walk_forward_splits"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # bounds (1 row) and folds (4 rows) fan out via broadcast, never shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_burrows_delta_stats_broadcast(spark, sf_dir):
+    df = SPECS["ext_burrows_delta"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in physical_plan(df)
