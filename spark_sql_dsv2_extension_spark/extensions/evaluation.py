@@ -2018,3 +2018,222 @@ def ext_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.expr("sum(abs(za - zb)) div count(*)").alias("delta6"))
     )
+
+
+@query(
+    "ext_cohens_kappa",
+    oracle="""
+    WITH med AS (
+      SELECT CAST(floor(median(n_chars)) AS BIGINT) AS m FROM documents
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= med.m THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+                       >= len(string_split(text, ' '))
+                  THEN 1 ELSE 0 END AS b
+      FROM documents, med
+    ), conf AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(round(1000000
+             * ((CAST(n11 + n00 AS DOUBLE) / n)
+                - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                   + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                  / (CAST(n AS DOUBLE) * n))
+             / (1 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n))) AS BIGINT) AS kappa6
+    FROM conf
+    """,
+)
+def ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two independent document quality
+    gates (length-above-median vs type-token-ratio ≥ 0.5) — the
+    chance-corrected agreement score every labeling pipeline needs before
+    trusting "two weak filters agree, ship it" (raw agreement is inflated
+    whenever both gates mostly say yes; kappa subtracts that). Confusion
+    counts are exact integers; kappa is one shared-operand double rounded
+    at 1e-6; the length threshold reuses ext_mad_outliers' floor(median)
+    cross-engine contract.
+
+    Scale: one corpus pass for the median (broadcast scalar), one for the
+    2×2 confusion counts — two aggregates, no shuffle beyond them."""
+    docs = load(spark, sf_dir, "documents")
+    med = docs.agg(F.floor(F.median("n_chars")).cast("long").alias("m"))
+    toks = F.split("text", " ")
+    lab = docs.join(F.broadcast(med)).select(
+        F.when(F.col("n_chars") >= F.col("m"), 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(F.array_distinct(toks)) * 2 >= F.size(toks), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    conf = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return conf.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(1000000 * (po - pe) / (1 - pe)).cast("long").alias("kappa6"),
+    )
+
+
+@query(
+    "ext_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CASE WHEN (event_id * 2654435761 + 12289) % 2147483647 % 2 = 0
+                  THEN 0 ELSE 1 END AS arm
+      FROM events
+    ), c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM arms
+    )
+    SELECT n0, n1,
+           CAST(round(1000000 * CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                      / (n0 + n1)) AS BIGINT) AS chi2_6,
+           CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 3.841459
+             AS srm_flag
+    FROM c
+    """,
+)
+def ext_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for a hash-randomized 50/50 experiment:
+    χ² = (n0−n1)²/n against the 3.84 critical value (α=0.05, df=1) — the
+    guardrail every A/B platform runs BEFORE reading any metric, because a
+    skewed split means broken assignment, not a real effect (the silent
+    killer of ext_ab_test_lift-style readouts). Arm assignment is the same
+    affine-hash family as ext_epoch_shuffle_plan; counts are exact
+    integers, χ² one shared double rounded at 1e-6.
+
+    Scale: one conditional-count aggregate over the assignment column —
+    a single map-side-combined pass."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.expr(
+        "CASE WHEN (event_id * 2654435761 + 12289) % 2147483647 % 2 = 0 "
+        "THEN 0 ELSE 1 END"
+    )
+    c = ev.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / (F.col("n0") + F.col("n1"))
+    return c.select(
+        "n0",
+        "n1",
+        F.round(1000000 * chi2).cast("long").alias("chi2_6"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
+
+
+@query(
+    "ext_cuped_adjustment",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(min(ts))
+             + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts) < bounds.mid
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= bounds.mid
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post
+      FROM events, bounds GROUP BY user_id
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS BIGINT) AS sx,
+             CAST(SUM(post) AS BIGINT) AS sy,
+             CAST(SUM(pre * post) AS BIGINT) AS sxy,
+             CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+             CAST(SUM(post * post) AS BIGINT) AS syy
+      FROM per_user
+    )
+    SELECT n,
+           CAST(round(1000000
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+             AS BIGINT) AS theta6,
+           CAST(round(1000000
+             * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             AS BIGINT) AS var_reduction6
+    FROM mo
+    """,
+)
+def ext_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-period data): θ =
+    cov(pre, post)/var(pre) over per-user pre/post-period spend, and the
+    variance reduction ρ² the adjustment buys — the standard trick that
+    cuts A/B test duration by 30–50% (Deng et al., WSDM'13) and the
+    companion to ext_power_analysis (smaller variance → smaller MDE). All
+    moments are exact int64 sums of integer cents; θ and ρ² are
+    shared-operand double expressions rounded at 1e-6.
+
+    Scale: one per-user aggregation (the same shuffle every per-user
+    metric already pays), then a single moment row. Pre/post products of
+    per-user cent totals stay within int64 up to ~10^9-cent users."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
+    )
+    per_user = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("pre"),
+            F.sum(
+                F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("post"),
+        )
+    )
+    mo = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).cast("long").alias("syy"),
+    )
+    cxy = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return mo.select(
+        "n",
+        F.round(1000000 * cxy / vx).cast("long").alias("theta6"),
+        F.round(1000000 * (cxy * cxy) / (vx * vy)).cast("long").alias("var_reduction6"),
+    )

@@ -156,6 +156,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_multimodal_aspect_buckets",
     "ext_walk_forward_splits",
     "ext_burrows_delta",
+    "ext_cohens_kappa",
+    "ext_srm_check",
+    "ext_cuped_adjustment",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
