@@ -2237,3 +2237,180 @@ def ext_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000000 * cxy / vx).cast("long").alias("theta6"),
         F.round(1000000 * (cxy * cxy) / (vx * vy)).cast("long").alias("var_reduction6"),
     )
+
+
+@query(
+    "ext_tukey_fences",
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ), cum AS (
+      SELECT v, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS c,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM hist
+    ), q AS (
+      SELECT n,
+             min(CASE WHEN c >= (n + 3) // 4 THEN v END) AS q1,
+             min(CASE WHEN c >= (3 * n + 3) // 4 THEN v END) AS q3
+      FROM cum GROUP BY n
+    )
+    SELECT n, q1, q3, q3 - q1 AS iqr,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents, q
+            WHERE 2 * n_chars < 2 * q.q1 - 3 * (q.q3 - q.q1)) AS n_low,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents, q
+            WHERE 2 * n_chars > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS n_high
+    FROM q
+    """,
+)
+def ext_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's IQR fences on document length — the boxplot outlier gate
+    completing the robust family (2σ: ext_length_outliers, MAD:
+    ext_mad_outliers, clipping: ext_winsorized_stats; IQR is the one
+    immune to BOTH tail directions at once). Quartiles are exact order
+    statistics (smallest value with cum ≥ ⌈n/4⌉ / ⌈3n/4⌉) read off a
+    value histogram; the 1.5·IQR fences are kept in doubled units so no
+    fraction ever appears.
+
+    Scale: distinct-value histogram + cumulative window over it — reduce
+    cardinality is the value domain, not the corpus (the same
+    shuffle-diet as agg_salted_twophase)."""
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        F.sum("cnt").over(wcum).cast("long").alias("c"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    q = cum.groupBy("n").agg(
+        F.min(F.when(F.col("c") >= F.expr("(n + 3) div 4"), F.col("v"))).alias("q1"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(3 * n + 3) div 4"), F.col("v"))
+        ).alias("q3"),
+    )
+    flags = docs.join(F.broadcast(q)).agg(
+        F.sum(
+            F.when(
+                2 * F.col("n_chars") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low"),
+        F.sum(
+            F.when(
+                2 * F.col("n_chars") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high"),
+    )
+    return q.select("n", "q1", "q3", (F.col("q3") - F.col("q1")).alias("iqr")).join(
+        F.broadcast(flags)
+    )
+
+
+@query(
+    "ext_shapley_attribution",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT e.event_id,
+             CASE WHEN f.first_view IS NOT NULL AND f.first_view < e.ts
+                  THEN 1 ELSE 0 END AS has_view,
+             CASE WHEN f.first_click IS NOT NULL AND f.first_click < e.ts
+                  THEN 1 ELSE 0 END AS has_click
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT channel, n_conversions, credit_2x FROM (
+      SELECT 'view' AS channel,
+             CAST(SUM(has_view) AS BIGINT) AS n_conversions,
+             CAST(SUM(CASE WHEN has_view = 1 AND has_click = 1 THEN 1
+                           WHEN has_view = 1 THEN 2 ELSE 0 END)
+                  AS BIGINT) AS credit_2x
+      FROM conv
+      UNION ALL
+      SELECT 'click',
+             CAST(SUM(has_click) AS BIGINT),
+             CAST(SUM(CASE WHEN has_view = 1 AND has_click = 1 THEN 1
+                           WHEN has_click = 1 THEN 2 ELSE 0 END) AS BIGINT)
+      FROM conv
+      UNION ALL
+      SELECT 'direct',
+             CAST(SUM(CASE WHEN has_view = 0 AND has_click = 0
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN has_view = 0 AND has_click = 0
+                           THEN 2 ELSE 0 END) AS BIGINT)
+      FROM conv
+    )
+    """,
+)
+def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value conversion attribution for the two assisting channels
+    (view, click): with two players the Shapley split is exact and simple
+    — a channel present alone gets full credit, both present split evenly
+    — which is why credits ship DOUBLED (×2) to stay integral. Purchases
+    preceded by neither channel fall into an explicit 'direct' bucket so
+    credit_2x sums to exactly 2×conversions (a checkable invariant).
+    Complements first-touch (ext_first_touch_attribution): Shapley is the
+    order-free fair split, first-touch the order-sensitive one.
+
+    Scale: per-user channel firsts (one groupBy) joined back onto
+    purchases on user_id — the same single-key shuffle as every per-user
+    metric; the three-way union aggregates a 3-row output."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            F.when(F.col("fv").isNotNull() & (F.col("fv") < F.col("ts")), 1)
+            .otherwise(0)
+            .alias("has_view"),
+            F.when(F.col("fc").isNotNull() & (F.col("fc") < F.col("ts")), 1)
+            .otherwise(0)
+            .alias("has_click"),
+        )
+    )
+    conv.cache()
+    view = conv.agg(
+        F.sum("has_view").cast("long").alias("n_conversions"),
+        F.sum(
+            F.when((F.col("has_view") == 1) & (F.col("has_click") == 1), 1)
+            .when(F.col("has_view") == 1, 2)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("credit_2x"),
+    ).select(F.lit("view").alias("channel"), "n_conversions", "credit_2x")
+    click = conv.agg(
+        F.sum("has_click").cast("long").alias("n_conversions"),
+        F.sum(
+            F.when((F.col("has_view") == 1) & (F.col("has_click") == 1), 1)
+            .when(F.col("has_click") == 1, 2)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("credit_2x"),
+    ).select(F.lit("click").alias("channel"), "n_conversions", "credit_2x")
+    neither = (F.col("has_view") == 0) & (F.col("has_click") == 0)
+    direct = conv.agg(
+        F.sum(F.when(neither, 1).otherwise(0)).cast("long").alias("n_conversions"),
+        F.sum(F.when(neither, 2).otherwise(0)).cast("long").alias("credit_2x"),
+    ).select(F.lit("direct").alias("channel"), "n_conversions", "credit_2x")
+    return view.unionByName(click).unionByName(direct)

@@ -159,6 +159,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_cohens_kappa",
     "ext_srm_check",
     "ext_cuped_adjustment",
+    "ext_tukey_fences",
+    "ext_shapley_attribution",
     "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
