@@ -2414,3 +2414,227 @@ def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(neither, 2).otherwise(0)).cast("long").alias("credit_2x"),
     ).select(F.lit("direct").alias("channel"), "n_conversions", "credit_2x")
     return view.unionByName(click).unionByName(direct)
+
+
+@query(
+    "ext_link_prediction_jaccard",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      FROM events
+    ), p AS (
+      SELECT a.item AS ia, b.item AS ib
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_SUPPORT}
+    ), e AS (
+      SELECT DISTINCT ia AS u, ib AS v FROM p
+      UNION SELECT ib, ia FROM p
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+    ), common AS (
+      SELECT a.u AS x, b.u AS y, CAST(count(*) AS BIGINT) AS cn
+      FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+    ), nonedge AS (
+      SELECT c.x, c.y, c.cn, dx.d AS dxd, dy.d AS dyd
+      FROM common c
+      JOIN deg dx ON dx.u = c.x
+      JOIN deg dy ON dy.u = c.y
+      LEFT JOIN p ON p.ia = c.x AND p.ib = c.y
+      WHERE p.ia IS NULL
+    )
+    SELECT x AS item_a, y AS item_b, cn AS common_neighbors,
+           CAST((cn * 1000000) // (dxd + dyd - cn) AS BIGINT) AS jaccard6
+    FROM nonedge
+    ORDER BY jaccard6 DESC, item_a, item_b LIMIT 20
+    """,
+)
+def ext_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the item co-occurrence graph: for item pairs NOT
+    currently connected, score by neighborhood Jaccard |N(a)∩N(b)| /
+    |N(a)∪N(b)| and report the top-20 predicted edges — the classic
+    common-neighbors recommender ("items that co-occur with the same
+    things probably belong together") and the structural-hole detector for
+    catalog curation. Exact: neighbor sets are integer-counted, the score
+    an integer micro-ratio, anti-join excludes existing edges.
+
+    Scale: common-neighbor pairs come from the wedge join (edge ⋈ edge on
+    the shared endpoint) — the same bounded shape as ext_triangle_count;
+    degrees broadcast; no all-pairs item join anywhere."""
+    ev = load(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    a = ui.select("user_id", F.col("item").alias("ia"))
+    b = ui.select("user_id", F.col("item").alias("ib"))
+    p = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= COOC_MIN_SUPPORT)
+        .select("ia", "ib")
+    )
+    p.cache()
+    e = (
+        p.select(F.col("ia").alias("u"), F.col("ib").alias("v"))
+        .union(p.select(F.col("ib").alias("u"), F.col("ia").alias("v")))
+        .distinct()
+    )
+    e.cache()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ea = e.select(F.col("u").alias("x"), F.col("v").alias("w1"))
+    eb = e.select(F.col("u").alias("y"), F.col("v").alias("w2"))
+    common = (
+        ea.join(eb, (F.col("w1") == F.col("w2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = (
+        common.join(
+            p.select(F.col("ia").alias("x"), F.col("ib").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+        .join(F.broadcast(deg.select(F.col("u").alias("x"), F.col("d").alias("dxd"))), "x")
+        .join(F.broadcast(deg.select(F.col("u").alias("y"), F.col("d").alias("dyd"))), "y")
+    )
+    return (
+        nonedge.select(
+            F.col("x").alias("item_a"),
+            F.col("y").alias("item_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.expr("cn * 1000000 div (dxd + dyd - cn)").alias("jaccard6"),
+        )
+        .orderBy(F.desc("jaccard6"), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+@query(
+    "ext_ucb_ranking",
+    oracle="""
+    WITH pulls AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS reward
+      FROM events
+    ), stats AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(SUM(reward) AS BIGINT) AS r_i
+      FROM pulls GROUP BY item
+    ), tot AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM stats
+    )
+    SELECT item, n_i, r_i,
+           CAST(round(1000000 * (CAST(r_i AS DOUBLE) / n_i
+                + sqrt(2 * ln(CAST(tot.n AS DOUBLE)) / n_i)))
+                AS BIGINT) AS ucb6
+    FROM stats, tot
+    ORDER BY ucb6 DESC, item LIMIT 20
+    """,
+)
+def ext_ucb_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 exploration ranking over items: mean observed reward
+    (purchase rate) plus the √(2·ln N / n_i) exploration bonus — which
+    arm a deterministic bandit would pull next. In a data-curation
+    setting this is active sampling: under-observed items float up until
+    their uncertainty is resolved. The score is one shared-operand double
+    (exact integer counts in, ln/sqrt on identical doubles) rounded at
+    1e-6, top-20 with item tie-break.
+
+    Scale: one grouped count at item cardinality + a broadcast scalar —
+    the corpus is touched once."""
+    ev = load(spark, sf_dir, "events")
+    pulls = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("reward"),
+    )
+    stats = pulls.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("reward").cast("long").alias("r_i"),
+    )
+    tot = stats.agg(F.sum("n_i").cast("long").alias("n"))
+    return (
+        stats.join(F.broadcast(tot))
+        .select(
+            "item",
+            "n_i",
+            "r_i",
+            F.round(
+                1000000
+                * (
+                    F.col("r_i").cast("double") / F.col("n_i")
+                    + F.sqrt(
+                        2 * F.log(F.col("n").cast("double")) / F.col("n_i")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("ucb6"),
+        )
+        .orderBy(F.desc("ucb6"), "item")
+        .limit(20)
+    )
+
+
+@query(
+    "ext_knee_point",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ), binned AS (
+      SELECT x, ntile(10) OVER (ORDER BY x, user_id) AS decile FROM per_user
+    ), d AS (
+      SELECT decile, CAST(SUM(x) AS BIGINT) AS dx FROM binned GROUP BY decile
+    ), curve AS (
+      SELECT CAST(decile AS BIGINT) AS k,
+             CAST(SUM(dx) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cy,
+             CAST((SELECT SUM(dx) FROM d) AS BIGINT) AS n
+      FROM d
+    )
+    SELECT k AS knee_decile, cy AS cum_events,
+           abs(k * n - 10 * cy) AS chord_dev_scaled
+    FROM curve
+    ORDER BY abs(k * n - 10 * cy) DESC, k LIMIT 1
+    """,
+)
+def ext_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee/elbow detection on the user-activity Lorenz curve (kneedle
+    reduced to its exact core): the decile maximizing the distance from
+    the diagonal chord — where "adding more deciles stops paying". The
+    chord deviation |k·n − 10·cy| is pure int64 cross-multiplication (no
+    normalization float), so the argmax is exact; the same template picks
+    K on an inertia curve or a dedup-threshold saturation curve.
+
+    Scale: ntile over per-user counts (one window), 10-row curve, top-1
+    TakeOrdered."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    binned = per_user.select(
+        "x", F.ntile(10).over(Window.orderBy("x", "user_id")).alias("decile")
+    )
+    d = binned.groupBy("decile").agg(F.sum("x").cast("long").alias("dx"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    curve = d.select(
+        F.col("decile").cast("long").alias("k"),
+        F.sum("dx").over(wcum).cast("long").alias("cy"),
+        F.sum("dx").over(wall).cast("long").alias("n"),
+    )
+    return (
+        curve.select(
+            F.col("k").alias("knee_decile"),
+            F.col("cy").alias("cum_events"),
+            F.abs(F.col("k") * F.col("n") - 10 * F.col("cy")).alias(
+                "chord_dev_scaled"
+            ),
+        )
+        .orderBy(F.desc("chord_dev_scaled"), "knee_decile")
+        .limit(1)
+    )
