@@ -2416,6 +2416,9 @@ def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.unionByName(click).unionByName(direct)
 
 
+LP_TOP_M = 5
+
+
 @query(
     "ext_link_prediction_jaccard",
     oracle=f"""
@@ -2423,13 +2426,20 @@ def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id,
              CAST(json_extract(props, '$.k') AS BIGINT) AS item
       FROM events
-    ), p AS (
-      SELECT a.item AS ia, b.item AS ib
-      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
-      GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_SUPPORT}
+    ), cc AS (
+      SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS c
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+      GROUP BY 1, 2
+    ), topm AS (
+      SELECT ia, ib FROM (
+        SELECT ia, ib,
+               row_number() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
+        FROM cc
+      ) WHERE rn <= {{LP_TOP_M}}
     ), e AS (
-      SELECT DISTINCT ia AS u, ib AS v FROM p
-      UNION SELECT ib, ia FROM p
+      -- mutual top-M: edge iff each endpoint ranks the other
+      SELECT t1.ia AS u, t1.ib AS v
+      FROM topm t1 JOIN topm t2 ON t2.ia = t1.ib AND t2.ib = t1.ia
     ), deg AS (
       SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
     ), common AS (
@@ -2441,14 +2451,14 @@ def ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM common c
       JOIN deg dx ON dx.u = c.x
       JOIN deg dy ON dy.u = c.y
-      LEFT JOIN p ON p.ia = c.x AND p.ib = c.y
-      WHERE p.ia IS NULL
+      LEFT JOIN e ON e.u = c.x AND e.v = c.y
+      WHERE e.u IS NULL
     )
     SELECT x AS item_a, y AS item_b, cn AS common_neighbors,
            CAST((cn * 1000000) // (dxd + dyd - cn) AS BIGINT) AS jaccard6
     FROM nonedge
     ORDER BY jaccard6 DESC, item_a, item_b LIMIT 20
-    """,
+    """.format(LP_TOP_M=LP_TOP_M),
 )
 def ext_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction on the item co-occurrence graph: for item pairs NOT
@@ -2461,7 +2471,11 @@ def ext_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: common-neighbor pairs come from the wedge join (edge ⋈ edge on
     the shared endpoint) — the same bounded shape as ext_triangle_count;
-    degrees broadcast; no all-pairs item join anywhere."""
+    degrees broadcast; no all-pairs item join anywhere. The graph is the
+    MUTUAL top-{LP_TOP_M} co-occurrence graph (per-item ranked partners,
+    kept only when reciprocated) — scale-robust by construction where an
+    absolute support threshold saturates to a complete graph as the
+    corpus grows."""
     ev = load(spark, sf_dir, "events")
     ui = ev.select(
         "user_id",
@@ -2469,20 +2483,22 @@ def ext_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     a = ui.select("user_id", F.col("item").alias("ia"))
     b = ui.select("user_id", F.col("item").alias("ib"))
-    p = (
+    cc = (
         a.join(b, ["user_id"])
-        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.col("ia") != F.col("ib"))
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= COOC_MIN_SUPPORT)
+    )
+    wtop = Window.partitionBy("ia").orderBy(F.desc("c"), "ib")
+    topm = (
+        cc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= LP_TOP_M)
         .select("ia", "ib")
     )
-    p.cache()
-    e = (
-        p.select(F.col("ia").alias("u"), F.col("ib").alias("v"))
-        .union(p.select(F.col("ib").alias("u"), F.col("ia").alias("v")))
-        .distinct()
-    )
+    t2 = topm.select(F.col("ia").alias("ib2"), F.col("ib").alias("ia2"))
+    e = topm.join(
+        t2, (F.col("ia") == F.col("ia2")) & (F.col("ib") == F.col("ib2"))
+    ).select(F.col("ia").alias("u"), F.col("ib").alias("v"))
     e.cache()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ea = e.select(F.col("u").alias("x"), F.col("v").alias("w1"))
@@ -2494,7 +2510,7 @@ def ext_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nonedge = (
         common.join(
-            p.select(F.col("ia").alias("x"), F.col("ib").alias("y")),
+            e.select(F.col("u").alias("x"), F.col("v").alias("y")),
             ["x", "y"],
             "left_anti",
         )
