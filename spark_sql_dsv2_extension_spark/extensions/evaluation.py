@@ -2654,3 +2654,167 @@ def ext_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chord_dev_scaled"), "knee_decile")
         .limit(1)
     )
+
+
+EQUIDEPTH_BINS = 10
+
+
+@query(
+    "ext_equidepth_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ), hist AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY c
+    ), cum AS (
+      SELECT c, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cm,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM hist
+    ), edges AS (
+      SELECT b.b AS bin,
+             min(CASE WHEN cm >= (b.b * n + {EQUIDEPTH_BINS} - 1)
+                               // {EQUIDEPTH_BINS}
+                      THEN c END) AS hi
+      FROM cum, (SELECT unnest(range(1, {EQUIDEPTH_BINS} + 1)) AS b) b
+      GROUP BY b.b
+    ), bounds AS (
+      SELECT bin, hi,
+             coalesce(lag(hi) OVER (ORDER BY bin),
+                      (SELECT min(c) - 1 FROM v)) AS lo
+      FROM edges
+    )
+    SELECT bounds.bin, bounds.lo, bounds.hi,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT v.c) AS BIGINT) AS n_distinct
+    FROM v JOIN bounds ON v.c > bounds.lo AND v.c <= bounds.hi
+    GROUP BY bounds.bin, bounds.lo, bounds.hi
+    """,
+)
+def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of price — THE optimizer
+    statistic behind selectivity estimation (Spark's own ANALYZE ... FOR
+    COLUMNS builds these): {EQUIDEPTH_BINS} bins whose EDGES are exact
+    order statistics (smallest value with cum ≥ ⌈k·n/B⌉), so each bin
+    holds ~n/B rows no matter how skewed the values; per-bin row and
+    distinct counts are what a cost model consumes. All integer: cents
+    domain, ceil-division rank targets, (lo, hi] membership.
+
+    Scale: the same histogram+cumulative-window diet as
+    agg_salted_twophase — reduce cardinality is the distinct value
+    domain; the bin assignment is a broadcast {EQUIDEPTH_BINS}-row range
+    join."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    hist = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "c",
+        F.sum("cnt").over(wcum).cast("long").alias("cm"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    bins = spark.range(1, EQUIDEPTH_BINS + 1).select(F.col("id").alias("bin"))
+    edges = (
+        cum.join(F.broadcast(bins))
+        .groupBy("bin")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm")
+                    >= F.expr(
+                        f"(bin * n + {EQUIDEPTH_BINS} - 1) div {EQUIDEPTH_BINS}"
+                    ),
+                    F.col("c"),
+                )
+            ).alias("hi")
+        )
+    )
+    vmin = v.agg((F.min("c") - 1).alias("vm"))
+    bounds = edges.join(F.broadcast(vmin)).select(
+        "bin",
+        "hi",
+        F.coalesce(F.lag("hi").over(Window.orderBy("bin")), F.col("vm")).alias(
+            "lo"
+        ),
+    )
+    return (
+        v.join(
+            F.broadcast(bounds),
+            (F.col("c") > F.col("lo")) & (F.col("c") <= F.col("hi")),
+        )
+        .groupBy("bin", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c").alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "ext_functional_dependency",
+    oracle="""
+    WITH cols AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(date_part('year', l_shipdate) AS BIGINT) AS yr
+      FROM lineitem
+    ), pairs AS (
+      SELECT 'returnflag->linestatus' AS fd,
+             CAST(count(DISTINCT rf) AS BIGINT) AS n_det,
+             CAST(count(DISTINCT (rf, ls)) AS BIGINT) AS n_pair
+      FROM cols
+      UNION ALL
+      SELECT 'linestatus->returnflag',
+             CAST(count(DISTINCT ls) AS BIGINT),
+             CAST(count(DISTINCT (ls, rf)) AS BIGINT)
+      FROM cols
+      UNION ALL
+      SELECT 'year->linestatus',
+             CAST(count(DISTINCT yr) AS BIGINT),
+             CAST(count(DISTINCT (yr, ls)) AS BIGINT)
+      FROM cols
+    )
+    SELECT fd, n_det, n_pair,
+           CAST((n_det * 1000000) // n_pair AS BIGINT) AS fd_strength6
+    FROM pairs
+    """,
+)
+def ext_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery: for candidate A→B,
+    strength = |distinct(A)| / |distinct(A,B)| — exactly 1e6 iff A fully
+    determines B (each A value maps to one B), degrading toward
+    |A|/|A×B| under independence. The schema-profiling signal that tells
+    an optimizer two columns are redundant for grouping and tells a
+    curation pipeline which metadata columns encode the same fact
+    (complements ext_cramers_v: FD is directional, V symmetric). Pure
+    integer distinct counts and one integer ratio.
+
+    Scale: three count-distinct aggregations over one scan — Spark
+    rewrites each into the standard two-phase expand + partial distinct,
+    no extra passes."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+    )
+    cols.cache()
+
+    def fd(name: str, det, dep):
+        return cols.agg(
+            F.countDistinct(det).alias("n_det"),
+            F.countDistinct(det, dep).alias("n_pair"),
+        ).select(
+            F.lit(name).alias("fd"),
+            "n_det",
+            "n_pair",
+            F.expr("n_det * 1000000 div n_pair").alias("fd_strength6"),
+        )
+
+    return (
+        fd("returnflag->linestatus", F.col("rf"), F.col("ls"))
+        .unionByName(fd("linestatus->returnflag", F.col("ls"), F.col("rf")))
+        .unionByName(fd("year->linestatus", F.col("yr"), F.col("ls")))
+    )
