@@ -76,6 +76,23 @@ HEADLINE = [
 ]
 
 
+# Round-4 additions, timed once each and reported under "extended_queries"
+# WITHOUT entering the headline total — keeps headline_queries_total_wall
+# comparable round-over-round while still profiling the new operators.
+EXTENDED = [
+    "ext_ndcg_eval",
+    "ext_poisson_bootstrap_ci",
+    "ext_coverage_maximization",
+    "ext_kaplan_meier_retention",
+    "ext_burrows_delta",
+    "ext_item_cooccurrence_lift",
+    "ext_equidepth_histogram",
+    "agg_salted_twophase",
+    "ext_dup_pair_bleu",
+    "ext_walk_forward_splits",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     specs = load_all()
@@ -101,6 +118,14 @@ def main() -> None:
     timings = {k: min(v) for k, v in runs.items()}
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(v[0] for v in runs.values()), 4)
+    extended: dict[str, float] = {}
+    for key in EXTENDED:
+        spec = specs.get(key)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended[key] = round(time.perf_counter() - t0, 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -110,6 +135,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_runs": runs,
+                "extended_queries": extended,
                 "cold_total_wall": cold_total,
                 "runs_per_key": 2,
                 "agg": "min",
