@@ -2702,19 +2702,42 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts are what a cost model consumes. All integer: cents
     domain, ceil-division rank targets, (lo, hi] membership.
 
-    Scale: the same histogram+cumulative-window diet as
-    agg_salted_twophase — reduce cardinality is the distinct value
-    domain; the bin assignment is a broadcast {EQUIDEPTH_BINS}-row range
-    join."""
+    Scale: the cumulative count uses a TWO-LEVEL distributed prefix sum
+    (in-block partitioned window + broadcast cumulative block offsets) —
+    the single-task Window.orderBy over the whole value domain never
+    appears, so the histogram scales to arbitrarily wide domains; the
+    bin assignment is a broadcast {EQUIDEPTH_BINS}-row range join."""
     li = load(spark, sf_dir, "lineitem")
     v = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
     hist = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    cum = hist.select(
-        "c",
-        F.sum("cnt").over(wcum).cast("long").alias("cm"),
-        F.sum("cnt").over(wall).cast("long").alias("n"),
+    # Distributed prefix sum over the value domain (two-level): an
+    # in-block cumulative window PARTITIONED by a coarse value block,
+    # plus broadcast cumulative block offsets — the global
+    # Window.orderBy (single task holding the whole domain) never
+    # appears. Block key = c div 2^20 keeps blocks value-contiguous so
+    # offset(b) + in-block prefix == global prefix.
+    blk = (F.col("c") / F.lit(1 << 20)).cast("long")
+    hist = hist.withColumn("blk", blk)
+    wblk = (
+        Window.partitionBy("blk")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    btot = hist.groupBy("blk").agg(F.sum("cnt").cast("long").alias("bt"))
+    woff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "blk",
+        F.coalesce(F.sum("bt").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    ntot = btot.agg(F.sum("bt").cast("long").alias("n"))
+    cum = (
+        hist.join(F.broadcast(boff), "blk")
+        .join(F.broadcast(ntot))
+        .select(
+            "c",
+            (F.sum("cnt").over(wblk) + F.col("off")).cast("long").alias("cm"),
+            "n",
+        )
     )
     bins = spark.range(1, EQUIDEPTH_BINS + 1).select(F.col("id").alias("bin"))
     edges = (

@@ -664,3 +664,13 @@ def test_burrows_delta_stats_broadcast(spark, sf_dir):
     df = SPECS["ext_burrows_delta"].fn(spark, sf_dir)
     assert has_broadcast_hash_join(df)
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_equidepth_prefix_sum_is_block_partitioned(spark, sf_dir):
+    """The value-domain cumulative count must run as the two-level
+    distributed prefix sum: the window over the big histogram is
+    PARTITIONED by the coarse block key, never a global Window.orderBy
+    over the whole domain."""
+    df = SPECS["ext_equidepth_histogram"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "windowspecdefinition(blk" in plan, plan[:2000]
