@@ -2841,3 +2841,236 @@ def ext_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fd("linestatus->returnflag", F.col("ls"), F.col("rf")))
         .unionByName(fd("year->linestatus", F.col("yr"), F.col("ls")))
     )
+
+
+@query(
+    "ext_ablation_leave_one_source",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0
+    ), word_ns AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS ns FROM tok GROUP BY w
+    ), vocab AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_vocab FROM word_ns
+    ), excl AS (
+      SELECT tok.source, CAST(count(*) AS BIGINT) AS vocab_lost
+      FROM tok JOIN word_ns USING (w) WHERE word_ns.ns = 1
+      GROUP BY tok.source
+    ), ds AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS docs_removed,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_removed
+      FROM documents GROUP BY source
+    )
+    SELECT ds.source, ds.docs_removed, ds.chars_removed,
+           coalesce(excl.vocab_lost, 0) AS vocab_lost,
+           vocab.total_vocab - coalesce(excl.vocab_lost, 0)
+             AS vocab_remaining
+    FROM ds LEFT JOIN excl USING (source), vocab
+    """,
+)
+def ext_ablation_leave_one_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation plan in ONE pass: for every source,
+    what the corpus loses if it is dropped — documents, characters, and
+    (the interesting number) EXCLUSIVE vocabulary, i.e. words appearing
+    in no other source. The naive ablation recomputes the corpus S times;
+    this uses the identity vocab_without(s) = total_vocab − |words
+    exclusive to s|, so one word→source-count aggregation answers every
+    ablation simultaneously — the data-mixture analogue of a jackknife.
+
+    Scale: distinct (source, word) pairs shuffle once; everything after
+    is vocabulary-sized. S never multiplies the corpus passes."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    tok.cache()
+    word_ns = tok.groupBy("w").agg(F.count(F.lit(1)).alias("ns"))
+    vocab = word_ns.agg(F.count(F.lit(1)).alias("total_vocab"))
+    excl = (
+        tok.join(F.broadcast(word_ns.filter(F.col("ns") == 1).select("w")), "w")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("vocab_lost"))
+    )
+    ds = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_removed"),
+        F.sum("n_chars").cast("long").alias("chars_removed"),
+    )
+    return (
+        ds.join(F.broadcast(excl), "source", "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "source",
+            "docs_removed",
+            "chars_removed",
+            F.coalesce("vocab_lost", F.lit(0)).cast("long").alias("vocab_lost"),
+            (
+                F.col("total_vocab") - F.coalesce("vocab_lost", F.lit(0))
+            ).cast("long").alias("vocab_remaining"),
+        )
+    )
+
+
+@query(
+    "subq_quantified_all",
+    oracle="""
+    WITH bound AS (
+      SELECT max(o_totalprice) AS mx, min(o_totalprice) AS mn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey < 100
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+           o.o_totalprice > bound.mx AS above_all,
+           o.o_totalprice > bound.mn AS above_any
+    FROM orders o, bound
+    WHERE o.o_totalprice > bound.mn AND bound.k > 0
+    """,
+)
+def subq_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons `> ALL (subquery)` / `> ANY (subquery)` via
+    their aggregate rewrite — the form Spark SQL actually supports
+    (`x > ALL s ≡ x > max(s)` and `x > ANY s ≡ x > min(s)`, both only
+    when s is non-empty, hence the count guard; with an empty s, ALL is
+    vacuously true and ANY false — the rewrite makes that edge explicit
+    instead of silently wrong). Completes the subquery family next to
+    IN / EXISTS / NOT-IN-with-NULLs.
+
+    Scale: the subquery collapses to a 1-row (min, max, count) aggregate
+    broadcast onto the outer scan — no join at all."""
+    orders = load(spark, sf_dir, "orders")
+    bound = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_custkey") < 100)
+    ).agg(
+        F.max("o_totalprice").alias("mx"),
+        F.min("o_totalprice").alias("mn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return (
+        orders.join(F.broadcast(bound))
+        .filter((F.col("o_totalprice") > F.col("mn")) & (F.col("k") > 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            (F.col("o_totalprice") > F.col("mx")).alias("above_all"),
+            (F.col("o_totalprice") > F.col("mn")).alias("above_any"),
+        )
+    )
+
+
+SESSION_GAP_MIN = 30
+CAMPAIGN_DAYS = 3
+
+
+@query(
+    "join_interval_overlap_banded",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sid AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    ), sessions AS (
+      SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+      FROM sid GROUP BY user_id, sid
+    ), weeks AS (
+      SELECT DISTINCT date_trunc('week', ts) AS w_start,
+             date_trunc('week', ts) + INTERVAL {CAMPAIGN_DAYS} DAY AS w_end
+      FROM events
+    )
+    SELECT weeks.w_start AS campaign_start,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT sessions.user_id) AS BIGINT) AS n_users
+    FROM sessions JOIN weeks
+      ON sessions.s_start <= weeks.w_end AND sessions.s_end >= weeks.w_start
+    GROUP BY weeks.w_start
+    """,
+)
+def join_interval_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — sessions (30-min-gap sessionization)
+    against {CAMPAIGN_DAYS}-day campaign windows — executed as a BANDED
+    equi-join: each interval explodes to the calendar WEEKS it touches,
+    the join runs on the week key, and the exact overlap predicate
+    verifies (then dedups). This turns interval×interval overlap — which
+    Catalyst would otherwise nest-loop — into the shuffle-friendly shape,
+    the 2-sided generalization of join_range_banded's point-in-range
+    bucketization.
+
+    Scale: band fan-out per interval = weeks touched (bounded by interval
+    length / band width); the join is an equi-join AQE can size; the
+    final aggregate is campaign-cardinality."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    marks = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sid = marks.select("user_id", "ts", F.sum("new_s").over(wcum).alias("sid"))
+    sessions = sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    weeks = ev.select(
+        F.date_trunc("week", "ts").alias("w_start"),
+        (F.date_trunc("week", "ts") + F.expr(f"INTERVAL {CAMPAIGN_DAYS} DAY")).alias(
+            "w_end"
+        ),
+    ).distinct()
+    # band both sides on the calendar week: a session touches every week
+    # in [week(s_start), week(s_end)]
+    s_banded = sessions.select(
+        "user_id",
+        "sid",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("week", "s_start"),
+                F.date_trunc("week", "s_end"),
+                F.expr("INTERVAL 7 DAY"),
+            )
+        ).alias("wk"),
+    )
+    w_banded = weeks.select(
+        "w_start", "w_end", F.col("w_start").alias("wk")
+    )
+    joined = (
+        s_banded.join(F.broadcast(w_banded), "wk")
+        .filter(
+            (F.col("s_start") <= F.col("w_end"))
+            & (F.col("s_end") >= F.col("w_start"))
+        )
+        .select("user_id", "sid", "w_start")
+        .distinct()
+    )
+    return joined.groupBy(F.col("w_start").alias("campaign_start")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
