@@ -674,3 +674,28 @@ def test_equidepth_prefix_sum_is_block_partitioned(spark, sf_dir):
     df = SPECS["ext_equidepth_histogram"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "windowspecdefinition(blk" in plan, plan[:2000]
+
+
+def test_interval_overlap_is_banded_equi(spark, sf_dir):
+    """The interval-overlap join must run as the week-banded equi-join —
+    a nested-loop interval×interval join is the regression this guards."""
+    df = SPECS["join_interval_overlap_banded"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_hash_join(df), plan[:1500]
+
+
+def test_quantified_all_is_broadcast_scalar(spark, sf_dir):
+    df = SPECS["subq_quantified_all"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the ALL/ANY subquery collapses to one aggregate row, broadcast —
+    # never a join against the subquery's row set
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_ablation_single_pair_shuffle(spark, sf_dir):
+    df = SPECS["ext_ablation_leave_one_source"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_hash_join(df)  # exclusive-word set broadcast
