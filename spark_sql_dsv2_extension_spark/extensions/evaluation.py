@@ -3074,3 +3074,202 @@ def join_interval_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+CONF_ALPHA_PCT = 90  # target coverage
+
+
+@query(
+    "ext_conformal_interval",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (event_id * 2654435761 + 12289) % 2147483647 % 2 AS half
+      FROM events
+    ), cal_hist AS (
+      SELECT t, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM v WHERE half = 0 GROUP BY t, cents
+    ), cal_cum AS (
+      SELECT t, cents,
+             CAST(SUM(cnt) OVER (PARTITION BY t ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+             CAST(SUM(cnt) OVER (PARTITION BY t) AS BIGINT) AS n_cal
+      FROM cal_hist
+    ), pred AS (
+      SELECT t, n_cal,
+             min(CASE WHEN cm >= (n_cal + 1) // 2 THEN cents END) AS m
+      FROM cal_cum GROUP BY t, n_cal
+    ), resid AS (
+      SELECT v.t, abs(v.cents - pred.m) AS r, pred.n_cal
+      FROM v JOIN pred ON v.t = pred.t WHERE v.half = 0
+    ), r_hist AS (
+      SELECT t, r, n_cal, CAST(count(*) AS BIGINT) AS cnt
+      FROM resid GROUP BY t, r, n_cal
+    ), r_cum AS (
+      SELECT t, r, n_cal,
+             CAST(SUM(cnt) OVER (PARTITION BY t ORDER BY r
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+      FROM r_hist
+    ), q AS (
+      SELECT t, n_cal,
+             min(CASE WHEN cm >= least(
+                        ({CONF_ALPHA_PCT} * (n_cal + 1) + 99) // 100, n_cal)
+                      THEN r END) AS qr
+      FROM r_cum GROUP BY t, n_cal
+    )
+    SELECT v.t AS event_type, q.n_cal,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           pred.m AS pred_cents, q.qr AS q_cents,
+           CAST(SUM(CASE WHEN abs(v.cents - pred.m) <= q.qr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           CAST((SUM(CASE WHEN abs(v.cents - pred.m) <= q.qr
+                          THEN 1 ELSE 0 END) * 1000000) // count(*)
+                AS BIGINT) AS coverage6
+    FROM v
+    JOIN pred ON v.t = pred.t
+    JOIN q ON v.t = q.t
+    WHERE v.half = 1
+    GROUP BY v.t, q.n_cal, pred.m, q.qr
+    """,
+)
+def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type: a point
+    predictor (calibration-half lower median) plus the ⌈0.9·(n+1)⌉-th
+    order statistic of calibration residuals gives an interval with
+    ≥{CONF_ALPHA_PCT}% guaranteed coverage — verified here on the held-out
+    half. THE distribution-free uncertainty wrapper every deployed
+    predictor should ship with; reported coverage6 lets the consumer see
+    the guarantee hold. All order statistics are exact integer ranks read
+    off per-type value/residual histograms; the split is the engine's
+    standard affine hash.
+
+    Scale: every window partitions by event_type over DISTINCT values —
+    the agg_salted_twophase shuffle diet, three passes over aggregated
+    relations, never a per-row sort."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("(event_id * 2654435761 + 12289) % 2147483647 % 2").alias("half"),
+    )
+    v.cache()
+    cal = v.filter(F.col("half") == 0)
+    cal_hist = cal.groupBy("t", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("t").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("t")
+    cal_cum = cal_hist.select(
+        "t",
+        "cents",
+        F.sum("cnt").over(wc).cast("long").alias("cm"),
+        F.sum("cnt").over(wt).cast("long").alias("n_cal"),
+    )
+    pred = cal_cum.groupBy("t", "n_cal").agg(
+        F.min(
+            F.when(F.col("cm") >= F.expr("(n_cal + 1) div 2"), F.col("cents"))
+        ).alias("m")
+    )
+    resid = cal.join(F.broadcast(pred), "t").select(
+        "t", "n_cal", F.abs(F.col("cents") - F.col("m")).alias("r")
+    )
+    r_hist = resid.groupBy("t", "r", "n_cal").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.partitionBy("t").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r_cum = r_hist.select(
+        "t", "r", "n_cal", F.sum("cnt").over(wr).cast("long").alias("cm")
+    )
+    q = r_cum.groupBy("t", "n_cal").agg(
+        F.min(
+            F.when(
+                F.col("cm")
+                >= F.expr(
+                    f"least(({CONF_ALPHA_PCT} * (n_cal + 1) + 99) div 100, n_cal)"
+                ),
+                F.col("r"),
+            )
+        ).alias("qr")
+    )
+    return (
+        v.filter(F.col("half") == 1)
+        .join(F.broadcast(pred.select("t", "m")), "t")
+        .join(F.broadcast(q), "t")
+        .groupBy(
+            F.col("t").alias("event_type"), "n_cal", F.col("m").alias("pred_cents"),
+            F.col("qr").alias("q_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(F.abs(F.col("cents") - F.col("m")) <= F.col("qr"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+            F.expr(
+                "CAST(sum(CASE WHEN abs(cents - m) <= qr THEN 1 ELSE 0 END) "
+                "* 1000000 div count(*) AS BIGINT)"
+            ).alias("coverage6"),
+        )
+        .select(
+            "event_type", "n_cal", "n_eval", "pred_cents", "q_cents",
+            "covered", "coverage6",
+        )
+    )
+
+
+@query(
+    "ext_mase_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), lagged AS (
+      SELECT day, cents,
+             lag(cents, 7) OVER (ORDER BY day) AS season,
+             lag(cents, 1) OVER (ORDER BY day) AS naive
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_eval_days,
+           CAST(SUM(abs(cents - season)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(abs(cents - naive)) AS BIGINT) AS sae_naive,
+           CAST((CAST(SUM(abs(cents - season)) AS BIGINT) * 1000000)
+                // CAST(SUM(abs(cents - naive)) AS BIGINT) AS BIGINT)
+             AS mase6
+    FROM lagged WHERE season IS NOT NULL AND naive IS NOT NULL
+    """,
+)
+def ext_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style forecast benchmark on daily revenue: the seasonal-naive
+    forecast (y[t−7]) scored against the one-step naive (y[t−1]) via the
+    ratio of absolute-error sums — the scale-free skill score every
+    forecasting pipeline reports first (mase6 < 1e6 means weekly
+    seasonality carries real signal). Errors are exact integer cents; the
+    ratio one integer division.
+
+    Scale: the corpus collapses to the daily series in one groupBy; the
+    lag window runs over calendar-bounded days (the documented
+    small-series exception to the no-global-window rule)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 7).over(w).alias("season"),
+        F.lag("cents", 1).over(w).alias("naive"),
+    ).filter(F.col("season").isNotNull() & F.col("naive").isNotNull())
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_eval_days"),
+        F.sum(F.abs(F.col("cents") - F.col("season"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.abs(F.col("cents") - F.col("naive"))).cast("long").alias("sae_naive"),
+        F.expr(
+            "CAST(sum(abs(cents - season)) * 1000000 "
+            "div sum(abs(cents - naive)) AS BIGINT)"
+        ).alias("mase6"),
+    )
