@@ -3273,3 +3273,118 @@ def ext_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div sum(abs(cents - naive)) AS BIGINT)"
         ).alias("mase6"),
     )
+
+
+@query(
+    "ext_psm_nearest_match",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, score, treated,
+             last_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+               OVER (ORDER BY score, user_id ROWS UNBOUNDED PRECEDING)
+               AS prev_c_score,
+             last_value(CASE WHEN treated = 0 THEN user_id END IGNORE NULLS)
+               OVER (ORDER BY score, user_id ROWS UNBOUNDED PRECEDING)
+               AS prev_c_id,
+             first_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+               OVER (ORDER BY score, user_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_c_score,
+             first_value(CASE WHEN treated = 0 THEN user_id END IGNORE NULLS)
+               OVER (ORDER BY score, user_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_c_id
+      FROM users
+    ), matched AS (
+      SELECT user_id, score,
+             CASE WHEN next_c_score IS NULL THEN prev_c_score
+                  WHEN prev_c_score IS NULL THEN next_c_score
+                  WHEN abs(score - prev_c_score) <= abs(score - next_c_score)
+                  THEN prev_c_score ELSE next_c_score END AS m_score
+      FROM ranked WHERE treated = 1
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_t,
+             CAST(SUM(score) AS BIGINT) AS s_t,
+             CAST(SUM(m_score) AS BIGINT) AS s_m
+      FROM matched
+    ), ctl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_c,
+             CAST(SUM(score) AS BIGINT) AS s_c
+      FROM users WHERE treated = 0
+    )
+    SELECT sums.n_t AS n_treated, ctl.n_c AS n_controls,
+           CAST((s_t * 1000000) // n_t - (s_c * 1000000) // n_c AS BIGINT)
+             AS pre_gap6,
+           CAST((s_t * 1000000) // n_t - (s_m * 1000000) // n_t AS BIGINT)
+             AS post_gap6
+    FROM sums, ctl
+    """,
+)
+def ext_psm_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-style 1-NN matching (with replacement) on a scalar
+    score: every treated user (did 'signup') is matched to the nearest
+    control by activity score, via the SORTED-MERGE trick — union both
+    cohorts, one ordered pass carries the last-control-before and
+    first-control-after each treated row, pick the closer (ties → the
+    earlier, a stated deterministic rule). Reported covariate balance:
+    treated-vs-control mean gap BEFORE matching vs treated-vs-matched
+    gap AFTER — the number that says whether the match removed the
+    confound. Integer scores, integer micro-gaps.
+
+    Scale: the same union+window shape as join_asof_time — no
+    treated×control pair join ever materializes; the window runs over
+    USERS (at extreme cardinality: repartitionByRange on score, the
+    standard sorted-merge discipline)."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("treated"),
+    )
+    users.cache()
+    w_prev = Window.orderBy("score", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("score", "user_id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    c_score = F.when(F.col("treated") == 0, F.col("score"))
+    ranked = users.select(
+        "user_id",
+        "score",
+        "treated",
+        F.last(c_score, ignorenulls=True).over(w_prev).alias("prev_c_score"),
+        F.first(c_score, ignorenulls=True).over(w_next).alias("next_c_score"),
+    )
+    matched = ranked.filter(F.col("treated") == 1).select(
+        "score",
+        F.when(F.col("next_c_score").isNull(), F.col("prev_c_score"))
+        .when(F.col("prev_c_score").isNull(), F.col("next_c_score"))
+        .when(
+            F.abs(F.col("score") - F.col("prev_c_score"))
+            <= F.abs(F.col("score") - F.col("next_c_score")),
+            F.col("prev_c_score"),
+        )
+        .otherwise(F.col("next_c_score"))
+        .alias("m_score"),
+    )
+    sums = matched.agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum("score").cast("long").alias("s_t"),
+        F.sum("m_score").cast("long").alias("s_m"),
+    )
+    ctl = users.filter(F.col("treated") == 0).agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum("score").cast("long").alias("s_c"),
+    )
+    return sums.join(F.broadcast(ctl)).select(
+        F.col("n_t").alias("n_treated"),
+        F.col("n_c").alias("n_controls"),
+        F.expr("s_t * 1000000 div n_t - s_c * 1000000 div n_c").alias("pre_gap6"),
+        F.expr("s_t * 1000000 div n_t - s_m * 1000000 div n_t").alias("post_gap6"),
+    )
