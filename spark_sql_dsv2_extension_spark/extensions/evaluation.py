@@ -3278,10 +3278,17 @@ def ext_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_psm_nearest_match",
     oracle="""
-    WITH users AS (
+    WITH raw AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS score,
-             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pc
       FROM events GROUP BY user_id
+    ), med AS (
+      SELECT CAST(floor(median(pc)) AS BIGINT) AS m FROM raw
+    ), users AS (
+      SELECT user_id, score,
+             CASE WHEN pc > med.m THEN 1 ELSE 0 END AS treated
+      FROM raw, med
     ), ranked AS (
       SELECT user_id, score, treated,
              last_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
@@ -3326,7 +3333,9 @@ def ext_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_psm_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Propensity-style 1-NN matching (with replacement) on a scalar
-    score: every treated user (did 'signup') is matched to the nearest
+    score: every treated user (above-median purchase count — a cohort
+    guaranteed non-empty on both sides by the median split) is matched to
+    the nearest
     control by activity score, via the SORTED-MERGE trick — union both
     cohorts, one ordered pass carries the last-control-before and
     first-control-after each treated row, pick the closer (ties → the
@@ -3340,11 +3349,17 @@ def ext_psm_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     USERS (at extreme cardinality: repartitionByRange on score, the
     standard sorted-merge discipline)."""
     ev = load(spark, sf_dir, "events")
-    users = ev.groupBy("user_id").agg(
+    raw = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("score"),
-        F.max(
-            F.when(F.col("event_type") == "signup", 1).otherwise(0)
-        ).alias("treated"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("pc"),
+    )
+    med = raw.agg(F.floor(F.median("pc")).cast("long").alias("m"))
+    users = raw.join(F.broadcast(med)).select(
+        "user_id",
+        "score",
+        F.when(F.col("pc") > F.col("m"), 1).otherwise(0).alias("treated"),
     )
     users.cache()
     w_prev = Window.orderBy("score", "user_id").rowsBetween(
