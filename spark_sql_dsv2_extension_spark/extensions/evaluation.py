@@ -3403,3 +3403,193 @@ def ext_psm_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("s_t * 1000000 div n_t - s_c * 1000000 div n_c").alias("pre_gap6"),
         F.expr("s_t * 1000000 div n_t - s_m * 1000000 div n_t").alias("post_gap6"),
     )
+
+
+@query(
+    "ext_design_effect_icc",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), per_u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS nj,
+             CAST(SUM(y) AS BIGINT) AS sj,
+             CAST(SUM(y * y) AS BIGINT) AS ssj
+      FROM v GROUP BY user_id
+    ), terms AS (
+      SELECT nj, sj,
+             CAST(round((ssj - CAST(sj AS DOUBLE) * sj / nj) * 100)
+                  AS BIGINT) AS ssw2,
+             CAST(count(*) OVER () AS BIGINT) AS k,
+             CAST(SUM(nj) OVER () AS BIGINT) AS n,
+             CAST(SUM(sj) OVER () AS BIGINT) AS s
+      FROM per_u
+    ), agg AS (
+      SELECT k, n,
+             CAST(SUM(ssw2) AS BIGINT) AS ssw2,
+             CAST(SUM(CAST(round(
+               nj * (CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n)
+                  * (CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n) * 100)
+               AS BIGINT)) AS BIGINT) AS ssb2
+      FROM terms GROUP BY k, n
+    )
+    SELECT n AS n_events, k AS n_users,
+           CAST(round(1000000
+             * (CAST(ssb2 AS DOUBLE) / (k - 1)
+                - CAST(ssw2 AS DOUBLE) / (n - k))
+             / (CAST(ssb2 AS DOUBLE) / (k - 1)
+                + (CAST(n AS DOUBLE) / k - 1)
+                  * (CAST(ssw2 AS DOUBLE) / (n - k)))) AS BIGINT) AS icc6,
+           CAST(round(1000000 * (1 + (CAST(n AS DOUBLE) / k - 1)
+             * ((CAST(ssb2 AS DOUBLE) / (k - 1)
+                 - CAST(ssw2 AS DOUBLE) / (n - k))
+                / (CAST(ssb2 AS DOUBLE) / (k - 1)
+                   + (CAST(n AS DOUBLE) / k - 1)
+                     * (CAST(ssw2 AS DOUBLE) / (n - k))))))
+             AS BIGINT) AS deff6
+    FROM agg
+    """,
+)
+def ext_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-cluster correlation and design effect for user-clustered
+    randomization: when an experiment assigns USERS but measures EVENTS,
+    the effective sample size shrinks by deff = 1 + (m̄−1)·ICC — the
+    number ext_power_analysis must divide by before quoting an MDE
+    (ignoring it is the classic false-positive machine in clustered
+    A/B tests). ANOVA sums of squares are computed per cluster from exact
+    integer moments, rounded to centi-units BEFORE the cross-cluster sum
+    (the order-independence contract), and ICC/deff are one shared double
+    expression each.
+
+    Scale: one per-user aggregation + one scalar row; the window-based
+    grand totals run over the per-user relation, not events."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("user_id", F.round(F.col("value") * 100).cast("long").alias("y"))
+    per_u = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("y").cast("long").alias("sj"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssj"),
+    )
+    wall = Window.partitionBy()
+    terms = per_u.select(
+        "nj",
+        "sj",
+        F.round(
+            (F.col("ssj") - F.col("sj").cast("double") * F.col("sj") / F.col("nj"))
+            * 100
+        )
+        .cast("long")
+        .alias("ssw2"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("k"),
+        F.sum("nj").over(wall).cast("long").alias("n"),
+        F.sum("sj").over(wall).cast("long").alias("s"),
+    )
+    dev = F.col("sj").cast("double") / F.col("nj") - F.col("s").cast("double") / F.col("n")
+    agg = terms.groupBy("k", "n").agg(
+        F.sum("ssw2").cast("long").alias("ssw2"),
+        F.sum(F.round(F.col("nj") * dev * dev * 100).cast("long"))
+        .cast("long")
+        .alias("ssb2"),
+    )
+    msb = F.col("ssb2").cast("double") / (F.col("k") - 1)
+    msw = F.col("ssw2").cast("double") / (F.col("n") - F.col("k"))
+    mbar_m1 = F.col("n").cast("double") / F.col("k") - 1
+    icc = (msb - msw) / (msb + mbar_m1 * msw)
+    return agg.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_users"),
+        F.round(1000000 * icc).cast("long").alias("icc6"),
+        F.round(1000000 * (1 + mbar_m1 * icc)).cast("long").alias("deff6"),
+    )
+
+
+SHUFFLE_AUDIT_N = 10000
+
+
+@query(
+    "ext_shuffle_quality_audit",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT doc_id, n_chars,
+             (doc_id * 2654435761 + 12289) % 2147483647 AS hv
+      FROM documents
+      ORDER BY (doc_id * 2654435761 + 12289) % 2147483647, doc_id
+      LIMIT {SHUFFLE_AUDIT_N}
+    ), orderings AS (
+      SELECT 'shuffled' AS ordering, n_chars AS x,
+             lead(n_chars) OVER (ORDER BY hv, doc_id) AS y
+      FROM sampled
+      UNION ALL
+      SELECT 'by_doc_id', n_chars,
+             lead(n_chars) OVER (ORDER BY doc_id)
+      FROM sampled
+    ), mo AS (
+      SELECT ordering, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM orderings WHERE y IS NOT NULL GROUP BY ordering
+    )
+    SELECT ordering, n AS n_pairs,
+           CAST(round(1000000
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             AS BIGINT) AS lag1_corr6
+    FROM mo
+    """,
+)
+def ext_shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit: lag-1 autocorrelation of document length
+    under the training shuffle order (ext_epoch_shuffle_plan's hash) vs
+    the ingest order — the QA check that the shuffle actually decorrelated
+    neighboring examples (residual structure in batch composition biases
+    gradient estimates). Runs on a deterministic {SHUFFLE_AUDIT_N}-doc
+    hash-prefix sample so the adjacency windows are CONSTANT-bounded at
+    any corpus size; Pearson over adjacent pairs uses exact integer
+    moments and one shared double expression.
+
+    Scale: TakeOrdered pulls the bounded sample; everything after runs on
+    ≤{SHUFFLE_AUDIT_N} rows."""
+    docs = load(spark, sf_dir, "documents")
+    hv = F.expr("(doc_id * 2654435761 + 12289) % 2147483647")
+    sampled = (
+        docs.select("doc_id", "n_chars", hv.alias("hv"))
+        .orderBy("hv", "doc_id")
+        .limit(SHUFFLE_AUDIT_N)
+    )
+    sampled.cache()
+    w_sh = Window.orderBy("hv", "doc_id")
+    w_id = Window.orderBy("doc_id")
+    orderings = sampled.select(
+        F.lit("shuffled").alias("ordering"),
+        F.col("n_chars").alias("x"),
+        F.lead("n_chars").over(w_sh).alias("y"),
+    ).unionAll(
+        sampled.select(
+            F.lit("by_doc_id").alias("ordering"),
+            F.col("n_chars").alias("x"),
+            F.lead("n_chars").over(w_id).alias("y"),
+        )
+    )
+    mo = (
+        orderings.filter(F.col("y").isNotNull())
+        .groupBy("ordering")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    cxy = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return mo.select(
+        "ordering",
+        F.col("n").alias("n_pairs"),
+        F.round(1000000 * cxy / F.sqrt(vx * vy)).cast("long").alias("lag1_corr6"),
+    )
