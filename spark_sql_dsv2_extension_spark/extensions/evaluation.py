@@ -3593,3 +3593,153 @@ def ext_shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.round(1000000 * cxy / F.sqrt(vx * vy)).cast("long").alias("lag1_corr6"),
     )
+
+
+BH_Q_INV = 5  # FDR level q = 1/5
+
+
+@query(
+    "ext_bh_fdr",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS t, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END
+               AS grp
+      FROM events
+    ), obs AS (
+      SELECT t,
+             CAST((CAST(SUM(CASE WHEN grp = 0 THEN cents END) AS BIGINT)
+                   * 10000)
+                  // SUM(CASE WHEN grp = 0 THEN 1 END)
+                - (CAST(SUM(CASE WHEN grp = 1 THEN cents END) AS BIGINT)
+                   * 10000)
+                  // SUM(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS d6
+      FROM v GROUP BY t
+    ), perms AS (
+      SELECT v.t, p.p, v.cents,
+             CASE WHEN (v.event_id * 2654435761 + p.p * 97003 + 40503)
+                       % 2147483647 % 2 = 0 THEN 0 ELSE 1 END AS pgrp
+      FROM v, (SELECT unnest(range(0, {PERM_P})) AS p) p
+    ), pd AS (
+      SELECT t, p,
+             CAST((CAST(SUM(CASE WHEN pgrp = 0 THEN cents END) AS BIGINT)
+                   * 10000)
+                  // SUM(CASE WHEN pgrp = 0 THEN 1 END)
+                - (CAST(SUM(CASE WHEN pgrp = 1 THEN cents END) AS BIGINT)
+                   * 10000)
+                  // SUM(CASE WHEN pgrp = 1 THEN 1 END) AS BIGINT) AS d6
+      FROM perms GROUP BY t, p
+    ), pvals AS (
+      SELECT obs.t, obs.d6,
+             1 + CAST(SUM(CASE WHEN abs(pd.d6) >= abs(obs.d6)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS p_num
+      FROM obs JOIN pd ON pd.t = obs.t
+      GROUP BY obs.t, obs.d6
+    ), ranked AS (
+      SELECT t, d6, p_num,
+             row_number() OVER (ORDER BY p_num, t) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pvals
+    ), flagged AS (
+      SELECT t, d6, p_num, rk, m,
+             CASE WHEN {BH_Q_INV} * m * p_num <= rk * ({PERM_P} + 1)
+                  THEN rk END AS ok_rk
+      FROM ranked
+    )
+    SELECT t AS event_type, d6 AS obs_diff6,
+           CAST(p_num AS BIGINT) AS p_num,
+           CAST({PERM_P} + 1 AS BIGINT) AS p_den,
+           CAST(rk AS BIGINT) AS bh_rank,
+           rk <= coalesce(max(ok_rk) OVER (), 0) AS rejected
+    FROM flagged
+    """,
+)
+def ext_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR across slices: each event type gets a
+    permutation p-value for its weekday/weekend value gap (the
+    ext_permutation_test machinery, per slice), then the BH step-up rule
+    marks the largest prefix of sorted p-values with p_(i) ≤ i·q/m as
+    discoveries — the multiple-testing discipline that keeps a dashboard
+    of 100 segment metrics from "discovering" 5 false effects at q=20%.
+    Everything is integer: p-values are counts over {PERM_P}+1, the BH
+    inequality is cross-multiplied ({BH_Q_INV}·m·p_num ≤ i·({PERM_P}+1)),
+    the step-up cutoff a windowed max.
+
+    Scale: the perm fan-out is map-side ×{PERM_P}; aggregations are keyed
+    by (slice, perm); the BH pass runs over #slices rows."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),
+    )
+    v.cache()
+
+    def diff6(grp_col: str):
+        return F.expr(
+            f"CAST(CAST(sum(CASE WHEN {grp_col} = 0 THEN cents END) AS BIGINT)"
+            f" * 10000 div sum(CASE WHEN {grp_col} = 0 THEN 1 END)"
+            f" - CAST(sum(CASE WHEN {grp_col} = 1 THEN cents END) AS BIGINT)"
+            f" * 10000 div sum(CASE WHEN {grp_col} = 1 THEN 1 END) AS BIGINT)"
+        )
+
+    obs = v.groupBy("t").agg(diff6("grp").alias("d6"))
+    perms = v.select(
+        "t",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_P - 1))).alias("p"),
+        "event_id",
+    ).select(
+        "t",
+        "p",
+        "cents",
+        F.expr(
+            "CASE WHEN (event_id * 2654435761 + p * 97003 + 40503) "
+            "% 2147483647 % 2 = 0 THEN 0 ELSE 1 END"
+        ).alias("pgrp"),
+    )
+    pd_means = perms.groupBy("t", "p").agg(diff6("pgrp").alias("pd6"))
+    pvals = (
+        pd_means.join(F.broadcast(obs), "t")
+        .groupBy("t", "d6")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(F.abs(F.col("pd6")) >= F.abs(F.col("d6")), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("p_num")
+        )
+    )
+    wrk = Window.orderBy("p_num", "t")
+    wall = Window.partitionBy()
+    ranked = pvals.select(
+        "t",
+        "d6",
+        "p_num",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    )
+    flagged = ranked.withColumn(
+        "ok_rk",
+        F.when(
+            BH_Q_INV * F.col("m") * F.col("p_num")
+            <= F.col("rk") * (PERM_P + 1),
+            F.col("rk"),
+        ),
+    )
+    return flagged.select(
+        F.col("t").alias("event_type"),
+        F.col("d6").alias("obs_diff6"),
+        F.col("p_num").cast("long").alias("p_num"),
+        F.lit(PERM_P + 1).cast("long").alias("p_den"),
+        F.col("rk").cast("long").alias("bh_rank"),
+        (
+            F.col("rk")
+            <= F.coalesce(F.max("ok_rk").over(wall), F.lit(0))
+        ).alias("rejected"),
+    )
