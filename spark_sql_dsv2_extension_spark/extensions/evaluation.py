@@ -3743,3 +3743,149 @@ def ext_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.coalesce(F.max("ok_rk").over(wall), F.lit(0))
         ).alias("rejected"),
     )
+
+
+@query(
+    "ext_als_rank1",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), u AS (
+      -- half-step 1, item factors initialized to 1: u_j = mean rating
+      SELECT user_id,
+             CAST((CAST(SUM(cnt) AS BIGINT) * 1000)
+                  // count(*) AS BIGINT) AS u3
+      FROM r GROUP BY user_id
+    ), v AS (
+      -- half-step 2: v_i = Σ r·u / Σ u² over observed users
+      SELECT r.item, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(round(1000000.0
+               * CAST(SUM(r.cnt * u.u3) AS BIGINT)
+               / CAST(SUM(u.u3 * u.u3) AS BIGINT)) AS BIGINT) AS v6
+      FROM r JOIN u USING (user_id)
+      GROUP BY r.item
+    )
+    SELECT item, n_users, v6 FROM v
+    ORDER BY v6 DESC, item LIMIT 20
+    """,
+)
+def ext_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS alternation of a rank-1 matrix factorization over the
+    (user, item, interaction-count) matrix: item factors init to 1 →
+    closed-form user factors (per-user mean rating) → closed-form item
+    factors v_i = Σr·u / Σu² — the popularity-vs-affinity decomposition
+    that seeds every collaborative filter, expressed as two grouped
+    aggregations. Exact: user factors are milli-unit integers BEFORE the
+    second half-step, so both Σr·u and Σu² are int64 sums and v is one
+    integer-operand divide (int64-safe up to ~1e8 users per item at this
+    scaling).
+
+    Scale: two shuffles (by user, by item) over the interaction relation
+    — the canonical ALS data movement; no factor matrix ever broadcast
+    because rank is 1."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.groupBy(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    r.cache()
+    u = r.groupBy("user_id").agg(
+        F.expr("CAST(CAST(sum(cnt) AS BIGINT) * 1000 div count(*) AS BIGINT)").alias(
+            "u3"
+        )
+    )
+    v = (
+        r.join(u, "user_id")
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                1000000.0
+                * F.sum(F.col("cnt") * F.col("u3")).cast("long")
+                / F.sum(F.col("u3") * F.col("u3")).cast("long")
+            )
+            .cast("long")
+            .alias("v6"),
+        )
+    )
+    return v.orderBy(F.desc("v6"), "item").limit(20)
+
+
+@query(
+    "ext_quantile_treatment_effect",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             (event_id * 2654435761 + 12289) % 2147483647 % 2 AS arm
+      FROM events WHERE event_type = 'purchase'
+    ), hist AS (
+      SELECT arm, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY arm, c
+    ), cum AS (
+      SELECT arm, c,
+             CAST(SUM(cnt) OVER (PARTITION BY arm ORDER BY c
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+             CAST(SUM(cnt) OVER (PARTITION BY arm) AS BIGINT) AS n
+      FROM hist
+    ), deciles AS (
+      SELECT d.d, cum.arm,
+             min(CASE WHEN cm >= (d.d * n + 9) // 10 THEN c END) AS q
+      FROM cum, (SELECT unnest(range(1, 10)) AS d) d
+      GROUP BY d.d, cum.arm
+    )
+    SELECT a.d AS decile, a.q AS q_control, b.q AS q_treatment,
+           b.q - a.q AS qte_cents
+    FROM deciles a JOIN deciles b ON a.d = b.d AND a.arm = 0 AND b.arm = 1
+    """,
+)
+def ext_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-decile gap between the two
+    hash-randomized arms' purchase-value distributions — the view that
+    catches what a mean lift (ext_ab_test_lift) hides: an effect
+    concentrated in the tail (only the 9th decile moves) or a compression
+    (low deciles up, high down, mean flat). Deciles are exact order
+    statistics (⌈d·n/10⌉ ranks) off per-arm value histograms; QTE is an
+    integer difference.
+
+    Scale: per-arm distinct-value histograms + arm-partitioned cumulative
+    windows — two small relations joined on decile at the end."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.expr("(event_id * 2654435761 + 12289) % 2147483647 % 2").alias("arm"),
+    )
+    hist = v.groupBy("arm", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("arm").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    warm = Window.partitionBy("arm")
+    cum = hist.select(
+        "arm",
+        "c",
+        F.sum("cnt").over(wcum).cast("long").alias("cm"),
+        F.sum("cnt").over(warm).cast("long").alias("n"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").alias("d"))
+    deciles = (
+        cum.join(F.broadcast(ds))
+        .groupBy("d", "arm")
+        .agg(
+            F.min(
+                F.when(F.col("cm") >= F.expr("(d * n + 9) div 10"), F.col("c"))
+            ).alias("q")
+        )
+    )
+    a = deciles.filter(F.col("arm") == 0).select(
+        F.col("d").alias("decile"), F.col("q").alias("q_control")
+    )
+    b = deciles.filter(F.col("arm") == 1).select(
+        F.col("d").alias("db"), F.col("q").alias("q_treatment")
+    )
+    return a.join(F.broadcast(b), F.col("decile") == F.col("db")).select(
+        "decile",
+        "q_control",
+        "q_treatment",
+        (F.col("q_treatment") - F.col("q_control")).alias("qte_cents"),
+    )
