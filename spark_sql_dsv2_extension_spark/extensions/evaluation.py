@@ -3889,3 +3889,136 @@ def ext_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame
         "q_treatment",
         (F.col("q_treatment") - F.col("q_control")).alias("qte_cents"),
     )
+
+
+ROLL_N = 5
+
+
+@query(
+    "win_rolling_regression",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), framed AS (
+      SELECT user_id, event_id, x,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY x
+                   ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(round(1000000.0
+             * (n * sxy - sx * sy)
+             / (n * sxx - sx * sx)) AS BIGINT) AS slope6
+    FROM framed WHERE n = {ROLL_N}
+    """,
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope over the last {ROLL_N} events per user — the
+    windowed trend feature (is this user's spend accelerating RIGHT NOW?)
+    that a global fit (ext_user_trend_slope) smears away. The regression
+    runs entirely inside the window FRAME: the five sums (n, Σx, Σy, Σxy,
+    Σx²) are framed integer aggregates, so the slope is one shared-operand
+    double per row, rounded at 1e-6 — no self-join, no per-row recompute.
+
+    Scale: ONE user-partitioned window pass carries all five running
+    sums; frame state is O({ROLL_N}) per user. The canonical pattern for
+    any rolling statistic with a moment formula."""
+    ev = load(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(order_w).cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(ROLL_N - 1), Window.currentRow)
+    )
+    framed = seq.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(frame).cast("long").alias("n"),
+        F.sum("x").over(frame).cast("long").alias("sx"),
+        F.sum("y").over(frame).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(frame).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(frame).cast("long").alias("sxx"),
+    )
+    return framed.filter(F.col("n") == ROLL_N).select(
+        "user_id",
+        "event_id",
+        F.round(
+            1000000.0
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .cast("long")
+        .alias("slope6"),
+    )
+
+
+@query(
+    "join_multi_exists_onepass",
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey,
+             CAST(max(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS has_urgent,
+             CAST(max(CASE WHEN o_totalprice > 200000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS has_big,
+             CAST(max(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS has_recent
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name,
+           coalesce(f.has_urgent, 0) AS has_urgent,
+           coalesce(f.has_big, 0) AS has_big,
+           coalesce(f.has_recent, 0) AS has_recent
+    FROM customer c LEFT JOIN flags f ON f.o_custkey = c.c_custkey
+    """,
+)
+def join_multi_exists_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three EXISTS predicates answered in ONE pass: instead of three
+    correlated semi-joins (three shuffles of the orders fact, the shape a
+    naive `EXISTS(...) AND EXISTS(...) AND EXISTS(...)` plans), aggregate
+    all three existence flags map-side in a single groupBy and left-join
+    the flag relation once — 3× less fact movement, identical semantics
+    (MAX(CASE) ≡ EXISTS over the group).
+
+    Scale: one partial-aggregated pass over orders + one broadcast-or-
+    shuffle join at customer cardinality. The template generalizes to any
+    number of EXISTS conditions with zero extra passes."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    flags = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).cast("long").alias("has_urgent"),
+        F.max(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("has_big"),
+        F.max(
+            F.when(
+                F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"), 1
+            ).otherwise(0)
+        ).cast("long").alias("has_recent"),
+    )
+    return cust.join(
+        flags, cust["c_custkey"] == flags["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("has_urgent", F.lit(0)).cast("long").alias("has_urgent"),
+        F.coalesce("has_big", F.lit(0)).cast("long").alias("has_big"),
+        F.coalesce("has_recent", F.lit(0)).cast("long").alias("has_recent"),
+    )
