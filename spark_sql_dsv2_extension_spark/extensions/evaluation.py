@@ -4022,3 +4022,122 @@ def join_multi_exists_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("has_big", F.lit(0)).cast("long").alias("has_big"),
         F.coalesce("has_recent", F.lit(0)).cast("long").alias("has_recent"),
     )
+
+
+@query(
+    "ext_sliding_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), fan AS (
+      SELECT user_id, day AS active_day,
+             day + CAST(o.o AS INTEGER) AS report_day
+      FROM ud, (SELECT unnest(range(0, 7)) AS o) o
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), wau AS (
+      SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM fan GROUP BY report_day
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT CAST(days.day AS VARCHAR) AS day, dau.dau, wau.wau,
+           CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness6
+    FROM days
+    JOIN dau ON dau.day = days.day
+    JOIN wau ON wau.report_day = days.day
+    """,
+)
+def ext_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-health
+    triple every growth dashboard leads with. Sliding COUNT(DISTINCT) is
+    illegal in window frames, so each (user, active-day) pair FANS OUT to
+    the 7 report days it supports and a plain grouped distinct count does
+    the rest — the bounded-multiplicity rewrite that scales where a
+    distinct-in-frame cannot (state per day is the distinct-user set
+    ANYWAY; the fan-out just makes it a shuffle key). Reported only for
+    days that exist in the data; all integer.
+
+    Scale: fan-out ×7 on the (user, day) relation (already deduped, tiny
+    vs events), one grouped distinct per report day."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ud.cache()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    )
+    wau = fan.groupBy("report_day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["report_day"])
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness6"),
+        )
+    )
+
+
+@query(
+    "ext_calibration_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT ntile(10) OVER (ORDER BY value, event_id) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST((2 * bin - 1) * 50000 AS BIGINT) AS conf6
+      FROM scored GROUP BY bin
+    ), n AS (SELECT CAST(SUM(nb) AS BIGINT) AS n FROM bins)
+    SELECT CAST(SUM(CAST(round(
+             abs(CAST(pos AS DOUBLE) * 1000000 / nb - conf6)
+             * nb / n.n) AS BIGINT)) AS BIGINT) AS ece6,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           n.n AS n_events
+    FROM bins, n GROUP BY n.n
+    """,
+)
+def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of a pseudo-scorer (value decile used
+    as a confidence proxy, decile midpoint as stated confidence) against
+    the observed purchase rate — the ONE number (Guo et al.'s ECE) that
+    says whether scores can be read as probabilities; the weighted-bin
+    summary of what ext_conversion_deciles shows per bin. Per-bin terms
+    |acc − conf|·n_b/n are rounded to 1e-6 integers BEFORE the sum, per
+    the order-independence contract.
+
+    Scale: one ntile window (global rank — at extreme cardinality swap
+    for the equi-depth edges of ext_equidepth_histogram, same bins) and a
+    10-row aggregation."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("y").cast("long").alias("pos"),
+    ).withColumn("conf6", ((2 * F.col("bin") - 1) * 50000).cast("long"))
+    n = bins.agg(F.sum("nb").cast("long").alias("n"))
+    term6 = F.round(
+        F.abs(
+            F.col("pos").cast("double") * 1000000 / F.col("nb") - F.col("conf6")
+        )
+        * F.col("nb")
+        / F.col("n")
+    ).cast("long")
+    return (
+        bins.join(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.sum(term6).cast("long").alias("ece6"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+        .select("ece6", "n_bins", F.col("n").alias("n_events"))
+    )
