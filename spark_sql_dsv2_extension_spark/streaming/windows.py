@@ -813,3 +813,41 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.countDistinct("batch_id").cast("long").alias("n_batches"),
     )
+
+
+@query(
+    "stream_chained_dedup_daily_active",
+    oracle="""
+    SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_chained_dedup_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily-active-users via CHAINED STATEFUL OPERATORS
+    (Spark 3.4+): a watermarked dropDuplicates on (user, day-window)
+    feeds a windowed count in the SAME streaming query — the rewrite that
+    makes COUNT(DISTINCT) (illegal in streaming aggregation) incremental:
+    dedup state holds each (user, day) once, the downstream count is then
+    a plain windowed SUM. Deterministic despite arrival order because the
+    dedup KEY SET — not a winning row — is all that flows on (same
+    argument as stream_dedup_watermark); the far-future sentinel advances
+    the watermark so append mode flushes every real day before the query
+    ends (its own 2096 window never closes, so it never pollutes output).
+
+    Scale: state is (distinct user-days within watermark) + one counter
+    per open window — the minimal state any exact streaming DAU needs;
+    both operators key their shuffles identically so the chain adds no
+    extra exchange. The batch twin is ext_sliding_active_users."""
+    ev = _stream_source(spark, sf_dir, with_sentinel=True)
+    dedup = (
+        ev.withWatermark("ts", "1 day")
+        .select("user_id", F.window("ts", "1 day").alias("w"))
+        .dropDuplicates(["user_id", "w"])
+    )
+    agg = dedup.groupBy("w").agg(F.count(F.lit(1)).alias("dau"))
+    out = _run_to_table(agg, "append")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"), "dau"
+    )
