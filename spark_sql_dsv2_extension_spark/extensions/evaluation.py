@@ -4141,3 +4141,247 @@ def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ece6", "n_bins", F.col("n").alias("n_events"))
     )
+
+
+@query(
+    "ext_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(date_part('dow', ts) AS BIGINT) AS dow,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), trended AS (
+      SELECT day, dow, cents,
+             CAST(count(*) OVER w AS BIGINT) AS wn,
+             CAST(SUM(cents) OVER w AS BIGINT) AS wsum
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detr AS (
+      SELECT day, dow, cents,
+             CAST(wsum // wn AS BIGINT) AS trend_cents,
+             cents - CAST(wsum // wn AS BIGINT) AS detrended
+      FROM trended WHERE wn = 7
+    ), seas AS (
+      SELECT dow,
+             CAST(SUM(detrended) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS seasonal_cents
+      FROM detr GROUP BY dow
+    )
+    SELECT CAST(detr.day AS VARCHAR) AS day, detr.cents,
+           detr.trend_cents, seas.seasonal_cents,
+           detr.cents - detr.trend_cents - seas.seasonal_cents
+             AS residual_cents
+    FROM detr JOIN seas USING (dow)
+    """,
+)
+def ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (classical
+    decomposition, STL's simple ancestor): trend = centered 7-day moving
+    average (framed window), seasonal = per-day-of-week mean of the
+    detrended series, residual = the rest — the split every anomaly
+    detector should run BEFORE alerting (a "spike" that is just Saturday
+    is not an anomaly; ext_cusum_changepoint on the residual beats cusum
+    on the raw series). Trend/seasonal are integer floor-divisions, so
+    the three components sum back to the observation exactly up to the
+    published floors.
+
+    Scale: the corpus collapses to the daily series; the framed MA and
+    dow means run over calendar-bounded rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "dow",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("wn"),
+        F.sum("cents").over(w).cast("long").alias("wsum"),
+    )
+    detr = trended.filter(F.col("wn") == 7).select(
+        "day",
+        "dow",
+        "cents",
+        F.expr("wsum div wn").alias("trend_cents"),
+        (F.col("cents") - F.expr("wsum div wn")).alias("detrended"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.expr(
+            "CAST(CAST(sum(detrended) AS BIGINT) div count(*) AS BIGINT)"
+        ).alias("seasonal_cents")
+    )
+    return detr.join(F.broadcast(seas), "dow").select(
+        F.col("day").cast("string").alias("day"),
+        "cents",
+        "trend_cents",
+        "seasonal_cents",
+        (
+            F.col("cents") - F.col("trend_cents") - F.col("seasonal_cents")
+        ).alias("residual_cents"),
+    )
+
+
+@query(
+    "ext_cross_correlation_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS clicks,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS buys
+      FROM events GROUP BY 1
+    ), pairs AS (
+      SELECT l.l AS lag, a.clicks AS x, b.buys AS y
+      FROM daily a
+      JOIN (SELECT unnest(range(-3, 4)) AS l) l ON true
+      JOIN daily b ON b.day = a.day + CAST(l.l AS INTEGER)
+    ), mo AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_days, n AS n_pairs,
+           CAST(round(1000000
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             AS BIGINT) AS ccf6
+    FROM mo
+    """,
+)
+def ext_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between daily click volume and purchase
+    revenue at lags −3..+3 days — the signal-discovery scan that answers
+    "do clicks LEAD purchases, and by how many days?" (the argmax lag is
+    the attribution window ext_first_touch_attribution should use). Each
+    lag's Pearson uses exact integer moments over the lag-joined daily
+    series and one shared double expression, rounded at 1e-6.
+
+    Scale: the corpus reduces to one daily row each; the lag join is
+    days × 7 — calendar-bounded. Same moment discipline as
+    ext_shuffle_quality_audit."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("clicks"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("buys"),
+    )
+    daily.cache()
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("da"), "clicks")
+    b = daily.select(F.col("day").alias("db"), "buys")
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(b, F.expr("db = date_add(da, lag)"))
+        .select("lag", F.col("clicks").alias("x"), F.col("buys").alias("y"))
+    )
+    mo = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    cxy = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return mo.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        F.col("n").alias("n_pairs"),
+        F.round(1000000 * cxy / F.sqrt(vx * vy)).cast("long").alias("ccf6"),
+    )
+
+
+@query(
+    "ext_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT region, CAST(SUM(cents) AS BIGINT) AS r_cents FROM rev
+      GROUP BY region
+    ), tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS t_cents FROM rev
+    )
+    SELECT rev.region, rev.nation, rev.cents,
+           CAST((rev.cents * 1000000) // reg.r_cents AS BIGINT)
+             AS share_of_region6,
+           CAST((reg.r_cents * 1000000) // tot.t_cents AS BIGINT)
+             AS region_share_of_total6
+    FROM rev JOIN reg USING (region), tot
+    """,
+)
+def ext_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at every level of the region→nation hierarchy:
+    each nation's share of its region's revenue and each region's share
+    of the total — the percent-of-parent drilldown every BI tool renders,
+    which agg_rollup's absolute subtotals do NOT give (shares need the
+    PARENT total joined back onto the child row). Revenue sums are exact
+    integer cents; shares are integer micro-ratios.
+
+    Scale: the star join broadcasts the three dimension tables; the share
+    joins operate on nation-cardinality aggregates."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    rev.cache()
+    reg = rev.groupBy("region").agg(F.sum("cents").cast("long").alias("r_cents"))
+    tot = rev.agg(F.sum("cents").cast("long").alias("t_cents"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .join(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            F.expr("cents * 1000000 div r_cents").alias("share_of_region6"),
+            F.expr("r_cents * 1000000 div t_cents").alias(
+                "region_share_of_total6"
+            ),
+        )
+    )
