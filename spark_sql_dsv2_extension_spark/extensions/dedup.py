@@ -1574,3 +1574,152 @@ def ext_dup_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("m * 1000000 div t2").alias("p21_6"),
         )
     )
+
+
+CURVE_MIN_THRESHOLD = 0.7
+
+
+@query(
+    "ext_dedup_threshold_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT i * 1.0 / (s1.n + s2.n - i) AS j
+      FROM inter
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE i * 1.0 / (s1.n + s2.n - i) >= {CURVE_MIN_THRESHOLD}
+    )
+    SELECT CASE WHEN j >= 0.9 THEN '0.9+'
+                WHEN j >= 0.8 THEN '0.8-0.9'
+                ELSE '0.7-0.8' END AS jaccard_band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY 1
+    """,
+)
+def ext_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for near-dedup: how many candidate
+    pairs live in each Jaccard band (0.7–0.8, 0.8–0.9, ≥0.9) — the
+    number that tells a pipeline owner what moving the dedup threshold
+    actually deletes BEFORE they move it (a fat 0.7–0.8 band means the
+    0.8 cliff is load-bearing). Candidates come from the SAME banded-LSH
+    pipeline re-parameterized for the lower floor (32 bands × 3 rows:
+    catch probability at j=0.7 is 1−(1−0.7³)³² ≈ 1−1e-6, so the exact
+    oracle still matches); Jaccard is integer micro-units.
+
+    Scale: identical movement to ext_near_dedup_minhash — bucketed
+    candidates, verify-only exact Jaccard, then a 3-row aggregate."""
+    pairs = ext_near_dedup_minhash(
+        spark, sf_dir, n_bands=32, threshold=CURVE_MIN_THRESHOLD
+    )
+    # band on the RAW i/(n1+n2-i) double against double literals — the
+    # bit-identical comparison both engines evaluate (scaling to integers
+    # here would reintroduce a floor-vs-round boundary divergence)
+    return (
+        pairs.select(
+            F.when(F.col("jaccard") >= 0.9, "0.9+")
+            .when(F.col("jaccard") >= 0.8, "0.8-0.9")
+            .otherwise("0.7-0.8")
+            .alias("jaccard_band")
+        )
+        .groupBy("jaccard_band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "ext_dup_transitivity_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE i * 1.0 / (s1.n + s2.n - i) >= {{thr}}
+    ), e AS (
+      SELECT d1 AS u, d2 AS v FROM p UNION ALL SELECT d2, d1 FROM p
+    ), wedges AS (
+      SELECT a.u AS x, a.v AS mid, b.v AS z
+      FROM e a JOIN e b ON a.v = b.u AND a.u < b.v
+    ), closed AS (
+      SELECT wedges.x, wedges.mid, wedges.z,
+             CASE WHEN p.d1 IS NOT NULL THEN 1 ELSE 0 END AS ok
+      FROM wedges LEFT JOIN p ON p.d1 = wedges.x AND p.d2 = wedges.z
+    )
+    SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_wedges,
+           CAST(SUM(ok) AS BIGINT) AS n_closed,
+           CAST((SUM(ok) * 1000000) // count(*) AS BIGINT)
+             AS closure_rate6
+    FROM closed
+    """.format(thr=JACCARD_THRESHOLD),
+)
+def ext_dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-duplicate relation: of all wedges
+    a~b~c in the MinHash pair graph, what fraction closes into a~c? The
+    answer justifies (or indicts) the whole cluster-then-pick-survivor
+    design: Jaccard-at-0.8 is NOT transitive in theory, so a low closure
+    rate means connected-components clusters (ext_dedup_clusters) are
+    chaining unrelated docs through middlemen and the survivorship
+    threshold needs raising. Wedge counts come from the edge wedge-join
+    (the ext_triangle_count shape); closure is an anti-join flag.
+
+    Scale: all joins are over the (tiny) verified pair relation, never
+    the corpus."""
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    pairs.cache()
+    e = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).unionAll(
+        pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
+    )
+    wedges = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.v") == F.col("b.u")) & (F.col("a.u") < F.col("b.v")))
+        .select(F.col("a.u").alias("x"), F.col("b.v").alias("z"))
+    )
+    closed = wedges.join(
+        pairs.select(F.col("d1").alias("x"), F.col("d2").alias("z")).withColumn(
+            "ok", F.lit(1)
+        ),
+        ["x", "z"],
+        "left",
+    ).select(F.coalesce("ok", F.lit(0)).alias("ok"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        closed.agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.sum("ok").cast("long").alias("n_closed"),
+            F.expr("CAST(sum(ok) * 1000000 div count(*) AS BIGINT)").alias(
+                "closure_rate6"
+            ),
+        )
+        .join(F.broadcast(n_edges))
+        .select("n_edges", "n_wedges", "n_closed", "closure_rate6")
+    )
