@@ -2565,3 +2565,104 @@ def ext_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr("n_hits * 1000000 div (k * n_queries)").alias("recall6"),
     )
+
+
+_BUCKET_ORACLE = f"""
+    WITH sigs AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, {N_PLANES}),
+               p -> CASE WHEN list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(0, 64),
+                          j -> embedding[CAST(j + 1 AS INT)] *
+                               (((p * 64 + j) * {_LSH_A} + {_LSH_B}) % {_LSH_M}
+                                / {_LSH_M}.0 - 0.5))),
+                      (acc, v) -> acc + v) > 0
+                    THEN 1 << CAST({N_PLANES} - 1 - p AS INT) ELSE 0 END))
+               AS BIGINT) AS sig
+      FROM embeddings
+    ), buckets AS (
+      SELECT sig, CAST(count(*) AS BIGINT) AS sz FROM sigs GROUP BY sig
+    ), shist AS (
+      SELECT sz, CAST(count(*) AS BIGINT) AS cnt FROM buckets GROUP BY sz
+    ), cum AS (
+      SELECT sz,
+             CAST(SUM(cnt) OVER (ORDER BY sz ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cm,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS nb
+      FROM shist
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM buckets) AS n_buckets,
+           (SELECT CAST(SUM(sz) AS BIGINT) FROM buckets) AS n_vectors,
+           (SELECT CAST(max(sz) AS BIGINT) FROM buckets) AS max_bucket,
+           (SELECT CAST((SUM(sz) * 1000)
+                        // count(*) AS BIGINT) FROM buckets) AS mean_bucket3,
+           (SELECT min(CASE WHEN cm >= (9 * nb + 9) // 10 THEN sz END)
+            FROM cum) AS p90_bucket
+"""
+
+
+@query("ext_lsh_bucket_stats", oracle=_BUCKET_ORACLE)
+def ext_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-balance audit: size distribution of the hyperplane-
+    signature buckets (count, mean, p90, max) — the serving-latency
+    predictor for the ANN index, because query cost is the CANDIDATE
+    BUCKET size, not the corpus size; one mega-bucket (hyperplanes that
+    failed to split a dense region) silently turns O(n/2^P) lookups into
+    O(n). The same audit pattern as ext_join_skew_report, applied to the
+    index instead of a join key. p90 is an exact order statistic over the
+    bucket-size histogram.
+
+    Scale: signatures are map-side arithmetic; the audit aggregates at
+    bucket cardinality then size-histogram cardinality — tiny."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+
+    def plane(p: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: (
+                        ((F.lit(p * 64) + j) * _LSH_A + _LSH_B) % _LSH_M
+                    ).cast("double")
+                    / F.lit(float(_LSH_M))
+                    - 0.5,
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    sig = sum(
+        [
+            F.when(plane(p) > 0, F.lit(1 << (N_PLANES - 1 - p))).otherwise(0)
+            for p in range(N_PLANES)
+        ],
+        F.lit(0),
+    ).cast("long")
+    buckets = (
+        emb.select(sig.alias("sig")).groupBy("sig").agg(F.count(F.lit(1)).alias("sz"))
+    )
+    buckets.cache()
+    shist = buckets.groupBy("sz").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = shist.select(
+        "sz",
+        F.sum("cnt").over(wcum).cast("long").alias("cm"),
+        F.sum("cnt").over(wall).cast("long").alias("nb"),
+    )
+    p90 = cum.agg(
+        F.min(
+            F.when(F.col("cm") >= F.expr("(9 * nb + 9) div 10"), F.col("sz"))
+        ).alias("p90_bucket")
+    )
+    stats = buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_vectors"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.expr("CAST(sum(sz) * 1000 div count(*) AS BIGINT)").alias("mean_bucket3"),
+    )
+    return stats.join(F.broadcast(p90))

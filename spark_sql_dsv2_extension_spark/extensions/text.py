@@ -3884,3 +3884,65 @@ def ext_dup_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_share6"),
     ).withColumn("decile", F.col("decile").cast("long"))
+
+
+@query(
+    "ext_sample_representativeness",
+    oracle="""
+    WITH corpus AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM documents
+      GROUP BY lang
+    ), tot_c AS (SELECT CAST(SUM(nc) AS BIGINT) AS n FROM corpus),
+    samp AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS ns FROM documents
+      WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000
+            < CASE WHEN lang = 'en' THEN 120 ELSE 400 END
+      GROUP BY lang
+    ), tot_s AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM samp)
+    SELECT corpus.lang, corpus.nc AS corpus_docs,
+           coalesce(samp.ns, 0) AS sample_docs,
+           CAST((corpus.nc * 1000000) // tot_c.n AS BIGINT)
+             AS corpus_share6,
+           CAST((coalesce(samp.ns, 0) * 1000000) // tot_s.n AS BIGINT)
+             AS sample_share6,
+           CAST((coalesce(samp.ns, 0) * 1000000) // tot_s.n
+                - (corpus.nc * 1000000) // tot_c.n AS BIGINT) AS shift6
+    FROM corpus LEFT JOIN samp USING (lang), tot_c, tot_s
+    """,
+)
+def ext_sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representativeness audit of the stratified sample
+    (ext_stratified_sample's exact selection rule re-applied): per
+    language, corpus share vs sample share and the shift between them —
+    the before/after accounting that PROVES the rebalance did what it
+    claimed (en down-weighted, the rest lifted) and the template for
+    auditing any sampler against its source. All integer micro-shares.
+
+    Scale: two grouped counts over one scan each (the sample is a pure
+    filter — no shuffle) plus broadcast totals."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nc"))
+    tot_c = corpus.agg(F.sum("nc").cast("long").alias("n_c"))
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
+    rate = F.when(F.col("lang") == "en", 120).otherwise(400)
+    samp = (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    tot_s = samp.agg(F.sum("ns").cast("long").alias("n_s"))
+    return (
+        corpus.join(samp, "lang", "left")
+        .join(F.broadcast(tot_c))
+        .join(F.broadcast(tot_s))
+        .select(
+            "lang",
+            F.col("nc").alias("corpus_docs"),
+            F.coalesce("ns", F.lit(0)).cast("long").alias("sample_docs"),
+            F.expr("nc * 1000000 div n_c").alias("corpus_share6"),
+            F.expr("coalesce(ns, 0) * 1000000 div n_s").alias("sample_share6"),
+            F.expr(
+                "coalesce(ns, 0) * 1000000 div n_s - nc * 1000000 div n_c"
+            ).alias("shift6"),
+        )
+    )
