@@ -101,6 +101,39 @@ class EngineTableReader(DataSourceReader):
             if key.startswith("prune.")
         }
 
+    # Catalyst filter -> pyarrow DNF op for the pushable surface; the
+    # reader applies pushed filters EXACTLY (parquet row-group statistics
+    # prune at the footer, remaining rows filter vectorized), mirroring
+    # the reference's A13 pushdown path (HiveScanBuilder pushing predicates
+    # into the file scan). Everything else is returned to Spark unpushed.
+    _OPS = {
+        "EqualTo": "==",
+        "GreaterThan": ">",
+        "GreaterThanOrEqual": ">=",
+        "LessThan": "<",
+        "LessThanOrEqual": "<=",
+        "In": "in",
+    }
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        self.pushed: list[tuple] = []
+        data_cols = {
+            f.name for f in self.schema.fields
+        } - set(self.partition_columns)
+        for flt in filters:
+            op = self._OPS.get(type(flt).__name__)
+            attr = getattr(flt, "attribute", None)
+            if (
+                op is not None
+                and attr is not None
+                and len(attr) == 1
+                and attr[0] in data_cols
+            ):
+                value = flt.values if op == "in" else flt.value
+                self.pushed.append((attr[0], op, value))
+            else:
+                yield flt  # unsupported: Spark evaluates it post-scan
+
     def partitions(self) -> list[InputPartition]:
         if not self.partition_columns:
             return [
@@ -119,7 +152,11 @@ class EngineTableReader(DataSourceReader):
         data_fields = [
             f for f in self.schema.fields if f.name not in partition.partition_values
         ]
-        table = pq.read_table(partition.path, columns=[f.name for f in data_fields])
+        table = pq.read_table(
+            partition.path,
+            columns=[f.name for f in data_fields],
+            filters=getattr(self, "pushed", None) or None,
+        )
         n = table.num_rows
         # re-attach partition values as constant columns, trailing —
         # PartitionReaderWithPartitionValues semantics (reference A15)
@@ -252,6 +289,12 @@ class EngineTableDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # Required once the reader implements pushFilters: with the flag off,
+    # Spark REFUSES any scan through a pushFilters-capable reader (it
+    # will not silently skip pushdown). Dynamically settable, so this is
+    # safe under harness-provided vanilla sessions (same defensive-conf
+    # pattern as tables.load).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EngineTableDataSource)
 
 

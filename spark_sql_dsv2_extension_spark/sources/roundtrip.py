@@ -680,3 +680,43 @@ def scan_union_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("v4").alias("sum_value4"),
     )
+
+
+@query(
+    "scan_python_datasource_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'A' AND l_quantity >= 30 AND l_quantity <= 45
+    """,
+)
+def scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the Python DataSource (PySpark 4.1
+    ``DataSourceReader.pushFilters``): the range predicate on l_quantity
+    crosses the Python API boundary into the reader, where pyarrow prunes
+    parquet row groups from footer statistics and filters the remainder
+    vectorized — rows Spark never sees. The partition predicate prunes at
+    file-listing time (``prune.``), the data predicate at read time: both
+    halves of the reference's A13/A14 pushdown path, now on the Python
+    connector. Unsupported predicates are yielded back and Spark applies
+    them post-scan, so semantics never depend on reader completeness."""
+    from .datasource import register
+
+    out = os.path.join(_scratch("pyds_push"), "lineitem")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    register(spark)
+    df = (
+        spark.read.format("engine_table")
+        .schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING")
+        .option("path", out)
+        .option("partitionColumns", "l_returnflag")
+        .option("prune.l_returnflag", "A")
+        .load()
+    )
+    return df.filter((F.col("l_quantity") >= 30) & (F.col("l_quantity") <= 45))

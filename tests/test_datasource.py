@@ -142,3 +142,30 @@ def test_compaction_generic_key_columns(spark, sf_dir, tmp_path):
     a = spark.read.parquet(small).select("s_suppkey", "s_name")
     b = spark.read.parquet(compact).select("s_suppkey", "s_name")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_reader_push_filters_contract():
+    """pushFilters keeps the supported conjuncts (data columns, simple
+    comparisons) and yields back partition-column and unsupported
+    predicates for Spark to evaluate post-scan."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull
+    from pyspark.sql.types import StructType
+
+    from spark_sql_dsv2_extension_spark.sources.datasource import (
+        EngineTableReader,
+    )
+
+    schema = StructType.fromDDL(
+        "l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING"
+    )
+    reader = EngineTableReader(
+        schema, {"path": "/tmp/x", "partitioncolumns": "l_returnflag"}
+    )
+    filters = [
+        GreaterThanOrEqual(("l_quantity",), 30.0),  # pushable
+        EqualTo(("l_returnflag",), "A"),  # partition col -> NOT pushed
+        IsNotNull(("l_orderkey",)),  # unsupported op -> NOT pushed
+    ]
+    unsupported = list(reader.pushFilters(filters))
+    assert reader.pushed == [("l_quantity", ">=", 30.0)]
+    assert {type(f).__name__ for f in unsupported} == {"EqualTo", "IsNotNull"}
