@@ -1237,3 +1237,34 @@ def agg_hll_native_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est") <= F.col("exact_docs") * 1.1)
         ).alias("union_ok"),
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(date_part('year', l_shipdate) AS BIGINT) AS yr,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4.0):
+    DISTINCT values concatenated in a DEFINED order — the report-friendly
+    sibling of agg_collect_sorted's array form. The explicit WITHIN GROUP
+    ordering is the whole point: an unordered listagg is
+    partitioning-dependent and would never hash-match across engines.
+
+    Scale: distinct + ordered-agg is a composed shuffle on the group key;
+    payload is the small distinct set per group, not the raw rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag", F.year("l_shipdate").cast("long").alias("yr")
+    ).agg(
+        F.expr(
+            "listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)"
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
