@@ -699,3 +699,25 @@ def test_ablation_single_pair_shuffle(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert has_broadcast_hash_join(df)  # exclusive-word set broadcast
+
+
+def test_python_ds_pushdown_removes_range_from_post_scan_filter(spark, sf_dir):
+    """The range conjuncts must be PUSHED into the Python reader: the only
+    residual post-scan Filter is the unsupported isnotnull — seeing
+    '>= 30' or '<= 45' above the BatchScan means pushdown regressed."""
+    df = SPECS["scan_python_datasource_pushdown"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchScan engine_table" in plan
+    import re
+
+    post_scan_filters = " ".join(
+        l for l in plan.splitlines() if re.search(r"\bFilter\b", l)
+    )
+    assert ">= 30" not in post_scan_filters, post_scan_filters
+    assert "<= 45" not in post_scan_filters, post_scan_filters
+
+
+def test_listagg_is_ordered_aggregate(spark, sf_dir):
+    df = SPECS["agg_listagg_ordered"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "listagg" in plan.lower()
