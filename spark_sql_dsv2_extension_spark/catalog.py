@@ -905,14 +905,38 @@ _CREATE_LIKE_RE = re.compile(
 )
 
 
+_PROP_TOKEN_RE = re.compile(
+    # quoted ('…' with doubled-'' escape, or "…") or bare token, around
+    # `=` / `,` separators — so a comma INSIDE a quoted value never splits
+    # a pair (round-4 ADVICE: 'tags' = 'a,b' was mis-parsed).
+    r"'(?:[^']|'')*'|\"[^\"]*\"|[^=,\s][^=,]*|[=,]"
+)
+
+
+def _unquote_prop(tok: str) -> str:
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+        inner = tok[1:-1]
+        return inner.replace("''", "'") if tok[0] == "'" else inner
+    return tok.strip()
+
+
 def _parse_props(text: str) -> dict[str, str]:
-    """Parse a TBLPROPERTIES list: 'k' = 'v' pairs (quotes optional)."""
+    """Parse a TBLPROPERTIES list: 'k' = 'v' pairs (quotes optional).
+
+    Quote-aware: values may contain commas/equals when quoted.
+    """
+    toks = [t for t in _PROP_TOKEN_RE.findall(text) if t.strip()]
     props: dict[str, str] = {}
-    for kv in text.split(","):
-        if not kv.strip():
+    i = 0
+    while i < len(toks):
+        if toks[i] == ",":
+            i += 1
             continue
-        k, v = kv.split("=", 1)
-        props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        if i + 2 < len(toks) and toks[i + 1] == "=":
+            props[_unquote_prop(toks[i])] = _unquote_prop(toks[i + 2])
+            i += 3
+        else:  # malformed tail — keep old lenient behavior, skip token
+            i += 1
     return props
 
 

@@ -129,8 +129,10 @@ class EngineTableReader(DataSourceReader):
                 and len(attr) == 1
                 and attr[0] in data_cols
             ):
-                value = flt.values if op == "in" else flt.value
-                self.pushed.append((attr[0], op, value))
+                # PySpark's In dataclass stores its tuple in `.value`
+                # (same field name as the scalar filters), and pyarrow's
+                # "in" op accepts the tuple directly.
+                self.pushed.append((attr[0], op, flt.value))
             else:
                 yield flt  # unsupported: Spark evaluates it post-scan
 

@@ -765,3 +765,15 @@ def test_sql_props_namespaces_and_like(cat, spark):
     assert engine_sql(
         spark, "SELECT count(*) AS n FROM hive1_external.dbx.src2"
     ).collect()[0].n == 0
+
+
+def test_parse_props_quote_aware():
+    """Round-4 ADVICE: quoted TBLPROPERTIES values containing commas or
+    equals signs (e.g. 'tags' = 'a,b') must parse intact, not split."""
+    from spark_sql_dsv2_extension_spark.catalog import _parse_props
+
+    assert _parse_props("'tags' = 'a,b', 'k' = 'v'") == {"tags": "a,b", "k": "v"}
+    assert _parse_props("'expr'='x=y'") == {"expr": "x=y"}
+    assert _parse_props("'q' = 'it''s'") == {"q": "it's"}
+    assert _parse_props("plain = value") == {"plain": "value"}
+    assert _parse_props("") == {}

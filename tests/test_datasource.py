@@ -144,11 +144,11 @@ def test_compaction_generic_key_columns(spark, sf_dir, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
-def test_reader_push_filters_contract():
+def test_reader_push_filters_contract(spark):
     """pushFilters keeps the supported conjuncts (data columns, simple
     comparisons) and yields back partition-column and unsupported
     predicates for Spark to evaluate post-scan."""
-    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNotNull
     from pyspark.sql.types import StructType
 
     from spark_sql_dsv2_extension_spark.sources.datasource import (
@@ -163,9 +163,39 @@ def test_reader_push_filters_contract():
     )
     filters = [
         GreaterThanOrEqual(("l_quantity",), 30.0),  # pushable
+        In(("l_quantity",), (30.0, 45.0)),  # pushable (tuple in .value)
         EqualTo(("l_returnflag",), "A"),  # partition col -> NOT pushed
         IsNotNull(("l_orderkey",)),  # unsupported op -> NOT pushed
     ]
     unsupported = list(reader.pushFilters(filters))
-    assert reader.pushed == [("l_quantity", ">=", 30.0)]
+    assert reader.pushed == [
+        ("l_quantity", ">=", 30.0),
+        ("l_quantity", "in", (30.0, 45.0)),
+    ]
     assert {type(f).__name__ for f in unsupported} == {"EqualTo", "IsNotNull"}
+
+
+def test_reader_push_in_filter_end_to_end(spark, tmp_path):
+    """An IN predicate on a data column must actually execute through the
+    pushed-filter read path (round-4 ADVICE: `.values` AttributeError)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import In
+    from pyspark.sql.types import StructType
+
+    from spark_sql_dsv2_extension_spark.sources.datasource import (
+        EngineTableReader,
+        _FileSplit,
+    )
+
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]}), path
+    )
+    schema = StructType.fromDDL("k BIGINT, v DOUBLE")
+    reader = EngineTableReader(schema, {"path": str(tmp_path)})
+    leftover = list(reader.pushFilters([In(("k",), (2, 4))]))
+    assert leftover == []
+    batches = list(reader.read(_FileSplit(path, {})))
+    got = sorted(x for b in batches for x in b.column(0).to_pylist())
+    assert got == [2, 4]
