@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.quantiles import distributed_ntile
 from ..registry import query
 from ..tables import fan_out, load
 
@@ -1507,14 +1508,15 @@ def ext_quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     that decile). Deciles use ntile over the (n_chars, doc_id) total
     order, so bucket assignment is deterministic on both engines.
 
-    Scale: two rank windows (one global, one per-source — the global one
-    becomes a range-partitioned rank at 100 TB) + a 10-row broadcast
-    join."""
+    Scale: the pooled decile runs through ``distributed_ntile`` (range
+    exchange + broadcast prefix-counts — no single-task sort); the
+    per-source window is partitioned and fine as-is; + a 10-row
+    broadcast join."""
     docs = load(spark, sf_dir, "documents")
-    pooled = docs.select(
-        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
-        "n_chars",
-    )
+    pooled = distributed_ntile(
+        docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], 10,
+        out="decile",
+    ).select("decile", "n_chars")
     ref = pooled.groupBy("decile").agg(F.max("n_chars").alias("pooled_max"))
     per_src = docs.select(
         "source",
@@ -1571,15 +1573,23 @@ def ext_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     this number. Logs are micro-scaled integers before summing (the DSIR
     idiom), so the mean-excess is computed from order-independent sums.
 
-    Scale: a global top-(k+1) (TakeOrdered — no full sort) then k-row
+    Scale: a global top-(k+1) via orderBy+limit — compiled to
+    TakeOrderedAndProject (per-partition heap + k-row merge, no full
+    sort; round 5 fixed the previous rank-then-filter shape, which DID
+    run a single-task window over all documents) — then k-row
     arithmetic."""
     docs = load(spark, sf_dir, "documents")
-    ranked = docs.select(
+    top = (
+        docs.select("n_chars", "doc_id")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(_HILL_K + 1)
+    )
+    ranked = top.select(
         "n_chars",
         F.row_number()
         .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
         .alias("rk"),
-    ).filter(F.col("rk") <= _HILL_K + 1)
+    )
     logs = ranked.select(
         "rk",
         "n_chars",

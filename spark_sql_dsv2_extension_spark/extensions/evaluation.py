@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.quantiles import (
+    distributed_fill,
+    distributed_ntile,
+    distributed_row_number,
+)
 from ..registry import query
 from ..tables import fan_out, load
 
@@ -576,23 +581,23 @@ def ext_file_skip_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the sorted layout prunes ~92% of files for a date-bounded scan,
     the natural layout prunes none.
 
-    Scale: this is the planning-time estimator — ntile is a stand-in for
-    the writer's range partitioner; at scale the same numbers come from
-    repartitionByRange + per-partition min/max, one pass either way."""
+    Scale: file assignment runs through ``distributed_ntile`` (range
+    exchange + in-partition rank + broadcast offsets) — exactly the
+    writer's range partitioner, with no single-task global sort."""
     li = load(spark, sf_dir, "lineitem")
     lo, hi = "1995-01-01", "1995-06-30"
-    natural = li.select(
-        F.ntile(SKIP_FILES)
-        .over(Window.orderBy("l_orderkey", "l_linenumber"))
-        .alias("file_id"),
-        "l_shipdate",
-    )
-    sorted_l = li.select(
-        F.ntile(SKIP_FILES)
-        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
-        .alias("file_id"),
-        "l_shipdate",
-    )
+    natural = distributed_ntile(
+        li.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        ["l_orderkey", "l_linenumber"],
+        SKIP_FILES,
+        out="file_id",
+    ).select("file_id", "l_shipdate")
+    sorted_l = distributed_ntile(
+        li.select("l_shipdate", "l_orderkey", "l_linenumber"),
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        SKIP_FILES,
+        out="file_id",
+    ).select("file_id", "l_shipdate")
     stats = (
         natural.groupBy("file_id")
         .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
@@ -1769,8 +1774,10 @@ def ext_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOWER order statistic (rank ⌈n/2⌉) — an actual element, no
     two-element averaging, so no .5 boundary exists.
 
-    Scale: pairs are over DAYS (calendar-bounded), the global rank window
-    runs on that tiny slope set."""
+    Scale: pairs are over DAYS (calendar-bounded) but grow
+    quadratically with the time range, so the rank runs through
+    ``distributed_row_number`` (range exchange + broadcast offsets) and
+    the total through a broadcast 1-row join — no single-task window."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = ev.groupBy(
         F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")).alias("t")
@@ -1789,11 +1796,9 @@ def ext_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope6")
     )
-    ranked = slopes.select(
-        "slope6",
-        F.row_number().over(Window.orderBy("slope6")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = distributed_row_number(slopes, ["slope6"], rn="rn")
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = ranked.join(F.broadcast(tot))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.min(
@@ -2626,13 +2631,14 @@ def ext_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization float), so the argmax is exact; the same template picks
     K on an inertia curve or a dedup-threshold saturation curve.
 
-    Scale: ntile over per-user counts (one window), 10-row curve, top-1
-    TakeOrdered."""
+    Scale: decile assignment via ``distributed_ntile`` (range exchange +
+    broadcast offsets — no single-task sort over the user relation);
+    10-row curve, top-1 TakeOrdered."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    binned = per_user.select(
-        "x", F.ntile(10).over(Window.orderBy("x", "user_id")).alias("decile")
-    )
+    binned = distributed_ntile(
+        per_user, ["x", "user_id"], 10, out="decile"
+    ).select("x", "decile")
     d = binned.groupBy("decile").agg(F.sum("x").cast("long").alias("dx"))
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -3362,20 +3368,17 @@ def ext_psm_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("pc") > F.col("m"), 1).otherwise(0).alias("treated"),
     )
     users.cache()
-    w_prev = Window.orderBy("score", "user_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_next = Window.orderBy("score", "user_id").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
+    # distributed sorted-merge carry (round 5): both fills ride ONE range
+    # exchange + per-partition windows + a broadcast P-row carry — the
+    # unpartitioned last/first window over all users never appears.
     c_score = F.when(F.col("treated") == 0, F.col("score"))
-    ranked = users.select(
-        "user_id",
-        "score",
-        "treated",
-        F.last(c_score, ignorenulls=True).over(w_prev).alias("prev_c_score"),
-        F.first(c_score, ignorenulls=True).over(w_next).alias("next_c_score"),
-    )
+    ranked = distributed_fill(
+        users,
+        ["score", "user_id"],
+        c_score,
+        out_prev="prev_c_score",
+        out_next="next_c_score",
+    ).select("user_id", "score", "treated", "prev_c_score", "next_c_score")
     matched = ranked.filter(F.col("treated") == 1).select(
         "score",
         F.when(F.col("next_c_score").isNull(), F.col("prev_c_score"))
@@ -4112,12 +4115,17 @@ def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     |acc − conf|·n_b/n are rounded to 1e-6 integers BEFORE the sum, per
     the order-independence contract.
 
-    Scale: one ntile window (global rank — at extreme cardinality swap
-    for the equi-depth edges of ext_equidepth_histogram, same bins) and a
-    10-row aggregation."""
+    Scale: decile assignment via ``distributed_ntile`` (range exchange,
+    in-partition rank, broadcast offsets — no single-task global sort
+    over events) and a 10-row aggregation."""
     ev = load(spark, sf_dir, "events")
-    scored = ev.select(
-        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("bin"),
+    scored = distributed_ntile(
+        ev.select("value", "event_id", "event_type"),
+        ["value", "event_id"],
+        10,
+        out="bin",
+    ).select(
+        "bin",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     bins = scored.groupBy("bin").agg(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.quantiles import distributed_row_number
 from ..registry import query
 from ..tables import fan_out, load
 
@@ -1748,15 +1749,15 @@ def ext_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
-    dense_w = Window.orderBy(F.col("cos").desc(), "doc_id")
-    dense = (
-        emb.join(F.broadcast(qv))
-        .select(
+    # dense ranks the FULL corpus: distributed rank, no single-task sort
+    dense = distributed_row_number(
+        emb.join(F.broadcast(qv)).select(
             F.col("vec_id").alias("doc_id"),
             cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
-        )
-        .select("doc_id", F.row_number().over(dense_w).alias("dense_rank"))
-    )
+        ),
+        [F.col("cos").desc(), F.col("doc_id").asc()],
+        rn="dense_rank",
+    ).select("doc_id", "dense_rank")
     fused = lex.join(dense, "doc_id").select(
         "doc_id",
         "lex_rank",
@@ -1825,8 +1826,9 @@ def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_ann_recall_eval's top-k view and ext_knn_label_agreement's
     per-point view.
 
-    Scale: one scoring pass + one global ordered rank (the same sort any
-    top-k already pays) + a 1-row aggregate."""
+    Scale: one scoring pass + one ``distributed_row_number`` rank (range
+    exchange + broadcast offsets — no single-task sort over the corpus)
+    + a 1-row aggregate."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
@@ -1838,10 +1840,9 @@ def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score9"),
         (F.col("label") == F.col("q_label")).alias("is_pos"),
     )
-    w = Window.orderBy("score9", "vec_id")
-    ranked = scored.select(
-        "is_pos", F.row_number().over(w).cast("long").alias("r")
-    )
+    ranked = distributed_row_number(
+        scored, ["score9", "vec_id"], rn="r"
+    ).select("is_pos", "r")
     return ranked.agg(
         F.count(F.when(F.col("is_pos"), 1)).alias("n_pos"),
         F.count(F.when(~F.col("is_pos"), 1)).alias("n_neg"),

@@ -23,6 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.quantiles import (
+    distributed_ntile,
+    distributed_row_number,
+    ntile_from_rank,
+)
 from ..registry import query
 from ..tables import fan_out, load
 from .dedup import _sh_poly_sql
@@ -238,16 +243,24 @@ def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document in pure DataFrame ops: explode →
-    term frequencies → doc frequencies (one small aggregate, broadcast
-    back) → smoothed idf → per-doc top-k window. The idf is rounded to 6
-    decimals because JVM and DuckDB ``ln`` differ by 1 ulp."""
+    term frequencies → doc frequencies → smoothed idf → per-doc top-k
+    window. The idf is rounded to 6 decimals because JVM and DuckDB
+    ``ln`` differ by 1 ulp.
+
+    Scale note (round-5): the df-side is the VOCABULARY — sublinear in
+    the corpus (Heaps' law, |V| ≈ K·n^0.5) but unbounded; at web scale
+    (~1e9 terms × ~30 B ≈ tens of GB) a forced broadcast would OOM every
+    executor. The join therefore carries NO broadcast hint: AQE picks
+    broadcast-hash while the vocab fits ``autoBroadcastJoinThreshold``
+    (plan-audited at test scale) and degrades to a shuffle join above
+    it — the only join strategy that is safe at both ends."""
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar dimension, embedded as a literal (pre-fan_out:
     docs = fan_out(docs)   # the count is metadata-cheap on the raw scan)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.round(
@@ -1481,14 +1494,13 @@ def ext_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # top-VOCAB_SIZE via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heap + k-row merge) — the previous rank-then-filter shape
+    # sorted the whole vocabulary in one task (round-5 fix, same as
+    # ext_hill_tail_index)
     vocab = (
-        freq.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("c").desc(), F.col("w").asc())
-            ),
-        )
-        .filter(F.col("rk") <= VOCAB_SIZE)
+        freq.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(VOCAB_SIZE)
         .select(F.col("w").alias("vw"))
     )
     return (
@@ -1534,12 +1546,11 @@ def ext_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, where a stable, reproducible global order IS the contract
     (re-runs must feed batches identically). The score is an integer
     (1e-6-scaled ratio) with doc_id tie-break, so the total order is
-    exact. The global row_number is a single-partition window over
-    (doc_id, score6) pairs only — at 100 TB you'd range-partition on
-    score6 and offset by partition prefix-counts; the per-doc scoring
-    stays fully parallel either way."""
-    from pyspark.sql.window import Window
-
+    exact. Rank AND phase both derive from ONE ``distributed_row_number``
+    pass (range exchange on (score6 desc, doc_id) + in-partition rank +
+    broadcast partition prefix-counts), phase via closed-form
+    ``ntile_from_rank`` — no single-task global sort; per-doc scoring
+    stays fully parallel."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     scored = docs.select(
@@ -1550,12 +1561,16 @@ def ext_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score6"),
     )
-    w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
-    return scored.select(
+    ranked = distributed_row_number(
+        scored,
+        [F.col("score6").desc(), F.col("doc_id").asc()],
+        rn="curriculum_rank",
+    )
+    return ntile_from_rank(ranked, "curriculum_rank", 4, "phase").select(
         "doc_id",
         "score6",
-        F.row_number().over(w).cast("long").alias("curriculum_rank"),
-        F.ntile(4).over(w).cast("long").alias("phase"),
+        F.col("curriculum_rank").cast("long").alias("curriculum_rank"),
+        F.col("phase").cast("long").alias("phase"),
     )
 
 
@@ -2572,8 +2587,10 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 1e-6 and the regression runs on exact int64 moment sums, so
     the fitted slope is deterministic to the last micro-unit.
 
-    Scale: one vocabulary count, one ordered rank, one scalar aggregate —
-    the regression never materializes anything but five numbers."""
+    Scale: one vocabulary count, one ``distributed_row_number`` rank
+    (vocabulary is Heaps-sublinear but unbounded — no single-task sort),
+    one scalar aggregate — the regression never materializes anything
+    but five numbers."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     c = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -2581,8 +2598,9 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    w = Window.orderBy(F.col("f").desc(), "w")
-    ranked = c.select("f", F.row_number().over(w).cast("long").alias("r"))
+    ranked = distributed_row_number(
+        c, [F.col("f").desc(), F.col("w").asc()], rn="r"
+    ).select("f", "r")
     logs = ranked.select(
         F.round(F.log(F.col("r").cast("double")) * 1e6).cast("long").alias("lr6"),
         F.round(F.log(F.col("f").cast("double")) * 1e6).cast("long").alias("lf6"),
@@ -3800,8 +3818,8 @@ def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("w") > 0
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    ranked = freq.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.col("n").desc(), "w"))
+    ranked = distributed_row_number(
+        freq, [F.col("n").desc(), F.col("w").asc()], rn="rk"
     )
     total = freq.agg(F.sum("n").alias("tot"))
     ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k INT")
@@ -3857,14 +3875,15 @@ def ext_dup_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     when to stop crawling a source. Exact sha256 content identity, winner
     = first occurrence, deciles by ntile over the ingestion order.
 
-    Scale: hash + two windows (one partitioned by hash, one a global
-    ntile); at 100 TB the global ntile becomes a range-partitioned rank
-    over pre-aggregated per-shard counts — same contract."""
+    Scale: hash + one hash-partitioned window; the ingestion-order decile
+    comes from ``distributed_ntile`` (range exchange on doc_id +
+    broadcast partition prefix-counts) — no single-task global sort."""
     docs = load(spark, sf_dir, "documents")
-    h = docs.select(
-        "doc_id",
-        F.sha2("text", 256).alias("ch"),
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+    h = distributed_ntile(
+        docs.select("doc_id", F.sha2("text", 256).alias("ch")),
+        ["doc_id"],
+        10,
+        out="decile",
     )
     flagged = h.select(
         "decile",

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .quantiles import distributed_ntile, distributed_row_number
 from ..registry import query
 from ..tables import davg, dsum, load, sql_davg, sql_dsum
 
@@ -874,17 +875,22 @@ def ext_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric features. Percentile means are exact integer division over
     deterministic ntile cuts.
 
-    Scale: two ordered window passes (swap ntile for approx-quantile cuts
-    at extreme cardinality) and a 100-row join."""
+    Scale: two ``distributed_ntile`` passes (range exchange + broadcast
+    offsets — no single-task sort over events) and a 100-row join."""
     ev = load(spark, sf_dir, "events")
 
     def quantiles(etype: str):
-        w = Window.orderBy("value", "event_id")
         return (
-            ev.filter(F.col("event_type") == etype)
-            .select(
-                F.round(F.col("value") * 100).cast("long").alias("cents"),
-                F.ntile(100).over(w).alias("tile"),
+            distributed_ntile(
+                ev.filter(F.col("event_type") == etype)
+                .select(
+                    F.round(F.col("value") * 100).cast("long").alias("cents"),
+                    "value",
+                    "event_id",
+                ),
+                ["value", "event_id"],
+                100,
+                out="tile",
             )
             .groupBy("tile")
             .agg(F.expr("sum(cents) DIV count(*)").alias("mean_cents"))
@@ -930,14 +936,14 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     The same statistic gates training mixes (one domain contributing 90%
     of tokens) and flags bot-heavy event sources.
 
-    Scale: one per-user count, one global ordered ranking (at extreme n,
-    rank via sort + zipWithIndex partitioning), one scalar aggregate."""
+    Scale: one per-user count, one ``distributed_row_number`` ranking
+    (range exchange + broadcast offsets — no single-task sort), one
+    scalar aggregate."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("x", "user_id")
-    ranked = per_user.select(
-        "x", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = distributed_row_number(
+        per_user, ["x", "user_id"], rn="i"
+    ).select("x", "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("x").alias("n_events"),
@@ -1180,11 +1186,13 @@ def ext_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     points for dashboards and mix reviews ('the top decile holds 40% of
     traffic'). Deterministic deciles, exact integer cumulative shares.
 
-    Scale: per-user count, one decile window, a 10-row running sum."""
+    Scale: per-user count, one ``distributed_ntile`` decile assignment
+    (no single-task sort), a 10-row running sum."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("x", "user_id")
-    binned = per_user.select("x", F.ntile(10).over(w).alias("decile"))
+    binned = distributed_ntile(
+        per_user, ["x", "user_id"], 10, out="decile"
+    ).select("x", "decile")
     d = binned.groupBy("decile").agg(F.sum("x").alias("dx"))
     t = d.agg(F.sum("dx").alias("sx"))
     cum = Window.orderBy("decile").rowsBetween(

@@ -1,0 +1,198 @@
+"""Distributed global order statistics — the scale-safe ntile/row_number.
+
+A plain ``F.ntile(B).over(Window.orderBy(...))`` (no partitionBy) funnels
+the ENTIRE relation through one task for the global sort — fine at sf0.1,
+a guaranteed straggler at 100 TB. This module is the shared replacement
+(round-4 verdict ask #3): the same two-level pattern already proven in
+``ext_equidepth_histogram`` (evaluation.py) and ``agg_salted_twophase``,
+generalized to arbitrary ordering keys:
+
+1. ``repartitionByRange`` on the ordering key — a range EXCHANGE, every
+   partition holds a contiguous key range, no partition sees more than
+   ~n/P rows (Spark's RangePartitioner samples boundaries; AQE may
+   coalesce, but only ADJACENT ranges, so partition-id order still follows
+   key order).
+2. An in-partition ``row_number`` window PARTITIONED by
+   ``spark_partition_id()`` — P concurrent bounded sorts, never one
+   global one.
+3. Per-partition row counts (P rows, a plan constant ≪ data) roll into
+   cumulative offsets with a window over that TINY relation, broadcast
+   back: ``global_rank = offset(pid) + in-partition rank``.
+
+``ntile`` then becomes closed-form arithmetic on the exact global rank
+(SQL ntile: with n rows and B buckets the first ``n mod B`` buckets get
+``n div B + 1`` rows, the rest ``n div B``), so results are bit-identical
+to the single-task window for any total ordering key.
+
+Reference parity note: the reference engine (Scala DSv2 connector) has no
+window machinery at all — these helpers serve the repo's extension
+operators (SURVEY §2C / LLM-pipeline families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Range-exchange width for the distributed sort. A plan constant: offsets
+# relation is exactly this many rows regardless of data volume. 64 keeps
+# every local[32] core busy; at cluster scale the range exchange would be
+# sized by AQE / spark.sql.shuffle.partitions anyway.
+RANGE_PARTITIONS = 64
+
+
+def _cols(order_cols) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols,
+    rn: str = "_rn",
+    num_partitions: int = RANGE_PARTITIONS,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_cols)`` with no
+    single-task sort.
+
+    ``order_cols`` should be a total order (add a unique tiebreaker) —
+    with ties the ranking is still a valid one, but tie order is
+    partition-placement dependent, same as any parallel sort.
+    """
+    cols = _cols(order_cols)
+    # The lazy localCheckpoint pins ONE materialization of the range
+    # exchange: the ranks branch and the offsets branch below both read
+    # the same RDD. Without it each branch may re-execute the exchange,
+    # and RangePartitioner's boundary sampling is seeded by the RDD id
+    # (Partitioner.scala `byteswap32(idx ^ (7919 * rdd.id))`), so two
+    # executions can draw DIFFERENT partition boundaries — offsets then
+    # disagree with ranks (observed: ntile(64) emitting a 65th bucket,
+    # flaky run-to-run). Lazy (not eager) so no job fires at plan time
+    # and bench timings still charge the materialization to the query.
+    d = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_qpid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy("_qpid").orderBy(*cols)
+    d = d.withColumn("_qprn", F.row_number().over(w_in))
+    counts = d.groupBy("_qpid").agg(F.count(F.lit(1)).alias("_qpc"))
+    # offsets: P-row relation (bounded by num_partitions, not by data) —
+    # the only global window in the plan runs over these P rows.
+    w_off = Window.orderBy("_qpid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_qpid",
+        F.coalesce(F.sum("_qpc").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_qoff"),
+    )
+    return (
+        d.join(F.broadcast(offs), "_qpid")
+        .withColumn(rn, (F.col("_qoff") + F.col("_qprn")).cast("long"))
+        .drop("_qpid", "_qprn", "_qoff")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols,
+    n_buckets: int,
+    out: str = "bucket",
+    num_partitions: int = RANGE_PARTITIONS,
+) -> DataFrame:
+    """Exact global ``ntile(n_buckets) OVER (ORDER BY order_cols)``.
+
+    Derived from the distributed global rank plus the total row count
+    (broadcast, 1 row): with q = n div B and rem = n mod B, rank r maps to
+    bucket ``(r + q) div (q + 1)`` when r ≤ rem·(q+1), else
+    ``rem + ceil((r − rem·(q+1)) / q)`` — byte-identical to SQL ntile.
+    """
+    d = distributed_row_number(df, order_cols, rn="_qgrn",
+                               num_partitions=num_partitions)
+    return ntile_from_rank(d, "_qgrn", n_buckets, out).drop("_qgrn")
+
+
+def ntile_from_rank(
+    d: DataFrame, rank_col: str, n_buckets: int, out: str
+) -> DataFrame:
+    """Closed-form SQL-ntile bucket from an exact 1-based global rank
+    column (broadcast 1-row total; no extra sort). Exposed so operators
+    that need BOTH the rank and the bucket pay one range exchange."""
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("_qn"))
+    B = int(n_buckets)
+    d = d.join(F.broadcast(total))
+    qd = F.expr(f"_qn div {B}")  # small-bucket size q
+    rem = F.expr(f"_qn % {B}")  # first `rem` buckets hold q+1 rows
+    r = F.col(rank_col)
+    big = qd + F.lit(1)
+    # floor/ceil on doubles is exact for counts < 2^53 rows
+    bucket = F.when(
+        r <= rem * big, F.floor((r + qd).cast("double") / big.cast("double"))
+    ).otherwise(
+        rem
+        + F.ceil((r - rem * big).cast("double") / qd.cast("double"))
+    )
+    return d.withColumn(out, bucket.cast("long")).drop("_qn")
+
+
+def distributed_fill(
+    df: DataFrame,
+    order_cols: list[str],
+    value,
+    out_prev: str | None = None,
+    out_next: str | None = None,
+    num_partitions: int = RANGE_PARTITIONS,
+) -> DataFrame:
+    """Distributed ``last(value IGNORE NULLS) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING..CURRENT)`` (``out_prev``) and/or
+    ``first(value IGNORE NULLS) OVER (CURRENT..UNBOUNDED FOLLOWING)``
+    (``out_next``) — the global sorted-merge carry, without the
+    single-task sort of an unpartitioned window.
+
+    Same two-level shape as the rank helpers: range exchange (pinned with
+    a lazy localCheckpoint), in-partition fill windows, then a P-row
+    carry relation (per-partition last/first non-null via max_by/min_by
+    on the ordering key) whose cross-partition carry is broadcast back.
+    ``order_cols`` must be plain ascending column names (they form the
+    max_by/min_by ordering struct).
+    """
+    key = F.struct(*[F.col(c) for c in order_cols])
+    d = (
+        df.withColumn("_qval", value if isinstance(value, Column) else F.col(value))
+        .repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .withColumn("_qpid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    aggs, drops = [], ["_qpid", "_qval"]
+    if out_prev is not None:
+        w_prev = (
+            Window.partitionBy("_qpid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        d = d.withColumn("_qinp", F.last("_qval", ignorenulls=True).over(w_prev))
+        aggs.append(F.max_by("_qinp", key).alias("_qcp"))
+        drops += ["_qinp", "_qcp", "_qprevc"]
+    if out_next is not None:
+        w_next = (
+            Window.partitionBy("_qpid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        d = d.withColumn("_qinn", F.first("_qval", ignorenulls=True).over(w_next))
+        aggs.append(F.min_by("_qinn", key).alias("_qcn"))
+        drops += ["_qinn", "_qcn", "_qnextc"]
+    carry = d.groupBy("_qpid").agg(*aggs)
+    sel = [F.col("_qpid")]
+    if out_prev is not None:
+        w_c = Window.orderBy("_qpid").rowsBetween(Window.unboundedPreceding, -1)
+        sel.append(F.last("_qcp", ignorenulls=True).over(w_c).alias("_qprevc"))
+    if out_next is not None:
+        w_n = Window.orderBy("_qpid").rowsBetween(1, Window.unboundedFollowing)
+        sel.append(F.first("_qcn", ignorenulls=True).over(w_n).alias("_qnextc"))
+    coff = carry.select(*sel)
+    d = d.join(F.broadcast(coff), "_qpid")
+    if out_prev is not None:
+        d = d.withColumn(out_prev, F.coalesce("_qinp", "_qprevc"))
+    if out_next is not None:
+        d = d.withColumn(out_next, F.coalesce("_qinn", "_qnextc"))
+    return d.drop(*[c for c in drops if c in d.columns])

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .quantiles import distributed_ntile
 from ..registry import query
 from ..tables import load, sql_dsum
 
@@ -797,9 +798,9 @@ def ext_conversion_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose predicted propensity deciles don't reproduce this monotone-ish
     curve is miscalibrated.
 
-    Scale: one per-user aggregate, one decile window (single ordered pass
-    — at billions of users swap ntile for approx-quantile cut points),
-    one 10-row rollup."""
+    Scale: one per-user aggregate, then decile assignment via
+    ``distributed_ntile`` (range exchange + broadcast offsets — no
+    single-task sort over the user relation), one 10-row rollup."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
@@ -807,9 +808,11 @@ def ext_conversion_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchases"
         ),
     )
-    w = Window.orderBy("clicks", "user_id")
-    binned = per_user.filter(F.col("clicks") > 0).withColumn(
-        "decile", F.ntile(10).over(w)
+    binned = distributed_ntile(
+        per_user.filter(F.col("clicks") > 0),
+        ["clicks", "user_id"],
+        10,
+        out="decile",
     )
     return binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -1275,9 +1278,8 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted (most recent → highest score), matching the convention.
 
     Scale: one aggregation to per-user rows (users ≪ events), then three
-    global ntile windows over the user table; at extreme user counts the
-    quartile boundaries come from approx percentiles and the score is a
-    broadcast range-join, same contract."""
+    ``distributed_ntile`` passes (each a range exchange + in-partition
+    rank + broadcast offsets) — no single-task global sort anywhere."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     rfm = ev.groupBy("user_id").agg(
         (
@@ -1289,17 +1291,17 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    r_w = Window.orderBy("recency_s", "user_id")
-    f_w = Window.orderBy("frequency", "user_id")
-    m_w = Window.orderBy("monetary_cents", "user_id")
-    return rfm.select(
+    d = distributed_ntile(rfm, ["recency_s", "user_id"], 4, out="_r4")
+    d = distributed_ntile(d, ["frequency", "user_id"], 4, out="_f4")
+    d = distributed_ntile(d, ["monetary_cents", "user_id"], 4, out="_m4")
+    return d.select(
         "user_id",
         "recency_s",
         "frequency",
         "monetary_cents",
-        (F.lit(5) - F.ntile(4).over(r_w)).cast("long").alias("r_score"),
-        F.ntile(4).over(f_w).cast("long").alias("f_score"),
-        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+        (F.lit(5) - F.col("_r4")).cast("long").alias("r_score"),
+        F.col("_f4").cast("long").alias("f_score"),
+        F.col("_m4").cast("long").alias("m_score"),
     )
 
 

@@ -721,3 +721,122 @@ def test_listagg_is_ordered_aggregate(spark, sf_dir):
     df = SPECS["agg_listagg_ordered"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "listagg" in plan.lower()
+
+
+# --- round 5: the 8 former global-ntile operators now run through the
+# shared distributed quantile helper (operators/quantiles.py) ---
+
+_DISTRIBUTED_QUANTILE_KEYS = (
+    "ext_file_skip_effectiveness",
+    "ext_rfm_segmentation",
+    "ext_calibration_ece",
+    "ext_conversion_deciles",
+    "ext_knee_point",
+    "ext_curriculum_order",
+    "ext_dup_saturation_curve",
+    "ext_quantile_align_sources",
+)
+
+
+def test_no_global_ntile_single_task_sort(spark, sf_dir):
+    """Round-4 verdict ask #3: none of the 8 operators may rank the full
+    relation through an unpartitioned ntile window (single-task global
+    sort). After the swap to distributed_ntile/distributed_row_number the
+    physical plan contains NO ntile at all — buckets are closed-form
+    arithmetic on the distributed rank — and every remaining big window
+    is PARTITIONED (by the range-exchange pid or a data key). Mirrors
+    test_equidepth_prefix_sum_is_block_partitioned."""
+    import re
+
+    for key in _DISTRIBUTED_QUANTILE_KEYS:
+        df = SPECS[key].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        if key == "ext_quantile_align_sources":
+            # its per-source ntile window is PARTITIONED by source —
+            # allowed; only the pooled decile had the global window
+            for m in re.finditer(
+                r"ntile\(10\) windowspecdefinition\(([^)]*)\)", plan
+            ):
+                assert "source#" in m.group(1), (
+                    f"{key}: unpartitioned ntile window: {m.group(1)}"
+                )
+            continue
+        assert "ntile(" not in plan, f"{key}: global ntile survives"
+        # any row_number must run inside a partitioned window (_qpid or a
+        # data key), never windowspecdefinition(<order> ASC ...) alone
+        for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            assert "_qpid" in spec or "ch#" in spec, (
+                f"{key}: unpartitioned row_number window: {spec}"
+            )
+
+
+def test_distributed_ntile_window_is_pid_partitioned(spark, sf_dir):
+    """The helper's in-partition rank window must be partitioned by the
+    range-exchange pid column."""
+    df = SPECS["ext_calibration_ece"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "windowspecdefinition(_qpid" in plan, plan[:2000]
+
+
+def test_tfidf_df_join_is_aqe_broadcast(spark, sf_dir):
+    """Round-4 verdict ask #8: the tf×df (vocabulary) join must not FORCE
+    a broadcast — vocabulary is sublinear (Heaps' law) but unbounded, so
+    the hint would OOM at web scale. Contract: no broadcast hint in the
+    code; AQE converts the join to broadcast-hash at test scale (vocab ≪
+    autoBroadcastJoinThreshold), visible in the executed adaptive plan."""
+    df = SPECS["ext_tfidf_topterms"].fn(spark, sf_dir)
+    df.collect()  # execute THIS queryExecution so its AQE plan finalizes
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+_DISTRIBUTED_QUANTILE_KEYS_W2 = (
+    "ext_wasserstein_1d",
+    "ext_gini_concentration",
+    "ext_lorenz_curve",
+    "ext_theil_sen_slope",
+    "ext_retrieval_auc",
+    "ext_zipf_fit",
+    "ext_vocab_coverage_curve",
+    "ext_rank_fusion_rrf",
+)
+
+
+def test_wave2_ranks_are_distributed(spark, sf_dir):
+    """Round-5 wave 2 (ADVICE's 'etc.' list): every rank/ntile over an
+    unbounded relation (events, users, vocabulary, embeddings, day-pair
+    slopes) runs through the distributed helper — no unpartitioned ntile
+    anywhere, and any remaining row_number window is either
+    _qpid-partitioned or over a bounded (top-k / fused-20) relation."""
+    import re
+
+    for key in _DISTRIBUTED_QUANTILE_KEYS_W2:
+        df = SPECS[key].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "ntile(" not in plan, f"{key}: global ntile survives"
+        assert "windowspecdefinition(_qpid" in plan, f"{key}: helper missing"
+
+
+def test_hill_tail_index_is_take_ordered(spark, sf_dir):
+    """The top-(k+1) selection must compile to TakeOrderedAndProject —
+    round 5 fixed the rank-then-filter shape that sorted ALL documents
+    in one task."""
+    df = SPECS["ext_hill_tail_index"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_psm_fill_windows_are_pid_partitioned(spark, sf_dir):
+    """PSM's sorted-merge carry must run through distributed_fill: the
+    last/first IGNORE NULLS windows over users are partitioned by the
+    range-exchange pid, never unpartitioned over the full user relation."""
+    import re
+
+    df = SPECS["ext_psm_nearest_match"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    for m in re.finditer(r"(?:last|first)\(_qval[^)]*\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "_qpid" in m.group(1), f"unpartitioned fill window: {m.group(1)}"
+    assert "windowspecdefinition(_qpid" in plan

@@ -1,0 +1,100 @@
+"""Unit tests for the shared distributed quantile helper (round-5).
+
+``distributed_ntile`` / ``distributed_row_number`` must be bit-identical
+to the single-task ``F.ntile``/``F.row_number`` global windows they
+replace, for any bucket count (including B > n) and descending orders —
+and deterministic when the same input feeds several helper calls in one
+plan (the RangePartitioner-seed regression: without the pinned
+materialization, plan branches could draw different partition boundaries
+and emit an impossible extra bucket).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_sql_dsv2_extension_spark.operators.quantiles import (
+    distributed_ntile,
+    distributed_row_number,
+)
+
+
+def _df(spark, n=5003, seed=11):
+    rnd = random.Random(seed)
+    rows = [(i, rnd.randint(0, 40)) for i in range(n)]
+    return spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+
+
+def test_ntile_matches_native_window(spark):
+    df = _df(spark)
+    for b in (4, 10, 64, 5003, 9999):
+        got = distributed_ntile(df, [F.col("v"), F.col("id")], b, out="b")
+        exp = df.withColumn("b", F.ntile(b).over(Window.orderBy("v", "id")))
+        assert got.select("id", "b").exceptAll(exp.select("id", "b")).count() == 0, b
+
+
+def test_row_number_matches_native_window(spark):
+    df = _df(spark)
+    got = distributed_row_number(df, ["v", "id"], rn="r")
+    exp = df.withColumn(
+        "r", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+    )
+    assert got.select("id", "r").exceptAll(exp.select("id", "r")).count() == 0
+
+
+def test_ntile_descending_order(spark):
+    df = _df(spark)
+    order = [F.col("v").desc(), F.col("id").desc()]
+    got = distributed_ntile(df, order, 7, out="b")
+    exp = df.withColumn("b", F.ntile(7).over(Window.orderBy(*order)))
+    assert got.select("id", "b").exceptAll(exp.select("id", "b")).count() == 0
+
+
+def test_two_helper_calls_in_one_plan_stay_consistent(spark):
+    """Regression: two distributed_ntile subtrees unioned in one action
+    must each produce exactly B buckets. Before the pinned
+    materialization, re-executed range exchanges could sample different
+    boundaries per branch (seed includes rdd.id), yielding a 65th bucket
+    from a 64-bucket request, flakily."""
+    df = _df(spark, n=20011)
+    a = distributed_ntile(df, ["id"], 64, out="b").groupBy("b").count()
+    b = distributed_ntile(df, ["v", "id"], 64, out="b").groupBy("b").count()
+    pdf = a.unionAll(b).toPandas()
+    assert len(pdf) == 128
+    assert pdf["b"].min() == 1 and pdf["b"].max() == 64
+    assert pdf["count"].sum() == 2 * 20011
+
+
+def test_distributed_fill_matches_native_windows(spark):
+    """distributed_fill must equal the unpartitioned last/first
+    IGNORE NULLS windows it replaces (forward + backward in one call)."""
+    rnd = random.Random(3)
+    rows = [(i, rnd.randint(0, 50), rnd.random() < 0.3) for i in range(8009)]
+    df = spark.createDataFrame(rows, "id BIGINT, s BIGINT, ctl BOOLEAN")
+    val = F.when(F.col("ctl"), F.col("s"))
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_fill,
+    )
+
+    got = distributed_fill(df, ["s", "id"], val, out_prev="p", out_next="nx")
+    wp = Window.orderBy("s", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.orderBy("s", "id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    exp = df.select(
+        "id",
+        F.last(val, ignorenulls=True).over(wp).alias("p"),
+        F.first(val, ignorenulls=True).over(wn).alias("nx"),
+    )
+    assert got.select("id", "p", "nx").exceptAll(exp).count() == 0
+    assert exp.exceptAll(got.select("id", "p", "nx")).count() == 0
+    # all-null value column: fills stay null everywhere
+    allnull = distributed_fill(
+        df.withColumn("ctl", F.lit(False)), ["s", "id"], val, out_prev="p"
+    )
+    assert allnull.filter(F.col("p").isNotNull()).count() == 0
