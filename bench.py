@@ -1,11 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {key: sec, ...}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec, ...}, "sf": ...}. The FULL payload (including
+per-key run spreads) is also written to $SPARK_GRAFT_BENCH_OUT (default
+BENCH_LOCAL.json next to this file) so a stdout-tail capture can never
+truncate it (round-4: BENCH_r04 parsed null because queries_runs pushed
+the line past the driver's 2,000-char tail).
 
 Each query is executed once as a full materializing action (noop sink —
 unlike ``count()``, it cannot skip projected columns) after a session
 warm-up; wall-clock includes planning + execution, not session startup.
+
+The payload carries a fixture fingerprint (per-table rows + bytes) so a
+cross-round timing shift caused by regenerated fixtures (round 4's
+uniform +30%) is detectable instead of masquerading as a regression.
 """
 
 from __future__ import annotations
@@ -20,9 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spark_sql_dsv2_extension_spark.registry import load_all
 from spark_sql_dsv2_extension_spark.session import get_spark
 
-# Headline set: one representative per operator family (full inventory would
-# dominate with fixture-write overhead, not engine time).
-HEADLINE = [
+# Headline list version 2 (round 5). v1 = the round-1..4 50-key list.
+# v2 adds the five most expensive extended-section queries (promoted per
+# round-4 verdict ask #7): ext_coverage_maximization,
+# ext_equidepth_histogram, ext_dup_pair_bleu, ext_burrows_delta,
+# agg_salted_twophase. The stdout payload reports BOTH the v2 total
+# ("value") and the v1-subset total ("total_v1") so rounds stay
+# comparable across the version bump.
+HEADLINE_VERSION = 2
+
+HEADLINE_V1 = [
     "scan_parquet",
     "scan_filter_pushdown",
     "count_star_fastpath",
@@ -75,26 +90,54 @@ HEADLINE = [
     "ext_kneser_ney_bigrams",
 ]
 
+HEADLINE_V2_PROMOTED = [
+    "ext_coverage_maximization",
+    "ext_equidepth_histogram",
+    "ext_dup_pair_bleu",
+    "ext_burrows_delta",
+    "agg_salted_twophase",
+]
 
-# Round-4 additions, timed once each and reported under "extended_queries"
-# WITHOUT entering the headline total — keeps headline_queries_total_wall
-# comparable round-over-round while still profiling the new operators.
+HEADLINE = HEADLINE_V1 + HEADLINE_V2_PROMOTED
+
+# Remaining round-4 additions, timed once each and reported under
+# "extended_queries" WITHOUT entering the headline total.
 EXTENDED = [
     "ext_ndcg_eval",
     "ext_poisson_bootstrap_ci",
-    "ext_coverage_maximization",
     "ext_kaplan_meier_retention",
-    "ext_burrows_delta",
     "ext_item_cooccurrence_lift",
-    "ext_equidepth_histogram",
-    "agg_salted_twophase",
-    "ext_dup_pair_bleu",
     "ext_walk_forward_splits",
 ]
 
 
+def fixture_fingerprint(sf_dir: str) -> dict[str, dict[str, int]]:
+    """Per-table row count (parquet footer) + file bytes: detects fixture
+    regeneration between rounds without hashing 100s of MB."""
+    import pyarrow.parquet as pq
+
+    fp: dict[str, dict[str, int]] = {}
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(sf_dir, fn)
+            fp[fn[: -len(".parquet")]] = {
+                "rows": pq.ParquetFile(path).metadata.num_rows,
+                "bytes": os.path.getsize(path),
+            }
+    except Exception:  # fingerprint is diagnostics; never fail the bench
+        pass
+    return fp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+    )
     specs = load_all()
     spark = get_spark("bench")
     # Warm the JVM + parquet footer caches with a trivial action.
@@ -117,6 +160,7 @@ def main() -> None:
             runs.setdefault(key, []).append(dt)
     timings = {k: min(v) for k, v in runs.items()}
     total = round(sum(timings.values()), 4)
+    total_v1 = round(sum(t for k, t in timings.items() if k in set(HEADLINE_V1)), 4)
     cold_total = round(sum(v[0] for v in runs.values()), 4)
     extended: dict[str, float] = {}
     for key in EXTENDED:
@@ -127,22 +171,38 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extended[key] = round(time.perf_counter() - t0, 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_runs": runs,
-                "extended_queries": extended,
-                "cold_total_wall": cold_total,
-                "runs_per_key": 2,
-                "agg": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    fp = fixture_fingerprint(sf_dir)
+    # stdout must survive a last-2000-chars tail capture (round-4 lesson),
+    # so the line carries a 12-hex digest of the fingerprint; the full
+    # per-table detail goes to the BENCH_LOCAL file.
+    import hashlib
+
+    fp_digest = hashlib.sha256(
+        json.dumps(fp, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "headline_version": HEADLINE_VERSION,
+        "total_v1": total_v1,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "fixture_fp": fp_digest,
+    }
+    full = dict(payload)
+    full["extended_queries"] = extended
+    full["cold_total_wall"] = cold_total
+    full["runs_per_key"] = 2
+    full["agg"] = "min"
+    full["fixture_fingerprint"] = fp
+    full["queries_runs"] = runs  # per-key spread: file only, never stdout
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except Exception:
+        pass  # read-only checkout must not break the stdout contract
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
