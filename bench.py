@@ -205,5 +205,30 @@ def main() -> None:
     print(json.dumps(payload))
 
 
+def compare(path_a: str, path_b: str) -> None:
+    """Compare two full bench payloads (``python bench.py --compare A B``):
+    per-key ratios over the shared key set, split totals per headline list
+    version, and a fixture-fingerprint equality check so a vintage change
+    (round 4's regenerated fixtures) is reported instead of read as a
+    regression."""
+    a = json.load(open(path_a))
+    b = json.load(open(path_b))
+    fa, fb = a.get("fixture_fp"), b.get("fixture_fp")
+    same_fx = fa is not None and fa == fb
+    print(f"fixtures: {'SAME' if same_fx else 'DIFFERENT'} ({fa} vs {fb})"
+          + ("" if same_fx else "  — timing deltas include a vintage shift"))
+    qa, qb = a.get("queries", {}), b.get("queries", {})
+    shared = sorted(set(qa) & set(qb))
+    ta, tb = sum(qa[k] for k in shared), sum(qb[k] for k in shared)
+    print(f"shared keys: {len(shared)}  total {ta:.2f}s -> {tb:.2f}s "
+          f"({tb / ta:.3f}x)" if ta else "no shared keys")
+    worst = sorted(shared, key=lambda k: -(qb[k] / qa[k] if qa[k] else 0))[:8]
+    for k in worst:
+        print(f"  {qa[k]:7.3f} -> {qb[k]:7.3f}  {qb[k] / qa[k]:5.2f}x  {k}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 4 and sys.argv[1] == "--compare":
+        compare(sys.argv[2], sys.argv[3])
+    else:
+        main()

@@ -365,21 +365,20 @@ def ext_multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out. Assignment is a closed-form function of the exact cumulative
     sum, so it is deterministic and the oracle reproduces it bit-for-bit.
 
-    Scale: one running-sum window over the (id, n_bytes) manifest —
-    metadata-sized; payload bytes never participate. A range-partitioned
-    prefix-sum (per-partition totals broadcast as offsets) replaces the
-    single-ordering window at extreme manifest sizes, same contract."""
+    Scale: the exact prefix sum runs through
+    ``distributed_running_sum`` (range exchange + in-partition running
+    sums + broadcast per-partition offsets — round 5) so the manifest
+    never funnels through one task; payload bytes never participate."""
     docs = load(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from ..operators.quantiles import distributed_running_sum
 
     assets = docs.select(
         "doc_id",
         F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = distributed_running_sum(
+        assets, ["doc_id"], "n_bytes", out="cum_bytes"
     )
-    cum = assets.withColumn("cum_bytes", F.sum("n_bytes").over(w))
     return cum.select(
         "doc_id",
         "n_bytes",

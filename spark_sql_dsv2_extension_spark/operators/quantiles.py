@@ -196,3 +196,44 @@ def distributed_fill(
     if out_next is not None:
         d = d.withColumn(out_next, F.coalesce("_qinn", "_qnextc"))
     return d.drop(*[c for c in drops if c in d.columns])
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str,
+    num_partitions: int = RANGE_PARTITIONS,
+) -> DataFrame:
+    """Distributed ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING..CURRENT)`` — the exact global prefix sum, without the
+    single-task sort: range exchange (pinned), in-partition running sums,
+    per-partition totals (P rows) rolled into broadcast offsets.
+    ``order_cols`` must be plain ascending column names."""
+    cols = [F.col(c) for c in order_cols]
+    d = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_qpid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = (
+        Window.partitionBy("_qpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_qrs", F.sum(value_col).over(w_in))
+    totals = d.groupBy("_qpid").agg(
+        F.sum(value_col).cast("long").alias("_qbt")
+    )
+    w_off = Window.orderBy("_qpid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_qpid",
+        F.coalesce(F.sum("_qbt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_qoff"),
+    )
+    return (
+        d.join(F.broadcast(offs), "_qpid")
+        .withColumn(out, (F.col("_qoff") + F.col("_qrs")).cast("long"))
+        .drop("_qpid", "_qrs", "_qoff")
+    )

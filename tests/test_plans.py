@@ -840,3 +840,17 @@ def test_psm_fill_windows_are_pid_partitioned(spark, sf_dir):
     for m in re.finditer(r"(?:last|first)\(_qval[^)]*\) windowspecdefinition\(([^)]*)\)", plan):
         assert "_qpid" in m.group(1), f"unpartitioned fill window: {m.group(1)}"
     assert "windowspecdefinition(_qpid" in plan
+
+
+def test_shard_pack_prefix_sum_is_pid_partitioned(spark, sf_dir):
+    """The shard-packing byte prefix sum must be the distributed
+    two-level version — in-partition sum windows partitioned by the
+    range-exchange pid, never one global ordering window over the full
+    manifest."""
+    import re
+
+    df = SPECS["ext_multimodal_shard_pack"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "windowspecdefinition(_qpid" in plan, plan[:2000]
+    for m in re.finditer(r"sum\(n_bytes[^)]*\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "_qpid" in m.group(1), f"unpartitioned prefix sum: {m.group(1)}"

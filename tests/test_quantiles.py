@@ -98,3 +98,20 @@ def test_distributed_fill_matches_native_windows(spark):
         df.withColumn("ctl", F.lit(False)), ["s", "id"], val, out_prev="p"
     )
     assert allnull.filter(F.col("p").isNotNull()).count() == 0
+
+
+def test_distributed_running_sum_matches_native(spark):
+    rnd = random.Random(5)
+    rows = [(i, rnd.randint(1, 1000)) for i in range(6007)]
+    df = spark.createDataFrame(rows, "id BIGINT, b BIGINT")
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_running_sum,
+    )
+
+    got = distributed_running_sum(df, ["id"], "b", out="cum")
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = df.select("id", F.sum("b").over(w).cast("long").alias("cum"))
+    assert got.select("id", "cum").exceptAll(exp).count() == 0
+    assert exp.exceptAll(got.select("id", "cum")).count() == 0
