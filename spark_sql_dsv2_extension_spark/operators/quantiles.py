@@ -34,11 +34,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Range-exchange width for the distributed sort. A plan constant: offsets
-# relation is exactly this many rows regardless of data volume. 64 keeps
-# every local[32] core busy; at cluster scale the range exchange would be
-# sized by AQE / spark.sql.shuffle.partitions anyway.
-RANGE_PARTITIONS = 64
+# Range-exchange width for the distributed sort. ``None`` (the default)
+# defers to the session's ``spark.sql.shuffle.partitions`` — the right
+# behavior at every scale: local[32] tests run 32-wide, a 1000-executor
+# cluster runs at its configured tens-of-thousands width. A hardcoded
+# constant would be a scale bug: AQE only COALESCES user-specified
+# partition counts, never splits them, so 64 fixed partitions at 100 TB
+# would mean 64 tasks sorting ~1.5 TB each. The offsets relation stays
+# bounded by the conf value (a plan constant), never by data volume.
+RANGE_PARTITIONS: int | None = None
 
 
 def _cols(order_cols) -> list[Column]:
@@ -49,7 +53,7 @@ def distributed_row_number(
     df: DataFrame,
     order_cols,
     rn: str = "_rn",
-    num_partitions: int = RANGE_PARTITIONS,
+    num_partitions: int | None = RANGE_PARTITIONS,
 ) -> DataFrame:
     """Exact global ``row_number() OVER (ORDER BY order_cols)`` with no
     single-task sort.
@@ -68,8 +72,13 @@ def distributed_row_number(
     # disagree with ranks (observed: ntile(64) emitting a 65th bucket,
     # flaky run-to-run). Lazy (not eager) so no job fires at plan time
     # and bench timings still charge the materialization to the query.
-    d = (
+    ranged = (
         df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    d = (
+        ranged
         .withColumn("_qpid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -97,7 +106,7 @@ def distributed_ntile(
     order_cols,
     n_buckets: int,
     out: str = "bucket",
-    num_partitions: int = RANGE_PARTITIONS,
+    num_partitions: int | None = RANGE_PARTITIONS,
 ) -> DataFrame:
     """Exact global ``ntile(n_buckets) OVER (ORDER BY order_cols)``.
 
@@ -140,7 +149,7 @@ def distributed_fill(
     value,
     out_prev: str | None = None,
     out_next: str | None = None,
-    num_partitions: int = RANGE_PARTITIONS,
+    num_partitions: int | None = RANGE_PARTITIONS,
 ) -> DataFrame:
     """Distributed ``last(value IGNORE NULLS) OVER (ORDER BY ... ROWS
     UNBOUNDED PRECEDING..CURRENT)`` (``out_prev``) and/or
@@ -156,11 +165,17 @@ def distributed_fill(
     max_by/min_by ordering struct).
     """
     key = F.struct(*[F.col(c) for c in order_cols])
-    d = (
-        df.withColumn("_qval", value if isinstance(value, Column) else F.col(value))
-        .repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-        .withColumn("_qpid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    dv = df.withColumn(
+        "_qval", value if isinstance(value, Column) else F.col(value)
+    )
+    kcols = [F.col(c) for c in order_cols]
+    ranged = (
+        dv.repartitionByRange(num_partitions, *kcols)
+        if num_partitions
+        else dv.repartitionByRange(*kcols)
+    )
+    d = ranged.withColumn("_qpid", F.spark_partition_id()).localCheckpoint(
+        eager=False
     )
     aggs, drops = [], ["_qpid", "_qval"]
     if out_prev is not None:
@@ -203,7 +218,7 @@ def distributed_running_sum(
     order_cols: list[str],
     value_col: str,
     out: str,
-    num_partitions: int = RANGE_PARTITIONS,
+    num_partitions: int | None = RANGE_PARTITIONS,
 ) -> DataFrame:
     """Distributed ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING..CURRENT)`` — the exact global prefix sum, without the
@@ -211,8 +226,13 @@ def distributed_running_sum(
     per-partition totals (P rows) rolled into broadcast offsets.
     ``order_cols`` must be plain ascending column names."""
     cols = [F.col(c) for c in order_cols]
-    d = (
+    ranged = (
         df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    d = (
+        ranged
         .withColumn("_qpid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
