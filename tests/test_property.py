@@ -427,3 +427,36 @@ def test_neyman_allocation_exhausts_budget(spark, sf_dir):
     rows = load_all()["ext_neyman_allocation"].fn(spark, sf_dir).collect()
     total = sum(r.alloc_n for r in rows)
     assert 10000 - len(rows) <= total <= 10000
+
+
+# --- round 5: distributed order-statistics helpers vs native windows ---
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    b=st.integers(min_value=1, max_value=500),
+    vmax=st.integers(min_value=0, max_value=20),  # 0 => all-tie column
+    width=st.sampled_from([1, 3, 8, 64]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**_SETTINGS)
+def test_distributed_ntile_property(spark, n, b, vmax, width, seed):
+    """distributed_ntile == native ntile for arbitrary sizes, bucket
+    counts (including b > n), tie densities (vmax=0 makes the whole value
+    column one tie group, so only the id tiebreak orders), and range
+    widths (width > n exercises empty range partitions)."""
+    import random as _random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_ntile,
+    )
+
+    rnd = _random.Random(seed)
+    rows = [(i, rnd.randint(0, vmax)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+    got = distributed_ntile(df, ["v", "id"], b, out="t", num_partitions=width)
+    exp = df.withColumn("t", F.ntile(b).over(W.orderBy("v", "id")))
+    assert got.select("id", "t").exceptAll(exp.select("id", "t")).count() == 0
+    assert exp.select("id", "t").exceptAll(got.select("id", "t")).count() == 0
