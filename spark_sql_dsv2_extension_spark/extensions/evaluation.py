@@ -3473,8 +3473,15 @@ def ext_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("sj"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("ssj"),
     )
-    wall = Window.partitionBy()
-    terms = per_u.select(
+    # grand totals as a broadcast 1-row join — an empty-partitionBy
+    # window here would funnel the whole per-user relation through one
+    # task (round-5 fix; the repo-standard scalar-broadcast idiom)
+    tot = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("sj").cast("long").alias("s"),
+    )
+    terms = per_u.join(F.broadcast(tot)).select(
         "nj",
         "sj",
         F.round(
@@ -3483,9 +3490,9 @@ def ext_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("ssw2"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("k"),
-        F.sum("nj").over(wall).cast("long").alias("n"),
-        F.sum("sj").over(wall).cast("long").alias("s"),
+        "k",
+        "n",
+        "s",
     )
     dev = F.col("sj").cast("double") / F.col("nj") - F.col("s").cast("double") / F.col("n")
     agg = terms.groupBy("k", "n").agg(

@@ -854,3 +854,12 @@ def test_shard_pack_prefix_sum_is_pid_partitioned(spark, sf_dir):
     assert "windowspecdefinition(_qpid" in plan, plan[:2000]
     for m in re.finditer(r"sum\(n_bytes[^)]*\) windowspecdefinition\(([^)]*)\)", plan):
         assert "_qpid" in m.group(1), f"unpartitioned prefix sum: {m.group(1)}"
+
+
+def test_design_effect_totals_are_broadcast(spark, sf_dir):
+    """ICC grand totals must be a broadcast 1-row join, not an
+    empty-partitionBy window funneling all users through one task."""
+    df = SPECS["ext_design_effect_icc"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "windowspecdefinition()" not in plan.replace(" ", "")
