@@ -24,6 +24,7 @@ from ..operators.quantiles import (
     distributed_fill,
     distributed_ntile,
     distributed_row_number,
+    distributed_running_sum,
 )
 from ..registry import query
 from ..tables import fan_out, load
@@ -785,12 +786,13 @@ def ext_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = steps.select(
+    ranked = distributed_running_sum(
+        steps, ["c"], "cnt", out="_cum"
+    ).select(
         "c0",
         "c1",
         "cnt",
-        (F.sum("cnt").over(w).cast("long") - F.col("cnt")).alias("cum_before"),
+        (F.col("_cum") - F.col("cnt")).cast("long").alias("cum_before"),
     )
     agg = ranked.agg(
         F.sum("c0").cast("long").alias("n0"),
@@ -2286,12 +2288,11 @@ def ext_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    cum = hist.select(
-        "v",
-        F.sum("cnt").over(wcum).cast("long").alias("c"),
-        F.sum("cnt").over(wall).cast("long").alias("n"),
+    ntot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    cum = (
+        distributed_running_sum(hist, ["v"], "cnt", out="c")
+        .join(F.broadcast(ntot))
+        .select("v", "c", "n")
     )
     q = cum.groupBy("n").agg(
         F.min(F.when(F.col("c") >= F.expr("(n + 3) div 4"), F.col("v"))).alias("q1"),

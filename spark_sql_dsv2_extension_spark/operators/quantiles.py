@@ -216,15 +216,20 @@ def distributed_fill(
 def distributed_running_sum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
-    out: str,
+    value_col,
+    out,
     num_partitions: int | None = RANGE_PARTITIONS,
 ) -> DataFrame:
     """Distributed ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING..CURRENT)`` — the exact global prefix sum, without the
     single-task sort: range exchange (pinned), in-partition running sums,
     per-partition totals (P rows) rolled into broadcast offsets.
-    ``order_cols`` must be plain ascending column names."""
+    ``order_cols`` must be plain ascending column names. ``value_col`` /
+    ``out`` may be parallel lists to compute several prefix sums on the
+    ONE range exchange (e.g. the two ECDFs of a KS test)."""
+    vals = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    assert len(vals) == len(outs)
     cols = [F.col(c) for c in order_cols]
     ranged = (
         df.repartitionByRange(num_partitions, *cols)
@@ -241,19 +246,28 @@ def distributed_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("_qrs", F.sum(value_col).over(w_in))
+    for i, v in enumerate(vals):
+        d = d.withColumn(f"_qrs{i}", F.sum(v).over(w_in))
     totals = d.groupBy("_qpid").agg(
-        F.sum(value_col).cast("long").alias("_qbt")
+        *[F.sum(v).cast("long").alias(f"_qbt{i}") for i, v in enumerate(vals)]
     )
     w_off = Window.orderBy("_qpid").rowsBetween(Window.unboundedPreceding, -1)
     offs = totals.select(
         "_qpid",
-        F.coalesce(F.sum("_qbt").over(w_off), F.lit(0))
-        .cast("long")
-        .alias("_qoff"),
+        *[
+            F.coalesce(F.sum(f"_qbt{i}").over(w_off), F.lit(0))
+            .cast("long")
+            .alias(f"_qoff{i}")
+            for i in range(len(vals))
+        ],
     )
-    return (
-        d.join(F.broadcast(offs), "_qpid")
-        .withColumn(out, (F.col("_qoff") + F.col("_qrs")).cast("long"))
-        .drop("_qpid", "_qrs", "_qoff")
+    d = d.join(F.broadcast(offs), "_qpid")
+    for i, o in enumerate(outs):
+        d = d.withColumn(
+            o, (F.col(f"_qoff{i}") + F.col(f"_qrs{i}")).cast("long")
+        )
+    return d.drop(
+        "_qpid",
+        *[f"_qrs{i}" for i in range(len(vals))],
+        *[f"_qoff{i}" for i in range(len(vals))],
     )

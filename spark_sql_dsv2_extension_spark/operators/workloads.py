@@ -1443,10 +1443,10 @@ def ext_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     value; the sup runs over value steps, so the statistic is exact in
     micro-units (each ECDF floored to 1e-6 identically in both engines).
 
-    Scale: one aggregation to distinct-value step counts, a cumulative
-    window over the (bounded, value-domain-sized) step table — range-
-    partitioned prefix sums replace the single ordering at extreme
-    domains — and a global max."""
+    Scale: one aggregation to distinct-value step counts, then BOTH
+    ECDF prefix sums ride one ``distributed_running_sum`` (range
+    exchange + broadcast offsets — no single-task ordering even at
+    extreme value domains), and a global max."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     v = ev.select(
         F.round(F.col("value") * 100).cast("long").alias("c"),
@@ -1460,12 +1460,11 @@ def ext_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("k0"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
     )
-    from pyspark.sql import Window
+    from .quantiles import distributed_running_sum
 
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ecdf = steps.select(
-        F.sum("k0").over(w).alias("c0"), F.sum("k1").over(w).alias("c1")
-    )
+    ecdf = distributed_running_sum(
+        steps, ["c"], ["k0", "k1"], ["c0", "c1"]
+    ).select("c0", "c1")
     d = (
         ecdf.join(F.broadcast(n))
         .select(

@@ -863,3 +863,20 @@ def test_design_effect_totals_are_broadcast(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+
+def test_ecdf_prefix_sums_are_distributed(spark, sf_dir):
+    """KS / Mann-Whitney / Tukey cumulative counts over the value-domain
+    histogram must run through distributed_running_sum — in-partition sum
+    windows partitioned by the range-exchange pid, no unpartitioned
+    ordering window over the step table."""
+    import re
+
+    for key in ("ext_ks_two_sample", "ext_mann_whitney_u", "ext_tukey_fences"):
+        df = SPECS[key].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "windowspecdefinition(_qpid" in plan, f"{key}: helper missing"
+        for m in re.finditer(
+            r"sum\((?:k0|k1|cnt)[^)]*\) windowspecdefinition\(([^)]*)\)", plan
+        ):
+            assert "_qpid" in m.group(1), f"{key}: unpartitioned prefix sum"

@@ -115,3 +115,24 @@ def test_distributed_running_sum_matches_native(spark):
     exp = df.select("id", F.sum("b").over(w).cast("long").alias("cum"))
     assert got.select("id", "cum").exceptAll(exp).count() == 0
     assert exp.exceptAll(got.select("id", "cum")).count() == 0
+
+
+def test_distributed_running_sum_multi_column(spark):
+    rnd = random.Random(9)
+    rows = [(i, rnd.randint(0, 3), rnd.randint(0, 3)) for i in range(3001)]
+    df = spark.createDataFrame(rows, "id BIGINT, a BIGINT, b BIGINT")
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_running_sum,
+    )
+
+    got = distributed_running_sum(df, ["id"], ["a", "b"], ["ca", "cb"])
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = df.select(
+        "id",
+        F.sum("a").over(w).cast("long").alias("ca"),
+        F.sum("b").over(w).cast("long").alias("cb"),
+    )
+    assert got.select("id", "ca", "cb").exceptAll(exp).count() == 0
+    assert exp.exceptAll(got.select("id", "ca", "cb")).count() == 0
