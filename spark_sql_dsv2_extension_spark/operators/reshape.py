@@ -595,11 +595,14 @@ def ext_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    wr = Window.orderBy(F.col("jaccard").desc(), "u1", "u2")
-    return (
-        expanded.withColumn("rk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rk") <= 20)
-    )
+    # top-20 via orderBy+limit (TakeOrderedAndProject) BEFORE ranking —
+    # a tie-group can expand to many user pairs, so the rank window must
+    # only ever see the 20 surviving rows (round-5 fix, same shape as
+    # ext_hill_tail_index)
+    order = [F.col("jaccard").desc(), F.col("u1").asc(), F.col("u2").asc()]
+    top = expanded.orderBy(*order).limit(20)
+    wr = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(wr).cast("long"))
 
 
 _PR_ITERS = 3

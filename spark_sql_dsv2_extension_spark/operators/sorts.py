@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .quantiles import distributed_row_number
 from ..registry import query
 from ..tables import load
 
@@ -48,11 +49,11 @@ def sort_multi_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal").desc_nulls_last(),
         F.col("c_custkey").asc(),
     ]
-    return (
-        t.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
-        .withColumn("rk", F.col("rk").cast("long"))
-        .orderBy(*order)
-    )
+    # rank via the distributed helper (range exchange + broadcast
+    # offsets) — a global window here would single-task-sort the whole
+    # customer table (round-5 fix); the final orderBy is a sort the key
+    # itself demonstrates and stays a parallel range sort
+    return distributed_row_number(t, order, rn="rk").orderBy(*order)
 
 
 @query(

@@ -880,3 +880,64 @@ def test_ecdf_prefix_sums_are_distributed(spark, sf_dir):
             r"sum\((?:k0|k1|cnt)[^)]*\) windowspecdefinition\(([^)]*)\)", plan
         ):
             assert "_qpid" in m.group(1), f"{key}: unpartitioned prefix sum"
+
+
+def test_sort_multi_dir_rank_is_distributed(spark, sf_dir):
+    """The §2B multi-dir sort demo ranks through distributed_row_number;
+    the only sort of the full customer table is the final parallel range
+    sort the key demonstrates."""
+    df = SPECS["sort_multi_dir"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "windowspecdefinition(_qpid" in plan, plan[:1500]
+
+
+def test_behavior_similarity_ranks_after_limit(spark, sf_dir):
+    """The top-20 pair selection must TakeOrdered BEFORE the rank window
+    so a large tie-group expansion never feeds a global window."""
+    df = SPECS["ext_behavior_similarity"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+# Keys whose plans legitimately keep an unpartitioned rank window: the
+# window input is bounded by a PLAN CONSTANT (TakeOrdered top-k output,
+# per-test p-values, join-order permutations), never by data volume.
+_BOUNDED_RANK_WINDOW_ALLOWLIST = {
+    "ext_behavior_similarity",   # rank over limit(20) output
+    "ext_bh_fdr",                # p-values: one row per test
+    "ext_embedding_outliers",    # rank over top-k limit output
+    "ext_hill_tail_index",       # rank over limit(K+1) output
+    "ext_hybrid_retrieval",      # rank over top-candidate set
+    "ext_join_order_cost_model", # join-order permutations (3! rows)
+    "ext_ngram_topk",            # rank over limit(NGRAM_TOPK) output
+    "ext_rank_fusion_rrf",       # bm25 top-20 + fused <=20 rows
+    "ext_weighted_sample_aes",   # rank over limit(k) output
+}
+
+
+def test_no_unpartitioned_rank_window_outside_allowlist(spark, sf_dir):
+    """Inventory-wide 100 TB guardrail (round 5): NO registered key may
+    rank/ntile through an unpartitioned window unless its window input is
+    bounded by a plan constant (documented allowlist above). A new key
+    failing here either needs the distributed helpers
+    (operators/quantiles.py) or an orderBy().limit() before the rank —
+    plus an allowlist entry explaining the bound."""
+    import re
+
+    pat = re.compile(
+        r"(?:ntile\(\d+\)|row_number\(\)|rank\(\)|dense_rank\(\))"
+        r" windowspecdefinition\(([^)]*?)specifiedwindowframe"
+    )
+    offenders = {}
+    for key, spec in SPECS.items():
+        if key in _BOUNDED_RANK_WINDOW_ALLOWLIST:
+            continue
+        try:
+            plan = physical_plan(spec.fn(spark, sf_dir))
+        except Exception:
+            continue  # non-batch keys (streaming fixtures) are exempt
+        for m in pat.finditer(plan):
+            first = m.group(1).split(",")[0].strip()
+            if re.search(r"(ASC|DESC) NULLS", first):
+                offenders.setdefault(key, set()).add(first[:60])
+    assert not offenders, f"unpartitioned rank windows: {offenders}"
