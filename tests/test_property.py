@@ -460,3 +460,74 @@ def test_distributed_ntile_property(spark, n, b, vmax, width, seed):
     exp = df.withColumn("t", F.ntile(b).over(W.orderBy("v", "id")))
     assert got.select("id", "t").exceptAll(exp.select("id", "t")).count() == 0
     assert exp.select("id", "t").exceptAll(got.select("id", "t")).count() == 0
+
+
+# --- round 5: engine_sql quote-aware scanner invariants ---
+
+_SQL_FRAGMENTS = st.lists(
+    st.one_of(
+        st.sampled_from([
+            "SELECT x FROM cat.db.t",
+            " WHERE c = ",
+            " AND ",
+            "cat.db.t",
+            "JOIN cat2.ns.u ON 1=1",
+        ]),
+        # string literals (with doubled-quote escapes), backquotes, comments
+        st.sampled_from([
+            "'see cat.db.t here'",
+            "'it''s cat.db.t'",
+            '"cat.db.t"',
+            "`cat.db.t`",
+            "-- cat.db.t trailing comment\n",
+            "/* cat.db.t block */",
+            "'a,b = c'",
+        ]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(frags=_SQL_FRAGMENTS)
+@settings(max_examples=60, deadline=None)
+def test_code_segment_scanner_never_touches_literals(frags):
+    """_map_sql_code_segments must apply fn ONLY to code: for any
+    interleaving of code, string literals (with '' escapes), backquoted
+    identifiers, and comments, (a) the identity fn reproduces the input
+    byte-for-byte, and (b) an uppercasing fn never alters bytes inside
+    literals/backquotes/comments."""
+    from spark_sql_dsv2_extension_spark.catalog import _map_sql_code_segments
+
+    q = "".join(frags)
+    assert _map_sql_code_segments(q, lambda s: s) == q
+
+    marked = _map_sql_code_segments(q, lambda s: s.replace("cat.db.t", "XXX"))
+    # every literal/comment fragment must survive verbatim
+    for frag in frags:
+        if frag[0] in "'\"`" or frag.startswith("--") or frag.startswith("/*"):
+            assert frag.rstrip("\n") in marked, (frag, marked)
+
+
+_PROP_VALUES = st.text(
+    alphabet=st.sampled_from(list("abc,=' xyz0")), min_size=0, max_size=12
+)
+
+
+@given(pairs=st.dictionaries(
+    st.text(alphabet=st.sampled_from(list("abcxyz._-")), min_size=1, max_size=8),
+    _PROP_VALUES,
+    min_size=0,
+    max_size=5,
+))
+@settings(max_examples=60, deadline=None)
+def test_parse_props_roundtrip(pairs):
+    """_parse_props inverts TBLPROPERTIES serialization for arbitrary
+    keys/values including commas, equals signs, spaces, and embedded
+    quotes (escaped by doubling) — the round-4 ADVICE bug class."""
+    from spark_sql_dsv2_extension_spark.catalog import _parse_props
+
+    text = ", ".join(
+        f"'{k}' = '{v.replace(chr(39), chr(39) * 2)}'" for k, v in pairs.items()
+    )
+    assert _parse_props(text) == pairs
