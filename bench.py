@@ -100,7 +100,8 @@ HEADLINE_V2_PROMOTED = [
 
 HEADLINE = HEADLINE_V1 + HEADLINE_V2_PROMOTED
 
-# Remaining round-4 additions, timed once each and reported under
+# Remaining round-4 additions plus the heaviest round-5 distributed-
+# window conversions, timed once each and reported under
 # "extended_queries" WITHOUT entering the headline total.
 EXTENDED = [
     "ext_ndcg_eval",
@@ -108,6 +109,12 @@ EXTENDED = [
     "ext_kaplan_meier_retention",
     "ext_item_cooccurrence_lift",
     "ext_walk_forward_splits",
+    # round-5 conversions (operators/quantiles.py helpers)
+    "ext_file_skip_effectiveness",
+    "ext_rfm_segmentation",
+    "ext_behavior_similarity",
+    "ext_retrieval_auc",
+    "ext_psm_nearest_match",
 ]
 
 
