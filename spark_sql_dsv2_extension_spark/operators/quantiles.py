@@ -213,6 +213,83 @@ def distributed_fill(
     return d.drop(*[c for c in drops if c in d.columns])
 
 
+def distributed_range_sum(
+    df: DataFrame,
+    order_col: str,
+    delta,
+    sums: dict[str, Column | str],
+    count_out: str | None = None,
+) -> DataFrame:
+    """Distributed ``SUM(v) OVER (ORDER BY k RANGE BETWEEN delta PRECEDING
+    AND CURRENT ROW)`` — the value-defined sliding frame, without the
+    single-task global sort (round-6 verdict ask #3; replaces the last
+    base-relation unpartitioned window, ``win_range_frame``).
+
+    A RANGE frame depends only on the ORDER BY *value* (peers share
+    results), so the window collapses to per-distinct-key arithmetic:
+
+    1. groupBy(k) — map-side partial agg; one hash shuffle; output is one
+       row per distinct key (d rows ≪ n).
+    2. Band the keys: bucket = floor(k / delta). A frame [k−delta, k]
+       spans at most two ADJACENT buckets, so candidate pairs come from an
+       EQUI-join on bucket id (each target probes bucket b−1 and b via a
+       2-element explode) with the exact frame bound as a post-filter —
+       the same banded-join shape as ``join_interval_overlap_banded``,
+       never a cartesian and never a global sort.
+    3. Re-aggregate per target key, then equi-join the d-row frame table
+       back onto the base rows on k (AQE broadcasts it when small).
+
+    Skew note: work per bucket is O(|bucket|²) in DISTINCT keys (not
+    rows), bounded by the key density within one delta-wide band — the
+    right cost model for a value-defined frame, since those are exactly
+    the rows the frame must touch.
+
+    ``sums`` maps output column name -> value expression to SUM (summed
+    exactly; pass integer-scaled values for float data, per the repo
+    convention). ``count_out`` adds the frame's COUNT(*). Returns ``df``
+    with the new columns appended.
+    """
+    k = F.col(order_col)
+    exprs = {
+        o: (F.col(v) if isinstance(v, str) else v) for o, v in sums.items()
+    }
+    g = df.groupBy(order_col).agg(
+        *[F.sum(v).alias(f"_qv_{o}") for o, v in exprs.items()],
+        F.count(F.lit(1)).alias("_qvc"),
+    )
+    bucket = F.floor(k.cast("double") / F.lit(delta)).cast("long")
+    g = g.withColumn("_qb", bucket)
+    probes = g.select(
+        k.alias("_qtk"),
+        F.explode(F.array(F.col("_qb") - 1, F.col("_qb"))).alias("_qpb"),
+    )
+    cand = g.select(
+        k.alias("_qck"),
+        F.col("_qb").alias("_qcb"),
+        *[F.col(f"_qv_{o}") for o in exprs],
+        "_qvc",
+    )
+    frame = (
+        probes.join(
+            cand,
+            (F.col("_qpb") == F.col("_qcb"))
+            & (F.col("_qck") >= F.col("_qtk") - F.lit(delta))
+            & (F.col("_qck") <= F.col("_qtk")),
+        )
+        .groupBy("_qtk")
+        .agg(
+            *[F.sum(f"_qv_{o}").alias(f"_qs_{o}") for o in exprs],
+            F.sum("_qvc").cast("long").alias("_qsc"),
+        )
+    )
+    out = df.join(frame, k == F.col("_qtk"))
+    for o in exprs:
+        out = out.withColumn(o, F.col(f"_qs_{o}"))
+    if count_out is not None:
+        out = out.withColumn(count_out, F.col("_qsc"))
+    return out.drop("_qtk", "_qsc", *[f"_qs_{o}" for o in exprs])
+
+
 def distributed_running_sum(
     df: DataFrame,
     order_cols: list[str],

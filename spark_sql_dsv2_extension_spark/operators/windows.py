@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
+from .quantiles import distributed_range_sum
 
 
 @query(
@@ -134,15 +135,29 @@ def win_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame over a numeric order key — the frame is value-defined, so
-    peers (equal p_size) share results and no tie-break is needed."""
-    w = Window.orderBy("p_size").rangeBetween(-5, Window.currentRow)
+    """RANGE frame over a numeric order key — the frame is value-defined,
+    so peers (equal p_size) share results and no tie-break is needed.
+
+    Round 6: rewritten off the naive ``Window.orderBy("p_size")`` (no
+    partitionBy — one task sorts the whole relation at scale; this was
+    the inventory's last base-relation global window) onto
+    ``distributed_range_sum``: per-size partial aggregates, banded
+    bucket equi-join for the [size−5, size] frame, broadcast-joined back
+    — same result bit-for-bit, no global sort anywhere in the plan."""
     cents = F.round(F.col("p_retailprice") * 100).cast("long")
-    return load(spark, sf_dir, "part").select(
+    part = load(spark, sf_dir, "part")
+    d = distributed_range_sum(
+        part.select("p_partkey", "p_size", cents.alias("_cents")),
+        "p_size",
+        5,
+        {"_nearby_cents": "_cents"},
+        count_out="nearby_n",
+    )
+    return d.select(
         "p_partkey",
         "p_size",
-        (F.sum(cents).over(w) / F.lit(100.0)).alias("nearby_price"),
-        F.count(F.lit(1)).over(w).cast("long").alias("nearby_n"),
+        (F.col("_nearby_cents") / F.lit(100.0)).alias("nearby_price"),
+        "nearby_n",
     )
 
 

@@ -9,6 +9,8 @@ in pushdown / join strategy / partial aggregation fail CI, not production.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -56,3 +58,56 @@ def count_exchanges(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
         df
     ).count("Exchange rangepartitioning")
+
+
+_ORDER_SPEC = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)")
+
+
+def _split_call_args(s: str, start: int) -> list[str] | None:
+    """Top-level comma-split of the argument list of the call whose opening
+    '(' is at ``start``; None if the text is truncated/unbalanced."""
+    depth = 0
+    args: list[str] = []
+    buf: list[str] = []
+    for i in range(start, len(s)):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+            continue
+        if depth >= 1:
+            buf.append(ch)
+    return None
+
+
+def unpartitioned_windows(plan: str) -> set[str]:
+    """First-argument snippets of every ``windowspecdefinition`` in the
+    plan text that has NO partition spec — i.e. its first top-level
+    argument is already an ORDER BY expression, so the whole input funnels
+    through ONE task's sort. Covers EVERY window function (rank family,
+    aggregates, lag/lead, nth_value, …): the round-5 guardrail's regex
+    matched only rank-family names and could not cross nested parens, which
+    is how an unpartitioned SUM-over-RANGE frame survived it (round-6
+    verdict ask #4). Windows ordered by the quantiles helpers' internal
+    ``_qpid`` column are excluded — those run over the P-row per-partition
+    offsets relation, bounded by ``spark.sql.shuffle.partitions`` (a plan
+    constant), never by data volume (the source of the benign
+    'WindowExec: No Partition Defined' warnings; see quantiles.py)."""
+    out: set[str] = set()
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        args = _split_call_args(plan, m.end() - 1)
+        if not args:
+            continue
+        first = args[0]
+        if _ORDER_SPEC.search(first) and "_qpid" not in first:
+            out.add(first[:70])
+    return out

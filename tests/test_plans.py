@@ -17,6 +17,7 @@ from spark_sql_dsv2_extension_spark.plans.explain import (
     physical_plan,
     pushed_filters,
     read_schema,
+    unpartitioned_windows,
 )
 from spark_sql_dsv2_extension_spark.registry import load_all
 from spark_sql_dsv2_extension_spark.tables import load
@@ -899,45 +900,80 @@ def test_behavior_similarity_ranks_after_limit(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:1500]
 
 
-# Keys whose plans legitimately keep an unpartitioned rank window: the
-# window input is bounded by a PLAN CONSTANT (TakeOrdered top-k output,
-# per-test p-values, join-order permutations), never by data volume.
-_BOUNDED_RANK_WINDOW_ALLOWLIST = {
+# Keys whose plans legitimately keep an unpartitioned window: the window
+# input is bounded by a PLAN CONSTANT or by a value-domain cardinality
+# (TakeOrdered top-k output, per-test p-values, calendar days, deciles,
+# histogram bins), never by raw data volume. Every entry must name its
+# bound. Widened in round 6 from rank-family-only to ALL window functions
+# (verdict ask #4): the old regex was blind to aggregate windows, which is
+# how win_range_frame's unpartitioned SUM-over-RANGE survived round 5.
+_BOUNDED_WINDOW_ALLOWLIST = {
     "ext_behavior_similarity",   # rank over limit(20) output
     "ext_bh_fdr",                # p-values: one row per test
+    "ext_cusum_changepoint",     # running stats over per-DAY aggregates
     "ext_embedding_outliers",    # rank over top-k limit output
+    "ext_equidepth_histogram",   # bin boundaries (B rows) + block offsets
     "ext_hill_tail_index",       # rank over limit(K+1) output
     "ext_hybrid_retrieval",      # rank over top-candidate set
     "ext_join_order_cost_model", # join-order permutations (3! rows)
+    "ext_kaplan_meier_retention",# survival curve: one row per DAY
+    "ext_knee_point",            # cumulative over decile relation (10)
+    "ext_lorenz_curve",          # cumulative over decile relation (10)
+    "ext_lsh_bucket_stats",      # cum over bucket-SIZE histogram (tiny)
+    "ext_mase_seasonal_naive",   # lag over per-DAY series
+    "ext_ndcg_eval",             # ideal-DCG table: NDCG_K rows
     "ext_ngram_topk",            # rank over limit(NGRAM_TOPK) output
     "ext_rank_fusion_rrf",       # bm25 top-20 + fused <=20 rows
+    "ext_seasonal_decompose",    # trend/seasonal over per-DAY series
+    "ext_shuffle_quality_audit", # lead over limit(10000) hash sample
     "ext_weighted_sample_aes",   # rank over limit(k) output
 }
 
 
-def test_no_unpartitioned_rank_window_outside_allowlist(spark, sf_dir):
-    """Inventory-wide 100 TB guardrail (round 5): NO registered key may
-    rank/ntile through an unpartitioned window unless its window input is
-    bounded by a plan constant (documented allowlist above). A new key
-    failing here either needs the distributed helpers
-    (operators/quantiles.py) or an orderBy().limit() before the rank —
-    plus an allowlist entry explaining the bound."""
-    import re
-
-    pat = re.compile(
-        r"(?:ntile\(\d+\)|row_number\(\)|rank\(\)|dense_rank\(\))"
-        r" windowspecdefinition\(([^)]*?)specifiedwindowframe"
-    )
+def test_no_unpartitioned_window_outside_allowlist(spark, sf_dir):
+    """Inventory-wide 100 TB guardrail (round 5, widened round 6): NO
+    registered key may run ANY window function — rank family, SUM/COUNT/
+    AVG frames, lag/lead, nth_value — through an unpartitioned window
+    unless its window input is bounded by a plan constant or value-domain
+    cardinality (documented allowlist above). A new key failing here needs
+    the distributed helpers (operators/quantiles.py), an orderBy().limit()
+    before the window, or an allowlist entry explaining the bound."""
     offenders = {}
     for key, spec in SPECS.items():
-        if key in _BOUNDED_RANK_WINDOW_ALLOWLIST:
+        if key in _BOUNDED_WINDOW_ALLOWLIST:
             continue
         try:
             plan = physical_plan(spec.fn(spark, sf_dir))
         except Exception:
             continue  # non-batch keys (streaming fixtures) are exempt
-        for m in pat.finditer(plan):
-            first = m.group(1).split(",")[0].strip()
-            if re.search(r"(ASC|DESC) NULLS", first):
-                offenders.setdefault(key, set()).add(first[:60])
-    assert not offenders, f"unpartitioned rank windows: {offenders}"
+        offs = unpartitioned_windows(plan)
+        if offs:
+            offenders[key] = offs
+    assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+def test_unpartitioned_window_checker_catches_aggregates(spark, sf_dir):
+    """Negative control for the guardrail: a synthetic unpartitioned
+    SUM-over-RANGE window — the exact shape that escaped the round-5
+    rank-only regex — must be flagged by the widened checker, including
+    when the windowed expression and the order key contain nested parens."""
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    w = Window.orderBy(F.round(F.col("p_size") + 0.0)).rangeBetween(-5, 0)
+    bad = part.select(
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+        .over(w)
+        .alias("s")
+    )
+    assert unpartitioned_windows(physical_plan(bad))
+    # and the benign helper shape (window over the P-row offsets relation,
+    # ordered by _qpid) stays exempt
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_row_number,
+    )
+
+    good = distributed_row_number(
+        part.select("p_partkey", "p_size"), ["p_size", "p_partkey"]
+    )
+    assert not unpartitioned_windows(physical_plan(good))
