@@ -67,68 +67,23 @@ _loaded = False
 # absent from this list follow in module registration order; driver-green
 # keys go last (they stay fully covered by tests/test_parity.py either way).
 #
-# ROUND-6+ PROTOCOL: once CORRECTNESS_r05 confirms the current first 50
-# (round-5 window, rotated in after CORRECTNESS_r04 came back 50/50
-# green), move that block behind the r4 block below; the queued keys
-# (from ext_quantile_treatment_effect onward in the current order) then
-# occupy the round-6/7/8 windows. Registration of NET-NEW keys is FROZEN
-# until the driver backlog is below 100 (round-4 verdict ask #2) — only
-# bug-driven additions are allowed, inserted right after the current
-# 50-key window. Every queued key already passes the full-inventory
-# oracle sweeps run each session (425/425 green, round 5).
+# ROUND-6 ROTATION (applied this round, after CORRECTNESS_r05 came back
+# 50/50 green): the r5 window (ext_ndcg_eval..ext_als_rank1) rotated
+# behind the queue; the round-6 window is 4 STALE-ROW RE-FRONTS — keys
+# whose green driver row predates a later rewrite: sort_multi_dir /
+# ext_behavior_similarity / ext_conversion_deciles (rewritten r5, r6
+# verdict ask #1) and win_range_frame (rewritten THIS round onto
+# distributed_range_sum) — followed by the next 46 queued keys.
+# Registration of NET-NEW keys remains FROZEN until the driver backlog
+# is below 100 (round-4 verdict ask #2) — only bug-driven additions are
+# allowed, inserted right after the current 50-key window. Every queued
+# key passes the full-inventory oracle sweeps run each session.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-5 window: next 50 driver-unverified keys (round-4-added
-    # keys first, then the round-3-session backlog) ---
-    "ext_ndcg_eval",
-    "ext_mrr_eval",
-    "ext_spearman_corr",
-    "ext_poisson_bootstrap_ci",
-    "ext_doc_prefix_dedup",
-    "ext_ngram_overlap_diversity",
-    "ext_neyman_allocation",
-    "ext_file_skip_effectiveness",
-    "win_cumulative_distinct",
-    "ext_output_file_planner",
-    "ext_mann_whitney_u",
-    "ext_cramers_v",
-    "ext_permutation_test",
-    "agg_salted_twophase",
-    "ext_incremental_agg_merge",
-    "ext_item_cooccurrence_lift",
-    "ext_cooccurrence_degree_dist",
-    "ext_time_weighted_avg",
-    "ext_mann_kendall_trend",
-    "ext_khop_neighborhood",
-    "ext_dup_pair_bleu",
-    "fn_string_extras",
-    "ext_ann_recall_curve",
-    "ext_kaplan_meier_retention",
-    "ext_coverage_maximization",
-    "ext_entropy_rate_markov",
-    "ext_theil_sen_slope",
-    "ext_multimodal_aspect_buckets",
-    "ext_walk_forward_splits",
-    "ext_burrows_delta",
-    "ext_cohens_kappa",
-    "ext_srm_check",
-    "ext_cuped_adjustment",
-    "ext_tukey_fences",
-    "ext_shapley_attribution",
-    "ext_link_prediction_jaccard",
-    "ext_ucb_ranking",
-    "ext_knee_point",
-    "ext_equidepth_histogram",
-    "ext_functional_dependency",
-    "ext_ablation_leave_one_source",
-    "subq_quantified_all",
-    "join_interval_overlap_banded",
-    "ext_conformal_interval",
-    "ext_mase_seasonal_naive",
-    "ext_psm_nearest_match",
-    "ext_design_effect_icc",
-    "ext_shuffle_quality_audit",
-    "ext_bh_fdr",
-    "ext_als_rank1",
+    # --- round-6 window: 4 stale-row re-fronts + next 46 queued keys ---
+    "sort_multi_dir",
+    "ext_behavior_similarity",
+    "ext_conversion_deciles",
+    "win_range_frame",
     "ext_quantile_treatment_effect",
     "win_rolling_regression",
     "join_multi_exists_onepass",
@@ -306,6 +261,57 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_retention_cohorts",
     "ext_multimodal_meta_prune",
     "ext_minhash_fidelity",
+    # r5-verified keys (50/50 green in CORRECTNESS_r05.json) rotate behind
+    "ext_ndcg_eval",
+    "ext_mrr_eval",
+    "ext_spearman_corr",
+    "ext_poisson_bootstrap_ci",
+    "ext_doc_prefix_dedup",
+    "ext_ngram_overlap_diversity",
+    "ext_neyman_allocation",
+    "ext_file_skip_effectiveness",
+    "win_cumulative_distinct",
+    "ext_output_file_planner",
+    "ext_mann_whitney_u",
+    "ext_cramers_v",
+    "ext_permutation_test",
+    "agg_salted_twophase",
+    "ext_incremental_agg_merge",
+    "ext_item_cooccurrence_lift",
+    "ext_cooccurrence_degree_dist",
+    "ext_time_weighted_avg",
+    "ext_mann_kendall_trend",
+    "ext_khop_neighborhood",
+    "ext_dup_pair_bleu",
+    "fn_string_extras",
+    "ext_ann_recall_curve",
+    "ext_kaplan_meier_retention",
+    "ext_coverage_maximization",
+    "ext_entropy_rate_markov",
+    "ext_theil_sen_slope",
+    "ext_multimodal_aspect_buckets",
+    "ext_walk_forward_splits",
+    "ext_burrows_delta",
+    "ext_cohens_kappa",
+    "ext_srm_check",
+    "ext_cuped_adjustment",
+    "ext_tukey_fences",
+    "ext_shapley_attribution",
+    "ext_link_prediction_jaccard",
+    "ext_ucb_ranking",
+    "ext_knee_point",
+    "ext_equidepth_histogram",
+    "ext_functional_dependency",
+    "ext_ablation_leave_one_source",
+    "subq_quantified_all",
+    "join_interval_overlap_banded",
+    "ext_conformal_interval",
+    "ext_mase_seasonal_naive",
+    "ext_psm_nearest_match",
+    "ext_design_effect_icc",
+    "ext_shuffle_quality_audit",
+    "ext_bh_fdr",
+    "ext_als_rank1",
     # r4-verified keys (50/50 green in CORRECTNESS_r04.json) rotate behind
     "ext_hll_union",
     "ext_cms_heavy_hitters",
@@ -338,7 +344,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_negative_sampling_table",
     "fn_xml",
     "ext_minhash_band_tuning",
-    "ext_behavior_similarity",
     "ext_sentiment_lexicon",
     "ext_intradoc_dedup",
     "ext_html_extract",
@@ -347,7 +352,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_knn_label_agreement",
     "ext_distribution_drift",
     "ext_lsa_power_step",
-    "ext_conversion_deciles",
     "ext_kcenter_coreset",
     "ext_split_doc_detect",
     "ext_session_bounce_rate",
@@ -443,7 +447,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "set_intersect_all",
     "distinct_rows",
     "dedup_by_key",
-    "sort_multi_dir",
     "topk_limit",
     "topk_per_group",
     "win_nth_value",
