@@ -136,3 +136,56 @@ def test_distributed_running_sum_multi_column(spark):
     )
     assert got.select("id", "ca", "cb").exceptAll(exp).count() == 0
     assert exp.exceptAll(got.select("id", "ca", "cb")).count() == 0
+
+
+def test_distributed_running_sum_rejects_fractional_values(spark):
+    """The offset arithmetic is exact int64 (repo integer-scaling
+    convention); a double value column must be refused loudly, not
+    silently truncated at partition boundaries (round-6 verdict ask #5)."""
+    import pytest
+
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 1.25)], "id BIGINT, v DOUBLE"
+    )
+    with pytest.raises(TypeError, match="non-integral"):
+        distributed_running_sum(df, ["id"], "v", out="cum")
+
+
+def test_distributed_range_sum_matches_native_window(spark):
+    """distributed_range_sum must equal the unpartitioned value-RANGE
+    frame it replaces — sums AND count, including duplicate order keys
+    (peers share frames) and a fractional frame width."""
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_range_sum,
+    )
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(0, 60), rnd.randint(1, 500)) for i in range(7001)]
+    df = spark.createDataFrame(rows, "id BIGINT, k BIGINT, v BIGINT")
+    got = distributed_range_sum(df, "k", 5, {"s": "v"}, count_out="n")
+    w = Window.orderBy("k").rangeBetween(-5, 0)
+    exp = df.select(
+        "id",
+        F.sum("v").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+    )
+    assert got.select("id", "s", "n").exceptAll(exp).count() == 0
+    assert exp.exceptAll(got.select("id", "s", "n")).count() == 0
+    # fractional key + fractional delta (bucket = floor(k/delta) on doubles)
+    fr = [(i, rnd.randint(0, 400) / 8.0, rnd.randint(1, 9)) for i in range(4001)]
+    dff = spark.createDataFrame(fr, "id BIGINT, k DOUBLE, v BIGINT")
+    got2 = distributed_range_sum(dff, "k", 2.5, {"s": "v"}, count_out="n")
+    # PySpark's rangeBetween only takes integer bounds; fractional frames
+    # need the SQL form
+    frame = "OVER (ORDER BY k RANGE BETWEEN 2.5 PRECEDING AND CURRENT ROW)"
+    exp2 = dff.select(
+        "id",
+        F.expr(f"sum(v) {frame}").alias("s"),
+        F.expr(f"CAST(count(*) {frame} AS BIGINT)").alias("n"),
+    )
+    assert got2.select("id", "s", "n").exceptAll(exp2).count() == 0
+    assert exp2.exceptAll(got2.select("id", "s", "n")).count() == 0
