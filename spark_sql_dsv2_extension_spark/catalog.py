@@ -920,10 +920,18 @@ def _unquote_prop(tok: str) -> str:
     return tok.strip()
 
 
+def _is_quoted_prop(tok: str) -> bool:
+    return len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\""
+
+
 def _parse_props(text: str) -> dict[str, str]:
     """Parse a TBLPROPERTIES list: 'k' = 'v' pairs (quotes optional).
 
-    Quote-aware: values may contain commas/equals when quoted.
+    Quote-aware: values may contain commas/equals when quoted. An
+    UNQUOTED value containing '=' (``k = a=b``) keeps the pre-round-5
+    lenient ``split('=', 1)`` semantics: tokens coalesce into the value
+    until the next ',' or end of list (round-6 ADVICE — the round-5
+    tokenizer silently truncated such pairs at the inner '=').
     """
     toks = [t for t in _PROP_TOKEN_RE.findall(text) if t.strip()]
     props: dict[str, str] = {}
@@ -933,8 +941,18 @@ def _parse_props(text: str) -> dict[str, str]:
             i += 1
             continue
         if i + 2 < len(toks) and toks[i + 1] == "=":
-            props[_unquote_prop(toks[i])] = _unquote_prop(toks[i + 2])
-            i += 3
+            key = _unquote_prop(toks[i])
+            if _is_quoted_prop(toks[i + 2]):
+                props[key] = _unquote_prop(toks[i + 2])
+                i += 3
+            else:
+                j = i + 3
+                val = [toks[i + 2]]
+                while j < len(toks) and toks[j] != ",":
+                    val.append(toks[j])
+                    j += 1
+                props[key] = "".join(val).strip()
+                i = j
         else:  # malformed tail — keep old lenient behavior, skip token
             i += 1
     return props

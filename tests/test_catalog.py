@@ -776,4 +776,8 @@ def test_parse_props_quote_aware():
     assert _parse_props("'expr'='x=y'") == {"expr": "x=y"}
     assert _parse_props("'q' = 'it''s'") == {"q": "it's"}
     assert _parse_props("plain = value") == {"plain": "value"}
+    # unquoted value containing '=' keeps the lenient split('=', 1)
+    # semantics (round-6 ADVICE: the r5 tokenizer truncated this pair)
+    assert _parse_props("k = a=b") == {"k": "a=b"}
+    assert _parse_props("k = a=b, 'x' = 'y'") == {"k": "a=b", "x": "y"}
     assert _parse_props("") == {}
