@@ -883,6 +883,18 @@ def test_ecdf_prefix_sums_are_distributed(spark, sf_dir):
             assert "_qpid" in m.group(1), f"{key}: unpartitioned prefix sum"
 
 
+def test_win_range_frame_is_banded_join_no_window(spark, sf_dir):
+    """win_range_frame (round-6 rewrite) must plan as per-key aggregates
+    + banded bucket equi-joins: NO window node at all (the RANGE frame
+    collapsed to arithmetic), no cartesian, and the frame-table join back
+    onto part is an equi-join on p_size."""
+    df = SPECS["win_range_frame"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "windowspecdefinition" not in plan, plan[:1500]
+    assert not has_cartesian(df)
+    assert "HashAggregate" in plan  # per-distinct-size partial aggregates
+
+
 def test_sort_multi_dir_rank_is_distributed(spark, sf_dir):
     """The §2B multi-dir sort demo ranks through distributed_row_number;
     the only sort of the full customer table is the final parallel range
@@ -950,6 +962,34 @@ def test_no_unpartitioned_window_outside_allowlist(spark, sf_dir):
         if offs:
             offenders[key] = offs
     assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+# Keys that legitimately plan a row-at-a-time Python eval: the two keys
+# whose PURPOSE is to exercise that API surface (SURVEY §2B udf rows).
+# Every other Python boundary in the inventory must be Arrow-batched
+# (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+_ROW_UDF_ALLOWLIST = {
+    "udf_python_scalar",  # the row-UDF API demo key itself
+    "udtf_python",        # Python UDTFs are row-based by API design
+}
+
+
+def test_no_row_python_udf_outside_demo_keys(spark, sf_dir):
+    """Inventory-wide 100 TB guardrail (round 6): row-at-a-time Python
+    UDFs (BatchEvalPython nodes — ~10-100x slower than Arrow-batched
+    pandas UDFs) may appear ONLY in the two API-demo keys. A new key
+    failing here should use @pandas_udf / mapInPandas instead."""
+    offenders = {}
+    for key, spec in SPECS.items():
+        if key in _ROW_UDF_ALLOWLIST:
+            continue
+        try:
+            plan = physical_plan(spec.fn(spark, sf_dir))
+        except Exception:
+            continue  # non-batch keys (streaming fixtures) are exempt
+        if "BatchEvalPython" in plan:
+            offenders[key] = True
+    assert not offenders, f"row-at-a-time Python UDFs: {sorted(offenders)}"
 
 
 def test_unpartitioned_window_checker_catches_aggregates(spark, sf_dir):
