@@ -115,6 +115,8 @@ EXTENDED = [
     "ext_behavior_similarity",
     "ext_retrieval_auc",
     "ext_psm_nearest_match",
+    # round-6 conversion: RANGE frame as banded bucket equi-join
+    "win_range_frame",
 ]
 
 
