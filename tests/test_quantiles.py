@@ -189,3 +189,29 @@ def test_distributed_range_sum_matches_native_window(spark):
     )
     assert got2.select("id", "s", "n").exceptAll(exp2).count() == 0
     assert exp2.exceptAll(got2.select("id", "s", "n")).count() == 0
+
+
+def test_distributed_range_sum_negative_keys_and_widths(spark):
+    """Banded bucketing must hold for negative order keys (floor(k/delta)
+    is negative-correct, unlike integer div) and for several frame widths,
+    including delta == 1 (adjacent-bucket frames) and a width larger than
+    the key domain (every row in frame)."""
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_range_sum,
+    )
+
+    rnd = random.Random(13)
+    rows = [
+        (i, rnd.randint(-40, 40), rnd.randint(1, 99)) for i in range(5003)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, k BIGINT, v BIGINT")
+    for delta in (1, 7, 200):
+        got = distributed_range_sum(df, "k", delta, {"s": "v"}, count_out="n")
+        w = Window.orderBy("k").rangeBetween(-delta, 0)
+        exp = df.select(
+            "id",
+            F.sum("v").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        )
+        assert got.select("id", "s", "n").exceptAll(exp).count() == 0, delta
+        assert exp.exceptAll(got.select("id", "s", "n")).count() == 0, delta
