@@ -883,6 +883,37 @@ def test_ecdf_prefix_sums_are_distributed(spark, sf_dir):
             assert "_qpid" in m.group(1), f"{key}: unpartitioned prefix sum"
 
 
+def test_round6_window_keys_plan_shapes(spark, sf_dir):
+    """Bespoke audits for the scale-critical round-6 driver-window keys
+    (the inventory guardrails already cover their window/UDF hygiene;
+    these pin the join/exchange strategy each key's docstring promises)."""
+    # mutual-kNN pairs: the pair relation comes from an equi-join (SMJ or
+    # BHJ), never a cartesian, and both rank windows partition by the
+    # anchor vector id
+    p = physical_plan(SPECS["ext_mutual_knn_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p)
+    assert "windowspecdefinition(u" in p  # partitioned by anchor id
+    # rolling regression: one hash exchange, window partitioned by user
+    df = SPECS["win_rolling_regression"].fn(spark, sf_dir)
+    p = physical_plan(df)
+    assert "windowspecdefinition(user_id" in p
+    assert count_exchanges(df) <= 1, p
+    # split leakage: every fingerprint/membership join broadcasts or
+    # hash-joins — no nested-loop between data-sized sides
+    df = SPECS["ext_split_leakage"].fn(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert has_broadcast_hash_join(df)
+    # z-order layout: bit interleaving is map-side arithmetic; the only
+    # shuffle is the helper's range exchange
+    df = SPECS["ext_zorder_layout"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 2, physical_plan(df)
+    # label centroids: one hash shuffle (groupBy label), map-side partials
+    df = SPECS["ext_label_centroids"].fn(spark, sf_dir)
+    p = physical_plan(df)
+    assert count_exchanges(df) <= 1 and p.count("HashAggregate") >= 2, p
+
+
 def test_win_range_frame_is_banded_join_no_window(spark, sf_dir):
     """win_range_frame (round-6 rewrite) must plan as per-key aggregates
     + banded bucket equi-joins: NO window node at all (the RANGE frame
@@ -962,6 +993,26 @@ def test_no_unpartitioned_window_outside_allowlist(spark, sf_dir):
         if offs:
             offenders[key] = offs
     assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Inventory-wide 100 TB guardrail (round 6): NO registered key may
+    plan a CartesianProduct — the non-broadcast cross join of two
+    data-sized sides, quadratic shuffle IO at scale. (BroadcastNestedLoop
+    is deliberately NOT checked here: a no-condition broadcast of a 1-row
+    aggregate — the 'attach a broadcast scalar' pattern — plans as BNLJ
+    and is benign; ~98 keys use it. The cross-join API demo `join_cross`
+    also resolves to a broadcast nested loop, never CartesianProduct, at
+    every tested sf.)"""
+    offenders = []
+    for key, spec in SPECS.items():
+        try:
+            plan = physical_plan(spec.fn(spark, sf_dir))
+        except Exception:
+            continue  # non-batch keys (streaming fixtures) are exempt
+        if "CartesianProduct" in plan:
+            offenders.append(key)
+    assert not offenders, f"CartesianProduct in: {sorted(offenders)}"
 
 
 # Keys that legitimately plan a row-at-a-time Python eval: the two keys
