@@ -501,12 +501,12 @@ def ext_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
     )
-    grams = (
-        seq.filter(F.col("nxt").isNotNull())
-        .select(
-            "user_id", F.concat_ws(">", "event_type", "nxt").alias("g")
-        )
-        .distinct()
+    # no .distinct() here: collect_set below dedups per user anyway, and
+    # the extra (user_id, g) exchange would break the user_id partitioning
+    # reuse between the lead() window and the groupBy (round-6 perf fix —
+    # one full-width shuffle of the grams relation removed)
+    grams = seq.filter(F.col("nxt").isNotNull()).select(
+        "user_id", F.concat_ws(">", "event_type", "nxt").alias("g")
     )
     # users → profile key (hash of the sorted gram set)
     prof = grams.groupBy("user_id").agg(
