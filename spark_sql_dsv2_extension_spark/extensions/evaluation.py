@@ -1644,12 +1644,15 @@ def ext_coverage_maximization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt.cache()
     cov = None
-    excl = None
     out = None
     for r in range(1, COVERAGE_ROUNDS + 1):
+        # No explicit selected-doc exclusion is needed (round-6 perf fix):
+        # a selected doc's ENTIRE bigram set joins `cov`, so the w
+        # anti-join removes every one of its rows and it can never
+        # reappear in `marg` — the old per-round excl relation cost an
+        # eager checkpoint job plus an anti-join for a filter that was
+        # provably a no-op.
         cand = dt if cov is None else dt.join(cov, "w", "left_anti")
-        if excl is not None:
-            cand = cand.join(excl, "doc_id", "left_anti")
         marg = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
         s = (
             marg.orderBy(F.desc("c"), "doc_id")
@@ -1659,11 +1662,6 @@ def ext_coverage_maximization(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_cov = dt.join(s.select("doc_id"), "doc_id").select("w").distinct()
         cov = (
             new_cov if cov is None else cov.union(new_cov).distinct()
-        ).localCheckpoint(eager=True)
-        excl = (
-            s.select("doc_id")
-            if excl is None
-            else excl.union(s.select("doc_id"))
         ).localCheckpoint(eager=True)
         row = (
             s.select(

@@ -69,21 +69,30 @@ _loaded = False
 #
 # ROUND-6 ROTATION (applied this round, after CORRECTNESS_r05 came back
 # 50/50 green): the r5 window (ext_ndcg_eval..ext_als_rank1) rotated
-# behind the queue; the round-6 window is 4 STALE-ROW RE-FRONTS — keys
-# whose green driver row predates a later rewrite: sort_multi_dir /
+# behind the queue; the round-6 window is 7 STALE-ROW RE-FRONTS — keys
+# whose green driver row predates a later change: sort_multi_dir /
 # ext_behavior_similarity / ext_conversion_deciles (rewritten r5, r6
-# verdict ask #1) and win_range_frame (rewritten THIS round onto
-# distributed_range_sum) — followed by the next 46 queued keys.
+# verdict ask #1), win_range_frame (rewritten THIS round onto
+# distributed_range_sum), ext_coverage_maximization (r6 perf rewrite:
+# redundant excl anti-join removed), and ext_file_skip_effectiveness /
+# ext_knee_point (their r5 rows predate the r6 ntile_from_rank
+# integer-arithmetic change, which alters their plans; the other
+# ntile/running-sum callers are either already in this window or not
+# yet verified) — followed by the next 43 queued keys. Zero stale rows
+# is worth the 4-slot cost vs the verdict's >=295 cumulative target.
 # Registration of NET-NEW keys remains FROZEN until the driver backlog
 # is below 100 (round-4 verdict ask #2) — only bug-driven additions are
 # allowed, inserted right after the current 50-key window. Every queued
 # key passes the full-inventory oracle sweeps run each session.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-6 window: 4 stale-row re-fronts + next 46 queued keys ---
+    # --- round-6 window: 7 stale-row re-fronts + next 43 queued keys ---
     "sort_multi_dir",
     "ext_behavior_similarity",
     "ext_conversion_deciles",
     "win_range_frame",
+    "ext_coverage_maximization",
+    "ext_file_skip_effectiveness",
+    "ext_knee_point",
     "ext_quantile_treatment_effect",
     "win_rolling_regression",
     "join_multi_exists_onepass",
@@ -269,7 +278,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_doc_prefix_dedup",
     "ext_ngram_overlap_diversity",
     "ext_neyman_allocation",
-    "ext_file_skip_effectiveness",
     "win_cumulative_distinct",
     "ext_output_file_planner",
     "ext_mann_whitney_u",
@@ -286,7 +294,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_string_extras",
     "ext_ann_recall_curve",
     "ext_kaplan_meier_retention",
-    "ext_coverage_maximization",
     "ext_entropy_rate_markov",
     "ext_theil_sen_slope",
     "ext_multimodal_aspect_buckets",
@@ -299,7 +306,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_shapley_attribution",
     "ext_link_prediction_jaccard",
     "ext_ucb_ranking",
-    "ext_knee_point",
     "ext_equidepth_histogram",
     "ext_functional_dependency",
     "ext_ablation_leave_one_source",
