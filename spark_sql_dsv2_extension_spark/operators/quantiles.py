@@ -270,7 +270,12 @@ def distributed_range_sum(
         F.count(F.lit(1)).alias("_qvc"),
     )
     bucket = F.floor(k.cast("double") / F.lit(delta)).cast("long")
-    g = g.withColumn("_qb", bucket)
+    # pin ONE materialization of the per-key aggregate: the probe and
+    # candidate branches below both read it, and without the checkpoint
+    # Catalyst re-executes the scan+aggregate subtree per branch (no
+    # ReusedExchange across the differing projections). Lazy, so bench
+    # timings still charge the materialization to the query.
+    g = g.withColumn("_qb", bucket).localCheckpoint(eager=False)
     probes = g.select(
         k.alias("_qtk"),
         F.explode(
