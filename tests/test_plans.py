@@ -914,6 +914,50 @@ def test_round6_window_keys_plan_shapes(spark, sf_dir):
     assert count_exchanges(df) <= 1 and p.count("HashAggregate") >= 2, p
 
 
+# Shuffle budgets for the round-6 window keys without bespoke audits:
+# census of the healthy plans (2026-08-14) plus slack 2 for AQE/stats
+# drift. A failure means a rewrite silently added exchanges — the
+# scale cost the census was taken to pin. (Windows/UDF/cartesian hygiene
+# for the same keys is covered by the inventory-wide guardrails.)
+_EXCHANGE_BUDGETS = {
+    "ext_quantile_treatment_effect": 6,
+    "ext_sliding_active_users": 7,
+    "ext_cross_correlation_lags": 5,
+    "ext_share_of_parent": 6,
+    "ext_dedup_threshold_curve": 8,
+    "ext_sample_representativeness": 6,
+    "ext_chi2_terms": 3,
+    "ext_log_odds_terms": 4,
+    "ext_tokenizer_fertility": 3,
+    "ext_user_trend_slope": 3,
+    "ext_acf_daily": 5,
+    "ext_interarrival_stats": 4,
+    "ext_effective_sample_size": 3,
+    "ext_source_cap": 3,
+    "agg_hll_native_union": 4,
+    "ext_readability": 0,   # map-side only: any exchange is a regression
+    "ext_kanonymity_audit": 3,
+    "ext_winsorized_stats": 4,
+    "ext_schema_profile": 6,
+    "ext_ewma_events": 3,
+    "ext_bpe_apply_merge": 5,
+    "ext_silhouette_labels": 6,
+    # static plan re-reads cached minhash branches; runtime collapses via
+    # .cache() — budget bounds the PLANNED width
+    "ext_dup_transitivity_audit": 40,
+}
+
+
+def test_round6_window_exchange_budgets(spark, sf_dir):
+    over = {}
+    for key, budget in _EXCHANGE_BUDGETS.items():
+        df = SPECS[key].fn(spark, sf_dir)
+        n = count_exchanges(df)
+        if n > budget:
+            over[key] = (n, budget)
+    assert not over, f"exchange budget exceeded (got, budget): {over}"
+
+
 def test_win_range_frame_is_banded_join_no_window(spark, sf_dir):
     """win_range_frame (round-6 rewrite) must plan as per-key aggregates
     + banded bucket equi-joins: NO window node at all (the RANGE frame
