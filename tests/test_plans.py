@@ -945,10 +945,58 @@ _EXCHANGE_BUDGETS = {
     # static plan re-reads cached minhash branches; runtime collapses via
     # .cache() — budget bounds the PLANNED width
     "ext_dup_transitivity_audit": 40,
+    # --- round-7 window heads (censused 2026-08-14, same +2 slack) ---
+    "ext_embedding_outliers": 4,
+    "ext_mutual_knn_pairs": 6,
+    "ext_zorder_layout": 3,
+    "ext_feature_hashing": 3,
+    "ext_target_encoding_loo": 3,
+    "ext_weighted_sample_aes": 2,
+    "ext_group_kfold": 4,
+    "ext_multimodal_payload_dedup": 3,
+    "ext_multimodal_shard_pack": 4,
+    "fn_interval_arith": 2,
+    "ext_ctr_wilson": 3,
+    "ext_jackknife_blocks": 4,
+    "ext_ks_two_sample": 5,
+    "ext_holdout_lm_eval": 5,
+    "ext_sequential_patterns": 4,
+    "ext_source_vocab_overlap": 9,
+    "ext_rake_keyphrases": 8,
+    "ext_embedding_whitening": 3,
+    "ext_churn_labels": 3,
+    "ext_extractive_summary": 8,
+    "ext_kmv_intersection": 14,
+    "ext_power_analysis": 3,
+    "ext_did_estimate": 7,
+    "ext_wasserstein_1d": 10,
+    "ext_gini_concentration": 4,
+    "ext_mutual_information": 9,
+    "ext_simpson_diversity": 3,
+    "ext_sample_k_per_group": 3,
+    "ext_mad_outliers": 2,
+    "ext_seasonal_profile": 5,
+    "ext_join_cardinality_estimate": 6,
+    "ext_classifier_metrics": 9,
+    "ext_epoch_shuffle_plan": 3,
+    "ext_learning_curve_subsets": 3,
+    "ext_repetition_clip": 4,
+    "ext_retrieval_auc": 4,
+    "ext_zipf_fit": 4,
+    "ext_burstiness_fano": 4,
+    "ext_heaps_law_points": 4,
+    "ext_good_turing": 6,
+    "scan_union_multiformat": 3,
+    "ext_knn_lsh_multiprobe": 4,
+    "ext_run_length_stats": 3,
+    "ext_freshness_lag": 4,
+    "ext_first_touch_attribution": 3,
+    # iterative wedge joins over cached edge branches: planned width only
+    "ext_triangle_count": 55,
 }
 
 
-def test_round6_window_exchange_budgets(spark, sf_dir):
+def test_driver_window_exchange_budgets(spark, sf_dir):
     over = {}
     for key, budget in _EXCHANGE_BUDGETS.items():
         df = SPECS[key].fn(spark, sf_dir)
