@@ -242,12 +242,17 @@ def compare(path_a: str, path_b: str) -> None:
     ta, tb = sum(qa[k] for k in shared), sum(qb[k] for k in shared)
     print(f"shared keys: {len(shared)}  total {ta:.2f}s -> {tb:.2f}s "
           f"({tb / ta:.3f}x)" if ta else "no shared keys")
-    worst = sorted(shared, key=lambda k: -(qb[k] / qa[k] if qa[k] else 0))[:8]
+    def ratio(k: str) -> float:
+        # timings are round(.,4): a sub-0.05 ms key can record 0.0. A
+        # 0 -> positive shift ranks as inf (worst) so the report surfaces
+        # it instead of burying it at rank 0 and crashing on print.
+        if qa[k]:
+            return qb[k] / qa[k]
+        return float("inf") if qb[k] else 1.0
+
+    worst = sorted(shared, key=lambda k: -ratio(k))[:8]
     for k in worst:
-        # guard like the sort key: timings are round(.,4), so a sub-0.05 ms
-        # key can record 0.0 and must not crash the report
-        ratio = qb[k] / qa[k] if qa[k] else float("inf")
-        print(f"  {qa[k]:7.3f} -> {qb[k]:7.3f}  {ratio:5.2f}x  {k}")
+        print(f"  {qa[k]:7.3f} -> {qb[k]:7.3f}  {ratio(k):5.2f}x  {k}")
 
 
 if __name__ == "__main__":

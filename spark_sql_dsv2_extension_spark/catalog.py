@@ -913,15 +913,15 @@ _PROP_TOKEN_RE = re.compile(
 )
 
 
+def _is_quoted_prop(tok: str) -> bool:
+    return len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\""
+
+
 def _unquote_prop(tok: str) -> str:
-    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+    if _is_quoted_prop(tok):
         inner = tok[1:-1]
         return inner.replace("''", "'") if tok[0] == "'" else inner
     return tok.strip()
-
-
-def _is_quoted_prop(tok: str) -> bool:
-    return len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\""
 
 
 def _parse_props(text: str) -> dict[str, str]:
@@ -929,29 +929,41 @@ def _parse_props(text: str) -> dict[str, str]:
 
     Quote-aware: values may contain commas/equals when quoted. An
     UNQUOTED value containing '=' (``k = a=b``) keeps the pre-round-5
-    lenient ``split('=', 1)`` semantics: tokens coalesce into the value
-    until the next ',' or end of list (round-6 ADVICE — the round-5
-    tokenizer silently truncated such pairs at the inner '=').
+    lenient ``split('=', 1)`` semantics — the value is the ORIGINAL
+    source text from the first value token to the next top-level comma
+    (round-6 ADVICE + review: slicing the source preserves inner
+    whitespace exactly and keeps quoted tokens inside the run verbatim,
+    where token re-joining corrupted both).
     """
-    toks = [t for t in _PROP_TOKEN_RE.findall(text) if t.strip()]
+    toks = [
+        (m.group(0), m.start(), m.end())
+        for m in _PROP_TOKEN_RE.finditer(text)
+        if m.group(0).strip()
+    ]
     props: dict[str, str] = {}
     i = 0
     while i < len(toks):
-        if toks[i] == ",":
+        if toks[i][0] == ",":
             i += 1
             continue
-        if i + 2 < len(toks) and toks[i + 1] == "=":
-            key = _unquote_prop(toks[i])
-            if _is_quoted_prop(toks[i + 2]):
-                props[key] = _unquote_prop(toks[i + 2])
+        if i + 2 < len(toks) and toks[i + 1][0] == "=":
+            key = _unquote_prop(toks[i][0])
+            val_tok = toks[i + 2][0]
+            # a quoted value followed by a separator (or end) is the
+            # strict, canonical form
+            if _is_quoted_prop(val_tok) and (
+                i + 3 >= len(toks) or toks[i + 3][0] == ","
+            ):
+                props[key] = _unquote_prop(val_tok)
                 i += 3
             else:
+                # lenient run: slice the source text up to the next
+                # top-level comma token
                 j = i + 3
-                val = [toks[i + 2]]
-                while j < len(toks) and toks[j] != ",":
-                    val.append(toks[j])
+                while j < len(toks) and toks[j][0] != ",":
                     j += 1
-                props[key] = "".join(val).strip()
+                end = toks[j][1] if j < len(toks) else len(text)
+                props[key] = text[toks[i + 2][1]:end].strip()
                 i = j
         else:  # malformed tail — keep old lenient behavior, skip token
             i += 1

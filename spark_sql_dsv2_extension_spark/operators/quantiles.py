@@ -260,29 +260,56 @@ def distributed_range_sum(
     exactly; pass integer-scaled values for float data, per the repo
     convention). ``count_out`` adds the frame's COUNT(*). Returns ``df``
     with the new columns appended.
+
+    NULL order keys get the native window's semantics: NULL rows are one
+    peer group whose frame is exactly the NULL rows (Spark sorts NULLS
+    FIRST; no non-null key is within any distance of NULL), handled on a
+    separate broadcast branch rather than silently dropped by the bucket
+    equi-join.
+
+    Exactness: for INTEGRAL keys with an integral ``delta`` the bucket id
+    is exact long floor-division at any magnitude; fractional keys/deltas
+    go through double floor(k/delta), whose worst-case one-ulp shift is
+    absorbed by the extra probe bucket — but keys above ~2^52/delta lose
+    integer resolution in the cast and should be rescaled first.
     """
+    if not float(delta) > 0:
+        raise ValueError(f"distributed_range_sum: delta must be > 0, got {delta}")
     k = F.col(order_col)
     exprs = {
         o: (F.col(v) if isinstance(v, str) else v) for o, v in sums.items()
     }
+    key_type = df.select(order_col).schema.fields[0].dataType.typeName()
+    integral = key_type in ("byte", "short", "integer", "long")
     g = df.groupBy(order_col).agg(
         *[F.sum(v).alias(f"_qv_{o}") for o, v in exprs.items()],
         F.count(F.lit(1)).alias("_qvc"),
     )
-    bucket = F.floor(k.cast("double") / F.lit(delta)).cast("long")
+    if integral and float(delta) == int(delta):
+        d_int = int(delta)
+        # exact long floor-division (div truncates toward zero; adjust
+        # negative non-multiples down by one)
+        bucket = F.expr(
+            f"CAST({order_col} AS BIGINT) div {d_int}"
+            f" - CASE WHEN {order_col} % {d_int} != 0"
+            f" AND {order_col} < 0 THEN 1 ELSE 0 END"
+        ).cast("long")
+    else:
+        bucket = F.floor(k.cast("double") / F.lit(delta)).cast("long")
     # pin ONE materialization of the per-key aggregate: the probe and
     # candidate branches below both read it, and without the checkpoint
     # Catalyst re-executes the scan+aggregate subtree per branch (no
     # ReusedExchange across the differing projections). Lazy, so bench
     # timings still charge the materialization to the query.
     g = g.withColumn("_qb", bucket).localCheckpoint(eager=False)
-    probes = g.select(
+    nn = g.filter(k.isNotNull())
+    probes = nn.select(
         k.alias("_qtk"),
         F.explode(
             F.array(F.col("_qb") - 2, F.col("_qb") - 1, F.col("_qb"))
         ).alias("_qpb"),
     )
-    cand = g.select(
+    cand = nn.select(
         k.alias("_qck"),
         F.col("_qb").alias("_qcb"),
         *[F.col(f"_qv_{o}") for o in exprs],
@@ -301,7 +328,17 @@ def distributed_range_sum(
             F.sum("_qvc").cast("long").alias("_qsc"),
         )
     )
-    out = df.join(frame, k == F.col("_qtk"))
+    # NULL peer group: its frame is exactly the NULL rows (no non-null
+    # key is within any distance of NULL) — one pre-aggregated row,
+    # unioned into the frame table; the join back is null-safe so these
+    # base rows are kept, matching the native window
+    null_frame = g.filter(k.isNull()).select(
+        k.alias("_qtk"),
+        *[F.col(f"_qv_{o}").alias(f"_qs_{o}") for o in exprs],
+        F.col("_qvc").cast("long").alias("_qsc"),
+    )
+    frame = frame.unionByName(null_frame)
+    out = df.join(frame, k.eqNullSafe(F.col("_qtk")))
     for o in exprs:
         out = out.withColumn(o, F.col(f"_qs_{o}"))
     if count_out is not None:

@@ -777,7 +777,12 @@ def test_parse_props_quote_aware():
     assert _parse_props("'q' = 'it''s'") == {"q": "it's"}
     assert _parse_props("plain = value") == {"plain": "value"}
     # unquoted value containing '=' keeps the lenient split('=', 1)
-    # semantics (round-6 ADVICE: the r5 tokenizer truncated this pair)
+    # semantics (round-6 ADVICE: the r5 tokenizer truncated this pair);
+    # source-slicing preserves inner whitespace and embedded quoted
+    # tokens verbatim (round-6 review)
     assert _parse_props("k = a=b") == {"k": "a=b"}
     assert _parse_props("k = a=b, 'x' = 'y'") == {"k": "a=b", "x": "y"}
+    assert _parse_props("k = a = b") == {"k": "a = b"}
+    assert _parse_props("k = 'a' = b") == {"k": "'a' = b"}
+    assert _parse_props("k = a = b, 'x' = 'y'") == {"k": "a = b", "x": "y"}
     assert _parse_props("") == {}

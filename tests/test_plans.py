@@ -996,11 +996,33 @@ _EXCHANGE_BUDGETS = {
 }
 
 
+# One shared plan sweep for the inventory-wide guardrails below: Catalyst
+# analysis/optimization for 425 keys is the dominant cost of these tests,
+# so compute each key's physical plan ONCE per session and let every
+# guardrail run its string checks against the memo (round-6 review:
+# the three guardrails + the budget audit were each re-planning the
+# full registry independently).
+_PLAN_MEMO: dict[str, str] = {}
+
+
+def _all_plans(spark, sf_dir) -> dict[str, str]:
+    if not _PLAN_MEMO:
+        for key, spec in SPECS.items():
+            try:
+                _PLAN_MEMO[key] = physical_plan(spec.fn(spark, sf_dir))
+            except Exception:
+                continue  # non-batch keys (streaming fixtures) are exempt
+    return _PLAN_MEMO
+
+
 def test_driver_window_exchange_budgets(spark, sf_dir):
+    plans = _all_plans(spark, sf_dir)
     over = {}
     for key, budget in _EXCHANGE_BUDGETS.items():
-        df = SPECS[key].fn(spark, sf_dir)
-        n = count_exchanges(df)
+        p = plans[key]
+        n = p.count("Exchange hashpartitioning") + p.count(
+            "Exchange rangepartitioning"
+        )
         if n > budget:
             over[key] = (n, budget)
     assert not over, f"exchange budget exceeded (got, budget): {over}"
@@ -1074,13 +1096,9 @@ def test_no_unpartitioned_window_outside_allowlist(spark, sf_dir):
     the distributed helpers (operators/quantiles.py), an orderBy().limit()
     before the window, or an allowlist entry explaining the bound."""
     offenders = {}
-    for key, spec in SPECS.items():
+    for key, plan in _all_plans(spark, sf_dir).items():
         if key in _BOUNDED_WINDOW_ALLOWLIST:
             continue
-        try:
-            plan = physical_plan(spec.fn(spark, sf_dir))
-        except Exception:
-            continue  # non-batch keys (streaming fixtures) are exempt
         offs = unpartitioned_windows(plan)
         if offs:
             offenders[key] = offs
@@ -1096,14 +1114,11 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     and is benign; ~98 keys use it. The cross-join API demo `join_cross`
     also resolves to a broadcast nested loop, never CartesianProduct, at
     every tested sf.)"""
-    offenders = []
-    for key, spec in SPECS.items():
-        try:
-            plan = physical_plan(spec.fn(spark, sf_dir))
-        except Exception:
-            continue  # non-batch keys (streaming fixtures) are exempt
-        if "CartesianProduct" in plan:
-            offenders.append(key)
+    offenders = [
+        key
+        for key, plan in _all_plans(spark, sf_dir).items()
+        if "CartesianProduct" in plan
+    ]
     assert not offenders, f"CartesianProduct in: {sorted(offenders)}"
 
 
@@ -1122,16 +1137,11 @@ def test_no_row_python_udf_outside_demo_keys(spark, sf_dir):
     UDFs (BatchEvalPython nodes — ~10-100x slower than Arrow-batched
     pandas UDFs) may appear ONLY in the two API-demo keys. A new key
     failing here should use @pandas_udf / mapInPandas instead."""
-    offenders = {}
-    for key, spec in SPECS.items():
-        if key in _ROW_UDF_ALLOWLIST:
-            continue
-        try:
-            plan = physical_plan(spec.fn(spark, sf_dir))
-        except Exception:
-            continue  # non-batch keys (streaming fixtures) are exempt
-        if "BatchEvalPython" in plan:
-            offenders[key] = True
+    offenders = [
+        key
+        for key, plan in _all_plans(spark, sf_dir).items()
+        if key not in _ROW_UDF_ALLOWLIST and "BatchEvalPython" in plan
+    ]
     assert not offenders, f"row-at-a-time Python UDFs: {sorted(offenders)}"
 
 

@@ -191,6 +191,38 @@ def test_distributed_range_sum_matches_native_window(spark):
     assert exp2.exceptAll(got2.select("id", "s", "n")).count() == 0
 
 
+def test_distributed_range_sum_null_keys_match_native(spark):
+    """Rows with a NULL order key are one peer group whose frame is
+    exactly the NULL rows — they must be KEPT with the native window's
+    results, not dropped by the bucket equi-join (round-6 review
+    finding). Also guards delta<=0 rejection."""
+    import pytest
+
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_range_sum,
+    )
+
+    rnd = random.Random(17)
+    rows = [
+        (i, None if rnd.random() < 0.1 else rnd.randint(0, 30),
+         rnd.randint(1, 50))
+        for i in range(3001)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, k BIGINT, v BIGINT")
+    got = distributed_range_sum(df, "k", 5, {"s": "v"}, count_out="n")
+    assert got.count() == 3001  # nothing dropped
+    w = Window.orderBy("k").rangeBetween(-5, 0)
+    exp = df.select(
+        "id",
+        F.sum("v").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+    )
+    assert got.select("id", "s", "n").exceptAll(exp).count() == 0
+    assert exp.exceptAll(got.select("id", "s", "n")).count() == 0
+    with pytest.raises(ValueError, match="delta"):
+        distributed_range_sum(df, "k", 0, {"s": "v"})
+
+
 def test_distributed_range_sum_negative_keys_and_widths(spark):
     """Banded bucketing must hold for negative order keys (floor(k/delta)
     is negative-correct, unlike integer div) and for several frame widths,
