@@ -1008,10 +1008,17 @@ _PLAN_MEMO: dict[str, str] = {}
 def _all_plans(spark, sf_dir) -> dict[str, str]:
     if not _PLAN_MEMO:
         for key, spec in SPECS.items():
+            # cache state changes plan text (cached subtrees lose
+            # ReusedExchange and re-expand per reference), which made
+            # exchange counts depend on which tests ran earlier in the
+            # session; clearing per key pins each plan to its own
+            # fn-internal caches only — deterministic in any test order
+            spark.catalog.clearCache()
             try:
                 _PLAN_MEMO[key] = physical_plan(spec.fn(spark, sf_dir))
             except Exception:
                 continue  # non-batch keys (streaming fixtures) are exempt
+        spark.catalog.clearCache()
     return _PLAN_MEMO
 
 
