@@ -531,3 +531,25 @@ def test_parse_props_roundtrip(pairs):
         f"'{k}' = '{v.replace(chr(39), chr(39) * 2)}'" for k, v in pairs.items()
     )
     assert _parse_props(text) == pairs
+
+
+@given(pairs=st.dictionaries(
+    st.text(alphabet=st.sampled_from(list("abcxyz._-")), min_size=1, max_size=8),
+    st.text(
+        # unquoted lenient values: no commas (pair separator) or quotes,
+        # but '=' and inner spaces are fair game (round-6 lenient path)
+        alphabet=st.sampled_from(list("abc= xyz0._-")), min_size=1, max_size=12
+    ).filter(lambda v: v.strip() and not v.strip().startswith("=")),
+    min_size=1,
+    max_size=5,
+))
+@settings(max_examples=60, deadline=None)
+def test_parse_props_lenient_unquoted(pairs):
+    """The lenient UNQUOTED-value path must reproduce split('=', 1)
+    semantics verbatim: the value is the source text from the first value
+    character to the next comma, stripped — inner '=' and spacing
+    preserved (round-6 ADVICE + review)."""
+    from spark_sql_dsv2_extension_spark.catalog import _parse_props
+
+    text = ", ".join(f"{k} = {v}" for k, v in pairs.items())
+    assert _parse_props(text) == {k: v.strip() for k, v in pairs.items()}
