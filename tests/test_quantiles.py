@@ -191,6 +191,73 @@ def test_distributed_range_sum_matches_native_window(spark):
     assert exp2.exceptAll(got2.select("id", "s", "n")).count() == 0
 
 
+def test_helpers_null_order_keys_match_native(spark):
+    """NULL order keys through the rank/ntile/fill/running-sum helpers:
+    repartitionByRange and the in-partition windows both sort NULLS
+    FIRST, so results must be bit-identical to the native unpartitioned
+    windows (which do the same). Guards the class of silent-divergence
+    bug found in distributed_range_sum during the round-6 review."""
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_fill,
+        distributed_ntile,
+        distributed_row_number,
+        distributed_running_sum,
+    )
+
+    rnd = random.Random(23)
+    rows = [
+        (i, None if rnd.random() < 0.15 else rnd.randint(0, 25),
+         rnd.randint(1, 9))
+        for i in range(4001)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, s BIGINT, v BIGINT")
+    order = ["s", "id"]  # id tie-break keeps the order total despite NULLs
+    # row_number
+    got = distributed_row_number(df, order, rn="r")
+    exp = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert got.select("id", "r").exceptAll(exp.select("id", "r")).count() == 0
+    # ntile
+    gotn = distributed_ntile(df, order, 7, out="b")
+    expn = df.withColumn("b", F.ntile(7).over(Window.orderBy(*order)))
+    assert gotn.select("id", "b").exceptAll(expn.select("id", "b")).count() == 0
+    # forward fill over a value that is NULL whenever s is NULL
+    val = F.when(F.col("s").isNotNull(), F.col("v"))
+    gotf = distributed_fill(df, order, val, out_prev="p")
+    wp = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expf = df.select("id", F.last(val, ignorenulls=True).over(wp).alias("p"))
+    assert gotf.select("id", "p").exceptAll(expf).count() == 0
+    assert expf.exceptAll(gotf.select("id", "p")).count() == 0
+    # running sum (ROWS frame: NULL keys sort first, ties broken by id)
+    gots = distributed_running_sum(df, order, "v", out="c")
+    exps = df.select("id", F.sum("v").over(wp).cast("long").alias("c"))
+    assert gots.select("id", "c").exceptAll(exps).count() == 0
+    assert exps.exceptAll(gots.select("id", "c")).count() == 0
+
+
+def test_helpers_empty_input(spark):
+    """Zero-row inputs must come back empty (with the output columns
+    present), not error — the degenerate case every caller hits on a
+    filtered-out partition."""
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_ntile,
+        distributed_range_sum,
+        distributed_row_number,
+        distributed_running_sum,
+    )
+
+    df = spark.createDataFrame([], "id BIGINT, k BIGINT, v BIGINT")
+    assert distributed_row_number(df, ["k", "id"], rn="r").count() == 0
+    assert distributed_ntile(df, ["k", "id"], 4, out="b").count() == 0
+    assert distributed_running_sum(df, ["k"], "v", out="c").count() == 0
+    out = distributed_range_sum(df, "k", 5, {"s": "v"}, count_out="n")
+    assert out.count() == 0
+    assert {"s", "n"} <= set(out.columns)
+
+
 def test_distributed_range_sum_null_keys_match_native(spark):
     """Rows with a NULL order key are one peer group whose frame is
     exactly the NULL rows — they must be KEPT with the native window's
