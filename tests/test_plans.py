@@ -993,6 +993,55 @@ _EXCHANGE_BUDGETS = {
     "ext_first_touch_attribution": 3,
     # iterative wedge joins over cached edge branches: planned width only
     "ext_triangle_count": 55,
+    # --- round-8 queue (keys 101-150, censused 2026-08-14 cache-clear) ---
+    "ext_consistent_hash_ring": 2,
+    "udtf_arrow": 2,
+    "ext_knn_ivf_trained": 17,
+    "tpch_q4_order_priority": 3,
+    "tpch_q6_forecast_revenue": 2,
+    "tpch_q7_volume_shipping": 3,
+    "tpch_q8_market_share": 3,
+    "tpch_q9_product_profit": 3,
+    "tpch_q12_late_shipments": 3,
+    "tpch_q14_promo_revenue": 2,
+    "tpch_q15_top_supplier": 4,
+    "tpch_q17_small_quantity": 3,
+    "tpch_q19_disjunctive": 2,
+    "tpch_q22_global_sales": 3,
+    "ext_chunk_documents": 2,
+    "ext_repetition_score": 2,
+    "ext_ngram_topk": 3,
+    "ext_length_histogram": 3,
+    "ext_label_balance": 4,
+    "agg_percentile_exact": 3,
+    "agg_min_by_max_by": 3,
+    "pivot_wide": 4,
+    "unpivot_long": 2,
+    "ext_semdedup": 27,
+    "ext_unigram_logprob": 5,
+    "scan_text": 2,
+    "agg_stats_exact": 3,
+    "ext_dataset_mixture": 5,
+    "fn_datetime_arith": 2,
+    "agg_approx_percentile_invariant": 3,
+    "win_time_range_rolling": 3,
+    "ext_dedup_incremental": 3,
+    "ext_fuzzy_dedup_levenshtein": 3,
+    "join_dpp_partition_prune": 2,
+    "tpch_q13_customer_distribution": 4,
+    "tpch_q21_waiting_supplier": 7,
+    "ext_pmi_bigrams": 6,
+    "scan_csv_malformed": 2,
+    "join_null_safe_eq": 3,
+    "fn_try_arith": 2,
+    "udf_map_in_pandas": 2,
+    "agg_grouping_id": 3,
+    "ext_word_entropy": 4,
+    "fn_printf_format": 2,
+    "scan_parquet_schema_evolution": 2,
+    "ext_source_quality_report": 4,
+    "tpch_q2_min_cost_supp": 4,
+    "tpch_q11_important_stock": 4,
 }
 
 
