@@ -914,11 +914,13 @@ def test_round6_window_keys_plan_shapes(spark, sf_dir):
     assert count_exchanges(df) <= 1 and p.count("HashAggregate") >= 2, p
 
 
-# Shuffle budgets for the round-6 window keys without bespoke audits:
-# census of the healthy plans (2026-08-14) plus slack 2 for AQE/stats
-# drift. A failure means a rewrite silently added exchanges — the
-# scale cost the census was taken to pin. (Windows/UDF/cartesian hygiene
-# for the same keys is covered by the inventory-wide guardrails.)
+# Shuffle budgets: census of each key's healthy plan (2026-08-14, under
+# the cache-cleared sweep) plus slack 2 for AQE/stats drift. A failure
+# means a rewrite silently added exchanges — the scale cost the census
+# was taken to pin. Together with the bespoke audits above, EVERY one of
+# the 425 registered keys has its planned shuffle width pinned in CI
+# (391 budgeted here + 34 bespoke-audited). Windows/UDF/cartesian
+# hygiene for the same keys is covered by the inventory-wide guardrails.
 _EXCHANGE_BUDGETS = {
     "ext_quantile_treatment_effect": 6,
     "ext_sliding_active_users": 7,
@@ -1042,6 +1044,289 @@ _EXCHANGE_BUDGETS = {
     "ext_source_quality_report": 4,
     "tpch_q2_min_cost_supp": 4,
     "tpch_q11_important_stock": 4,
+    # --- remainder of the registry (censused 2026-08-14,
+    # cache-clear sweep, +2 slack; iterative/cached-branch keys
+    # like khop/pagerank/burrows/link-prediction carry their
+    # documented unrolled-plan widths) ---
+    "tpch_q20_potential_promo": 3,
+    "ext_dedup_survivorship": 6,
+    "ext_near_dup_containment": 8,
+    "ext_lang_confusion": 4,
+    "ext_type_token_ratio": 4,
+    "fn_url_parse": 2,
+    "ext_timeseries_densify": 4,
+    "stream_complete_topk": 2,
+    "stream_foreach_batch_sink": 4,
+    "ext_hypertable_rollup": 7,
+    "ext_ann_recall_eval": 7,
+    "ext_cross_source_dup_rate": 8,
+    "udf_arrow_scalar": 2,
+    "fn_variant_extract": 2,
+    "ext_vocab_oov_rate": 4,
+    "ext_curriculum_order": 5,
+    "ext_length_outliers": 3,
+    "join_merge_hint": 4,
+    "fn_from_csv": 2,
+    "fn_base_conv": 2,
+    "ext_bigram_logprob": 6,
+    "ext_span_corruption": 2,
+    "agg_bitmap_distinct": 3,
+    "ext_label_cohesion": 5,
+    "ext_join_skew_report": 3,
+    "ext_packing_efficiency": 5,
+    "fn_map_hof": 4,
+    "fn_array_hof": 2,
+    "subq_scalar_correlated_select": 4,
+    "ext_shared_span_dedup": 5,
+    "ext_funnel_analysis": 8,
+    "ext_retention_cohorts": 5,
+    "ext_multimodal_meta_prune": 3,
+    "ext_minhash_fidelity": 7,
+    "ext_ndcg_eval": 3,
+    "ext_mrr_eval": 4,
+    "ext_spearman_corr": 3,
+    "ext_poisson_bootstrap_ci": 3,
+    "ext_doc_prefix_dedup": 4,
+    "ext_ngram_overlap_diversity": 5,
+    "ext_neyman_allocation": 4,
+    "win_cumulative_distinct": 4,
+    "ext_output_file_planner": 3,
+    "ext_mann_whitney_u": 4,
+    "ext_cramers_v": 10,
+    "ext_permutation_test": 3,
+    "agg_salted_twophase": 5,
+    "ext_incremental_agg_merge": 4,
+    "ext_item_cooccurrence_lift": 11,
+    "ext_cooccurrence_degree_dist": 10,
+    "ext_time_weighted_avg": 3,
+    "ext_mann_kendall_trend": 5,
+    "ext_khop_neighborhood": 28,
+    "ext_dup_pair_bleu": 13,
+    "fn_string_extras": 2,
+    "ext_ann_recall_curve": 8,
+    "ext_kaplan_meier_retention": 4,
+    "ext_entropy_rate_markov": 10,
+    "ext_theil_sen_slope": 5,
+    "ext_multimodal_aspect_buckets": 5,
+    "ext_walk_forward_splits": 4,
+    "ext_burrows_delta": 27,
+    "ext_cohens_kappa": 2,
+    "ext_srm_check": 2,
+    "ext_cuped_adjustment": 3,
+    "ext_tukey_fences": 10,
+    "ext_shapley_attribution": 5,
+    "ext_link_prediction_jaccard": 58,
+    "ext_ucb_ranking": 4,
+    "ext_equidepth_histogram": 11,
+    "ext_functional_dependency": 5,
+    "ext_ablation_leave_one_source": 9,
+    "subq_quantified_all": 2,
+    "join_interval_overlap_banded": 5,
+    "ext_conformal_interval": 9,
+    "ext_mase_seasonal_naive": 3,
+    "ext_psm_nearest_match": 8,
+    "ext_design_effect_icc": 5,
+    "ext_shuffle_quality_audit": 2,
+    "ext_bh_fdr": 5,
+    "ext_als_rank1": 6,
+    "ext_hll_union": 11,
+    "ext_cms_heavy_hitters": 5,
+    "ext_bloom_probe": 5,
+    "join_bloom_runtime": 2,
+    "ext_bpe_pair_stats": 4,
+    "ext_winnow_fingerprints": 3,
+    "ext_perplexity_buckets": 6,
+    "scan_file_metadata": 2,
+    "fn_collation": 4,
+    "ext_dsir_importance": 10,
+    "ext_shard_manifest": 3,
+    "ext_token_budget_trim": 3,
+    "ext_temperature_mixture": 4,
+    "ext_sentence_segmentation": 2,
+    "ext_kneser_ney_bigrams": 8,
+    "ext_hard_negatives": 3,
+    "ext_product_quantize": 4,
+    "ext_pq_adc_search": 5,
+    "ext_ivfpq_search": 10,
+    "join_asof_nearest": 3,
+    "ext_quality_funnel": 2,
+    "ext_ohlc_resample": 3,
+    "ext_dataset_card": 3,
+    "win_gap_islands": 4,
+    "ext_benford_audit": 4,
+    "sql_recursive_hierarchy": 2,
+    "sink_python_stream": 2,
+    "ext_scd2_versions": 4,
+    "ext_negative_sampling_table": 4,
+    "fn_xml": 2,
+    "ext_minhash_band_tuning": 7,
+    "ext_sentiment_lexicon": 3,
+    "ext_intradoc_dedup": 4,
+    "ext_html_extract": 2,
+    "ext_hybrid_retrieval": 10,
+    "ext_pagerank_bounded": 28,
+    "ext_knn_label_agreement": 3,
+    "ext_distribution_drift": 7,
+    "ext_lsa_power_step": 6,
+    "ext_kcenter_coreset": 2,
+    "ext_split_doc_detect": 2,
+    "ext_session_bounce_rate": 4,
+    "ext_ab_test_lift": 6,
+    "ext_forget_cascade": 2,
+    "ext_integrity_audit": 2,
+    "ext_ngram_novelty": 6,
+    "ext_dataset_diff": 5,
+    "ext_point_in_time_join": 4,
+    "agg_approx_count_distinct": 4,
+    "agg_collect_sorted": 3,
+    "fn_array": 2,
+    "fn_map": 2,
+    "ext_exact_dedup": 3,
+    "ext_near_dedup_minhash": 7,
+    "ext_ngram_jaccard": 5,
+    "ext_near_dedup_simhash": 5,
+    "ext_dedup_clusters": 3,
+    "ext_knn_cosine": 3,
+    "ext_knn_lsh": 3,
+    "ext_knn_ivf": 5,
+    "ext_embedding_near_dup": 2,
+    "ext_kmeans_train": 7,
+    "ext_text_stats": 3,
+    "ext_token_count": 2,
+    "ext_quality_score": 2,
+    "ext_langid": 2,
+    "ext_tfidf_topterms": 6,
+    "ext_fingerprint": 2,
+    "ext_hash_split": 2,
+    "ext_pii_scrub": 2,
+    "ext_text_normalize": 2,
+    "ext_sequence_packing": 3,
+    "ext_decontamination": 5,
+    "ext_validate_rules": 2,
+    "ext_bm25": 6,
+    "ext_stratified_sample": 2,
+    "ext_multimodal_struct": 2,
+    "ext_multimodal_decode": 3,
+    "ext_multimodal_frames": 2,
+    "ext_multimodal_resize": 3,
+    "stream_stateful_user_profile": 3,
+    "tpch_q1_pricing_summary": 3,
+    "tpch_q3_shipping_priority": 3,
+    "tpch_q5_local_volume": 3,
+    "tpch_q10_returned_items": 3,
+    "tpch_q16_supplier_cnt": 4,
+    "tpch_q18_large_volume": 4,
+    "ext_corpus_pipeline": 4,
+    "stream_sink_catalog_table": 4,
+    "ext_embedding_quantize": 2,
+    "ext_knn_int8": 3,
+    "udaf_pandas_grouped": 3,
+    "udaf_grouped_map_zscore": 3,
+    "subq_lateral": 4,
+    "set_union_distinct": 3,
+    "set_intersect": 3,
+    "set_except": 3,
+    "set_except_all": 3,
+    "set_intersect_all": 3,
+    "distinct_rows": 3,
+    "dedup_by_key": 3,
+    "topk_per_group": 3,
+    "win_nth_value": 3,
+    "win_fill_forward": 3,
+    "fn_struct": 3,
+    "join_multi_key_chain": 3,
+    "join_full_outer": 4,
+    "join_range_banded": 3,
+    "join_broadcast_hint": 3,
+    "join_skew_salted": 3,
+    "join_bucketed_colocated": 3,
+    "join_asof_time": 3,
+    "join_shuffle_hash_hint": 4,
+    "agg_hash_group": 3,
+    "agg_count_distinct": 4,
+    "agg_multi_distinct": 4,
+    "agg_having": 3,
+    "agg_rollup": 3,
+    "agg_cube": 3,
+    "agg_grouping_sets": 3,
+    "agg_pivot": 4,
+    "agg_unpivot": 2,
+    "agg_percentile": 3,
+    "agg_stats_corr": 3,
+    "agg_max_by_min_by": 3,
+    "agg_filtered": 3,
+    "agg_histogram": 3,
+    "agg_mode": 4,
+    "agg_bool_countif": 3,
+    "win_row_number": 3,
+    "win_rank_dense": 3,
+    "win_lag_lead": 3,
+    "win_running_sum_rows": 3,
+    "win_ntile_first_last": 3,
+    "win_cume_percent": 3,
+    "win_session_gaps": 3,
+    "agg_percentile_exact": 3,
+    # --- final batch: scan/filter/fn/subq/stream/sink keys (all
+    # censused at 0 planned exchanges; streaming fixtures plan
+    # map-side; ext_coverage_maximization reads its eager
+    # localCheckpoints, so its RETURNED plan is exchange-free) ---
+    "ext_coverage_maximization": 2,
+    "join_multi_exists_onepass": 3,
+    "stream_chained_dedup_daily_active": 2,
+    "stream_document_etl": 2,
+    "stream_restart_incremental": 2,
+    "stream_tumbling_agg": 2,
+    "stream_sliding_agg": 2,
+    "stream_session_window": 2,
+    "stream_dedup_watermark": 2,
+    "stream_watermark_late_drop": 2,
+    "stream_static_join": 2,
+    "stream_sink_files": 2,
+    "stream_stream_join": 2,
+    "stream_stream_left_outer": 2,
+    "scan_python_datasource": 2,
+    "scan_python_stream_source": 2,
+    "sink_python_datasource": 2,
+    "sink_overwrite_dynamic": 2,
+    "sink_sorted_layout": 2,
+    "sink_merge_upsert": 2,
+    "sink_compaction": 2,
+    "scan_csv": 2,
+    "scan_json": 2,
+    "scan_orc": 2,
+    "scan_partition_prune": 2,
+    "scan_ignore_corrupt": 2,
+    "udf_pandas_scalar": 2,
+    "subq_scalar": 2,
+    "subq_in": 2,
+    "subq_exists_correlated": 2,
+    "subq_not_in_null": 2,
+    "set_union_all": 2,
+    "set_union_by_name": 2,
+    "fn_string": 2,
+    "fn_regex": 2,
+    "fn_date": 2,
+    "fn_math": 2,
+    "fn_conditional": 2,
+    "fn_cast": 2,
+    "fn_array_explode": 2,
+    "fn_json": 2,
+    "fn_bitwise": 2,
+    "fn_hash": 2,
+    "fn_json_nested": 2,
+    "scan_parquet": 2,
+    "project_expr": 2,
+    "filter_compound": 2,
+    "filter_null_semantics": 2,
+    "filter_in_between_like": 2,
+    "join_inner_equi": 2,
+    "join_left_outer": 2,
+    "join_right_outer": 2,
+    "join_left_semi": 2,
+    "join_left_anti": 2,
+    "join_cross": 2,
+    "join_theta_range": 2,
+    "agg_global": 2,
 }
 
 
