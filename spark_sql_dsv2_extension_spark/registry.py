@@ -67,75 +67,36 @@ _loaded = False
 # absent from this list follow in module registration order; driver-green
 # keys go last (they stay fully covered by tests/test_parity.py either way).
 #
-# ROUND-6 ROTATION (applied this round, after CORRECTNESS_r05 came back
-# 50/50 green): the r5 window (ext_ndcg_eval..ext_als_rank1) rotated
-# behind the queue; the round-6 window is 7 STALE-ROW RE-FRONTS — keys
-# whose green driver row predates a later change: sort_multi_dir /
-# ext_behavior_similarity / ext_conversion_deciles (rewritten r5, r6
-# verdict ask #1), win_range_frame (rewritten THIS round onto
-# distributed_range_sum), ext_coverage_maximization (r6 perf rewrite:
-# redundant excl anti-join removed), and ext_file_skip_effectiveness /
-# ext_knee_point (their r5 rows predate the r6 ntile_from_rank
-# integer-arithmetic change, which alters their plans; the other
-# ntile/running-sum callers are either already in this window or not
-# yet verified) — followed by the next 43 queued keys. Zero stale rows
-# is worth the 4-slot cost vs the verdict's >=295 cumulative target.
-# Registration of NET-NEW keys remains FROZEN until the driver backlog
-# is below 100 (round-4 verdict ask #2) — only bug-driven additions are
-# allowed, inserted right after the current 50-key window. Every queued
-# key passes the full-inventory oracle sweeps run each session.
+# ROUND-7 ROTATION (applied this round, after CORRECTNESS_r06 came back
+# 50/50 green): the r6 window rotated behind the queue; the round-7 window
+# is the next 50 queued keys with ZERO re-fronts — no verified key's plan
+# changed between the r6 sweep and this rotation, so every slot buys fresh
+# coverage (r6 verdict asks #1/#3). Cumulative target: >=341/425.
+#
+# STALE-ROW DISCIPLINE (hold at zero cost): before any perf or shared-helper
+# change, classify every touched key — in-window -> free; driver-unverified
+# -> free; verified + not-in-window -> DEFER the change until its block
+# naturally rotates into a window (or consciously spend a re-front slot).
+# Round 6 paid 4 slots for this; round 7 pays 0 by deferring instead.
+#
+# NET-NEW KEY FREEZE & ROUND-8 THAW RULE (r6 verdict ask #2): registration
+# of net-new keys stays FROZEN while the driver backlog is >=100 (it is 84
+# after this window lands, so the freeze MAY lift in round 8). When it
+# lifts, a new key is admissible ONLY if ONE COMMIT contains all of:
+#   (a) the implementation registered with its exact DuckDB oracle
+#       (oracle=None requires a SURVEY-cited justification in the
+#       docstring),
+#   (b) a plan audit (tests/test_plans.py) or an _EXCHANGE_BUDGETS entry
+#       pinning its planned shuffle width, and
+#   (c) a driver-sim pass for the key recorded in that commit's message
+#       (vanilla-session oracle compare at sf0.01, same harness as
+#       DRIVER_SIM_r*.txt).
+# New keys are inserted immediately after the current driver window so
+# they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-6 window: 7 stale-row re-fronts + next 43 queued keys ---
-    "sort_multi_dir",
-    "ext_behavior_similarity",
-    "ext_conversion_deciles",
-    "win_range_frame",
-    "ext_coverage_maximization",
-    "ext_file_skip_effectiveness",
-    "ext_knee_point",
-    "ext_quantile_treatment_effect",
-    "win_rolling_regression",
-    "join_multi_exists_onepass",
-    "ext_sliding_active_users",
-    "ext_calibration_ece",
-    "stream_chained_dedup_daily_active",
-    "ext_seasonal_decompose",
-    "ext_cross_correlation_lags",
-    "ext_share_of_parent",
-    "ext_dedup_threshold_curve",
-    "ext_dup_transitivity_audit",
-    "ext_lsh_bucket_stats",
-    "ext_sample_representativeness",
-    "scan_python_datasource_pushdown",
-    "agg_listagg_ordered",
-    "ext_chi2_terms",
-    "ext_log_odds_terms",
-    "ext_tokenizer_fertility",
-    "ext_vocab_coverage_curve",
-    "ext_dup_saturation_curve",
-    "ext_user_trend_slope",
-    "ext_acf_daily",
-    "ext_interarrival_stats",
-    "ext_effective_sample_size",
-    "ext_quantile_align_sources",
-    "ext_hill_tail_index",
-    "ext_source_cap",
-    "agg_hll_native_union",
-    "ext_boilerplate_sentences",
-    "ext_code_detect",
-    "ext_readability",
-    "ext_kanonymity_audit",
-    "ext_winsorized_stats",
-    "ext_schema_profile",
-    "ext_ewma_events",
-    "ext_label_centroids",
-    "ext_markov_transitions",
-    "ext_rfm_segmentation",
-    "ext_split_leakage",
-    "ext_cdc_chunking",
-    "ext_inverted_index",
-    "ext_bpe_apply_merge",
-    "ext_silhouette_labels",
+    # --- ROUND-7 WINDOW: next 50 queued keys (zero re-fronts; the r6 window
+    # came back 50/50 green in CORRECTNESS_r06.json and no verified key's
+    # plan changed this round, so every slot goes to fresh coverage) ---
     "ext_embedding_outliers",
     "ext_mutual_knn_pairs",
     "ext_zorder_layout",
@@ -186,6 +147,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_freshness_lag",
     "ext_first_touch_attribution",
     "ext_lorenz_curve",
+    # --- remaining queue (84) in rotation order; heads the round-8 window ---
     "ext_consistent_hash_ring",
     "udtf_arrow",
     "ext_knn_ivf_trained",
@@ -270,7 +232,58 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_retention_cohorts",
     "ext_multimodal_meta_prune",
     "ext_minhash_fidelity",
-    # r5-verified keys (50/50 green in CORRECTNESS_r05.json) rotate behind
+    # --- r6-verified keys (50/50 green in CORRECTNESS_r06.json) rotate behind ---
+    "ext_quantile_treatment_effect",
+    "win_rolling_regression",
+    "join_multi_exists_onepass",
+    "ext_sliding_active_users",
+    "ext_calibration_ece",
+    "stream_chained_dedup_daily_active",
+    "ext_seasonal_decompose",
+    "ext_cross_correlation_lags",
+    "ext_share_of_parent",
+    "ext_dedup_threshold_curve",
+    "ext_dup_transitivity_audit",
+    "ext_lsh_bucket_stats",
+    "ext_sample_representativeness",
+    "scan_python_datasource_pushdown",
+    "agg_listagg_ordered",
+    "ext_chi2_terms",
+    "ext_log_odds_terms",
+    "ext_tokenizer_fertility",
+    "ext_vocab_coverage_curve",
+    "ext_dup_saturation_curve",
+    "ext_user_trend_slope",
+    "ext_acf_daily",
+    "ext_interarrival_stats",
+    "ext_effective_sample_size",
+    "ext_quantile_align_sources",
+    "ext_hill_tail_index",
+    "ext_source_cap",
+    "agg_hll_native_union",
+    "ext_boilerplate_sentences",
+    "ext_code_detect",
+    "ext_readability",
+    "ext_kanonymity_audit",
+    "ext_winsorized_stats",
+    "ext_schema_profile",
+    "ext_ewma_events",
+    "ext_label_centroids",
+    "ext_markov_transitions",
+    "ext_rfm_segmentation",
+    "ext_split_leakage",
+    "ext_cdc_chunking",
+    "ext_inverted_index",
+    "ext_bpe_apply_merge",
+    "ext_silhouette_labels",
+    # --- keys verified r1-r5 (latest-wins fold over CORRECTNESS_r01..r05) ---
+    "sort_multi_dir",
+    "ext_behavior_similarity",
+    "ext_conversion_deciles",
+    "win_range_frame",
+    "ext_coverage_maximization",
+    "ext_file_skip_effectiveness",
+    "ext_knee_point",
     "ext_ndcg_eval",
     "ext_mrr_eval",
     "ext_spearman_corr",
@@ -318,7 +331,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_shuffle_quality_audit",
     "ext_bh_fdr",
     "ext_als_rank1",
-    # r4-verified keys (50/50 green in CORRECTNESS_r04.json) rotate behind
     "ext_hll_union",
     "ext_cms_heavy_hitters",
     "ext_bloom_probe",
@@ -367,8 +379,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ngram_novelty",
     "ext_dataset_diff",
     "ext_point_in_time_join",
-
-    # r2-verified keys (50/50 green in CORRECTNESS_r02.json) rotate behind
     "agg_approx_count_distinct",
     "agg_collect_sorted",
     "fn_array",
@@ -419,7 +429,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_volume",
     "ext_corpus_pipeline",
     "stream_sink_catalog_table",
-    # r3-verified keys (50/50 green in CORRECTNESS_r03.json) rotate behind
     "ext_embedding_quantize",
     "ext_knn_int8",
     "scan_python_datasource",
@@ -469,6 +478,53 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_hash",
     "fn_json_nested",
     "fn_struct",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "scan_filter_pushdown",
+    "count_star_fastpath",
+    "project_expr",
+    "filter_compound",
+    "filter_null_semantics",
+    "filter_in_between_like",
+    "join_multi_key_chain",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_range_banded",
+    "join_broadcast_hint",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "join_asof_time",
+    "join_shuffle_hash_hint",
+    "agg_hash_group",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_multi_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_percentile",
+    "agg_stats_corr",
+    "agg_max_by_min_by",
+    "agg_filtered",
+    "agg_histogram",
+    "agg_mode",
+    "agg_bool_countif",
+    "win_row_number",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_running_sum_rows",
+    "win_ntile_first_last",
+    "win_cume_percent",
+    "win_session_gaps",
 )
 
 

@@ -921,6 +921,31 @@ def test_round6_window_keys_plan_shapes(spark, sf_dir):
 # the 425 registered keys has its planned shuffle width pinned in CI
 # (391 budgeted here + 34 bespoke-audited). Windows/UDF/cartesian
 # hygiene for the same keys is covered by the inventory-wide guardrails.
+#
+# RE-CENSUS PROCEDURE (r6 verdict ask #7) — this table is point-in-time:
+# a Spark version bump or an AQE/stats-default change can shift planned
+# widths en masse and produce a wall of false failures. Do NOT hand-edit
+# 390+ entries one at a time. Instead:
+#
+#   1. Regenerate under the same cache-cleared sweep the census used:
+#          python tests/recensus_budgets.py > /tmp/census.json
+#      (vanilla local session + clearCache() per key, identical to
+#      ``_all_plans``; prints {key: observed_width} as JSON).
+#   2. Diff observed+2 (the standing slack) against this table and
+#      adjudicate per key:
+#        - width DECREASED  -> accept silently; tighten the entry to
+#          observed+2 so the budget keeps teeth.
+#        - width UNCHANGED  -> keep the entry.
+#        - width INCREASED  -> investigate BEFORE updating: read the new
+#          plan (``physical_plan(spec.fn(...))``), name the extra
+#          Exchange's cause (Spark planner change vs. a repo rewrite).
+#          Only a planner-level cause justifies raising the budget, and
+#          the commit message must cite it (e.g. the Spark JIRA / release
+#          note); a repo rewrite that widened the plan is the regression
+#          this table exists to catch — fix the plan, not the budget.
+#   3. Re-run ``pytest tests/test_plans.py -k exchange_budgets`` and
+#      commit the regenerated table in ONE commit, message citing the
+#      Spark version before/after and counts of decreased/raised entries.
 _EXCHANGE_BUDGETS = {
     "ext_quantile_treatment_effect": 6,
     "ext_sliding_active_users": 7,
