@@ -254,7 +254,19 @@ def distributed_range_sum(
     Skew note: work per bucket is O(|bucket|²) in DISTINCT keys (not
     rows), bounded by the key density within one delta-wide band — the
     right cost model for a value-defined frame, since those are exactly
-    the rows the frame must touch.
+    the rows the frame must touch. Degenerate bound: if all d distinct
+    keys land inside ONE delta-wide band (delta ≥ key range), the
+    candidate join emits ~d²/2 pairs through one hash-join task pair —
+    ~5×10⁷ pairs for d=10⁴, which completes locally in seconds (stress
+    test: tests/test_quantiles.py::test_distributed_range_sum_single_
+    band_skew) but grows quadratically. Escape hatch if a real workload
+    hits it: salt the candidate side into S sub-bands (bucket*S + k%S),
+    probe all S sub-buckets per target, and merge with the SAME
+    post-filter + re-aggregate — spreads the d² work across S·P tasks
+    without changing results; at that point also reconsider delta,
+    because a frame covering ALL keys means every target sums the whole
+    relation and a running-total formulation (distributed_running_sum
+    over per-key aggregates) is O(d log d) instead.
 
     ``sums`` maps output column name -> value expression to SUM (summed
     exactly; pass integer-scaled values for float data, per the repo

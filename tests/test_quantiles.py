@@ -314,3 +314,33 @@ def test_distributed_range_sum_negative_keys_and_widths(spark):
         )
         assert got.select("id", "s", "n").exceptAll(exp).count() == 0, delta
         assert exp.exceptAll(got.select("id", "s", "n")).count() == 0, delta
+
+
+def test_distributed_range_sum_single_band_skew(spark):
+    """Degenerate-skew stress (r6 verdict ask #6): ALL distinct keys
+    inside ONE delta-wide band, d = 10^4 — the banded candidate join
+    degenerates to ~d^2/2 pairs (~5e7) flowing through a single bucket's
+    hash-join. The helper must stay correct and complete in bounded time
+    (the docstring states the O(d^2)-per-band cost model and the sub-band
+    salting escape hatch). Correctness is checked against the native
+    unpartitioned RANGE window, which is O(n) and therefore cheap enough
+    to serve as the oracle here."""
+    from spark_sql_dsv2_extension_spark.operators.quantiles import (
+        distributed_range_sum,
+    )
+
+    rnd = random.Random(31)
+    d = 10_000
+    # two rows per key so peer groups are exercised under skew too
+    rows = [(i, i % d, rnd.randint(1, 9)) for i in range(2 * d)]
+    df = spark.createDataFrame(rows, "id BIGINT, k BIGINT, v BIGINT")
+    delta = 2 * d  # frame wider than the key domain: one band holds all keys
+    got = distributed_range_sum(df, "k", delta, {"s": "v"}, count_out="n")
+    w = Window.orderBy("k").rangeBetween(-delta, 0)
+    exp = df.select(
+        "id",
+        F.sum("v").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+    )
+    assert got.select("id", "s", "n").exceptAll(exp).count() == 0
+    assert exp.exceptAll(got.select("id", "s", "n")).count() == 0
