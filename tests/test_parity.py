@@ -44,3 +44,51 @@ def test_oracle_keys_subset():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_driver_priority_exactly_covers_registry():
+    """Rotation-list integrity: a typo'd or stale name in _DRIVER_PRIORITY
+    would silently fall out of the driver's bounded correctness window and
+    a missing name would get nondeterministic (registration-order) slots.
+    The list must be a permutation of the registry keys."""
+    from spark_sql_dsv2_extension_spark.registry import _DRIVER_PRIORITY
+
+    dupes = {k for k in _DRIVER_PRIORITY if _DRIVER_PRIORITY.count(k) > 1}
+    assert not dupes, f"duplicate rotation entries: {sorted(dupes)}"
+    assert set(_DRIVER_PRIORITY) == set(SPECS), (
+        f"stale names: {sorted(set(_DRIVER_PRIORITY) - set(SPECS))}; "
+        f"unlisted keys: {sorted(set(SPECS) - set(_DRIVER_PRIORITY))}"
+    )
+
+
+# Deliberate re-fronts this round (keys whose green driver row predates a
+# plan-changing rewrite, consciously re-spending a window slot): NONE in
+# round 7 — the rotation comment in registry.py documents the discipline.
+_DELIBERATE_REFRONTS: frozenset[str] = frozenset()
+
+
+def test_driver_window_has_no_silent_refronts():
+    """Zero-stale-row discipline, testable: every key in the driver's
+    50-key window must be driver-UNVERIFIED (no row in any committed
+    CORRECTNESS_r0*.json) unless it is a documented deliberate re-front.
+    A verified key appearing here by accident would waste a coverage slot;
+    a rewritten-but-not-re-fronted key is caught by the inverse review at
+    rotation time."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        verified |= set(json.load(open(path)))
+    if not verified:
+        pytest.skip("no committed CORRECTNESS artifacts (fresh checkout)")
+    window = list(SPECS)[:50]
+    silent = [
+        k for k in window if k in verified and k not in _DELIBERATE_REFRONTS
+    ]
+    assert not silent, (
+        "driver-window slots spent on already-verified keys without a "
+        f"_DELIBERATE_REFRONTS entry: {silent}"
+    )
