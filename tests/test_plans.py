@@ -1053,7 +1053,7 @@ _EXCHANGE_BUDGETS = {
     "agg_approx_percentile_invariant": 3,
     "win_time_range_rolling": 3,
     "ext_dedup_incremental": 3,
-    "ext_fuzzy_dedup_levenshtein": 3,
+    "ext_fuzzy_dedup_levenshtein": 2,  # r7: distinct removed, pairs unique by construction
     "join_dpp_partition_prune": 2,
     "tpch_q13_customer_distribution": 4,
     "tpch_q21_waiting_supplier": 7,
