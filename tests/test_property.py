@@ -553,3 +553,54 @@ def test_parse_props_lenient_unquoted(pairs):
 
     text = ", ".join(f"{k} = {v}" for k, v in pairs.items())
     assert _parse_props(text) == {k: v.strip() for k, v in pairs.items()}
+
+
+def test_fuzzy_levenshtein_pairs_unique_at_band_boundaries(spark, tmp_path):
+    """Round-7 rewrite invariant: candidate pairs are unique BY
+    CONSTRUCTION (no post-join distinct) — a same-band pair must surface
+    exactly once via its p_id < h_id ordering, an adjacent-band pair
+    exactly once via the lower band's upward probe REGARDLESS of which
+    side has the smaller doc_id, and the thresholded levenshtein must
+    report the same distance the unbounded form would. Crafted corpus
+    pins each case on both sides of a band boundary."""
+    import math
+
+    from spark_sql_dsv2_extension_spark.extensions.dedup import (
+        FUZZY_MAX_RATIO,
+        ext_fuzzy_dedup_levenshtein,
+    )
+
+    ratio = 1.0 - FUZZY_MAX_RATIO
+    band_base = math.log(1.0 / ratio)
+
+    def band(n: int) -> int:
+        return math.floor(math.log(n + 1) / band_base)
+
+    a, b = "x" * 100, "x" * 120          # ed=20 <= floor(0.3*120)=36
+    assert band(len(a)) + 1 == band(len(b)), "fixture must straddle bands"
+    c = "y" * 100 + "z"                  # same band as a twin, 1 edit
+    d = "y" * 101
+    assert band(len(c)) == band(len(d))
+    rows = [
+        # adjacent-band pair where the HIGHER band has the SMALLER id:
+        # only a's upward probe can emit it, and d1/d2 order by id
+        (1, "en", b),
+        (2, "en", a),
+        # same-band pair, found via both home probes, kept once (id order)
+        (3, "en", c),
+        (4, "en", d),
+        # identical texts (ed=0) — exactly one row, not two
+        (5, "en", "w" * 150),
+        (6, "en", "w" * 150),
+        # same band as 3/4 but different lang — must not pair
+        (7, "de", d),
+    ]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = [
+        (r.d1, r.d2, r.edit_dist)
+        for r in ext_fuzzy_dedup_levenshtein(spark, str(tmp_path)).collect()
+    ]
+    assert sorted(out) == [(1, 2, 20), (3, 4, 1), (5, 6, 0)], out
+    assert len(out) == len(set((x, y) for x, y, _ in out)), f"dup pairs: {out}"
