@@ -80,7 +80,8 @@ def test_driver_window_has_no_silent_refronts():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     verified: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    # r* (not r0*): artifact names grow to CORRECTNESS_r10.json and beyond
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         verified |= set(json.load(open(path)))
     if not verified:
         pytest.skip("no committed CORRECTNESS artifacts (fresh checkout)")

@@ -929,8 +929,9 @@ def test_round6_window_keys_plan_shapes(spark, sf_dir):
 #
 #   1. Regenerate under the same cache-cleared sweep the census used:
 #          python tests/recensus_budgets.py > /tmp/census.json
-#      (vanilla local session + clearCache() per key, identical to
-#      ``_all_plans``; prints {key: observed_width} as JSON).
+#      (get_spark session + conftest default SF + clearCache() per key +
+#      the shared count_budget_exchanges formula — identical to
+#      ``_all_plans`` and this test; prints {key: observed_width} as JSON).
 #   2. Diff observed+2 (the standing slack) against this table and
 #      adjudicate per key:
 #        - width DECREASED  -> accept silently; tighten the entry to
@@ -1381,14 +1382,20 @@ def _all_plans(spark, sf_dir) -> dict[str, str]:
     return _PLAN_MEMO
 
 
+def count_budget_exchanges(plan: str) -> int:
+    """The ONE census formula — shared by the budget test below and
+    ``tests/recensus_budgets.py`` so the regeneration script can never
+    drift from what CI actually counts (r7 review finding)."""
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
 def test_driver_window_exchange_budgets(spark, sf_dir):
     plans = _all_plans(spark, sf_dir)
     over = {}
     for key, budget in _EXCHANGE_BUDGETS.items():
-        p = plans[key]
-        n = p.count("Exchange hashpartitioning") + p.count(
-            "Exchange rangepartitioning"
-        )
+        n = count_budget_exchanges(plans[key])
         if n > budget:
             over[key] = (n, budget)
     assert not over, f"exchange budget exceeded (got, budget): {over}"
