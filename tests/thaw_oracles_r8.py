@@ -10,9 +10,9 @@ registers a key — the round-7 net-new-key freeze holds; this turns each
 plan pin + driver-sim in ONE commit, per the thaw rule in registry.py)
 is mechanical. Validation results + spec adjustments: ROADMAP_r8.md.
 """
-import duckdb, hashlib, sys
+import duckdb, hashlib, os, sys
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -25,7 +26,7 @@ from pyspark.sql import functions as F
 
 from spark_sql_dsv2_extension_spark.tables import load, fan_out
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 PROTOS = {}
 
@@ -562,10 +563,12 @@ def main():
     failed = []
     for i, key in enumerate(keys):
         try:
+            t0 = time.monotonic()
             sdf = PROTOS[key](spark, SF).toPandas()
+            dt = time.monotonic() - t0
             odf = con.sql(oracles[key]).df()
             compare(sdf, odf, key)
-            print(f"[{i+1}/{len(keys)}] PASS {key}", flush=True)
+            print(f"[{i+1}/{len(keys)}] PASS {key} spark_wall={dt:.2f}s", flush=True)
         except Exception:
             failed.append(key)
             print(f"[{i+1}/{len(keys)}] FAIL {key}", flush=True)
