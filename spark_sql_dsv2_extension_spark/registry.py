@@ -67,11 +67,14 @@ _loaded = False
 # absent from this list follow in module registration order; driver-green
 # keys go last (they stay fully covered by tests/test_parity.py either way).
 #
-# ROUND-7 ROTATION (applied this round, after CORRECTNESS_r06 came back
-# 50/50 green): the r6 window rotated behind the queue; the round-7 window
-# is the next 50 queued keys with ZERO re-fronts — no verified key's plan
-# changed between the r6 sweep and this rotation, so every slot buys fresh
-# coverage (r6 verdict asks #1/#3). Cumulative target: >=341/425.
+# ROUND-8 ROTATION (applied this round, after CORRECTNESS_r07 came back
+# 50/50 green — cumulative 341/425): the r7 window rotated behind the
+# queue; the round-8 window is the next 50 queued keys with ZERO re-fronts
+# (re-derived at rotation time from the latest-wins fold over committed
+# CORRECTNESS_r*.json and confirmed identical to the list pre-computed in
+# ROADMAP_r8.md). Cumulative target: >=391/425. Keys thawed this round
+# under the rule below are inserted immediately AFTER the window (before
+# the 34-key remainder) so they front the round-9 window.
 #
 # STALE-ROW DISCIPLINE (hold at zero cost): before any perf or shared-helper
 # change, classify every touched key — in-window -> free; driver-unverified
@@ -79,10 +82,11 @@ _loaded = False
 # naturally rotates into a window (or consciously spend a re-front slot).
 # Round 6 paid 4 slots for this; round 7 pays 0 by deferring instead.
 #
-# NET-NEW KEY FREEZE & ROUND-8 THAW RULE (r6 verdict ask #2): registration
-# of net-new keys stays FROZEN while the driver backlog is >=100 (it is 84
-# after this window lands, so the freeze MAY lift in round 8). When it
-# lifts, a new key is admissible ONLY if ONE COMMIT contains all of:
+# NET-NEW KEY FREEZE & THAW RULE (r6 verdict ask #2): registration of
+# net-new keys stays FROZEN while the driver backlog is >=100. The backlog
+# is 84 at the round-8 rotation, so the freeze LIFTS this round (capped at
+# ~10 registrations per the r7 verdict ask #2, so round 9 can still close
+# the registry). A new key is admissible ONLY if ONE COMMIT contains all of:
 #   (a) the implementation registered with its exact DuckDB oracle
 #       (oracle=None requires a SURVEY-cited justification in the
 #       docstring),
@@ -94,60 +98,9 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-7 WINDOW: next 50 queued keys (zero re-fronts; the r6 window
-    # came back 50/50 green in CORRECTNESS_r06.json and no verified key's
-    # plan changed this round, so every slot goes to fresh coverage) ---
-    "ext_embedding_outliers",
-    "ext_mutual_knn_pairs",
-    "ext_zorder_layout",
-    "ext_triangle_count",
-    "ext_feature_hashing",
-    "ext_target_encoding_loo",
-    "ext_weighted_sample_aes",
-    "ext_group_kfold",
-    "ext_multimodal_payload_dedup",
-    "ext_multimodal_shard_pack",
-    "fn_interval_arith",
-    "ext_ctr_wilson",
-    "ext_jackknife_blocks",
-    "ext_ks_two_sample",
-    "ext_holdout_lm_eval",
-    "ext_sequential_patterns",
-    "ext_source_vocab_overlap",
-    "ext_rake_keyphrases",
-    "ext_embedding_whitening",
-    "ext_churn_labels",
-    "ext_extractive_summary",
-    "ext_join_order_cost_model",
-    "ext_kmv_intersection",
-    "ext_power_analysis",
-    "ext_did_estimate",
-    "ext_wasserstein_1d",
-    "ext_gini_concentration",
-    "ext_mutual_information",
-    "ext_simpson_diversity",
-    "ext_sample_k_per_group",
-    "ext_mad_outliers",
-    "ext_seasonal_profile",
-    "ext_rank_fusion_rrf",
-    "ext_join_cardinality_estimate",
-    "ext_classifier_metrics",
-    "ext_epoch_shuffle_plan",
-    "ext_learning_curve_subsets",
-    "ext_repetition_clip",
-    "ext_retrieval_auc",
-    "ext_zipf_fit",
-    "ext_burstiness_fano",
-    "ext_cusum_changepoint",
-    "ext_heaps_law_points",
-    "ext_good_turing",
-    "scan_union_multiformat",
-    "ext_knn_lsh_multiprobe",
-    "ext_run_length_stats",
-    "ext_freshness_lag",
-    "ext_first_touch_attribution",
-    "ext_lorenz_curve",
-    # --- remaining queue (84) in rotation order; heads the round-8 window ---
+    # --- ROUND-8 WINDOW: next 50 queued keys (zero re-fronts; the r7 window
+    # came back 50/50 green in CORRECTNESS_r07.json and no verified key's
+    # plan changed since, so every slot goes to fresh coverage) ---
     "ext_consistent_hash_ring",
     "udtf_arrow",
     "ext_knn_ivf_trained",
@@ -198,6 +151,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_source_quality_report",
     "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
+    # --- keys THAWED in round 8 (registered one-per-commit under the thaw
+    # rule above; inserted here so they front the round-9 window) ---
+    # --- remaining queue (34) in rotation order; follows the thaw block
+    # into the round-9 window ---
     "tpch_q20_potential_promo",
     "ext_dedup_survivorship",
     "ext_near_dup_containment",
@@ -232,6 +189,57 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_retention_cohorts",
     "ext_multimodal_meta_prune",
     "ext_minhash_fidelity",
+    # --- r7-verified keys (50/50 green in CORRECTNESS_r07.json) rotate behind ---
+    "ext_embedding_outliers",
+    "ext_mutual_knn_pairs",
+    "ext_zorder_layout",
+    "ext_triangle_count",
+    "ext_feature_hashing",
+    "ext_target_encoding_loo",
+    "ext_weighted_sample_aes",
+    "ext_group_kfold",
+    "ext_multimodal_payload_dedup",
+    "ext_multimodal_shard_pack",
+    "fn_interval_arith",
+    "ext_ctr_wilson",
+    "ext_jackknife_blocks",
+    "ext_ks_two_sample",
+    "ext_holdout_lm_eval",
+    "ext_sequential_patterns",
+    "ext_source_vocab_overlap",
+    "ext_rake_keyphrases",
+    "ext_embedding_whitening",
+    "ext_churn_labels",
+    "ext_extractive_summary",
+    "ext_join_order_cost_model",
+    "ext_kmv_intersection",
+    "ext_power_analysis",
+    "ext_did_estimate",
+    "ext_wasserstein_1d",
+    "ext_gini_concentration",
+    "ext_mutual_information",
+    "ext_simpson_diversity",
+    "ext_sample_k_per_group",
+    "ext_mad_outliers",
+    "ext_seasonal_profile",
+    "ext_rank_fusion_rrf",
+    "ext_join_cardinality_estimate",
+    "ext_classifier_metrics",
+    "ext_epoch_shuffle_plan",
+    "ext_learning_curve_subsets",
+    "ext_repetition_clip",
+    "ext_retrieval_auc",
+    "ext_zipf_fit",
+    "ext_burstiness_fano",
+    "ext_cusum_changepoint",
+    "ext_heaps_law_points",
+    "ext_good_turing",
+    "scan_union_multiformat",
+    "ext_knn_lsh_multiprobe",
+    "ext_run_length_stats",
+    "ext_freshness_lag",
+    "ext_first_touch_attribution",
+    "ext_lorenz_curve",
     # --- r6-verified keys (50/50 green in CORRECTNESS_r06.json) rotate behind ---
     "ext_quantile_treatment_effect",
     "win_rolling_regression",

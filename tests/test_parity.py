@@ -63,17 +63,24 @@ def test_driver_priority_exactly_covers_registry():
 
 # Deliberate re-fronts this round (keys whose green driver row predates a
 # plan-changing rewrite, consciously re-spending a window slot): NONE in
-# round 7 — the rotation comment in registry.py documents the discipline.
+# round 8 — the rotation comment in registry.py documents the discipline.
 _DELIBERATE_REFRONTS: frozenset[str] = frozenset()
 
 
 def test_driver_window_has_no_silent_refronts():
     """Zero-stale-row discipline, testable: every key in the driver's
-    50-key window must be driver-UNVERIFIED (no row in any committed
-    CORRECTNESS_r0*.json) unless it is a documented deliberate re-front.
-    A verified key appearing here by accident would waste a coverage slot;
-    a rewritten-but-not-re-fronted key is caught by the inverse review at
-    rotation time."""
+    50-key window must be driver-UNVERIFIED (no row in any CORRECTNESS_r*.json
+    present in the working tree) unless it is a documented deliberate
+    re-front. A verified key appearing here by accident would waste a
+    coverage slot; a rewritten-but-not-re-fronted key is caught by the
+    inverse review at rotation time.
+
+    INTENTIONAL TRIPWIRE: the glob reads the WORKING TREE, not just
+    git-tracked files. At a round boundary the driver drops a fresh
+    (initially untracked) CORRECTNESS artifact whose keys are exactly the
+    unrotated window — this test then fails by design, forcing the next
+    round's first commit to be the rotation. Do not "fix" it by
+    restricting the glob to committed files."""
     import glob
     import json
     import os
