@@ -2,10 +2,14 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {key: sec, ...}, "sf": ...}. The FULL payload (including
-per-key run spreads) is also written to $SPARK_GRAFT_BENCH_OUT (default
-BENCH_LOCAL.json next to this file) so a stdout-tail capture can never
-truncate it (round-4: BENCH_r04 parsed null because queries_runs pushed
-the line past the driver's 2,000-char tail).
+per-key run spreads) is also written to a run-stamped file under
+bench_runs/ (gitignored; override with $SPARK_GRAFT_BENCH_OUT) so a
+stdout-tail capture can never truncate it (round-4: BENCH_r04 parsed
+null because queries_runs pushed the line past the driver's 2,000-char
+tail). The COMMITTED reference artifact BENCH_LOCAL.json is only ever
+updated explicitly via ``python bench.py --update-local`` — a plain run
+must leave ``git status`` clean (round-7: the driver's bench run
+side-effect-clobbered the committed artifact twice).
 
 Each query is executed once as a full materializing action (noop sink —
 unlike ``count()``, it cannot skip projected columns) after a session
@@ -140,12 +144,30 @@ def fixture_fingerprint(sf_dir: str) -> dict[str, dict[str, int]]:
     return fp
 
 
-def main() -> None:
+def _default_out_path(repo: str) -> str:
+    """Run-stamped full-payload path under bench_runs/ (gitignored).
+
+    The committed reference artifact (BENCH_LOCAL.json) is never the
+    default target: a bench run must not dirty the checkout. Promote a
+    run explicitly with ``python bench.py --update-local``.
+    """
+    import datetime
+
+    d = os.path.join(repo, "bench_runs")
+    os.makedirs(d, exist_ok=True)
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y%m%dT%H%M%SZ"
+    )
+    return os.path.join(d, f"bench_{stamp}_pid{os.getpid()}.json")
+
+
+def main(update_local: bool = False) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LOCAL.json"),
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or (
+        os.path.join(repo, "BENCH_LOCAL.json")
+        if update_local
+        else _default_out_path(repo)
     )
     specs = load_all()
     spark = get_spark("bench")
@@ -302,4 +324,4 @@ if __name__ == "__main__":
     if len(sys.argv) == 4 and sys.argv[1] == "--compare":
         compare(sys.argv[2], sys.argv[3])
     else:
-        main()
+        main(update_local="--update-local" in sys.argv[1:])
