@@ -600,7 +600,12 @@ def ext_fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of collapsing onto a handful of hot language blocks.
 
     Two per-pair costs are engineered out of the verify stage (together a
-    ~45× wall-clock win at sf0.1 on 32 cores, 72 s → 1.6 s):
+    ~2.8× wall-clock win on the FULL key at sf0.1 on 32 cores, 72 s → 26 s
+    measured in round 7; the verify STAGE alone — the thresholded metric vs
+    the O(len²) one on the same candidate set — is where the earlier
+    "~45×, → 1.6 s" figure came from, and that stage number is not the key's
+    end-to-end time, which stays dominated by shuffling the candidate
+    texts into the verify join):
 
     * pairs are UNIQUE BY CONSTRUCTION — a same-band pair appears twice
       (each side probes its home band) so it keeps only the p_id < h_id

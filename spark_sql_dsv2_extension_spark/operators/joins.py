@@ -538,7 +538,14 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.7× wall-clock there and unboundedly worse at corpus scale — fan-out
     grows with the square of rows-per-key). Pre-aggregating below a join
     whose downstream is itself an aggregate is the same partial-agg
-    push-down Catalyst can't do automatically across a join."""
+    push-down Catalyst can't do automatically across a join.
+
+    Plan note: the eqNullSafe join hash-partitions on
+    (coalesce(key, _), isnull(key)), which Catalyst cannot prove equal to
+    the groupBy's partitioning on the raw key — the pre-agg exchanges are
+    not reusable by the join. At any realistic stats the ≤101-row sides
+    broadcast (2 exchanges total); the pinned budget documents this
+    dependency next to its _EXCHANGE_BUDGETS entry."""
     o = load(spark, sf_dir, "orders")
     a_cnt = (
         o.filter(F.col("o_orderkey") % 2 == 0)

@@ -1060,6 +1060,13 @@ _EXCHANGE_BUDGETS = {
     "tpch_q21_waiting_supplier": 7,
     "ext_pmi_bigrams": 6,
     "scan_csv_malformed": 2,
+    # eqNullSafe hash-partitions on (coalesce(key,_), isnull(key)), which
+    # Catalyst cannot prove equal to the groupBy's partitioning on the raw
+    # key — so the two pre-agg exchanges are NOT reused by the join. The
+    # budget of 3 holds only because both aggregated sides are <=101 rows
+    # and BROADCAST at census stats (measured 2 exchanges at sf0.001); if a
+    # stats/threshold change ever de-broadcasts them the plan reads 4 —
+    # that would be this documented dependency, not a regression.
     "join_null_safe_eq": 3,
     "fn_try_arith": 2,
     "udf_map_in_pandas": 2,
