@@ -1761,3 +1761,84 @@ def ext_dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_edges))
         .select("n_edges", "n_wedges", "n_closed", "closure_rate6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph-level dedup (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+_PARA_CHUNK_WORDS = 16
+
+
+@query(
+    "ext_paragraph_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+             array_to_string(ws[(CAST(i AS INT) * {_PARA_CHUNK_WORDS} + 1):(CAST(i AS INT) * {_PARA_CHUNK_WORDS} + {_PARA_CHUNK_WORDS})], ' ') AS chunk
+      FROM words, unnest(range(0, CAST(ceil(len(ws) / {_PARA_CHUNK_WORDS}.0) AS BIGINT))) AS t(i)
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc
+    FROM chunks GROUP BY md5(chunk) HAVING count(*) > 1
+    ORDER BY n_occurrences DESC, chunk_hash LIMIT 50
+    """,
+)
+def ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level cross-document dedup: the sub-document sibling of
+    ``ext_exact_dedup`` — boilerplate paragraphs (licenses, navigation,
+    disclaimers) repeat across otherwise-distinct documents and survive
+    whole-document dedup entirely, so training pipelines hash at the
+    paragraph grain too (C4/RefinedWeb-style line dedup, one level up).
+    The fixture's documents contain no newlines (validated in round 7),
+    so a "paragraph" is a fixed 16-word chunk: posexplode over F.slice
+    of the split array, then hash-groupBy on the chunk hash with the
+    smallest doc_id as the deterministic keeper.
+
+    Scale: identical shuffle shape to exact dedup, one grain finer —
+    the groupBy key is the 128-bit chunk hash, so the shuffle carries
+    (hash, doc_id) and NEVER the chunk text; chunk explosion is a
+    narrow map (no shuffle) and output is top-50 by occurrence, a
+    TakeOrdered on the aggregated (already small) relation. At 100 TB
+    the cost is one shuffle of n_chunks keys — the same plan the
+    whole-doc key runs, scaled by chunks-per-doc."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    chunks = ws.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("ws") / F.lit(float(_PARA_CHUNK_WORDS))).cast(
+                    "long"
+                )
+                - 1,
+            )
+        ).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.col("ws"),
+                F.col("i") * _PARA_CHUNK_WORDS + 1,
+                F.lit(_PARA_CHUNK_WORDS),
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5(F.encode("chunk", "utf-8")).alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
+        .limit(50)
+    )

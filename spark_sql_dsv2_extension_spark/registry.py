@@ -153,6 +153,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q11_important_stock",
     # --- keys THAWED in round 8 (registered one-per-commit under the thaw
     # rule above; inserted here so they front the round-9 window) ---
+    "ext_paragraph_dedup",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

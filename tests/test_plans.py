@@ -1360,6 +1360,8 @@ _EXCHANGE_BUDGETS = {
     "join_cross": 2,
     "join_theta_range": 2,
     "agg_global": 2,
+    # --- round-8 thawed keys (censused at registration, one per commit) ---
+    "ext_paragraph_dedup": 2,
 }
 
 
