@@ -1842,3 +1842,56 @@ def ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-cascade attrition report (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+from ..registry import REGISTRY as _REGISTRY  # noqa: E402  (post-registration)
+
+
+@query(
+    "ext_dedup_cascade_report",
+    oracle=f"""
+    WITH exact_stage AS ({_REGISTRY["ext_exact_dedup"].oracle}),
+    minhash_stage AS ({_REGISTRY["ext_near_dedup_minhash"].oracle})
+    SELECT stage, n FROM (
+      SELECT 0 AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+      UNION ALL
+      SELECT 1, CAST(count(*) AS BIGINT) FROM exact_stage
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT) FROM minhash_stage
+    ) ORDER BY stage
+    """,
+)
+def ext_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage ATTRITION REPORT for the production dedup cascade —
+    the dashboard number every corpus pipeline publishes: input size,
+    exact-hash survivors, minhash near-dup candidate pairs. Cheap stages
+    run first so the expensive ones see less data; this key composes the
+    two registered stage operators (``ext_exact_dedup``,
+    ``ext_near_dedup_minhash``) and reduces each to a count, so the
+    report is consistent BY CONSTRUCTION with the stage keys the driver
+    verifies independently — the oracle chains the same two stage
+    oracles as CTEs, lifted from the registry at registration time.
+
+    Scale: each stage is the already-audited stage plan plus one
+    all-reduce count (partial counts combine map-side; a single long per
+    partition crosses the wire). Nothing new shuffles; the three
+    1-row counts union into a 3-row report."""
+    docs = load(spark, sf_dir, "documents")
+    s0 = docs.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit(0).alias("stage"), "n"
+    )
+    s1 = (
+        ext_exact_dedup(spark, sf_dir)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit(1).alias("stage"), "n")
+    )
+    s2 = (
+        ext_near_dedup_minhash(spark, sf_dir)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit(2).alias("stage"), "n")
+    )
+    return s0.unionByName(s1).unionByName(s2)

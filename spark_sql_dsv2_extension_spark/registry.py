@@ -154,6 +154,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- keys THAWED in round 8 (registered one-per-commit under the thaw
     # rule above; inserted here so they front the round-9 window) ---
     "ext_paragraph_dedup",
+    "ext_dedup_cascade_report",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

@@ -1362,6 +1362,7 @@ _EXCHANGE_BUDGETS = {
     "agg_global": 2,
     # --- round-8 thawed keys (censused at registration, one per commit) ---
     "ext_paragraph_dedup": 2,
+    "ext_dedup_cascade_report": 5,
 }
 
 
