@@ -924,3 +924,85 @@ def ext_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         "est_rows",
         F.expr("est_rows * 1000000 DIV exact_rows").alias("est_ratio6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with a match tolerance (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3600 * 1000000  # 1 hour; BIGINT — INT32 overflows (vetted r7)
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts, tag,
+             last_value(click_id IGNORE NULLS) OVER w AS asof_click_id,
+             last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           CASE WHEN asof_click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(asof_click_ts)
+                     <= CAST({_ASOF_TOL_US} AS BIGINT)
+                THEN asof_click_id END AS asof_click_id_tol
+    FROM m WHERE tag = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a TOLERANCE window (pandas ``merge_asof(...,
+    tolerance=...)`` semantics): each non-click event picks up the most
+    recent preceding click by the same user, but a match older than one
+    hour is NULLed out — attribution windows, sensor alignment, and
+    quote-to-trade joins all need the staleness cutoff, not just
+    "latest before". Same union + last_value(ignorenulls) forward-fill
+    as ``join_asof_time`` (joins.py) with the tolerance as a second
+    predicate applied AFTER the carry — the carried click timestamp
+    rides along so the cutoff is a per-row filter, not a join.
+
+    Scale: one shuffle on user_id for the partitioned window; the
+    tolerance check is a narrow projection. Skew bounds are the
+    per-user event count, identical to the base as-of key. The
+    tolerance constant is BIGINT microseconds — 3600 * 1e6 overflows
+    INT32 (found in round-7 oracle vetting)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.withColumn(
+        "asof_click_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return m.filter(F.col("tag") == 1).select(
+        "event_id",
+        F.when(
+            F.col("asof_click_ts").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("asof_click_ts")
+                <= F.lit(_ASOF_TOL_US)
+            ),
+            F.col("asof_click_id"),
+        ).alias("asof_click_id_tol"),
+    )

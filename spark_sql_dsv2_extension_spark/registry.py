@@ -155,6 +155,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # rule above; inserted here so they front the round-9 window) ---
     "ext_paragraph_dedup",
     "ext_dedup_cascade_report",
+    "join_asof_tolerance",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

@@ -1363,6 +1363,7 @@ _EXCHANGE_BUDGETS = {
     # --- round-8 thawed keys (censused at registration, one per commit) ---
     "ext_paragraph_dedup": 2,
     "ext_dedup_cascade_report": 5,
+    "join_asof_tolerance": 1,
 }
 
 
