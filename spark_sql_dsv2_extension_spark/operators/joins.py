@@ -1006,3 +1006,62 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof_click_id"),
         ).alias("asof_click_id_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-interval containment join (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_interval_point_containment",
+    oracle="""
+    WITH ivals AS (
+      SELECT DISTINCT date_trunc('week', ts) AS w_start,
+             date_trunc('week', ts) + INTERVAL 3 DAY AS w_end
+      FROM events
+    )
+    SELECT ivals.w_start AS campaign_start,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events JOIN ivals ON ts >= ivals.w_start AND ts <= ivals.w_end
+    GROUP BY ivals.w_start
+    """,
+)
+def join_interval_point_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-INTERVAL lookup — event timestamps matched into campaign
+    windows [week_start, week_start + 3 days] — the containment sibling
+    of ``join_range_banded``'s interval-overlap: the oracle is the naive
+    BETWEEN theta-join, the Spark plan is an EQUI-join on the calendar
+    band. A 3-day interval anchored at a week boundary never crosses its
+    own week, so ``date_trunc('week', ts)`` is an exact equi-key; the
+    BETWEEN predicate then verifies candidates. Intervals are a distinct
+    calendar-bounded dim (weeks in the fixture's range), so they
+    broadcast; the fact table never shuffles for the join.
+
+    Scale: with unbounded interval sets the same plan holds by
+    exploding each interval to the ≤2 bands it touches (the
+    ``join_range_banded`` trick); here width < band guarantees 1 band.
+    Per-row values are rounded to integer micro-units BEFORE the sum —
+    round(SUM(double)) hashes differently across engines (vetted r7)."""
+    ev = load(spark, sf_dir, "events")
+    ivals = ev.select(
+        F.date_trunc("week", "ts").alias("w_start"),
+        (F.date_trunc("week", "ts") + F.expr("INTERVAL 3 DAY")).alias("w_end"),
+    ).distinct()
+    pts = ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("v_micro"),
+        F.date_trunc("week", "ts").alias("wk"),
+    )
+    joined = pts.join(F.broadcast(ivals), pts.wk == ivals.w_start).filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end"))
+    )
+    return joined.groupBy(F.col("w_start").alias("campaign_start")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("v_micro").cast("long").alias("sum_value_micro"),
+    )

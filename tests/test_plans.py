@@ -1364,6 +1364,7 @@ _EXCHANGE_BUDGETS = {
     "ext_paragraph_dedup": 2,
     "ext_dedup_cascade_report": 5,
     "join_asof_tolerance": 1,
+    "join_interval_point_containment": 3,
 }
 
 
