@@ -1276,3 +1276,74 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL/GK sketch rank-error invariant (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+_KLL_EPS = 0.02  # rank tolerance; percentile_approx accuracy 10000 => ~1e-4
+
+
+@query(
+    "agg_kll_quantile_invariant",
+    oracle="""
+    SELECT l_returnflag, q_pct, TRUE AS within_tol
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+         (SELECT unnest([25, 50, 75]) AS q_pct)
+    ORDER BY l_returnflag, q_pct
+    """,
+)
+def agg_kll_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy INVARIANT for ``percentile_approx`` (Spark's
+    GK/KLL-family quantile sketch): for each (group, q) the approximate
+    quantile must sit within rank tolerance eps of the exact rank —
+    checked by counting, per group, how many values fall strictly below
+    / at-or-below the sketch's answer and comparing to q·n ± eps·n. The
+    driver-checkable output is the boolean per (group, q_pct), the same
+    invariant shape as ``agg_approx_count_distinct``. q_pct is an
+    integer column (float group keys hash-flake across engines).
+
+    Scale: the sketch side is one pass with mergeable partials (that is
+    the point of KLL); the rank check joins the ≤(groups×3)-row answer
+    table back as a BROADCAST and re-aggregates — one extra scan, no
+    extra shuffle width. percentile_approx accuracy 10000 bounds rank
+    error at ~1e-4, far inside the 0.02 gate, so the invariant is
+    robustly TRUE without being vacuous (accuracy 10 would fail it)."""
+    li = load(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            10000,
+        ).alias("aps")
+    )
+    ap = approx.select(
+        "l_returnflag", F.posexplode("aps").alias("idx", "ap")
+    ).select(
+        "l_returnflag",
+        (F.col("idx") * 25 + 25).cast("int").alias("q_pct"),
+        "ap",
+    )
+    ranks = (
+        li.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag", "q_pct", "ap")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("ap")).cast("long")
+            ).alias("n_lt"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("ap")).cast("long")
+            ).alias("n_le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    target = F.col("q_pct") / F.lit(100.0) * F.col("n")
+    return ranks.select(
+        "l_returnflag",
+        "q_pct",
+        (
+            (F.col("n_lt") <= target + F.lit(_KLL_EPS) * F.col("n"))
+            & (F.col("n_le") >= target - F.lit(_KLL_EPS) * F.col("n"))
+        ).alias("within_tol"),
+    )

@@ -157,6 +157,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dedup_cascade_report",
     "join_asof_tolerance",
     "join_interval_point_containment",
+    "agg_kll_quantile_invariant",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

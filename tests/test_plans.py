@@ -1365,6 +1365,7 @@ _EXCHANGE_BUDGETS = {
     "ext_dedup_cascade_report": 5,
     "join_asof_tolerance": 1,
     "join_interval_point_containment": 3,
+    "agg_kll_quantile_invariant": 2,
 }
 
 
