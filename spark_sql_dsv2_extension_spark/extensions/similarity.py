@@ -2667,3 +2667,116 @@ def ext_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(sz) * 1000 div count(*) AS BIGINT)").alias("mean_bucket3"),
     )
     return stats.join(F.broadcast(p90))
+
+
+# ---------------------------------------------------------------------------
+# Bounded label propagation on the mutual-kNN graph (round-8 thaw)
+# ---------------------------------------------------------------------------
+
+# Vetted oracle fragment (round 7): the mutual-kNN edge list, both
+# directions — shared by the bounded-rounds graph keys.
+_MUTUAL_EDGES_SQL = f"""
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 100 AND b.vec_id < 100
+    ), ranked AS (
+      SELECT u, v, sim,
+             row_number() OVER (PARTITION BY u ORDER BY sim DESC, v) AS rk
+      FROM pairs
+    ), topk AS (
+      SELECT u, v FROM ranked WHERE rk <= {_MKNN_K}
+    ), mutual AS (
+      SELECT a.u AS d1, a.v AS d2
+      FROM topk a JOIN topk b ON a.u = b.v AND a.v = b.u
+      WHERE a.u < a.v
+    ), edges AS (
+      SELECT d1 AS u, d2 AS v FROM mutual
+      UNION ALL
+      SELECT d2 AS u, d1 AS v FROM mutual
+    )
+"""
+
+_LP_ROUNDS = 3
+
+_LP_ROUND_SQL = """
+    , l{n} AS (
+      SELECT n.node, least(n.lbl, coalesce(min(m.lbl), n.lbl)) AS lbl
+      FROM l{m} n
+      LEFT JOIN edges e ON e.u = n.node
+      LEFT JOIN l{m} m ON m.node = e.v
+      GROUP BY n.node, n.lbl
+    )
+"""
+
+
+def _mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions of the mutual-kNN edge list (graph-key input)."""
+    mutual = ext_mutual_knn_pairs(spark, sf_dir).select("d1", "d2")
+    return mutual.select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    ).unionByName(mutual.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
+
+
+@query(
+    "ext_label_propagation_bounded",
+    oracle=(
+        "WITH "
+        + _MUTUAL_EDGES_SQL
+        + """
+    , l0 AS (
+      SELECT DISTINCT u AS node, CAST(u AS BIGINT) AS lbl FROM edges
+    )
+    """
+        + "".join(
+            _LP_ROUND_SQL.format(n=n, m=n - 1)
+            for n in range(1, _LP_ROUNDS + 1)
+        )
+        + f"""
+    SELECT node, lbl AS label_r{_LP_ROUNDS} FROM l{_LP_ROUNDS}
+    """
+    ),
+)
+def ext_label_propagation_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED label propagation — 3 SYNCHRONOUS min-label rounds over
+    the mutual-kNN graph: every node starts labeled with its own id and
+    each round takes the min of (own label, neighbors' labels). After k
+    rounds each node carries the smallest id within k hops — the
+    deterministic prefix of connected-components clustering (duplicate
+    clusters, topic islands). A FIXED round count keeps the key exact:
+    the oracle is the same recurrence unrolled k times as CTEs, with no
+    convergence dependence (a converge-until-stable loop would be
+    nondeterministic work, not a verifiable relation).
+
+    Scale: each round is one edge-list equi-join + one min aggregate —
+    the large/small-star cost class of ``ext_dedup_survivorship``
+    without the re-pointing (k is fixed). The edge list localCheckpoints
+    once so the 3-round lineage stays shallow; degree is capped at k by
+    the mutual-kNN input, so no skew salting is needed."""
+    edges = _mutual_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").cast("long").alias("lbl"))
+    )
+    for _ in range(_LP_ROUNDS):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("lbl").alias("v_lbl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("v_lbl").alias("nbr_min"))
+        )
+        labels = labels.join(nbr, labels.node == nbr.u, "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+    return labels.select("node", F.col("lbl").alias(f"label_r{_LP_ROUNDS}"))

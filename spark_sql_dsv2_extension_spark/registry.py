@@ -158,6 +158,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "join_interval_point_containment",
     "agg_kll_quantile_invariant",
+    "ext_label_propagation_bounded",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

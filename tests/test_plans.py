@@ -1366,6 +1366,9 @@ _EXCHANGE_BUDGETS = {
     "join_asof_tolerance": 1,
     "join_interval_point_containment": 3,
     "agg_kll_quantile_invariant": 2,
+    # mutual-kNN base (brute-force at this sf) + 3 unrolled min-label
+    # rounds — the ext_dedup_survivorship cost class; wide by design
+    "ext_label_propagation_bounded": 22,
 }
 
 
