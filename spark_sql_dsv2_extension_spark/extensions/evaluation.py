@@ -4399,3 +4399,107 @@ def ext_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive double smoothing (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+
+def _daily_value_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-value series in integer micro-units (per-row rounding
+    BEFORE the sum — the cross-engine float rule)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("y")
+    )
+
+
+@query(
+    "ext_holt_winters_additive",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), cal AS (
+      SELECT unnest(generate_series(
+               (SELECT min(d) FROM daily),
+               (SELECT max(d) FROM daily), INTERVAL 1 DAY)) AS d
+    ), series AS (
+      SELECT cal.d, coalesce(daily.y, 0) AS y,
+             CAST(row_number() OVER (ORDER BY cal.d) AS BIGINT) AS i
+      FROM cal LEFT JOIN daily ON cal.d = daily.d
+    ), hw AS (
+      SELECT i, d, y, y AS lvl, CAST(0 AS BIGINT) AS trend
+      FROM series WHERE i = 1
+      UNION ALL
+      SELECT s.i, s.d, s.y,
+             CAST(floor((3 * s.y + 7 * (hw.lvl + hw.trend)) / 10.0) AS BIGINT),
+             CAST(floor((1 * (CAST(floor((3 * s.y + 7 * (hw.lvl + hw.trend)) / 10.0) AS BIGINT) - hw.lvl)
+                         + 9 * hw.trend) / 10.0) AS BIGINT)
+      FROM hw JOIN series s ON s.i = hw.i + 1
+    )
+    SELECT d, y AS y_micro, lvl AS level_micro, trend AS trend_micro,
+           lvl + trend AS forecast_next_micro
+    FROM hw ORDER BY d
+    """,
+)
+def ext_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive DOUBLE SMOOTHING (fixed alpha=0.3, beta=0.1)
+    over the gap-filled daily series: level and trend update each day,
+    one-step forecast = level + trend — the standard capacity-planning /
+    anomaly-baseline recurrence. All-integer arithmetic in micro-units
+    with explicit floor division keeps both engines bit-identical
+    (magnitudes <=1e10 << 2^53; the oracle is a recursive CTE replaying
+    the recurrence on the same gap-filled calendar — DuckDB requires
+    WITH RECURSIVE to prefix the whole CTE list, vetted r7).
+
+    Scale: the recurrence is sequential BY DEFINITION, but its input is
+    the CALENDAR-bounded daily aggregate — <=366 rows/year regardless of
+    data scale — so the heavy reduction (events -> daily) runs fully
+    distributed and ONE applyInPandas group smooths a provably tiny
+    relation. That single group is the documented scale-safety argument
+    (same as ext_seasonal_decompose's bounded tail), not an accident."""
+    daily = _daily_value_micro(spark, sf_dir)
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+
+    import pandas as pd
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        lvl: list[int] = []
+        trend: list[int] = []
+        for k, y in enumerate(pdf["y"].astype(int)):
+            if k == 0:
+                l, b = int(y), 0
+            else:
+                lp, bp = lvl[-1], trend[-1]
+                l = (3 * int(y) + 7 * (lp + bp)) // 10
+                b = (1 * (l - lp) + 9 * bp) // 10
+            lvl.append(l)
+            trend.append(b)
+        # applyInPandas must emit the synthetic group-key column (r7 vetting)
+        pdf["g"] = 1
+        pdf["level_micro"] = pd.Series(lvl, dtype="int64")
+        pdf["trend_micro"] = pd.Series(trend, dtype="int64")
+        return pdf
+
+    out = series.groupBy(F.lit(1).alias("g")).applyInPandas(
+        hw, "g int, d timestamp, y long, level_micro long, trend_micro long"
+    )
+    return out.select(
+        "d",
+        F.col("y").alias("y_micro"),
+        "level_micro",
+        "trend_micro",
+        (F.col("level_micro") + F.col("trend_micro")).alias(
+            "forecast_next_micro"
+        ),
+    )

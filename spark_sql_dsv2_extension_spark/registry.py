@@ -159,6 +159,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_interval_point_containment",
     "agg_kll_quantile_invariant",
     "ext_label_propagation_bounded",
+    "ext_holt_winters_additive",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

@@ -1369,6 +1369,7 @@ _EXCHANGE_BUDGETS = {
     # mutual-kNN base (brute-force at this sf) + 3 unrolled min-label
     # rounds — the ext_dedup_survivorship cost class; wide by design
     "ext_label_propagation_bounded": 22,
+    "ext_holt_winters_additive": 1,
 }
 
 
