@@ -4503,3 +4503,89 @@ def ext_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-median MAD anomaly gate (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_anomaly_mad_rolling",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ), frames AS (
+      SELECT a.i, a.d, a.y, b.y AS yb
+      FROM idx a JOIN idx b ON b.i BETWEEN a.i - 6 AND a.i
+    ), med AS (
+      SELECT i, d, y, CAST(2 * median(yb) AS BIGINT) AS med2
+      FROM frames GROUP BY i, d, y
+    ), mad AS (
+      SELECT m.i, m.d, m.y, m.med2,
+             CAST(2 * median(abs(2 * f.yb - m.med2)) AS BIGINT) AS mad4
+      FROM med m JOIN frames f ON f.i = m.i
+      GROUP BY m.i, m.d, m.y, m.med2
+    )
+    SELECT d, y AS y_micro, med2, mad4,
+           (2 * abs(2 * y - med2) > 3 * mad4) AS is_anomaly
+    FROM mad WHERE i >= 7 ORDER BY d
+    """,
+)
+def ext_anomaly_mad_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-MEDIAN / MAD anomaly gate over the daily series: each day
+    is judged against the median and median-absolute-deviation of its
+    trailing 7-day frame — the robust (outlier-immune) alternative to
+    z-scores that monitoring pipelines prefer, flagging
+    |y - med| > 3·MAD. All-integer exactness via DOUBLED medians:
+    2·median of an even-sized integer frame is integer-exact, so med2 =
+    2·median(y) and mad4 = 2·median(|2·y − med2|) = 4·MAD carry no
+    floats (vetted r7); the nested frame-median (a median OF deviations
+    from a median) is what rules out any built-in rolling aggregate.
+
+    Scale: a window frame would serialize on an unpartitioned global
+    sort, so the frame is materialized as a BANDED SELF-JOIN instead —
+    each row explodes to its 7 (row, offset) members and equi-joins on
+    the member index from ``distributed_row_number`` (quantiles.py, no
+    global window). The exploded relation is 7× the daily aggregate —
+    calendar-bounded (<=366 rows/year), so at 100 TB the frame join is
+    a few-KB shuffle riding after the distributed events->daily
+    reduction."""
+    daily = _daily_value_micro(spark, sf_dir)
+    idx = distributed_row_number(daily, ["d"], rn="i")
+    a = idx.filter(F.col("i") >= 7).select(
+        F.col("i").alias("ai"), F.col("d").alias("d"), F.col("y").alias("y")
+    )
+    frames = a.select(
+        "ai", "d", "y", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).withColumn("bi", F.col("ai") - F.col("off"))
+    joined = frames.join(
+        idx.select(F.col("i").alias("bi"), F.col("y").alias("yb")), "bi"
+    )
+    med = joined.groupBy("ai", "d", "y").agg(
+        (2 * F.expr("percentile(yb, 0.5)")).cast("long").alias("med2"),
+        F.collect_list("yb").alias("frame"),
+    )
+    mad = (
+        med.select("ai", "d", "y", "med2", F.explode("frame").alias("yb"))
+        .groupBy("ai", "d", "y", "med2")
+        .agg(
+            (2 * F.expr("percentile(abs(2 * yb - med2), 0.5)"))
+            .cast("long")
+            .alias("mad4"),
+        )
+    )
+    return mad.select(
+        "d",
+        F.col("y").alias("y_micro"),
+        "med2",
+        "mad4",
+        (2 * F.abs(2 * F.col("y") - F.col("med2")) > 3 * F.col("mad4")).alias(
+            "is_anomaly"
+        ),
+    )

@@ -160,6 +160,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_kll_quantile_invariant",
     "ext_label_propagation_bounded",
     "ext_holt_winters_additive",
+    "ext_anomaly_mad_rolling",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

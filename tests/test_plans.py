@@ -1370,6 +1370,7 @@ _EXCHANGE_BUDGETS = {
     # rounds — the ext_dedup_survivorship cost class; wide by design
     "ext_label_propagation_bounded": 22,
     "ext_holt_winters_additive": 1,
+    "ext_anomaly_mad_rolling": 5,
 }
 
 
