@@ -452,3 +452,76 @@ def ext_multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_images"),
         F.sum("dev").cast("long").alias("sum_aspect_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-skew rebalance plan (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_shard_skew_rebalance",
+    oracle=f"""
+    WITH assets AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_bytes,
+             SUM(n_bytes) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_bytes
+      FROM assets
+    ), pack AS (
+      SELECT doc_id, n_bytes,
+             CAST((cum_bytes - n_bytes) // {_SHARD_BYTES} AS BIGINT) AS shard
+      FROM cum
+    ), shard_tot AS (
+      SELECT shard, CAST(SUM(n_bytes) AS BIGINT) AS tot FROM pack GROUP BY shard
+    ), target AS (
+      SELECT CAST(floor(avg(tot)) AS BIGINT) AS tgt FROM shard_tot
+    ), within AS (
+      SELECT p.shard, p.doc_id, p.n_bytes,
+             SUM(p.n_bytes) OVER (PARTITION BY p.shard ORDER BY p.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_in_shard
+      FROM pack p
+    )
+    SELECT shard, doc_id, n_bytes
+    FROM within, target
+    WHERE cum_in_shard > (tgt * 11) // 10
+    ORDER BY shard, doc_id
+    """,
+)
+def ext_shard_skew_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-skew REBALANCE PLAN over the ``ext_multimodal_shard_pack``
+    manifest: every document whose within-shard byte prefix exceeds 110%
+    of the average shard size is the closed-form MOVE SET — the minimal
+    suffix each oversized shard must give up to land within the +/-10%
+    loader-balance envelope. Iterative greedy reassignment collapses to
+    this prefix rule because docs move in doc_id order (vetted r7), so
+    the plan stays a pure relational expression: shard totals -> global
+    average -> per-shard running sum -> threshold filter.
+
+    Scale: the within-shard running sum is a PARTITIONED window (shard
+    count grows with corpus bytes; ~target-size rows per shard, so no
+    skew by construction); the 1-row average-target relation joins in as
+    a broadcast — the plan's BroadcastNestedLoopJoin is that no-condition
+    1-row attach (the ``ext_bpe_apply_merge`` shape), never a data-sized
+    cartesian."""
+    pack = ext_multimodal_shard_pack(spark, sf_dir).select(
+        "shard", "doc_id", "n_bytes"
+    )
+    tot = pack.groupBy("shard").agg(F.sum("n_bytes").alias("tot"))
+    target = tot.agg(F.floor(F.avg("tot")).cast("long").alias("tgt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = pack.withColumn("cum_in_shard", F.sum("n_bytes").over(w))
+    return (
+        within.join(F.broadcast(target))
+        .filter(F.col("cum_in_shard") > F.expr("(tgt * 11) div 10"))
+        .select("shard", "doc_id", "n_bytes")
+    )

@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_label_propagation_bounded",
     "ext_holt_winters_additive",
     "ext_anomaly_mad_rolling",
+    "ext_shard_skew_rebalance",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

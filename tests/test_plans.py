@@ -1371,6 +1371,7 @@ _EXCHANGE_BUDGETS = {
     "ext_label_propagation_bounded": 22,
     "ext_holt_winters_additive": 1,
     "ext_anomaly_mad_rolling": 5,
+    "ext_shard_skew_rebalance": 6,
 }
 
 
