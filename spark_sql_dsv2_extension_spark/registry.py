@@ -162,6 +162,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_holt_winters_additive",
     "ext_anomaly_mad_rolling",
     "ext_shard_skew_rebalance",
+    "ext_ann_ivf_nprobe_curve",
     # --- remaining queue (34) in rotation order; follows the thaw block
     # into the round-9 window ---
     "tpch_q20_potential_promo",

@@ -1372,6 +1372,7 @@ _EXCHANGE_BUDGETS = {
     "ext_holt_winters_additive": 1,
     "ext_anomaly_mad_rolling": 5,
     "ext_shard_skew_rebalance": 6,
+    "ext_ann_ivf_nprobe_curve": 9,
 }
 
 
