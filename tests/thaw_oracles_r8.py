@@ -1,5 +1,9 @@
 """Round-8 thaw-candidate oracle validation (written in round 7).
 
+ROUND-8 STATUS: 10 of the 12 oracles below were lifted verbatim into
+their ``@query`` registrations; ``ext_bpe_train_k_rounds`` and
+``ext_graph_degeneracy_core`` are deferred (still vetted, later tranche).
+
 Run: ``python tests/thaw_oracles_r8.py`` — no pytest collection (helper
 convention, like recensus_budgets.py). Drafts the exact DuckDB oracle for
 each ROADMAP_r8.md candidate and runs it twice against sf0.01, checking

@@ -1,14 +1,17 @@
 """Spark-side prototypes for the 12 round-8 thaw candidates (round-7 prep).
 
-NOT registered in the inventory — the round-7 net-new-key freeze holds
-(registry.py thaw rule). Each ROADMAP_r8.md candidate gets a
-(spark, sf_dir) -> DataFrame implementation in the house style
-(tables.load / fan_out, built-in functions, partitioned windows only,
-broadcast small sides) and is compared against its vetted DuckDB oracle
-(tests/thaw_oracles_r8.py) under a VANILLA session — the same harness as
-tests/driver_sim.py. Round-8 registration lifts a prototype + its oracle
-into the owning extension module in ONE commit with plan pin + driver-sim,
-per the thaw rule. Status at round-7 end: 12/12 PASS at sf0.01.
+ROUND-8 STATUS: 10 of the 12 were registered (one commit each, per the
+thaw rule) — the registered copies in the extension modules are now the
+source of truth for those keys; the prototypes here are retained as the
+validation record. The two DEFERRED candidates remain vetted here for a
+later tranche: ``ext_bpe_train_k_rounds`` and ``ext_graph_degeneracy_core``.
+
+Each ROADMAP_r8.md candidate gets a (spark, sf_dir) -> DataFrame
+implementation in the house style (tables.load / fan_out, built-in
+functions, partitioned windows only, broadcast small sides) and is
+compared against its vetted DuckDB oracle (tests/thaw_oracles_r8.py)
+under a VANILLA session — the same harness as tests/driver_sim.py.
+Status at round-7 end: 12/12 PASS at sf0.01.
 
 Run: ``python tests/thaw_protos_r8.py [key ...]`` (not pytest-collected).
 """
