@@ -19,7 +19,7 @@ SPECS = load_all()
 @pytest.mark.parametrize("key", sorted(SPECS))
 def test_query_parity(key, spark, duck, sf_dir):
     spec = SPECS[key]
-    # all 425 registered keys carry an exact DuckDB oracle (the rows-only
+    # every registered key carries an exact DuckDB oracle (the rows-only
     # weaker path died in round 3; keep registration honest)
     assert spec.oracle is not None, f"{key} registered without an oracle"
     sdf = spec.fn(spark, sf_dir).toPandas()

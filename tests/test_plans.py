@@ -918,7 +918,8 @@ def test_round6_window_keys_plan_shapes(spark, sf_dir):
 # the cache-cleared sweep) plus slack 2 for AQE/stats drift. A failure
 # means a rewrite silently added exchanges — the scale cost the census
 # was taken to pin. Together with the bespoke audits above, EVERY one of
-# the 425 registered keys has its planned shuffle width pinned in CI
+# the registered keys (435 after the round-8 thaw) has its planned
+# shuffle width pinned in CI
 # (391 budgeted here + 34 bespoke-audited). Windows/UDF/cartesian
 # hygiene for the same keys is covered by the inventory-wide guardrails.
 #
@@ -1377,7 +1378,7 @@ _EXCHANGE_BUDGETS = {
 
 
 # One shared plan sweep for the inventory-wide guardrails below: Catalyst
-# analysis/optimization for 425 keys is the dominant cost of these tests,
+# analysis/optimization for 435 keys is the dominant cost of these tests,
 # so compute each key's physical plan ONCE per session and let every
 # guardrail run its string checks against the memo (round-6 review:
 # the three guardrails + the budget audit were each re-planning the
