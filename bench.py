@@ -121,6 +121,18 @@ EXTENDED = [
     "ext_psm_nearest_match",
     # round-6 conversion: RANGE frame as banded bucket equi-join
     "win_range_frame",
+    # round-8 thaw registrations (timed for trend visibility; headline
+    # membership is frozen at v2 so cross-round totals stay comparable)
+    "ext_paragraph_dedup",
+    "ext_dedup_cascade_report",
+    "join_asof_tolerance",
+    "join_interval_point_containment",
+    "agg_kll_quantile_invariant",
+    "ext_label_propagation_bounded",
+    "ext_holt_winters_additive",
+    "ext_anomaly_mad_rolling",
+    "ext_shard_skew_rebalance",
+    "ext_ann_ivf_nprobe_curve",
 ]
 
 
