@@ -4460,7 +4460,15 @@ def ext_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     data scale — so the heavy reduction (events -> daily) runs fully
     distributed and ONE applyInPandas group smooths a provably tiny
     relation. That single group is the documented scale-safety argument
-    (same as ext_seasonal_decompose's bounded tail), not an accident."""
+    (same as ext_seasonal_decompose's bounded tail), not an accident.
+
+    Exactness bound: the oracle computes floor(x / 10.0) in DOUBLE, which
+    matches Python's integer // 10 only while |x| < 2^49 (x/10.0 must be
+    exactly representable below the 2^52 integer-precision cliff with
+    headroom for the one inexact quotient ulp). Here x ~ 10*y_micro ~
+    5e11 at sf0.1 — about three orders of magnitude inside the bound; a
+    deployment summing >~5e13 micro-units/day must scale units down or
+    move the oracle to integer division."""
     daily = _daily_value_micro(spark, sf_dir)
     bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     cal = bounds.select(
