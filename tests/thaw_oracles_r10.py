@@ -196,6 +196,12 @@ ORACLES["ext_dtw_bounded"] = f"""
            CAST((SELECT SUM((pa.y - pb.y) * (pa.y - pb.y))
                  FROM pa JOIN pb ON pa.dow = pb.dow) AS BIGINT)
              AS euclid_d2
+    -- degenerate-series gate (r8 prep for the r10 registration): with
+    -- fewer than 2 full ISO weeks there is no (first, last) profile pair
+    -- — emit ZERO rows (the ungated form returned one row of NULL cells
+    -- at 0 weeks and self-DTW at 1, while the Spark DP raised on the
+    -- missing side; both engines now agree on empty)
+    WHERE (SELECT count(*) FROM full_weeks) >= 2
 """
 
 # 5. ext_embedding_centroid_drift — pairwise distance between per-label

@@ -229,8 +229,13 @@ def ext_dtw_bounded(spark, sf_dir):
         F.min("w").alias("w0"), F.max("w").alias("w1"),
         F.count(F.lit(1)).cast("long").alias("n_full_weeks"),
     )
+    # degenerate-series gate (r8 prep; mirrors the oracle's WHERE): with
+    # fewer than 2 full ISO weeks there is no (first, last) profile pair —
+    # the ungated pandas DP raised an IndexError on the missing "b" side
+    # when exactly one full week existed. Both engines now emit ZERO rows.
     prof = wk.join(F.broadcast(bounds)).filter(
-        (F.col("w") == F.col("w0")) | (F.col("w") == F.col("w1"))
+        (F.col("n_full_weeks") >= 2)
+        & ((F.col("w") == F.col("w0")) | (F.col("w") == F.col("w1")))
     ).select(
         F.when(F.col("w") == F.col("w0"), F.lit("a")).otherwise(F.lit("b")).alias(
             "side"
