@@ -108,6 +108,8 @@ ORACLES["ext_degree_assortativity"] = (
                  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
              AS assortativity6
     FROM s
+    -- degenerate gate (r8 audit): zero degree variance -> zero rows
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """
 )
 
@@ -308,6 +310,7 @@ ORACLES["ext_random_projection_jl"] = """
            CAST(round(1000000 * proj_d2 / (16 * orig_d2)) AS BIGINT) AS ratio6,
            (proj_d2 / (16 * orig_d2) BETWEEN 0.2 AND 3.0) AS within_jl
     FROM pd
+    WHERE orig_d2 > 0  -- degenerate gate (r8 audit): identical pair
 """
 
 # 11. ext_sax_symbols — SAX letters (alphabet 4) over the z-scored daily
@@ -327,6 +330,8 @@ ORACLES["ext_sax_symbols"] = """
              (y - 1.0 * sx / n) /
              sqrt((1.0 * n * sxx - 1.0 * sx * sx) / (1.0 * n * n)) AS zv
       FROM daily, s
+      -- degenerate gate (r8 audit): constant series -> zero rows
+      WHERE n * sxx - sx * sx > 0
     )
     SELECT d, y AS y_milli, CAST(round(1000000 * zv) AS BIGINT) AS z6,
            CASE WHEN zv < -0.6744897501960817 THEN 'a'

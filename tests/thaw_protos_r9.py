@@ -169,7 +169,14 @@ def ext_degree_assortativity(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
-    return s.select(
+    # degenerate gate (r8 audit): a regular graph (all degrees equal —
+    # e.g. identical embeddings) has zero degree variance; Pearson r is
+    # 0/0, which ANSI Spark raises on and DuckDB renders NaN. Both
+    # engines now emit ZERO rows instead.
+    return s.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
         F.col("n").alias("n_edges"),
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
@@ -459,7 +466,10 @@ def ext_random_projection_jl(spark, sf_dir):
             F.transform(pvec, lambda p: p * p), F.lit(0.0), lambda acc, v: acc + v
         ).alias("proj_d2"),
     )
-    return proj.select(
+    # degenerate gate (r8 audit): an identical adjacent pair has
+    # orig_d2 = 0 and no defined distortion ratio (ANSI Spark raises,
+    # DuckDB renders NaN) — exclude zero-distance pairs on both engines.
+    return proj.filter(F.col("orig_d2") > 0).select(
         "u",
         "v",
         F.round(1000000 * F.col("proj_d2") / (16 * F.col("orig_d2")))
@@ -483,7 +493,12 @@ def ext_sax_symbols(spark, sf_dir):
         F.sum("y").cast("long").alias("sx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sxx"),
     )
-    z = daily.join(F.broadcast(s)).select(
+    # degenerate gate (r8 audit): a constant series has zero variance and
+    # no defined z-score (ANSI Spark raises on the 0/0, DuckDB renders
+    # NaN) — both engines now emit ZERO rows for it.
+    z = daily.join(F.broadcast(s)).filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
         "d",
         "y",
         (
