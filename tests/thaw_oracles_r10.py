@@ -272,6 +272,8 @@ ORACLES["ext_t_closeness_audit"] = """
                 * SUM(abs(1.0 * g.cum / g.n - 1.0 * a.cum_all / a.n_all)))
                 AS BIGINT) > 200000 AS at_risk
     FROM gcum g JOIN allcum a ON g.b = a.b CROSS JOIN m
+    -- degenerate gate (r8 audit): one sensitive bucket -> zero rows
+    WHERE m.m >= 2
     GROUP BY g.c_nationkey, g.c_mktsegment, m.m
 """
 

@@ -388,7 +388,11 @@ def ext_t_closeness_audit(spark, sf_dir):
         )
     )
     emd6 = F.round(1000000.0 / (F.col("m") - 1) * F.col("sabs")).cast("long")
-    return emd.select(
+    # degenerate gate (r8 audit): one distinct sensitive bucket (m = 1)
+    # makes the EMD normalizer 1/(m-1) a 0/0 — ANSI Spark raises, DuckDB
+    # renders NaN. With a single bucket every group trivially matches the
+    # global distribution; both engines now emit ZERO rows.
+    return emd.filter(F.col("m") >= 2).select(
         "c_nationkey",
         "c_mktsegment",
         "group_n",
