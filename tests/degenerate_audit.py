@@ -1,0 +1,185 @@
+"""Degenerate-input engine-agreement audit (round-8 helper, non-pytest).
+
+The oracle inventory proves Spark == DuckDB on the shared fixtures; this
+helper probes the DEGENERATE corner the fixtures never reach — identical
+embeddings, constant daily series, single-row tables, sub-shingle-length
+documents — and reports, per key, whether the two engines still agree
+(both raise is a FAIL: the driver cannot hash an exception; both-empty
+or equal rows is OK). It found the four gates applied in round 8
+(tranche-2: degree-assortativity / random-projection-JL / SAX; tranche-3:
+t-closeness) and the registered `ext_near_dedup_minhash` sub-3-word
+precondition (fix deferred per the stale-row rule, ROADMAP_r11).
+
+Usage:
+    python tests/degenerate_audit.py                  # all registered keys
+    python tests/degenerate_audit.py key1 key2 ...    # targeted
+    python tests/degenerate_audit.py --protos r9      # a thaw-candidate file
+
+Keys whose plan needs tables the degenerate set lacks, or that are
+streaming-only, report SKIP. Exit status 1 if any DIVERGE.
+Convention: run this over every thaw tranche BEFORE its registration
+round, and over new registrations in their round.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MON = dt.datetime(2024, 1, 1)  # a Monday: ISO-week-truncation anchor
+
+
+def build_degenerate_fixtures(tmp: str) -> None:
+    """One crafted dir per run: 3 constant-value daily events for one
+    user; 3 byte-identical embeddings in one label; a single 2-word
+    document; a 2-row single-group lineitem whose quantities round to 0;
+    a single customer row (one QI group, one sensitive bucket)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = [(i, MON + dt.timedelta(days=i), 1, "view", 1.0) for i in range(3)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in ev], pa.int64()),
+                "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in ev], pa.int64()),
+                "event_type": pa.array([r[3] for r in ev], pa.string()),
+                "value": pa.array([r[4] for r in ev], pa.float64()),
+                "props": pa.array(["{}"] * len(ev), pa.string()),
+            }
+        ),
+        f"{tmp}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(3), pa.int64()),
+                "embedding": pa.array([[0.1] * 64] * 3, pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 0], pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["hello world"], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["t"], pa.string()),
+                "n_chars": pa.array([11], pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2], pa.int64()),
+                "l_partkey": pa.array([0, 0], pa.int64()),
+                "l_suppkey": pa.array([0, 0], pa.int64()),
+                "l_linenumber": pa.array([1, 1], pa.int32()),
+                "l_quantity": pa.array([0.4, 0.4], pa.float64()),
+                "l_extendedprice": pa.array([10.0, 10.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.0], pa.float64()),
+                "l_tax": pa.array([0.0, 0.0], pa.float64()),
+                "l_returnflag": pa.array(["A", "A"], pa.string()),
+                "l_linestatus": pa.array(["O", "O"], pa.string()),
+                "l_shipdate": pa.array([MON, MON], pa.timestamp("us")),
+            }
+        ),
+        f"{tmp}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1], pa.int64()),
+                "c_name": pa.array(["c1"], pa.string()),
+                "c_nationkey": pa.array([0], pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING"], pa.string()),
+                "c_acctbal": pa.array([100.0], pa.float64()),
+            }
+        ),
+        f"{tmp}/customer.parquet",
+    )
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    args = sys.argv[1:]
+    if args[:1] == ["--protos"]:
+        import importlib
+
+        mod = importlib.import_module(f"tests.thaw_protos_{args[1]}")
+        omod = importlib.import_module(f"tests.thaw_oracles_{args[1]}")
+        pairs = {k: (fn, omod.ORACLES.get(k)) for k, fn in mod.PROTOS.items()}
+        keys = args[2:] or list(pairs)
+    else:
+        from spark_sql_dsv2_extension_spark.registry import load_all
+
+        specs = load_all()
+        pairs = {k: (s.fn, s.oracle) for k, s in specs.items()}
+        keys = args or list(pairs)
+
+    tmp = tempfile.mkdtemp(prefix="degenerate_audit_")
+    build_degenerate_fixtures(tmp)
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("degenerate-audit")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ("events", "embeddings", "documents", "lineitem", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
+        )
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return (len(df), sorted(map(str, df[cols].itertuples(index=False, name=None))))
+
+    diverged, skipped = [], []
+    for key in keys:
+        fn, oracle = pairs[key]
+        if oracle is None:
+            skipped.append(key)
+            print(f"SKIP {key}: no oracle")
+            continue
+        s_res = d_res = None
+        s_err = d_err = ""
+        try:
+            s_res = canon(fn(spark, tmp).toPandas())
+        except Exception as e:  # noqa: BLE001 — report, don't mask, any engine error
+            s_err = f"{type(e).__name__}: {str(e)[:100]}"
+        try:
+            d_res = canon(con.sql(oracle).df())
+        except Exception as e:  # noqa: BLE001
+            d_err = f"{type(e).__name__}: {str(e)[:100]}"
+        missing_table = "does not exist" in d_err or "TABLE_OR_VIEW_NOT_FOUND" in s_err
+        if missing_table:
+            skipped.append(key)
+            print(f"SKIP {key}: needs a table outside the degenerate set")
+            continue
+        if s_res is not None and s_res == d_res:
+            print(f"OK   {key}: {s_res[0]} rows, engines agree")
+        else:
+            diverged.append(key)
+            print(f"DIVERGE {key}: spark={s_res or s_err} duck={d_res or d_err}")
+    print(
+        f"\n{len(keys) - len(diverged) - len(skipped)} ok, "
+        f"{len(skipped)} skipped, {len(diverged)} diverged: {diverged}"
+    )
+    return 1 if diverged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
