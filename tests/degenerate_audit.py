@@ -34,10 +34,14 @@ MON = dt.datetime(2024, 1, 1)  # a Monday: ISO-week-truncation anchor
 
 
 def build_degenerate_fixtures(tmp: str) -> None:
-    """One crafted dir per run: 3 constant-value daily events for one
-    user; 3 byte-identical embeddings in one label; a single 2-word
-    document; a 2-row single-group lineitem whose quantities round to 0;
-    a single customer row (one QI group, one sensitive bucket)."""
+    """One crafted dir per run, covering all ten fixture tables: 3
+    constant-value daily events for one user; 3 byte-identical embeddings
+    in one label; a single 2-word document; a 2-row single-group lineitem
+    whose quantities round to 0 and prices are constant; single-row
+    customer / orders / part / supplier / nation / region (one QI group,
+    one sensitive bucket, every join degenerate to 0-or-1 matches).
+    Column types mirror the driver fixtures exactly (int32 keys where the
+    generator used int32)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -100,12 +104,68 @@ def build_degenerate_fixtures(tmp: str) -> None:
             {
                 "c_custkey": pa.array([1], pa.int64()),
                 "c_name": pa.array(["c1"], pa.string()),
-                "c_nationkey": pa.array([0], pa.int64()),
+                "c_nationkey": pa.array([0], pa.int32()),
                 "c_mktsegment": pa.array(["BUILDING"], pa.string()),
                 "c_acctbal": pa.array([100.0], pa.float64()),
             }
         ),
         f"{tmp}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([1], pa.int64()),
+                "o_orderstatus": pa.array(["O"], pa.string()),
+                "o_totalprice": pa.array([100.0], pa.float64()),
+                "o_orderdate": pa.array([MON], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"], pa.string()),
+            }
+        ),
+        f"{tmp}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([0], pa.int64()),
+                "p_name": pa.array(["part zero"], pa.string()),
+                "p_brand": pa.array(["Brand#0"], pa.string()),
+                "p_type": pa.array(["STANDARD"], pa.string()),
+                "p_size": pa.array([1], pa.int32()),
+                "p_retailprice": pa.array([1.0], pa.float64()),
+            }
+        ),
+        f"{tmp}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([0], pa.int64()),
+                "s_name": pa.array(["s0"], pa.string()),
+                "s_nationkey": pa.array([0], pa.int32()),
+                "s_acctbal": pa.array([1.0], pa.float64()),
+            }
+        ),
+        f"{tmp}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0], pa.int32()),
+                "n_name": pa.array(["NATION0"], pa.string()),
+                "n_regionkey": pa.array([0], pa.int32()),
+            }
+        ),
+        f"{tmp}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0], pa.int32()),
+                "r_name": pa.array(["REGION0"], pa.string()),
+            }
+        ),
+        f"{tmp}/region.parquet",
     )
 
 
@@ -138,7 +198,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in ("events", "embeddings", "documents", "lineitem", "customer"):
+    for t in (
+        "events", "embeddings", "documents", "lineitem", "customer",
+        "orders", "part", "supplier", "nation", "region",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
         )
