@@ -206,9 +206,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
         )
 
+    # canonicalize EXACTLY like the driver gate (tests/parity.py): columns
+    # sorted by name, rows order-insensitive, NaN == NULL. A stricter
+    # str()-based canon would flag NULL-vs-NaN rows that the driver's
+    # value-hash actually accepts.
+    from tests.parity import canonical_rows
+
     def canon(df):
-        cols = sorted(df.columns)
-        return (len(df), sorted(map(str, df[cols].itertuples(index=False, name=None))))
+        return (len(df), sorted(df.columns), canonical_rows(df))
 
     diverged, skipped = [], []
     for key in keys:
