@@ -681,7 +681,13 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     end. Both engines see identical integers, so the doubles agree before
     the 4-decimal presentation rounding. Same single partial-agg shuffle
     as any grouped sum — this is also the 100 TB pattern for reproducible
-    metrics across reruns and AQE re-plans."""
+    metrics across reruns and AQE re-plans.
+
+    Degenerate guard (round-8 audit): a single-row group has no sample
+    variance — the n−1 divisor is zero, which ANSI Spark raises on while
+    the oracle renders NaN. ``try_divide`` yields NULL there, and the
+    driver's canonicalizer treats NULL and NaN as the same cell, so the
+    engines agree; real groups (n ≫ 1) are untouched."""
     o = load(spark, sf_dir, "orders")
     xs = F.round(F.col("o_totalprice") * 100).cast("long")
     stats = o.groupBy("o_orderstatus").agg(
@@ -690,7 +696,7 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((xs * xs).cast("decimal(38,0)")).alias("sxx"),
     )
     num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    var = num / F.col("n") / (F.col("n") - 1)
+    var = F.try_divide(num / F.col("n"), F.col("n") - 1)
     return stats.select(
         "o_orderstatus",
         "n",

@@ -237,7 +237,12 @@ def ext_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three chained min-aggregates, each joining the (tiny) prior stage
     back into the event scan on user_id; timestamps compared exactly.
     At 100 TB each stage is one shuffle on user_id and the stage
-    relations shrink monotonically."""
+    relations shrink monotonically.
+
+    Degenerate guard (round-8 audit): an EMPTY upstream stage makes a
+    conversion rate 0/0 — ANSI Spark raises where the oracle renders
+    NaN; ``try_divide`` yields NULL, which the driver canonicalizer
+    equates with NaN. Populated funnels are untouched."""
     ev = load(spark, sf_dir, "events")
     s1 = (
         ev.filter(F.col("event_type") == "view")
@@ -270,11 +275,11 @@ def ext_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_viewed",
             "n_clicked",
             "n_purchased",
-            F.round(F.col("n_clicked") * 1.0 / F.col("n_viewed"), 4).alias(
-                "view_to_click"
-            ),
             F.round(
-                F.col("n_purchased") * 1.0 / F.col("n_clicked"), 4
+                F.try_divide(F.col("n_clicked") * 1.0, F.col("n_viewed")), 4
+            ).alias("view_to_click"),
+            F.round(
+                F.try_divide(F.col("n_purchased") * 1.0, F.col("n_clicked")), 4
             ).alias("click_to_purchase"),
         )
     )
