@@ -979,13 +979,16 @@ def ext_shared_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
-    spans = docs.select(
+    # a SPAN_W-token span cannot exist in a shorter document: without this
+    # filter the old greatest(.., 0) floor emitted ONE truncated "span"
+    # (the whole short doc) that the oracle's range() correctly does not —
+    # two identical sub-SPAN_W docs at sf0.1 produced a phantom pair
+    # (round-8 sf0.1 sweep, 222 vs 221 rows)
+    spans = docs.filter(F.size(w) >= SPAN_W).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size(w) - SPAN_W, F.lit(0))
-                ),
+                F.sequence(F.lit(0), F.size(w) - SPAN_W),
                 lambda i: F.concat_ws(" ", F.slice(w, i + 1, SPAN_W)),
             )
         ).alias("span"),

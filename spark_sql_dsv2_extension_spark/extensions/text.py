@@ -1091,7 +1091,7 @@ def ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(SUM(lp6) / 1e6 / count(*), 4) AS avg_neg_logprob
+           CAST(SUM(lp6) // count(*) AS BIGINT) AS avg_neg_logprob6
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1107,7 +1107,10 @@ def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is both the determinism trick for the oracle and the right
     pattern for reproducible pipeline reruns at 100 TB. Vocab joins back
     broadcast (fixture) / shuffle (web-scale); everything else is one
-    grouped aggregate."""
+    grouped aggregate. The per-doc average is integer micro-units via
+    floor division — the sibling bigram key hit an exact half boundary
+    in the old ``round(sum/1e6/n, 4)`` at sf0.1 where the engines'
+    double rounding disagrees (round-8 sweep); same guard here."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).cache()
@@ -1124,9 +1127,7 @@ def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.sum("lp6") / F.lit(1e6) / F.count(F.lit(1)), 4).alias(
-            "avg_neg_logprob"
-        ),
+        F.expr("sum(lp6) div count(1)").alias("avg_neg_logprob6"),
     )
 
 
@@ -1634,7 +1635,7 @@ def ext_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(SUM(lp6) / 1e6 / count(*), 4) AS avg_neg_logprob
+           CAST(SUM(lp6) // count(*) AS BIGINT) AS avg_neg_logprob6
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1646,7 +1647,12 @@ def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams are extracted MAP-SIDE (zip of the token array with its own
     tail — no positional self-join in Spark), counted once, and joined
     back; per-token −ln(p) is 1e-6-scaled int64, so the sum is
-    order-independent and bit-exact."""
+    order-independent and bit-exact. The per-doc AVERAGE is integer
+    micro-units via floor division (round-8 sf0.1 sweep: the old
+    ``round(sum/1e6/n, 4)`` hit an exact half boundary — 115815900/34 =
+    3406350 µunits = 3.40635 — where Spark's and DuckDB's double
+    rounding disagree; the repo's micro-unit rule exists precisely for
+    this, and integer division cannot drift at any scale)."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     big = docs.select(
@@ -1675,9 +1681,7 @@ def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(F.sum("lp6") / F.lit(1e6) / F.count(F.lit(1)), 4).alias(
-            "avg_neg_logprob"
-        ),
+        F.expr("sum(lp6) div count(1)").alias("avg_neg_logprob6"),
     )
 
 

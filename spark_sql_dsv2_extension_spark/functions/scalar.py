@@ -506,7 +506,15 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow boundary: 9e18 + k·10¹⁴ exceeds int64 max from k=2234). At
     100 TB these are how one bad row degrades to one NULL instead of
     failing a stage under ``spark.sql.ansi.enabled`` — the same
-    row-not-job blast-radius principle as the corrupt-file/row scans."""
+    row-not-job blast-radius principle as the corrupt-file/row scans.
+
+    There are TWO overflow boundaries (round-8 sf0.1 sweep): the SUM
+    overflows from k=2234 (try_add's job), but the inner PRODUCT k·10¹⁴
+    itself overflows int64 from k>92,233 — keys that exist at sf0.1+ —
+    and a raw ``*`` there raises BEFORE try_add ever runs (the oracle's
+    CASE short-circuits lazily, so DuckDB never evaluates it). The
+    product therefore goes through ``try_multiply``; NULL then flows
+    through try_add, matching the oracle's NULL for every k >= 2234."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     return o.select(
         "o_orderkey",
@@ -519,7 +527,9 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("safe_cast"),
         F.try_add(
             F.lit(9_000_000_000_000_000_000),
-            F.col("o_orderkey") * F.lit(100_000_000_000_000),
+            F.try_multiply(
+                F.col("o_orderkey"), F.lit(100_000_000_000_000)
+            ),
         ).alias("safe_add"),
     )
 
