@@ -67,14 +67,15 @@ _loaded = False
 # absent from this list follow in module registration order; driver-green
 # keys go last (they stay fully covered by tests/test_parity.py either way).
 #
-# ROUND-8 ROTATION (applied this round, after CORRECTNESS_r07 came back
-# 50/50 green — cumulative 341/425): the r7 window rotated behind the
-# queue; the round-8 window is the next 50 queued keys with ZERO re-fronts
-# (re-derived at rotation time from the latest-wins fold over committed
-# CORRECTNESS_r*.json and confirmed identical to the list pre-computed in
-# ROADMAP_r8.md). Cumulative target: >=391/425. Keys thawed this round
-# under the rule below are inserted immediately AFTER the window (before
-# the 34-key remainder) so they front the round-9 window.
+# ROUND-9 ROTATION (applied this round, after CORRECTNESS_r08 came back
+# 50/50 green — cumulative 391/435): the r8 window rotated behind the
+# queue. The backlog (44) is smaller than the window (50) for the first
+# time, so the round-9 window is: the full 44-key queue, then ONE
+# deliberate re-front (ext_spearman_corr, carrying the int64 overflow fix
+# — r8 verdict ask #2), then the <=5 tranche-2 thaw keys registered this
+# round (r8 verdict ask #3 caps the thaw at the spare slots so the window
+# closes at exactly 50). Cumulative target: 435/435 of the pre-thaw
+# registry, 440/440 including the tranche-2 registrations.
 #
 # STALE-ROW DISCIPLINE (hold at zero cost): before any perf or shared-helper
 # change, classify every touched key — in-window -> free; driver-unverified
@@ -98,9 +99,67 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-8 WINDOW: next 50 queued keys (zero re-fronts; the r7 window
-    # came back 50/50 green in CORRECTNESS_r07.json and no verified key's
-    # plan changed since, so every slot goes to fresh coverage) ---
+    # --- ROUND-9 WINDOW, part 1: the full 44-key queue (10 r8-thaw keys +
+    # the 34-key remainder; zero silent re-fronts — the r8 window came back
+    # 50/50 green in CORRECTNESS_r08.json, cumulative 391/435, and the list
+    # below matches ROADMAP_r9.md's pre-computed window exactly) ---
+    "ext_paragraph_dedup",
+    "ext_dedup_cascade_report",
+    "join_asof_tolerance",
+    "join_interval_point_containment",
+    "agg_kll_quantile_invariant",
+    "ext_label_propagation_bounded",
+    "ext_holt_winters_additive",
+    "ext_anomaly_mad_rolling",
+    "ext_shard_skew_rebalance",
+    "ext_ann_ivf_nprobe_curve",
+    "tpch_q20_potential_promo",
+    "ext_dedup_survivorship",
+    "ext_near_dup_containment",
+    "ext_lang_confusion",
+    "ext_type_token_ratio",
+    "fn_url_parse",
+    "ext_timeseries_densify",
+    "stream_complete_topk",
+    "stream_foreach_batch_sink",
+    "ext_hypertable_rollup",
+    "ext_ann_recall_eval",
+    "ext_cross_source_dup_rate",
+    "udf_arrow_scalar",
+    "fn_variant_extract",
+    "ext_vocab_oov_rate",
+    "ext_curriculum_order",
+    "ext_length_outliers",
+    "join_merge_hint",
+    "fn_from_csv",
+    "fn_base_conv",
+    "ext_bigram_logprob",
+    "ext_span_corruption",
+    "agg_bitmap_distinct",
+    "ext_label_cohesion",
+    "ext_join_skew_report",
+    "ext_packing_efficiency",
+    "fn_map_hof",
+    "fn_array_hof",
+    "subq_scalar_correlated_select",
+    "ext_shared_span_dedup",
+    "ext_funnel_analysis",
+    "ext_retention_cohorts",
+    "ext_multimodal_meta_prune",
+    "ext_minhash_fidelity",
+    # --- ROUND-9 WINDOW, slot 45: DELIBERATE re-front (r8 verdict ask #2).
+    # ext_spearman_corr is driver-verified (r5) but its committed plan
+    # ANSI-overflows at sf>=0.1 (int32 rank-difference product); the int64
+    # fix lands this round and this slot buys the re-verification. Named in
+    # tests/test_parity.py::_DELIBERATE_REFRONTS. ---
+    "ext_spearman_corr",
+    # --- ROUND-9 WINDOW, slots 46-50: tranche-2 thaw keys registered this
+    # round (one-per-commit under the thaw rule above) are inserted HERE so
+    # the window closes at exactly 50 with zero wasted slots. Until all 5
+    # land, the slots are interim-occupied by the head of the r8-verified
+    # block below (named as interim entries in _DELIBERATE_REFRONTS with
+    # removal tracked per thaw commit). ---
+    # --- r8-verified keys (50/50 green in CORRECTNESS_r08.json) rotate behind ---
     "ext_consistent_hash_ring",
     "udtf_arrow",
     "ext_knn_ivf_trained",
@@ -151,55 +210,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_source_quality_report",
     "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
-    # --- keys THAWED in round 8 (registered one-per-commit under the thaw
-    # rule above; inserted here so they front the round-9 window) ---
-    "ext_paragraph_dedup",
-    "ext_dedup_cascade_report",
-    "join_asof_tolerance",
-    "join_interval_point_containment",
-    "agg_kll_quantile_invariant",
-    "ext_label_propagation_bounded",
-    "ext_holt_winters_additive",
-    "ext_anomaly_mad_rolling",
-    "ext_shard_skew_rebalance",
-    "ext_ann_ivf_nprobe_curve",
-    # --- remaining queue (34) in rotation order; follows the thaw block
-    # into the round-9 window ---
-    "tpch_q20_potential_promo",
-    "ext_dedup_survivorship",
-    "ext_near_dup_containment",
-    "ext_lang_confusion",
-    "ext_type_token_ratio",
-    "fn_url_parse",
-    "ext_timeseries_densify",
-    "stream_complete_topk",
-    "stream_foreach_batch_sink",
-    "ext_hypertable_rollup",
-    "ext_ann_recall_eval",
-    "ext_cross_source_dup_rate",
-    "udf_arrow_scalar",
-    "fn_variant_extract",
-    "ext_vocab_oov_rate",
-    "ext_curriculum_order",
-    "ext_length_outliers",
-    "join_merge_hint",
-    "fn_from_csv",
-    "fn_base_conv",
-    "ext_bigram_logprob",
-    "ext_span_corruption",
-    "agg_bitmap_distinct",
-    "ext_label_cohesion",
-    "ext_join_skew_report",
-    "ext_packing_efficiency",
-    "fn_map_hof",
-    "fn_array_hof",
-    "subq_scalar_correlated_select",
-    "ext_shared_span_dedup",
-    "ext_funnel_analysis",
-    "ext_retention_cohorts",
-    "ext_multimodal_meta_prune",
-    "ext_minhash_fidelity",
-    # --- r7-verified keys (50/50 green in CORRECTNESS_r07.json) rotate behind ---
+    # --- r7-verified keys (50/50 green in CORRECTNESS_r07.json) ---
     "ext_embedding_outliers",
     "ext_mutual_knn_pairs",
     "ext_zorder_layout",
@@ -250,7 +261,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_freshness_lag",
     "ext_first_touch_attribution",
     "ext_lorenz_curve",
-    # --- r6-verified keys (50/50 green in CORRECTNESS_r06.json) rotate behind ---
+    # --- r6-verified keys (50/50 green in CORRECTNESS_r06.json) ---
     "ext_quantile_treatment_effect",
     "win_rolling_regression",
     "join_multi_exists_onepass",
@@ -294,7 +305,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_inverted_index",
     "ext_bpe_apply_merge",
     "ext_silhouette_labels",
-    # --- keys verified r1-r5 (latest-wins fold over CORRECTNESS_r01..r05) ---
     "sort_multi_dir",
     "ext_behavior_similarity",
     "ext_conversion_deciles",
@@ -302,9 +312,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_coverage_maximization",
     "ext_file_skip_effectiveness",
     "ext_knee_point",
+    # --- keys verified r1-r5 (latest-wins fold over CORRECTNESS_r01..r05;
+    # ext_spearman_corr moved up to window slot 45 as a deliberate re-front) ---
     "ext_ndcg_eval",
     "ext_mrr_eval",
-    "ext_spearman_corr",
     "ext_poisson_bootstrap_ci",
     "ext_doc_prefix_dedup",
     "ext_ngram_overlap_diversity",
