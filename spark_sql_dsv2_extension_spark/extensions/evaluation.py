@@ -231,6 +231,16 @@ def ext_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ρ is one shared-operand double expression rounded at 1e-6.
     n³ is computed in doubles so no int64 overflow at any corpus size.
 
+    Overflow note (fixed round 9, found by the round-8 sf0.1 sweep):
+    rank() yields IntegerType, so the rank difference is cast to long
+    BEFORE squaring — the bare int32 product ANSI-overflows once a rank
+    gap exceeds 46,341, reachable in sf0.1's ~200k-row groups and certain
+    at corpus scale. With the cast, sum_d2 <= n³ stays inside int64 up to
+    n ≈ 2.1M rows per group; past that, switch sum_d2 to
+    DecimalType(38,0) (the exact-at-any-n escape hatch — ρ's denominator
+    already runs in doubles so the rounded micro-unit result is
+    unaffected).
+
     Scale: two window ranks over the same partition key (one exchange —
     Catalyst reuses the hash partitioning; each is a per-group sort) and a
     3-row aggregate."""
@@ -242,11 +252,10 @@ def ext_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(wq).alias("rx"),
         F.rank().over(wp).alias("ry"),
     )
+    d = (F.col("rx") - F.col("ry")).cast("long")
     s = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
-        .cast("long")
-        .alias("sum_d2"),
+        F.sum(d * d).alias("sum_d2"),
     )
     return s.select(
         "l_returnflag",
