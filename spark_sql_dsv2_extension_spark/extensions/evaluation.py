@@ -4606,3 +4606,68 @@ def ext_anomaly_mad_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (order statistics over grouped weights)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_weighted_median",
+    oracle="""
+    WITH pw AS (
+      SELECT l_returnflag, l_extendedprice AS p,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wgt
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, p, wgt,
+             SUM(wgt) OVER (PARTITION BY l_returnflag ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wgt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM pw
+    )
+    SELECT l_returnflag, min(p) AS weighted_median
+    FROM cum WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag weighted median of extended price, weighted by (integral)
+    quantity — the order statistic a mixture planner actually wants when
+    rows carry a size: "the price below which half the QUANTITY sits",
+    not "the median row". Exact by construction: weights collapse onto
+    DISTINCT (flag, price) pairs first (map-side combinable groupBy),
+    then one partitioned cumulative sum finds the first price whose
+    cumulative weight reaches half the total. All weights are int64 sums
+    of rounded quantities, so no float order-dependence anywhere.
+
+    Scale: the cumulative window runs over distinct (l_returnflag,
+    l_extendedprice) PAIRS, not corpus rows — bounded by the price value
+    domain (~1M distinct in TPC-H at any SF), the same value-domain
+    bound as ext_equidepth_histogram's; corpus growth only fattens the
+    int64 weights in the upstream aggregate. The window is partitioned
+    (by flag), so the unpartitioned-window guardrail stays at zero hits;
+    if a value domain were ever unbounded, the quantiles.py two-level
+    prefix sum is the drop-in replacement (see distributed_running_sum).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pw = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("p")).agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("wgt")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = pw.select(
+        "l_returnflag",
+        "p",
+        F.sum("wgt").over(wcum).alias("cw"),
+        F.sum("wgt").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("p").alias("weighted_median"))
+    )

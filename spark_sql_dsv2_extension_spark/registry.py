@@ -159,6 +159,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # land, the slots are interim-occupied by the head of the r8-verified
     # block below (named as interim entries in _DELIBERATE_REFRONTS with
     # removal tracked per thaw commit). ---
+    "ext_weighted_median",
     # --- r8-verified keys (50/50 green in CORRECTNESS_r08.json) rotate behind ---
     "ext_consistent_hash_ring",
     "udtf_arrow",

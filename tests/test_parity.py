@@ -83,7 +83,6 @@ _DELIBERATE_REFRONTS: frozenset[str] = frozenset(
         "udtf_arrow",
         "ext_knn_ivf_trained",
         "tpch_q4_order_priority",
-        "tpch_q6_forecast_revenue",
     }
 )
 

@@ -1374,6 +1374,10 @@ _EXCHANGE_BUDGETS = {
     "ext_anomaly_mad_rolling": 5,
     "ext_shard_skew_rebalance": 6,
     "ext_ann_ivf_nprobe_curve": 9,
+    # --- round-9 tranche-2 thaw registrations ---
+    # grouped-weight agg + partitioned cum-sum over the bounded
+    # (flag, price) value domain (matches the ROADMAP_r9 pre-census)
+    "ext_weighted_median": 2,
 }
 
 
