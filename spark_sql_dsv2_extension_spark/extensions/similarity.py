@@ -2949,3 +2949,53 @@ def ext_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(n_hits) * 1000000) div (count(1) * 5) AS BIGINT)"
         ).alias("recall6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN core-point detection (clustering QA)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_dbscan_core_points",
+    oracle="""
+    WITH sims AS (
+      SELECT a.vec_id AS u,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 100 AND b.vec_id < 100
+    )
+    SELECT u AS vec_id,
+           CAST(count(CASE WHEN sim >= 0.25 THEN 1 END) AS BIGINT) AS n_neighbors,
+           count(CASE WHEN sim >= 0.25 THEN 1 END) >= 3 AS is_core
+    FROM sims GROUP BY u
+    """,
+)
+def ext_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's core-point predicate over the embedding cloud: a vector is
+    a core point when >= minPts(3) neighbors sit within the eps ball
+    (cosine >= 0.25). Core/border/noise triage is the density QA a
+    clustering or semdedup run publishes before anyone trusts its
+    clusters — noise-heavy sources get flagged, not clustered.
+
+    Scale: the pairwise base here is the bounded 100-vector brute-force
+    slice — the same declared small-sf baseline as ext_knn_cosine, exact
+    so the oracle can reproduce every similarity bit. The 100 TB path
+    swaps ONLY the candidate generator: LSH-banded (ext_knn_lsh_multiprobe)
+    or IVF-cell (ext_knn_ivf) equi-join pairs feed the identical
+    neighbor-count aggregate, an eps-ball count being exactly the
+    candidate-pair shape those operators already produce. The aggregate
+    itself is a map-side-combinable groupBy on vec_id."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
+    sims = a.join(b, F.col("u") != F.col("v")).select(
+        "u", cosine(F.col("ea"), F.col("eb")).alias("sim")
+    )
+    return sims.groupBy(F.col("u").alias("vec_id")).agg(
+        F.sum((F.col("sim") >= 0.25).cast("long")).alias("n_neighbors"),
+        (F.sum((F.col("sim") >= 0.25).cast("long")) >= 3).alias("is_core"),
+    )

@@ -160,6 +160,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # block below (named as interim entries in _DELIBERATE_REFRONTS with
     # removal tracked per thaw commit). ---
     "ext_weighted_median",
+    "ext_dbscan_core_points",
     # --- r8-verified keys (50/50 green in CORRECTNESS_r08.json) rotate behind ---
     "ext_consistent_hash_ring",
     "udtf_arrow",

@@ -82,7 +82,6 @@ _DELIBERATE_REFRONTS: frozenset[str] = frozenset(
         "ext_consistent_hash_ring",
         "udtf_arrow",
         "ext_knn_ivf_trained",
-        "tpch_q4_order_priority",
     }
 )
 

@@ -1378,6 +1378,9 @@ _EXCHANGE_BUDGETS = {
     # grouped-weight agg + partitioned cum-sum over the bounded
     # (flag, price) value domain (matches the ROADMAP_r9 pre-census)
     "ext_weighted_median": 2,
+    # bounded 100-vector brute-force base (the ext_knn_cosine baseline
+    # class) + one map-side-combinable neighbor-count aggregate
+    "ext_dbscan_core_points": 1,
 }
 
 
