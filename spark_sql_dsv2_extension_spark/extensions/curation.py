@@ -1060,6 +1060,46 @@ def ext_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# l-diversity audit (the k-anonymity companion)
+# ---------------------------------------------------------------------------
+
+LDIV_L = 3
+
+
+@query(
+    "ext_l_diversity_audit",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_n,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+                AS BIGINT) AS l_distinct,
+           count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) < {LDIV_L}
+             AS at_risk
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def ext_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier pair as
+    ext_kanonymity_audit (nation, market segment), against the bucketed
+    sensitive attribute floor(acctbal/2000): an equivalence class is
+    at risk when it carries fewer than l={LDIV_L} DISTINCT sensitive
+    values — the homogeneity attack k-anonymity alone cannot see (a
+    class can be large yet reveal every member's balance bracket).
+    The k-anonymity + l-diversity pair is the standard release gate.
+
+    Scale: one hash aggregation with a single distinct on the QI tuple —
+    group count is bounded by the QI domain product, the distinct count
+    by the sensitive-bucket domain; both independent of row count."""
+    cust = load(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / 2000).cast("long")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        F.countDistinct(sens).cast("long").alias("l_distinct"),
+        (F.countDistinct(sens) < LDIV_L).alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winsorized robust stats
 # ---------------------------------------------------------------------------
 

@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # removal tracked per thaw commit). ---
     "ext_weighted_median",
     "ext_dbscan_core_points",
+    "ext_l_diversity_audit",
     # --- r8-verified keys (50/50 green in CORRECTNESS_r08.json) rotate behind ---
     "ext_consistent_hash_ring",
     "udtf_arrow",

@@ -81,7 +81,6 @@ _DELIBERATE_REFRONTS: frozenset[str] = frozenset(
         # interim (displaced one-per-thaw-commit this round):
         "ext_consistent_hash_ring",
         "udtf_arrow",
-        "ext_knn_ivf_trained",
     }
 )
 

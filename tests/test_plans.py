@@ -1381,6 +1381,9 @@ _EXCHANGE_BUDGETS = {
     # bounded 100-vector brute-force base (the ext_knn_cosine baseline
     # class) + one map-side-combinable neighbor-count aggregate
     "ext_dbscan_core_points": 1,
+    # QI-tuple hash agg with one distinct (the ext_kanonymity_audit class
+    # plus the countDistinct expand)
+    "ext_l_diversity_audit": 2,
 }
 
 
