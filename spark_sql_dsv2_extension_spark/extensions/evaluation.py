@@ -4671,3 +4671,118 @@ def ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("p").alias("weighted_median"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Energy distance between two embedding clouds (two-sample test)
+# ---------------------------------------------------------------------------
+
+_ED_D6_SQL = """CAST(round(1000000 * sqrt(list_sum(list_transform(
+             range(1, len(a.embedding) + 1),
+             i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))))
+           AS BIGINT)"""
+
+
+@query(
+    "ext_energy_distance",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+         y AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+    dxy AS (
+      SELECT {_ED_D6_SQL} AS d6 FROM x a JOIN y b ON true
+    ), dxx AS (
+      SELECT {_ED_D6_SQL} AS d6 FROM x a JOIN x b ON a.vec_id < b.vec_id
+    ), dyy AS (
+      SELECT {_ED_D6_SQL} AS d6 FROM y a JOIN y b ON a.vec_id < b.vec_id
+    ), s AS (
+      SELECT (SELECT CAST(SUM(d6) AS BIGINT) FROM dxy) AS sxy,
+             (SELECT CAST(count(*) AS BIGINT) FROM dxy) AS nxy,
+             (SELECT CAST(SUM(d6) AS BIGINT) FROM dxx) AS sxx,
+             (SELECT CAST(count(*) AS BIGINT) FROM dxx) AS nxx,
+             (SELECT CAST(SUM(d6) AS BIGINT) FROM dyy) AS syy,
+             (SELECT CAST(count(*) AS BIGINT) FROM dyy) AS nyy
+    )
+    SELECT nxy, nxx, nyy,
+           CAST(round(2.0 * sxy / nxy - 1.0 * sxx / nxx - 1.0 * syy / nyy)
+                AS BIGINT) AS energy6
+    FROM s
+    """,
+)
+def ext_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the label-0 and label-1 embedding clouds:
+    E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖ — the multivariate two-sample test
+    that, unlike the per-coordinate KS/Wasserstein keys, sees JOINT
+    distribution shift (a rotated cloud with identical marginals). Zero
+    iff the distributions match, so it is the drift gate for "did this
+    source's embedding distribution move between snapshots".
+
+    Exactness: every pairwise Euclidean distance is rounded to an int64
+    micro-unit (the fold runs over the FIXED array order on both
+    engines), the three sums are exact integer aggregates, and only the
+    final 3-term combination of six exact scalars runs in doubles — one
+    shared-operand expression, identical both sides. A label class with
+    fewer than 2 members yields NaN on BOTH engines (0/0 pair count) —
+    matching by construction, no gate needed (r8 degenerate audit).
+
+    Scale: the pairwise base is all-pairs BETWEEN the two bounded clouds
+    — at corpus scale the estimator runs on fixed-size per-class random
+    samples (energy distance is a V-statistic; a 10^4-row sample pins
+    the estimate far tighter than any drift threshold), so the quadratic
+    term is bounded by the SAMPLE size, never the corpus: the same
+    declared-baseline shape as ext_knn_cosine. The three sums are
+    map-side-combinable; the final combine is a 1-row broadcast join."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    x = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("xi"), F.col("embedding").alias("ex")
+    )
+    y = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("yi"), F.col("embedding").alias("ey")
+    )
+
+    def d6(ea, eb):
+        diff2 = F.aggregate(
+            F.zip_with(
+                ea,
+                eb,
+                lambda p, q: (p.cast("double") - q.cast("double"))
+                * (p.cast("double") - q.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.round(1000000 * F.sqrt(diff2)).cast("long")
+
+    dxy = x.join(y).select(d6(F.col("ex"), F.col("ey")).alias("d6"))
+    x2 = x.select(F.col("xi").alias("xj"), F.col("ex").alias("ex2"))
+    dxx = x.join(x2, F.col("xi") < F.col("xj")).select(
+        d6(F.col("ex"), F.col("ex2")).alias("d6")
+    )
+    y2 = y.select(F.col("yi").alias("yj"), F.col("ey").alias("ey2"))
+    dyy = y.join(y2, F.col("yi") < F.col("yj")).select(
+        d6(F.col("ey"), F.col("ey2")).alias("d6")
+    )
+
+    def s(df, sn, nn):
+        return df.agg(
+            F.sum("d6").cast("long").alias(sn),
+            F.count(F.lit(1)).cast("long").alias(nn),
+        )
+
+    joined = (
+        s(dxy, "sxy", "nxy")
+        .join(F.broadcast(s(dxx, "sxx", "nxx")))
+        .join(F.broadcast(s(dyy, "syy", "nyy")))
+    )
+    return joined.select(
+        "nxy",
+        "nxx",
+        "nyy",
+        F.round(
+            2.0 * F.col("sxy") / F.col("nxy")
+            - 1.0 * F.col("sxx") / F.col("nxx")
+            - 1.0 * F.col("syy") / F.col("nyy")
+        )
+        .cast("long")
+        .alias("energy6"),
+    )

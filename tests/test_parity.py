@@ -80,7 +80,6 @@ _DELIBERATE_REFRONTS: frozenset[str] = frozenset(
         "ext_spearman_corr",
         # interim (displaced one-per-thaw-commit this round):
         "ext_consistent_hash_ring",
-        "udtf_arrow",
     }
 )
 

@@ -1384,6 +1384,9 @@ _EXCHANGE_BUDGETS = {
     # QI-tuple hash agg with one distinct (the ext_kanonymity_audit class
     # plus the countDistinct expand)
     "ext_l_diversity_audit": 2,
+    # three bounded-cloud pair bases (declared sampled-slice baseline)
+    # + broadcast 1-row combines: zero shuffles by design
+    "ext_energy_distance": 0,
 }
 
 
