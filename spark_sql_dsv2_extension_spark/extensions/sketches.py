@@ -504,3 +504,72 @@ def ext_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("true_i").cast("long").alias("true_shared"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sizing planner
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_bloom_size_planner",
+    oracle="""
+    WITH n AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), fpp AS (
+      SELECT * FROM (VALUES ('p_1pct', CAST(9585058 AS BIGINT)),
+                            ('p_0_1pct', CAST(14377588 AS BIGINT)))
+        AS t(fpp_label, c_micro)
+    ), m AS (
+      SELECT source, n_docs, fpp_label,
+             (n_docs * c_micro + 999999) // 1000000 AS m_bits
+      FROM n, fpp
+    )
+    SELECT source, n_docs, fpp_label, CAST(m_bits AS BIGINT) AS m_bits,
+           CAST((2 * m_bits * 693147 + n_docs * 1000000)
+                // (2 * n_docs * 1000000) AS BIGINT) AS k_hashes
+    FROM m
+    """,
+)
+def ext_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter capacity planning per source: the optimal bit count
+    m = ceil(n·ln(1/p)/ln²2) and hash count k = round(m/n·ln2) for two
+    target false-positive rates — the sizing table an incremental-dedup
+    deployment (ext_bloom_probe's shape) publishes before allocating
+    epoch filters, answering "how many bits does each source's history
+    filter need at 1% / 0.1% FPP".
+
+    Exactness: the transcendental factors are EMBEDDED micro-unit
+    literals, never computed at query time — c_micro = round(1e6 ·
+    ln(1/p)/ln²2) (9,585,058 for p=1%; 14,377,588 for p=0.1%) and
+    693147 = round(1e6·ln2) — so both engines do pure int64 ceiling /
+    round-half-up division on exact counts (the round-9 thaw design
+    rule: identical literals both sides, no per-engine floating point).
+
+    Scale: one map-side-combinable count per source and a 2-row
+    broadcast of the FPP targets; int64 is safe to n_docs ~ 9.6e11 per
+    source (n·c_micro < 2^63), past which the arithmetic moves to
+    DecimalType(38,0) unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    fpp = spark.createDataFrame(
+        [("p_1pct", 9585058), ("p_0_1pct", 14377588)],
+        "fpp_label string, c_micro long",
+    )
+    m = n.join(F.broadcast(fpp)).select(
+        "source",
+        "n_docs",
+        "fpp_label",
+        F.expr("(n_docs * c_micro + 999999) div 1000000").alias("m_bits"),
+    )
+    return m.select(
+        "source",
+        "n_docs",
+        "fpp_label",
+        F.col("m_bits").cast("long"),
+        F.expr(
+            "CAST((2 * m_bits * 693147 + n_docs * 1000000)"
+            " div (2 * n_docs * 1000000) AS BIGINT)"
+        ).alias("k_hashes"),
+    )

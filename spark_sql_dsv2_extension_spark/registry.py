@@ -163,6 +163,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dbscan_core_points",
     "ext_l_diversity_audit",
     "ext_energy_distance",
+    "ext_bloom_size_planner",
     # --- r8-verified keys (50/50 green in CORRECTNESS_r08.json) rotate behind ---
     "ext_consistent_hash_ring",
     "udtf_arrow",

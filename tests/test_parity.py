@@ -64,24 +64,16 @@ def test_driver_priority_exactly_covers_registry():
 # Deliberate re-fronts this round (keys whose green driver row predates a
 # plan-changing rewrite, consciously re-spending a window slot).
 #
-# Round 9: the backlog (44) is below the window size (50) for the first
-# time, so the surplus slots are spent consciously (ROADMAP_r9.md's
-# sub-50-backlog protocol):
-#   - ext_spearman_corr — PERMANENT this round: driver-verified in r5 but
-#     the committed plan ANSI-overflows at sf>=0.1 (int32 rank-difference
-#     product, r8 verdict ask #2); the int64 fix lands this round and this
-#     slot re-verifies it.
-#   - the five r8-verified keys below are INTERIM placeholders only: they
-#     occupy window slots 46-50 until the five tranche-2 thaw commits
-#     insert their keys ahead of them (each thaw commit removes one entry
-#     here; the set must be exactly {"ext_spearman_corr"} at round end).
-_DELIBERATE_REFRONTS: frozenset[str] = frozenset(
-    {
-        "ext_spearman_corr",
-        # interim (displaced one-per-thaw-commit this round):
-        "ext_consistent_hash_ring",
-    }
-)
+# Round 9: the backlog (44) was below the window size (50) for the first
+# time, so the surplus slots were spent consciously (ROADMAP_r9.md's
+# sub-50-backlog protocol): slot 45 is ext_spearman_corr — driver-verified
+# in r5 but the committed plan ANSI-overflowed at sf>=0.1 (int32
+# rank-difference product, r8 verdict ask #2); the int64 fix landed this
+# round and this slot re-verifies it. Slots 46-50 went to the five
+# tranche-2 thaw registrations (net-new keys, so no allowlist entry
+# needed); the interim placeholders that held those slots between the
+# rotation commit and the thaw commits have all been displaced.
+_DELIBERATE_REFRONTS: frozenset[str] = frozenset({"ext_spearman_corr"})
 
 
 def test_driver_window_has_no_silent_refronts():

@@ -1387,6 +1387,8 @@ _EXCHANGE_BUDGETS = {
     # three bounded-cloud pair bases (declared sampled-slice baseline)
     # + broadcast 1-row combines: zero shuffles by design
     "ext_energy_distance": 0,
+    # per-source count agg + 2-row broadcast FPP dim, integer-only math
+    "ext_bloom_size_planner": 1,
 }
 
 
