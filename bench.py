@@ -133,6 +133,12 @@ EXTENDED = [
     "ext_anomaly_mad_rolling",
     "ext_shard_skew_rebalance",
     "ext_ann_ivf_nprobe_curve",
+    # round-9 tranche-2 thaw registrations
+    "ext_weighted_median",
+    "ext_dbscan_core_points",
+    "ext_l_diversity_audit",
+    "ext_energy_distance",
+    "ext_bloom_size_planner",
 ]
 
 
@@ -242,11 +248,21 @@ def _default_out_path(repo: str) -> str:
 def main(update_local: bool = False) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = os.path.dirname(os.path.abspath(__file__))
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or (
-        os.path.join(repo, "BENCH_LOCAL.json")
-        if update_local
-        else _default_out_path(repo)
-    )
+    # --update-local's contract is "refresh the committed reference
+    # artifact" — an explicit flag beats the ambient env var, and a run
+    # that had both gets a stderr note naming the target it chose.
+    if update_local:
+        out_path = os.path.join(repo, "BENCH_LOCAL.json")
+        if os.environ.get("SPARK_GRAFT_BENCH_OUT"):
+            print(
+                "bench: --update-local overrides SPARK_GRAFT_BENCH_OUT; "
+                f"writing {out_path}",
+                file=sys.stderr,
+            )
+    else:
+        out_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT"
+        ) or _default_out_path(repo)
     specs = load_all()
     spark = get_spark("bench")
     # Warm the JVM + parquet footer caches with a trivial action.
@@ -267,6 +283,18 @@ def main(update_local: bool = False) -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 4)
             runs.setdefault(key, []).append(dt)
+    # Third run for sub-second keys (r8 verdict ask #7): a min-of-2 on a
+    # key dominated by Python-worker/JIT warm-up can read 2x off the
+    # committed value from one cold sample (udaf_pandas_grouped in r8);
+    # one extra steady-state sample makes the min noise-robust at a cost
+    # of ~a second total. Threshold is on the CURRENT min so a key that
+    # regressed past 1 s still shows the regression.
+    for key, v in runs.items():
+        if min(v) < 1.0:
+            spec = specs[key]
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            v.append(round(time.perf_counter() - t0, 4))
     timings = {k: min(v) for k, v in runs.items()}
     total = round(sum(timings.values()), 4)
     total_v1 = round(sum(t for k, t in timings.items() if k in set(HEADLINE_V1)), 4)
