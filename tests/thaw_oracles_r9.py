@@ -1,5 +1,19 @@
 """Round-9 thaw-candidate oracle validation (second tranche, drafted round 7).
 
+ROUND-9 STATUS: 5 of the 12 were registered (one commit each, per the
+thaw rule; the cap is the r8 verdict ask #3 — the round-9 driver window
+had exactly 5 spare slots after the 44-key queue and the deliberate
+ext_spearman_corr re-front): ``ext_weighted_median``,
+``ext_dbscan_core_points``, ``ext_l_diversity_audit``,
+``ext_energy_distance``, ``ext_bloom_size_planner``. The registered
+copies in the extension modules are now the source of truth for those
+keys; the prototypes/oracles here are retained as the validation
+record. The 7 DEFERRED candidates remain vetted here for a later
+tranche: ``stream_stream_full_outer``, ``ext_degree_assortativity``,
+``ext_hits_bounded``, ``ext_holt_winters_seasonal``,
+``ext_mips_cosine_reduction``, ``ext_random_projection_jl``,
+``ext_sax_symbols``.
+
 Run: ``python tests/thaw_oracles_r9.py`` (not pytest-collected). Same
 harness as tests/thaw_oracles_r8.py: each candidate oracle runs twice
 against sf0.01 DuckDB, checking execution, determinism, and sane rows.

@@ -1,8 +1,15 @@
 """Spark-side prototypes for the 12 round-9 thaw candidates (tranche 2).
 
-NOT registered — the freeze/thaw discipline in registry.py applies; these
-exist so round-9 registration is copy-paste (same as tests/thaw_protos_r8.py
-for round 8). Run: ``python tests/thaw_protos_r9.py [key ...]`` (not
+ROUND-9 STATUS: 5 of the 12 were registered (one commit each, per the
+thaw rule, capped at the window's 5 spare slots by the r8 verdict ask
+#3) — ext_weighted_median, ext_dbscan_core_points,
+ext_l_diversity_audit, ext_energy_distance, ext_bloom_size_planner.
+The registered copies in the extension modules are now the source of
+truth; the prototypes here are retained as the validation record. The
+7 DEFERRED candidates remain vetted here for a later tranche (see
+tests/thaw_oracles_r9.py's header for the list).
+
+Run: ``python tests/thaw_protos_r9.py [key ...]`` (not
 pytest-collected); house-style implementations compared against the
 tranche-2 oracles (tests/thaw_oracles_r9.py) under a vanilla session.
 Status at round-7 end: 12/12 PASS at sf0.001, sf0.01, and sf0.1.
