@@ -14,6 +14,8 @@ Usage:
     python tests/degenerate_audit.py                  # all registered keys
     python tests/degenerate_audit.py key1 key2 ...    # targeted
     python tests/degenerate_audit.py --protos r9      # a thaw-candidate file
+    python tests/degenerate_audit.py --empty [...]    # ZERO-ROW fixtures
+                                                      # (round-9 frontier)
 
 Keys whose plan needs tables the degenerate set lacks, or that are
 streaming-only, report SKIP. Exit status 1 if any DIVERGE.
@@ -169,11 +171,31 @@ def build_degenerate_fixtures(tmp: str) -> None:
     )
 
 
+def build_empty_fixtures(tmp: str) -> None:
+    """ZERO-ROW versions of all ten fixture tables, byte-identical
+    schemas (round-9 extension): at 100 TB an empty source is routine —
+    a partition a filter fully prunes, a day with no events, a language
+    with no documents — so every key must agree with its oracle on
+    empty input too (typically both-empty, or a both-NULL global
+    aggregate row). Schemas are derived from the degenerate builder's
+    own output so the two fixture sets can never drift apart."""
+    import pyarrow.parquet as pq
+
+    inner = tempfile.mkdtemp(prefix="degen_schema_")
+    build_degenerate_fixtures(inner)
+    for fn in os.listdir(inner):
+        t = pq.read_table(os.path.join(inner, fn))
+        pq.write_table(t.slice(0, 0), os.path.join(tmp, fn))
+
+
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
     args = sys.argv[1:]
+    empty_mode = "--empty" in args
+    if empty_mode:
+        args = [a for a in args if a != "--empty"]
     if args[:1] == ["--protos"]:
         import importlib
 
@@ -189,7 +211,7 @@ def main() -> int:
         keys = args or list(pairs)
 
     tmp = tempfile.mkdtemp(prefix="degenerate_audit_")
-    build_degenerate_fixtures(tmp)
+    (build_empty_fixtures if empty_mode else build_degenerate_fixtures)(tmp)
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("degenerate-audit")
