@@ -67,15 +67,15 @@ _loaded = False
 # absent from this list follow in module registration order; driver-green
 # keys go last (they stay fully covered by tests/test_parity.py either way).
 #
-# ROUND-9 ROTATION (applied this round, after CORRECTNESS_r08 came back
-# 50/50 green — cumulative 391/435): the r8 window rotated behind the
-# queue. The backlog (44) is smaller than the window (50) for the first
-# time, so the round-9 window is: the full 44-key queue, then ONE
-# deliberate re-front (ext_spearman_corr, carrying the int64 overflow fix
-# — r8 verdict ask #2), then the <=5 tranche-2 thaw keys registered this
-# round (r8 verdict ask #3 caps the thaw at the spare slots so the window
-# closes at exactly 50). Cumulative target: 435/435 of the pre-thaw
-# registry, 440/440 including the tranche-2 registrations.
+# ROUND-10 ROTATION (applied this round, after CORRECTNESS_r09 came back
+# 50/50 green — cumulative 440/440, backlog ZERO for the first time): the
+# r9 window rotated behind. With no unverified keys left, every round-10
+# slot is conscious spending (ROADMAP_r10.md arithmetic): 13 Family-A
+# re-fronts (the _shingles gate), 14 Family-B/E4 try_divide re-fronts,
+# 1 Family-C coordinated-gate re-front, 9 EMPTY_AUDIT_r9.md re-fronts,
+# 2 measured-positive perf re-fronts, and 11 thaw registrations
+# (tranche 3 x6 + tranche-2 leftovers x5) inserted at slots 40-50 as they
+# land. Cumulative target: 451/451 including the registrations.
 #
 # STALE-ROW DISCIPLINE (hold at zero cost): before any perf or shared-helper
 # change, classify every touched key — in-window -> free; driver-unverified
@@ -99,12 +99,77 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-9 WINDOW, part 1: the full 44-key queue (10 r8-thaw keys +
-    # the 34-key remainder; zero silent re-fronts — the r8 window came back
-    # 50/50 green in CORRECTNESS_r08.json, cumulative 391/435, and the list
-    # below matches ROADMAP_r9.md's pre-computed window exactly) ---
-    "ext_paragraph_dedup",
+    # === ROUND-10 WINDOW (every slot a named _DELIBERATE_REFRONTS member
+    # or a new registration; CORRECTNESS_r09 came back 50/50 green —
+    # cumulative 440/440 — so the backlog is ZERO and this whole window is
+    # conscious spending per ROADMAP_r10.md's pre-computed arithmetic). ===
+    #
+    # --- slots 1-13: Family-A batch (DEGENERATE_AUDIT_r8.md): the shared
+    # _shingles helper gains the size(words) >= 3 gate (dedup.py) and all
+    # 13 consumer keys re-front to carry the driver re-verification. ---
+    "ext_near_dedup_minhash",
     "ext_dedup_cascade_report",
+    "ext_dedup_survivorship",
+    "ext_dedup_threshold_curve",
+    "ext_dedup_clusters",
+    "ext_dup_transitivity_audit",
+    "ext_dup_pair_bleu",
+    "ext_minhash_fidelity",
+    "ext_minhash_band_tuning",
+    "ext_ngram_jaccard",
+    "ext_near_dup_containment",
+    "ext_cross_source_dup_rate",
+    "ext_split_leakage",
+    # --- slots 14-27: Family-B zero-variance batch — uniform F.try_divide
+    # on the raising division(s), ORACLES UNTOUCHED (r9 addendum in
+    # DEGENERATE_AUDIT_r8.md classified all 12 as NaN-on-DuckDB), plus the
+    # two Family-E4 riders from EMPTY_AUDIT_r9.md (consistent_hash_ring,
+    # functional_dependency — same try_divide shape on the empty corpus;
+    # poisson_bootstrap_ci additionally carries its try_element_at guard). ---
+    "agg_stats_corr",
+    "ext_jackknife_blocks",
+    "ext_embedding_whitening",
+    "ext_retrieval_auc",
+    "ext_cross_correlation_lags",
+    "ext_chi2_terms",
+    "ext_acf_daily",
+    "ext_poisson_bootstrap_ci",
+    "ext_cramers_v",
+    "ext_cohens_kappa",
+    "ext_cuped_adjustment",
+    "ext_design_effect_icc",
+    "ext_consistent_hash_ring",
+    "ext_functional_dependency",
+    # --- slot 28: Family-C — udaf_grouped_map_zscore needs the
+    # COORDINATED UDF+oracle gate (the DuckDB oracle itself raises on a
+    # negative single-row sample variance; shape in DEGENERATE_AUDIT_r8.md). ---
+    "udaf_grouped_map_zscore",
+    # --- slots 29-34: EMPTY_AUDIT_r9.md Family E1 — empty-write
+    # round-trips re-read with the writer frame's explicit schema. ---
+    "scan_partition_prune",
+    "sink_overwrite_dynamic",
+    "sink_merge_upsert",
+    "sink_compaction",
+    "sink_python_datasource",
+    "join_dpp_partition_prune",
+    # --- slots 35-36: Family E2 — Python DataSource zero-row-group guard. ---
+    "scan_python_datasource",
+    "scan_python_datasource_pushdown",
+    # --- slot 37: inverse-shape fix (Spark emitted one all-NULL row on an
+    # empty corpus where the oracle emits none). ---
+    "ext_simpson_diversity",
+    # --- slots 38-39: measured-positive perf re-fronts (ROADMAP_r10.md's
+    # perf agenda: equidepth five-scan collapse; fuzzy-levenshtein). ---
+    "ext_equidepth_histogram",
+    "ext_fuzzy_dedup_levenshtein",
+    # --- slots 40-50: tranche-3 (6) + tranche-2 leftover (5) thaw
+    # registrations land HERE one commit each (thaw rule above), displacing
+    # the interim occupants below one-for-one so the window closes at
+    # exactly 50. Until each lands, the head of the rotated r9-verified
+    # block holds the slot as a named interim _DELIBERATE_REFRONTS entry. ---
+    # --- r9-verified keys (50/50 green in CORRECTNESS_r09.json) rotate
+    # behind; earlier-round blocks keep their relative order after them. ---
+    "ext_paragraph_dedup",
     "join_asof_tolerance",
     "join_interval_point_containment",
     "agg_kll_quantile_invariant",
@@ -114,8 +179,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_shard_skew_rebalance",
     "ext_ann_ivf_nprobe_curve",
     "tpch_q20_potential_promo",
-    "ext_dedup_survivorship",
-    "ext_near_dup_containment",
     "ext_lang_confusion",
     "ext_type_token_ratio",
     "fn_url_parse",
@@ -124,7 +187,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_foreach_batch_sink",
     "ext_hypertable_rollup",
     "ext_ann_recall_eval",
-    "ext_cross_source_dup_rate",
     "udf_arrow_scalar",
     "fn_variant_extract",
     "ext_vocab_oov_rate",
@@ -146,26 +208,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_funnel_analysis",
     "ext_retention_cohorts",
     "ext_multimodal_meta_prune",
-    "ext_minhash_fidelity",
-    # --- ROUND-9 WINDOW, slot 45: DELIBERATE re-front (r8 verdict ask #2).
-    # ext_spearman_corr is driver-verified (r5) but its committed plan
-    # ANSI-overflows at sf>=0.1 (int32 rank-difference product); the int64
-    # fix lands this round and this slot buys the re-verification. Named in
-    # tests/test_parity.py::_DELIBERATE_REFRONTS. ---
     "ext_spearman_corr",
-    # --- ROUND-9 WINDOW, slots 46-50: tranche-2 thaw keys registered this
-    # round (one-per-commit under the thaw rule above) are inserted HERE so
-    # the window closes at exactly 50 with zero wasted slots. Until all 5
-    # land, the slots are interim-occupied by the head of the r8-verified
-    # block below (named as interim entries in _DELIBERATE_REFRONTS with
-    # removal tracked per thaw commit). ---
     "ext_weighted_median",
     "ext_dbscan_core_points",
     "ext_l_diversity_audit",
     "ext_energy_distance",
     "ext_bloom_size_planner",
-    # --- r8-verified keys (50/50 green in CORRECTNESS_r08.json) rotate behind ---
-    "ext_consistent_hash_ring",
     "udtf_arrow",
     "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
@@ -198,8 +246,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_percentile_invariant",
     "win_time_range_rolling",
     "ext_dedup_incremental",
-    "ext_fuzzy_dedup_levenshtein",
-    "join_dpp_partition_prune",
     "tpch_q13_customer_distribution",
     "tpch_q21_waiting_supplier",
     "ext_pmi_bigrams",
@@ -215,7 +261,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_source_quality_report",
     "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
-    # --- r7-verified keys (50/50 green in CORRECTNESS_r07.json) ---
     "ext_embedding_outliers",
     "ext_mutual_knn_pairs",
     "ext_zorder_layout",
@@ -228,13 +273,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_multimodal_shard_pack",
     "fn_interval_arith",
     "ext_ctr_wilson",
-    "ext_jackknife_blocks",
     "ext_ks_two_sample",
     "ext_holdout_lm_eval",
     "ext_sequential_patterns",
     "ext_source_vocab_overlap",
     "ext_rake_keyphrases",
-    "ext_embedding_whitening",
     "ext_churn_labels",
     "ext_extractive_summary",
     "ext_join_order_cost_model",
@@ -244,7 +287,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
-    "ext_simpson_diversity",
     "ext_sample_k_per_group",
     "ext_mad_outliers",
     "ext_seasonal_profile",
@@ -254,7 +296,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_epoch_shuffle_plan",
     "ext_learning_curve_subsets",
     "ext_repetition_clip",
-    "ext_retrieval_auc",
     "ext_zipf_fit",
     "ext_burstiness_fano",
     "ext_cusum_changepoint",
@@ -266,7 +307,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_freshness_lag",
     "ext_first_touch_attribution",
     "ext_lorenz_curve",
-    # --- r6-verified keys (50/50 green in CORRECTNESS_r06.json) ---
     "ext_quantile_treatment_effect",
     "win_rolling_regression",
     "join_multi_exists_onepass",
@@ -274,21 +314,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_calibration_ece",
     "stream_chained_dedup_daily_active",
     "ext_seasonal_decompose",
-    "ext_cross_correlation_lags",
     "ext_share_of_parent",
-    "ext_dedup_threshold_curve",
-    "ext_dup_transitivity_audit",
     "ext_lsh_bucket_stats",
     "ext_sample_representativeness",
-    "scan_python_datasource_pushdown",
     "agg_listagg_ordered",
-    "ext_chi2_terms",
     "ext_log_odds_terms",
     "ext_tokenizer_fertility",
     "ext_vocab_coverage_curve",
     "ext_dup_saturation_curve",
     "ext_user_trend_slope",
-    "ext_acf_daily",
     "ext_interarrival_stats",
     "ext_effective_sample_size",
     "ext_quantile_align_sources",
@@ -305,7 +339,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_label_centroids",
     "ext_markov_transitions",
     "ext_rfm_segmentation",
-    "ext_split_leakage",
     "ext_cdc_chunking",
     "ext_inverted_index",
     "ext_bpe_apply_merge",
@@ -317,18 +350,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_coverage_maximization",
     "ext_file_skip_effectiveness",
     "ext_knee_point",
-    # --- keys verified r1-r5 (latest-wins fold over CORRECTNESS_r01..r05;
-    # ext_spearman_corr moved up to window slot 45 as a deliberate re-front) ---
     "ext_ndcg_eval",
     "ext_mrr_eval",
-    "ext_poisson_bootstrap_ci",
     "ext_doc_prefix_dedup",
     "ext_ngram_overlap_diversity",
     "ext_neyman_allocation",
     "win_cumulative_distinct",
     "ext_output_file_planner",
     "ext_mann_whitney_u",
-    "ext_cramers_v",
     "ext_permutation_test",
     "agg_salted_twophase",
     "ext_incremental_agg_merge",
@@ -337,7 +366,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_time_weighted_avg",
     "ext_mann_kendall_trend",
     "ext_khop_neighborhood",
-    "ext_dup_pair_bleu",
     "fn_string_extras",
     "ext_ann_recall_curve",
     "ext_kaplan_meier_retention",
@@ -346,22 +374,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_multimodal_aspect_buckets",
     "ext_walk_forward_splits",
     "ext_burrows_delta",
-    "ext_cohens_kappa",
     "ext_srm_check",
-    "ext_cuped_adjustment",
     "ext_tukey_fences",
     "ext_shapley_attribution",
     "ext_link_prediction_jaccard",
     "ext_ucb_ranking",
-    "ext_equidepth_histogram",
-    "ext_functional_dependency",
     "ext_ablation_leave_one_source",
     "subq_quantified_all",
     "join_interval_overlap_banded",
     "ext_conformal_interval",
     "ext_mase_seasonal_naive",
     "ext_psm_nearest_match",
-    "ext_design_effect_icc",
     "ext_shuffle_quality_audit",
     "ext_bh_fdr",
     "ext_als_rank1",
@@ -395,7 +418,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_scd2_versions",
     "ext_negative_sampling_table",
     "fn_xml",
-    "ext_minhash_band_tuning",
     "ext_sentiment_lexicon",
     "ext_intradoc_dedup",
     "ext_html_extract",
@@ -418,10 +440,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_array",
     "fn_map",
     "ext_exact_dedup",
-    "ext_near_dedup_minhash",
-    "ext_ngram_jaccard",
     "ext_near_dedup_simhash",
-    "ext_dedup_clusters",
     "ext_knn_cosine",
     "ext_knn_lsh",
     "ext_knn_ivf",
@@ -465,22 +484,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sink_catalog_table",
     "ext_embedding_quantize",
     "ext_knn_int8",
-    "scan_python_datasource",
     "scan_python_stream_source",
-    "sink_python_datasource",
-    "sink_overwrite_dynamic",
     "sink_sorted_layout",
-    "sink_merge_upsert",
-    "sink_compaction",
     "scan_csv",
     "scan_json",
     "scan_orc",
-    "scan_partition_prune",
     "scan_ignore_corrupt",
     "udf_python_scalar",
     "udf_pandas_scalar",
     "udaf_pandas_grouped",
-    "udaf_grouped_map_zscore",
     "udtf_python",
     "subq_scalar",
     "subq_in",
@@ -546,7 +558,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     "agg_unpivot",
     "agg_percentile",
-    "agg_stats_corr",
     "agg_max_by_min_by",
     "agg_filtered",
     "agg_histogram",

@@ -64,16 +64,48 @@ def test_driver_priority_exactly_covers_registry():
 # Deliberate re-fronts this round (keys whose green driver row predates a
 # plan-changing rewrite, consciously re-spending a window slot).
 #
-# Round 9: the backlog (44) was below the window size (50) for the first
-# time, so the surplus slots were spent consciously (ROADMAP_r9.md's
-# sub-50-backlog protocol): slot 45 is ext_spearman_corr — driver-verified
-# in r5 but the committed plan ANSI-overflowed at sf>=0.1 (int32
-# rank-difference product, r8 verdict ask #2); the int64 fix landed this
-# round and this slot re-verifies it. Slots 46-50 went to the five
-# tranche-2 thaw registrations (net-new keys, so no allowlist entry
-# needed); the interim placeholders that held those slots between the
-# rotation commit and the thaw commits have all been displaced.
-_DELIBERATE_REFRONTS: frozenset[str] = frozenset({"ext_spearman_corr"})
+# Round 10: CORRECTNESS_r09 closed the backlog (cumulative 440/440), so
+# the ENTIRE window is conscious spending per ROADMAP_r10.md: slots 1-39
+# are the pre-computed fix/perf batches (13 Family-A _shingles-gate
+# consumers, 14 Family-B/E4 try_divide keys, the Family-C coordinated
+# gate, 9 EMPTY_AUDIT_r9.md keys, 2 measured-positive perf keys); slots
+# 40-50 receive the 11 thaw registrations (tranche 3 x6 + tranche-2
+# leftovers x5) as they land, interim-held until then by the head of the
+# rotated r9-verified block (the INTERIM set below — each name removed by
+# the thaw commit that displaces it out of the window).
+_R10_FIX_BATCH = frozenset({
+    # Family A (DEGENERATE_AUDIT_r8.md: the _shingles size>=3 gate)
+    "ext_near_dedup_minhash", "ext_dedup_cascade_report",
+    "ext_dedup_survivorship", "ext_dedup_threshold_curve",
+    "ext_dedup_clusters", "ext_dup_transitivity_audit",
+    "ext_dup_pair_bleu", "ext_minhash_fidelity", "ext_minhash_band_tuning",
+    "ext_ngram_jaccard", "ext_near_dup_containment",
+    "ext_cross_source_dup_rate", "ext_split_leakage",
+    # Family B + E4 riders (uniform try_divide, oracles untouched)
+    "agg_stats_corr", "ext_jackknife_blocks", "ext_embedding_whitening",
+    "ext_retrieval_auc", "ext_cross_correlation_lags", "ext_chi2_terms",
+    "ext_acf_daily", "ext_poisson_bootstrap_ci", "ext_cramers_v",
+    "ext_cohens_kappa", "ext_cuped_adjustment", "ext_design_effect_icc",
+    "ext_consistent_hash_ring", "ext_functional_dependency",
+    # Family C (coordinated UDF + oracle gate)
+    "udaf_grouped_map_zscore",
+    # EMPTY_AUDIT_r9.md: E1 round-trips, E2 datasource guards, simpson
+    "scan_partition_prune", "sink_overwrite_dynamic", "sink_merge_upsert",
+    "sink_compaction", "sink_python_datasource", "join_dpp_partition_prune",
+    "scan_python_datasource", "scan_python_datasource_pushdown",
+    "ext_simpson_diversity",
+    # perf agenda (ROADMAP_r10.md)
+    "ext_equidepth_histogram", "ext_fuzzy_dedup_levenshtein",
+})
+_R10_INTERIM = frozenset({
+    "ext_paragraph_dedup", "join_asof_tolerance",
+    "join_interval_point_containment", "agg_kll_quantile_invariant",
+    "ext_label_propagation_bounded", "ext_holt_winters_additive",
+    "ext_anomaly_mad_rolling", "ext_shard_skew_rebalance",
+    "ext_ann_ivf_nprobe_curve", "tpch_q20_potential_promo",
+    "ext_lang_confusion",
+})
+_DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH | _R10_INTERIM
 
 
 def test_driver_window_has_no_silent_refronts():
