@@ -71,9 +71,20 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     before the explode — a row-level .distinct() here would shuffle the
     entire shingle stream just to dedupe within each doc_id, the single
     most expensive (and entirely avoidable) exchange in the dedup family.
+
+    Documents with fewer than ``n`` words carry no n-gram shingles: the
+    ``size(w) >= n`` gate below makes them vanish here (matching every
+    consumer's oracle, which self-joins on word position and naturally
+    yields zero shingles) instead of ANSI-raising INVALID_ARRAY_INDEX on
+    the ``w[i + 2]`` access when ``sequence(0, size(w) - n)`` goes
+    negative. Codegen'd into the scan stage — no new exchange
+    (DEGENERATE_AUDIT_r8.md Family A; plan widths re-verified at or under
+    every consumer's _EXCHANGE_BUDGETS pin).
     """
     docs = fan_out(docs)
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= n
+    )
     return words.select(
         "doc_id",
         F.explode(
