@@ -409,7 +409,15 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-valued; discount is scaled by 1e4) and the identical closed-form
     division chain runs on both engines. Correlation is scale-invariant, so
     the scaling does not change the statistic. One map-side-combined
-    aggregation — the same one-shuffle shape as agg_hash_group."""
+    aggregation — the same one-shuffle shape as agg_hash_group.
+
+    Zero-variance or single-row groups: the corr denominator is sqrt(0)
+    (and the covar/stddev divisor n-1 is 0 at n=1) — ANSI Spark would
+    raise DIVIDE_BY_ZERO where DuckDB IEEE-propagates NaN, so every
+    division in the chain goes through try_divide; its NULL is equated
+    with NaN by the driver-matched canonicalizer (DEGENERATE_AUDIT_r8.md
+    Family B; oracle untouched — on the 2-row constant-value fixture
+    covar/stddev stay exact 0s on both engines)."""
     li = load(spark, sf_dir, "lineitem")
     x = F.round("l_quantity").cast("long")
     y = F.round(F.col("l_discount") * 1e4).cast("long")
@@ -427,10 +435,21 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        (num / F.sqrt((n * sxx - sx * sx).cast("double")
-                      * (n * syy - sy * sy).cast("double"))).alias("corr_qty_disc"),
-        (num / n / (n - 1) / F.lit(1e4)).alias("covar_samp_qty_disc"),
-        F.sqrt((n * sxx - sx * sx).cast("double") / n / (n - 1)).alias("stddev_qty"),
+        F.try_divide(
+            num,
+            F.sqrt((n * sxx - sx * sx).cast("double")
+                   * (n * syy - sy * sy).cast("double")),
+        ).alias("corr_qty_disc"),
+        # same left-to-right division chain as the oracle (identical
+        # double rounding), each step through try_divide
+        F.try_divide(
+            F.try_divide(F.try_divide(num, n), n - 1), F.lit(1e4)
+        ).alias("covar_samp_qty_disc"),
+        F.sqrt(
+            F.try_divide(
+                F.try_divide((n * sxx - sx * sx).cast("double"), n), n - 1
+            )
+        ).alias("stddev_qty"),
     )
 
 
