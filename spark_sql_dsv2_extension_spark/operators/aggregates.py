@@ -1068,6 +1068,12 @@ def ext_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-based view and ext_temperature_mixture's corrective weights.
     Exact rational arithmetic: Σcᵢ²·10⁶ // n².
 
+    On an EMPTY corpus Spark's global aggregate still emits one row
+    (NULL sums over zero groups) while the oracle's GROUP BY t.n yields
+    none — the trailing n_docs IS NOT NULL filter drops that row so both
+    engines return zero rows (EMPTY_AUDIT_r9.md inverse-shape fix); a
+    codegen'd no-op on any non-empty corpus.
+
     Scale: one tiny grouped count; the corpus is touched once."""
     docs = load(spark, sf_dir, "documents")
     c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("ci"))
@@ -1080,7 +1086,7 @@ def ext_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "1000000 - sum(ci * ci) * 1000000 DIV (sum(ci) * sum(ci))"
         ).alias("diversity6"),
-    )
+    ).filter(F.col("n_docs").isNotNull())
 
 
 @query(
