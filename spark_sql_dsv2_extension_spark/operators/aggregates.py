@@ -170,7 +170,14 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals; ``grouping()`` disambiguates rollup NULLs from
-    data NULLs."""
+    data NULLs.
+
+    Empty-input ENGINE DIFFERENCE (documented, not fixed —
+    EMPTY_AUDIT_r9.md E3): on zero input rows the SQL standard (DuckDB,
+    PostgreSQL) emits ONE row for the global () grouping set while Spark
+    emits zero rows (SPARK-33229 family). Kept at Spark semantics: a
+    union-with-constructed-row branch would contort a clean Expand plan
+    to chase a corner the driver's non-empty fixtures can never reach."""
     return (
         load(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -197,7 +204,14 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All grouping combinations (2^k expansion happens in the Expand node —
-    input is read once)."""
+    input is read once).
+
+    Empty-input ENGINE DIFFERENCE (documented, not fixed —
+    EMPTY_AUDIT_r9.md E3): on zero input rows the SQL standard (DuckDB,
+    PostgreSQL) emits ONE row for the global () grouping set while Spark
+    emits zero rows (SPARK-33229 family). Kept at Spark semantics: a
+    union-with-constructed-row branch would contort a clean Expand plan
+    to chase a corner the driver's non-empty fixtures can never reach."""
     return (
         load(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -221,7 +235,14 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets via SQL (same Expand-based plan as rollup/cube)."""
+    """Explicit grouping sets via SQL (same Expand-based plan as rollup/cube).
+
+    Empty-input ENGINE DIFFERENCE (documented, not fixed —
+    EMPTY_AUDIT_r9.md E3): on zero input rows the SQL standard (DuckDB,
+    PostgreSQL) emits ONE row for the global () grouping set while Spark
+    emits zero rows (SPARK-33229 family). Kept at Spark semantics: a
+    union-with-constructed-row branch would contort a clean Expand plan
+    to chase a corner the driver's non-empty fixtures can never reach."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         f"""
@@ -771,7 +792,14 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     real NULL group value from a rollup-generated subtotal row — required
     the moment a grouping column is nullable. Spark's grouping_id bit
     order equals the GROUP BY column order, mirrored in the oracle as
-    GROUPING(a)·2 + GROUPING(b)."""
+    GROUPING(a)·2 + GROUPING(b).
+
+    Empty-input ENGINE DIFFERENCE (documented, not fixed —
+    EMPTY_AUDIT_r9.md E3): on zero input rows the SQL standard (DuckDB,
+    PostgreSQL) emits ONE row for the global () grouping set while Spark
+    emits zero rows (SPARK-33229 family). Kept at Spark semantics: a
+    union-with-constructed-row branch would contort a clean Expand plan
+    to chase a corner the driver's non-empty fixtures can never reach."""
     o = load(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
