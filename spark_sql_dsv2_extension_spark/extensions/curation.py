@@ -1426,6 +1426,12 @@ def ext_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is exactly reproducible and oracle-checkable). Replicates are
     exact-integer ratios reported in micro-units.
 
+    A corpus that fits in one hash block (the single-document degenerate
+    case) makes the leave-one-out denominator tn - n zero: ANSI Spark
+    would raise DIVIDE_BY_ZERO where DuckDB renders 0/0 as NaN, so the
+    replicate-mean division goes through try_divide (NULL, canonicalized
+    equal to NaN; DEGENERATE_AUDIT_r8.md Family B, oracle untouched).
+
     Scale: one aggregation to {_JK_BLOCKS} block rows + a 1-row
     broadcast of the totals — the corpus is touched once."""
     docs = load(spark, sf_dir, "documents")
@@ -1444,7 +1450,10 @@ def ext_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "s",
         F.round(
-            (F.col("ts") - F.col("s")).cast("double") / (F.col("tn") - F.col("n"))
+            F.try_divide(
+                (F.col("ts") - F.col("s")).cast("double"),
+                F.col("tn") - F.col("n"),
+            )
             * 1e6
         )
         .cast("long")
