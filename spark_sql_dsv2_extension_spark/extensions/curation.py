@@ -992,6 +992,12 @@ def ext_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers, and state-store scale-out, measured rather than asserted.
     Packed-integer argmin, exact throughout.
 
+    An empty corpus still emits the one global-aggregate row with
+    count(*) = 0: ANSI Spark's ``div`` would raise DIVIDE_BY_ZERO on the
+    moved share where DuckDB's ``//`` yields NULL — the divisor is
+    wrapped in nullif(.., 0) (x div NULL propagates NULL;
+    EMPTY_AUDIT_r9.md Family E4, oracle untouched).
+
     Scale: pure per-row arithmetic against a broadcast node list — the
     rebalance PLAN for a trillion keys costs one scan."""
     docs = load(spark, sf_dir, "documents")
@@ -1020,7 +1026,7 @@ def ext_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         moved.alias("n_moved"),
         F.expr(
             "count(CASE WHEN node_before <> node_after THEN 1 END)"
-            " * 1000000 DIV count(*)"
+            " * 1000000 DIV nullif(count(*), 0)"
         ).alias("moved_share6"),
     )
 
