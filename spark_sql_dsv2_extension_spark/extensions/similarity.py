@@ -2456,6 +2456,12 @@ def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles. Reported for the first {_WHITEN_DIMS} dims × 50
     vectors to bound output.
 
+    A zero-variance dimension (byte-identical embeddings) makes the
+    z-score 0/0: ANSI Spark would raise DIVIDE_BY_ZERO where DuckDB
+    renders NaN, so the division goes through try_divide (NULL,
+    canonicalized equal to NaN; DEGENERATE_AUDIT_r8.md Family B, oracle
+    untouched).
+
     Scale: one (dim)-grouped moment aggregation (dim rows — broadcast
     back), then a map-side transform of every vector; this is the
     column-statistics + broadcast-normalize shape of every feature
@@ -2481,7 +2487,7 @@ def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("pos").cast("long").alias("pos"),
-            F.round((F.col("x6") - mean) / F.sqrt(var) * 1e6)
+            F.round(F.try_divide(F.col("x6") - mean, F.sqrt(var)) * 1e6)
             .cast("long")
             .alias("z6"),
         )
