@@ -1826,6 +1826,13 @@ def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_ann_recall_eval's top-k view and ext_knn_label_agreement's
     per-point view.
 
+    A corpus whose every vector shares the query's label (or none) has
+    n_neg = 0 (or n_pos = 0): AUC's np*nn divisor is zero and ANSI Spark's
+    ``div`` would raise where DuckDB's ``//`` yields NULL — the divisor is
+    wrapped in nullif(.., 0) (x div NULL propagates NULL; the integral-
+    division twin of Family B's try_divide, DEGENERATE_AUDIT_r8.md; oracle
+    untouched).
+
     Scale: one scoring pass + one ``distributed_row_number`` rank (range
     exchange + broadcast offsets — no single-task sort over the corpus)
     + a 1-row aggregate."""
@@ -1849,8 +1856,8 @@ def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"(sum(CASE WHEN is_pos THEN r END) - count(CASE WHEN is_pos THEN 1 END)"
             f" * (count(CASE WHEN is_pos THEN 1 END) + 1) DIV 2) * {_AUC_SCALE}"
-            f" DIV (count(CASE WHEN is_pos THEN 1 END)"
-            f" * count(CASE WHEN NOT is_pos THEN 1 END))"
+            f" DIV nullif(count(CASE WHEN is_pos THEN 1 END)"
+            f" * count(CASE WHEN NOT is_pos THEN 1 END), 0)"
         ).alias("auc6"),
     )
 
