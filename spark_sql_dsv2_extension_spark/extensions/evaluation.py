@@ -343,10 +343,17 @@ def ext_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = rs.groupBy("b").agg(
         F.expr("sum(m * cents) * 10000 div sum(m)").alias("mean6")
     )
+    # try_element_at: zero purchases -> zero resample groups -> an EMPTY
+    # collect_list, where ANSI element_at raises INVALID_ARRAY_INDEX and
+    # the oracle's list_sort(NULL)[i] yields NULL (EMPTY_AUDIT_r9.md E4;
+    # base's mean6 needs no guard — NULL div 0 propagates NULL on both
+    # engines). Non-degenerate inputs always carry all B resamples.
     ci = means.agg(
-        F.element_at(F.sort_array(F.collect_list("mean6")), 2).alias("ci_lo6"),
-        F.element_at(
-            F.sort_array(F.collect_list("mean6")), BOOTSTRAP_B - 1
+        F.try_element_at(F.sort_array(F.collect_list("mean6")), F.lit(2)).alias(
+            "ci_lo6"
+        ),
+        F.try_element_at(
+            F.sort_array(F.collect_list("mean6")), F.lit(BOOTSTRAP_B - 1)
         ).alias("ci_hi6"),
     )
     base = v.agg(
