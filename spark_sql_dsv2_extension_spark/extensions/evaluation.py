@@ -866,6 +866,14 @@ def ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 1e-6 integers BEFORE the (order-dependent) sum, then one
     sqrt on the identical quotient — the engine-wide determinism contract.
 
+    Degenerate table (a single language or a single source): the V
+    normalizer min(r,c)-1 is 0 and ANSI Spark would raise DIVIDE_BY_ZERO
+    where DuckDB renders NaN — the final division goes through try_divide
+    (NULL, canonicalized equal to NaN; DEGENERATE_AUDIT_r8.md Family B,
+    oracle untouched). The per-cell t6 division needs no guard: a
+    contingency cell exists only with count >= 1, so its marginals are
+    nonzero.
+
     Scale: the contingency table is |langs|×|sources| rows; marginals are
     two more tiny aggregates; everything after the first groupBy is
     broadcast-sized."""
@@ -906,10 +914,10 @@ def ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             1000000
             * F.sqrt(
-                F.sum("t6").cast("long") / F.lit(1e6)
-                / (
+                F.try_divide(
+                    F.sum("t6").cast("long") / F.lit(1e6),
                     F.col("n").cast("double")
-                    * (F.least("n_langs", "n_sources") - 1)
+                    * (F.least("n_langs", "n_sources") - 1),
                 )
             )
         )
