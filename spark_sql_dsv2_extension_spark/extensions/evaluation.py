@@ -2091,6 +2091,12 @@ def ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1e-6; the length threshold reuses ext_mad_outliers' floor(median)
     cross-engine contract.
 
+    Degenerate corpus (every document lands in one confusion cell):
+    chance agreement pe is exactly 1 and kappa's 1 - pe divisor is 0 —
+    ANSI Spark would raise DIVIDE_BY_ZERO where DuckDB renders 0/0 as
+    NaN, so the division goes through try_divide (NULL, canonicalized
+    equal to NaN; DEGENERATE_AUDIT_r8.md Family B, oracle untouched).
+
     Scale: one corpus pass for the median (broadcast scalar), one for the
     2×2 confusion counts — two aggregates, no shuffle beyond them."""
     docs = load(spark, sf_dir, "documents")
@@ -2122,7 +2128,9 @@ def ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n10",
         "n01",
         "n00",
-        F.round(1000000 * (po - pe) / (1 - pe)).cast("long").alias("kappa6"),
+        F.round(F.try_divide(1000000 * (po - pe), 1 - pe))
+        .cast("long")
+        .alias("kappa6"),
     )
 
 
