@@ -2233,6 +2233,12 @@ def ext_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are exact int64 sums of integer cents; θ and ρ² are
     shared-operand double expressions rounded at 1e-6.
 
+    Zero pre-period variance (constant per-user pre spend, e.g. all
+    events after the midpoint): θ and ρ² are 0/0 — ANSI Spark would raise
+    DIVIDE_BY_ZERO where DuckDB renders NaN, so both divisions go through
+    try_divide (NULL, canonicalized equal to NaN;
+    DEGENERATE_AUDIT_r8.md Family B, oracle untouched).
+
     Scale: one per-user aggregation (the same shuffle every per-user
     metric already pays), then a single moment row. Pre/post products of
     per-user cent totals stay within int64 up to ~10^9-cent users."""
@@ -2271,8 +2277,10 @@ def ext_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     vy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     return mo.select(
         "n",
-        F.round(1000000 * cxy / vx).cast("long").alias("theta6"),
-        F.round(1000000 * (cxy * cxy) / (vx * vy)).cast("long").alias("var_reduction6"),
+        F.round(F.try_divide(1000000 * cxy, vx)).cast("long").alias("theta6"),
+        F.round(F.try_divide(1000000 * (cxy * cxy), vx * vy))
+        .cast("long")
+        .alias("var_reduction6"),
     )
 
 
