@@ -3503,6 +3503,13 @@ def ext_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the order-independence contract), and ICC/deff are one shared double
     expression each.
 
+    Degenerate clustering (a single user: k-1 = 0; or one event per
+    user: n-k = 0): the mean-square divisors are zero and ANSI Spark
+    would raise DIVIDE_BY_ZERO where DuckDB IEEE-propagates NaN through
+    icc/deff — all three divisions (msb, msw, the icc ratio) go through
+    try_divide (NULL, canonicalized equal to NaN;
+    DEGENERATE_AUDIT_r8.md Family B, oracle untouched).
+
     Scale: one per-user aggregation + one scalar row; the window-based
     grand totals run over the per-user relation, not events."""
     ev = load(spark, sf_dir, "events")
@@ -3540,10 +3547,10 @@ def ext_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ssb2"),
     )
-    msb = F.col("ssb2").cast("double") / (F.col("k") - 1)
-    msw = F.col("ssw2").cast("double") / (F.col("n") - F.col("k"))
+    msb = F.try_divide(F.col("ssb2").cast("double"), F.col("k") - 1)
+    msw = F.try_divide(F.col("ssw2").cast("double"), F.col("n") - F.col("k"))
     mbar_m1 = F.col("n").cast("double") / F.col("k") - 1
-    icc = (msb - msw) / (msb + mbar_m1 * msw)
+    icc = F.try_divide(msb - msw, msb + mbar_m1 * msw)
     return agg.select(
         F.col("n").alias("n_events"),
         F.col("k").alias("n_users"),
