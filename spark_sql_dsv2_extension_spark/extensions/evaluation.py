@@ -4330,6 +4330,12 @@ def ext_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag's Pearson uses exact integer moments over the lag-joined daily
     series and one shared double expression, rounded at 1e-6.
 
+    A constant series (zero variance in clicks or buys at some lag) makes
+    the Pearson denominator sqrt(0): ANSI Spark would raise
+    DIVIDE_BY_ZERO where DuckDB renders NaN — the division goes through
+    try_divide (NULL, canonicalized equal to NaN;
+    DEGENERATE_AUDIT_r8.md Family B, oracle untouched).
+
     Scale: the corpus reduces to one daily row each; the lag join is
     days × 7 — calendar-bounded. Same moment discipline as
     ext_shuffle_quality_audit."""
@@ -4375,7 +4381,9 @@ def ext_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         F.col("lag").cast("long").alias("lag_days"),
         F.col("n").alias("n_pairs"),
-        F.round(1000000 * cxy / F.sqrt(vx * vy)).cast("long").alias("ccf6"),
+        F.round(F.try_divide(1000000 * cxy, F.sqrt(vx * vy)))
+        .cast("long")
+        .alias("ccf6"),
     )
 
 
