@@ -2859,6 +2859,11 @@ def ext_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complements ext_cramers_v: FD is directional, V symmetric). Pure
     integer distinct counts and one integer ratio.
 
+    An empty table still emits the three global-aggregate rows with
+    n_pair = 0: ANSI Spark's ``div`` would raise DIVIDE_BY_ZERO where
+    DuckDB's ``//`` yields NULL — the divisor is wrapped in
+    nullif(.., 0) (EMPTY_AUDIT_r9.md Family E4, oracle untouched).
+
     Scale: three count-distinct aggregations over one scan — Spark
     rewrites each into the standard two-phase expand + partial distinct,
     no extra passes."""
@@ -2878,7 +2883,9 @@ def ext_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("fd"),
             "n_det",
             "n_pair",
-            F.expr("n_det * 1000000 div n_pair").alias("fd_strength6"),
+            F.expr("n_det * 1000000 div nullif(n_pair, 0)").alias(
+                "fd_strength6"
+            ),
         )
 
     return (
