@@ -3588,7 +3588,17 @@ def ext_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer count; the statistic is ONE double expression over
     bit-identical integer operands (the power-analysis pattern), reported
     at millis. Scale: token explode + two groupBys + a 2-scalar broadcast;
-    vocabulary-sized output, corpus touched once."""
+    vocabulary-sized output, corpus touched once.
+
+    A single-class corpus (or a token present in every position) zeroes a
+    marginal product in the chi2 denominator: ANSI Spark would raise
+    DIVIDE_BY_ZERO where DuckDB renders 0/0 as NaN — the division goes
+    through try_divide (NULL, canonicalized equal to NaN; NULLs also sort
+    consistently after the DESC ordering on both engines at the
+    degenerate scale: the oracle's chi2 DESC puts NaN first in DuckDB and
+    NULL last in Spark, but with <= 20 distinct tokens the LIMIT keeps
+    every row, so the sorted-row SET still matches —
+    DEGENERATE_AUDIT_r8.md Family B, oracle untouched)."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
@@ -3605,16 +3615,12 @@ def ext_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = a * (F.col("tb") - F.col("b")).cast("double") - b * (
         F.col("ta") - F.col("a")
     ).cast("double")
-    chi2 = (
-        (ta + tb)
-        * det
-        * det
-        / (
-            (F.col("a") + F.col("b")).cast("double")
-            * (F.col("ta") + F.col("tb") - F.col("a") - F.col("b")).cast("double")
-            * ta
-            * tb
-        )
+    chi2 = F.try_divide(
+        (ta + tb) * det * det,
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("ta") + F.col("tb") - F.col("a") - F.col("b")).cast("double")
+        * ta
+        * tb,
     )
     return (
         per_w.join(F.broadcast(totals))
