@@ -1837,9 +1837,13 @@ def ext_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar days, not row adjacency.
 
     ACF_k = (Σc_t·c_{{t+k}} − m(B+C) + n_k·m²) / (Σc² − N·m²) expanded so
-    every sum is an exact integer; m = S1/N enters as one double. Scale:
-    the series is #days rows — trivially broadcastable after one grouped
-    count of the corpus."""
+    every sum is an exact integer; m = S1/N enters as one double. A
+    constant series zeroes the variance denominator: ANSI Spark would
+    raise DIVIDE_BY_ZERO where DuckDB renders 0/0 as NaN — the division
+    goes through try_divide (NULL, canonicalized equal to NaN; the
+    Family-B prototype validated in round 8, DEGENERATE_AUDIT_r8.md,
+    oracle untouched). Scale: the series is #days rows — trivially
+    broadcastable after one grouped count of the corpus."""
     ev = load(spark, sf_dir, "events")
     bounds = ev.agg(
         F.min(F.to_date(F.date_trunc("day", "ts"))).alias("d0"),
@@ -1881,12 +1885,12 @@ def ext_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.col("s1").cast("double") / F.col("nn")
     acf6 = F.round(
-        (
+        F.try_divide(
             F.col("axy").cast("double")
             - m * (F.col("bx").cast("double") + F.col("cy"))
-            + F.col("nk").cast("double") * m * m
+            + F.col("nk").cast("double") * m * m,
+            F.col("s2").cast("double") - F.col("nn").cast("double") * m * m,
         )
-        / (F.col("s2").cast("double") - F.col("nn").cast("double") * m * m)
         * 1e6
     ).cast("long")
     return lagged.join(F.broadcast(glob)).select(
