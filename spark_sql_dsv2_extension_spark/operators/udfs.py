@@ -125,7 +125,9 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
            (l.l_quantity - s.cents / (s.n * 1e2)) /
-           sqrt(s.cents_sq / (s.n * 1e4) - (s.cents / (s.n * 1e2)) * (s.cents / (s.n * 1e2)))
+           nullif(sqrt(greatest(
+             s.cents_sq / (s.n * 1e4)
+             - (s.cents / (s.n * 1e2)) * (s.cents / (s.n * 1e2)), 0)), 0)
              AS qty_z
     FROM lineitem l JOIN stats s USING (l_returnflag)
     """,
@@ -135,20 +137,36 @@ def udaf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     group out — per-group z-score normalization, the shape windowless
     per-group feature engineering takes. Moments are computed on integer
     cents (Σc, Σc²) so the result is independent of row order within the
-    group and matches the SQL oracle bit-for-bit."""
+    group and matches the SQL oracle bit-for-bit.
+
+    Zero-variance groups need a COORDINATED gate on both sides
+    (DEGENERATE_AUDIT_r8.md Family C — the only key where the ORACLE
+    itself raised): a constant group's sample variance is 0, and float
+    cancellation can leave it epsilon-negative, so DuckDB's bare sqrt
+    threw OutOfRangeException while the pandas worker raised on the
+    division. The oracle clamps with sqrt(greatest(var, 0)) and NULLifies
+    the zero stddev; the UDF mirrors it exactly (max(var, 0), NaN z-score
+    when std == 0 — the driver-matched canonicalizer equates NaN with
+    NULL). Non-degenerate groups evaluate the identical expression as
+    before."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = (pdf["l_quantity"] * 100).round().astype("int64")
         n = len(cents)
         mean = int(cents.sum()) / (n * 1e2)
         var = int((cents * cents).sum()) / (n * 1e4) - mean * mean
-        std = var**0.5
+        std = max(var, 0.0) ** 0.5
+        z = (
+            (pdf["l_quantity"] - mean) / std
+            if std > 0
+            else pd.Series(float("nan"), index=pdf.index)
+        )
         return pd.DataFrame(
             {
                 "l_orderkey": pdf["l_orderkey"],
                 "l_linenumber": pdf["l_linenumber"],
                 "l_returnflag": pdf["l_returnflag"],
-                "qty_z": (pdf["l_quantity"] - mean) / std,
+                "qty_z": z,
             }
         )
 
