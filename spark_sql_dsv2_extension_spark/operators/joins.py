@@ -492,13 +492,14 @@ def join_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.mkdtemp(prefix="engine_dpp_"), "orders"
     )
-    (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
-        .write.partitionBy("o_orderstatus")
-        .parquet(out)
+    facts = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    fact = spark.read.parquet(out)
+    facts.write.partitionBy("o_orderstatus").parquet(out)
+    # explicit schema: an empty source writes no partition dirs and bare
+    # inference fails where the oracle yields zero rows (EMPTY_AUDIT_r9.md
+    # E1); a no-op on non-empty data, DPP still applies
+    fact = spark.read.schema(facts.schema).parquet(out)
     dim = spark.createDataFrame([("O", 1)], "status STRING, flag INT").filter(
         F.col("flag") == 1
     )

@@ -93,16 +93,24 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned write then partition-pruned read (reference A16: the HMS
     prunes partitions server-side; here the directory layout prunes — the
-    plan's PartitionFilters skip non-matching dirs without listing files)."""
+    plan's PartitionFilters skip non-matching dirs without listing files).
+
+    The re-read passes the writer frame's own schema explicitly: a fully
+    filtered-out source writes zero data files and bare schema inference
+    fails with UNABLE_TO_INFER_SCHEMA where the oracle yields zero rows
+    (EMPTY_AUDIT_r9.md E1) — with explicit schema the empty round-trip
+    reads back as an empty frame, and on non-empty data the schema is a
+    no-op that additionally skips footer-sampling inference."""
     out = os.path.join(_scratch("prune"), "lineitem")
-    (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .write.mode("overwrite")
-        .partitionBy("l_returnflag")
-        .parquet(out)
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    return spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    return (
+        spark.read.schema(df.schema)
+        .parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+    )
 
 
 @query(
@@ -169,7 +177,10 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     patch.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("o_orderstatus").parquet(out)
-    return spark.read.parquet(out)
+    # explicit schema: an empty source writes no data files and bare
+    # inference fails where the oracle yields zero rows (EMPTY_AUDIT_r9.md
+    # E1); a no-op on non-empty data
+    return spark.read.schema(base.schema).parquet(out)
 
 
 @query(
@@ -276,7 +287,10 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
 
-    target = spark.read.parquet(out)
+    # explicit schema on both re-reads: an empty base write emits no data
+    # files and bare inference fails where the oracle still yields its one
+    # inserted row (EMPTY_AUDIT_r9.md E1); a no-op on non-empty data
+    target = spark.read.schema(base.schema).parquet(out)
     upserts = (
         target.filter(F.col("o_orderkey") % 5 == 0)
         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
@@ -301,7 +315,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged_parts.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("o_orderstatus").parquet(out)
-    return spark.read.parquet(out)
+    return spark.read.schema(base.schema).parquet(out)
 
 
 @query(
@@ -343,21 +357,25 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``DataSourceWriter``) and read back natively — exercising the
     two-phase staged commit (task → staging file → commit message → driver
     publish; see sources/datasource.py EngineTableWriter, the structural
-    twin of reference A23's file⊕metastore commit)."""
+    twin of reference A23's file⊕metastore commit). The read-back passes
+    the writer frame's schema explicitly — an empty source commits zero
+    staged files and bare inference fails where the oracle yields zero
+    rows (EMPTY_AUDIT_r9.md E1); a no-op on non-empty data."""
     from .datasource import register
 
     out = os.path.join(_scratch("pyds_w"), "supplier")
     os.makedirs(out, exist_ok=True)
     register(spark)
+    df = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
     (
-        load(spark, sf_dir, "supplier")
-        .select("s_suppkey", "s_name", "s_acctbal")
-        .write.format("engine_table")
+        df.write.format("engine_table")
         .option("path", out)
         .mode("append")
         .save()
     )
-    return spark.read.parquet(out)
+    return spark.read.schema(df.schema).parquet(out)
 
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
@@ -370,6 +388,7 @@ def compact_partitioned(
     part_col: str,
     target_bytes: int = TARGET_FILE_BYTES,
     key_cols: list[str] | None = None,
+    schema=None,
 ) -> None:
     """Small-file compaction for a partitioned parquet table: rewrite each
     partition into ceil(partition_bytes / target_bytes) files.
@@ -381,7 +400,13 @@ def compact_partitioned(
     files while small ones collapse to one. The rewrite is one shuffle on
     (partition, file-slot); at 100 TB this runs per-partition-incremental
     (compact only partitions whose file count drifted), never a full-table
-    pass."""
+    pass.
+
+    ``schema``: pass the source table's schema to compact a dataset that
+    may be EMPTY (zero data files — e.g. the first run of an incremental
+    ingest before any data lands): bare inference fails with
+    UNABLE_TO_INFER_SCHEMA (EMPTY_AUDIT_r9.md E1); with a schema the
+    compactor degrades to an empty (metadata-only) rewrite."""
     sizes: dict[str, int] = {}
     for entry in os.scandir(src_path):
         if entry.is_dir() and "=" in entry.name:
@@ -390,21 +415,29 @@ def compact_partitioned(
                 for f in os.scandir(entry.path)
                 if f.name.endswith(".parquet")
             )
-    df = spark.read.parquet(src_path)
-    n_files = F.create_map(
-        *[
-            F.lit(x)
-            for kv in sizes.items()
-            for x in (kv[0], max(1, -(-kv[1] // target_bytes)))
-        ]
-    )
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(src_path)
     # File-slot hash over the caller's key columns, defaulting to every
     # non-partition column — the compactor must work for any table shape,
     # not just ones with an event_id (round-2 ADVICE fix). Partitions whose
     # value misses the sizes map (nulls, escaped values) fall back to one
-    # file via coalesce(slot_count, 1).
+    # file via coalesce(slot_count, 1). An EMPTY sizes map (zero source
+    # partitions) would make create_map() VOID-typed and fail analysis —
+    # there is nothing to size, so every (zero) row takes slot count 1.
     keys = key_cols or [c for c in df.columns if c != part_col]
-    slot_count = F.coalesce(n_files[F.col(part_col).cast("string")], F.lit(1))
+    if sizes:
+        n_files = F.create_map(
+            *[
+                F.lit(x)
+                for kv in sizes.items()
+                for x in (kv[0], max(1, -(-kv[1] // target_bytes)))
+            ]
+        )
+        slot_count = F.coalesce(
+            n_files[F.col(part_col).cast("string")], F.lit(1)
+        )
+    else:
+        slot_count = F.lit(1)
     slot = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), slot_count)
     (
         df.repartition(F.col(part_col), slot)
@@ -425,14 +458,16 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     day partition (the streaming-ingest pathology), then
     :func:`compact_partitioned` rewrites each day to its size-derived file
     count. Content must survive both rewrites bit-exactly — the oracle is
-    the original table."""
+    the original table. Both re-reads carry the written frame's schema so
+    an empty source round-trips as an empty frame instead of failing
+    inference (EMPTY_AUDIT_r9.md E1)."""
     ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     root = _scratch("compact")
     small, compact = os.path.join(root, "small"), os.path.join(root, "compact")
     # simulate fragmented ingest: ~16 files per day partition
     ev.repartition(16).write.partitionBy("day").parquet(small)
-    compact_partitioned(spark, small, compact, "day")
-    out = spark.read.parquet(compact)
+    compact_partitioned(spark, small, compact, "day", schema=ev.schema)
+    out = spark.read.schema(ev.schema).parquet(compact)
     return out.select("event_id", "user_id", "event_type", "value")
 
 
