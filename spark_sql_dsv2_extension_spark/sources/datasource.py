@@ -138,19 +138,30 @@ class EngineTableReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         if not self.partition_columns:
-            return [
+            splits: list[InputPartition] = [
                 _FileSplit(os.path.join(self.table_dir, fn), {})
                 for fn in sorted(os.listdir(self.table_dir))
                 if fn.endswith(".parquet") and not fn.startswith(("_", "."))
             ]
-        return _list_partition_files(
-            self.table_dir, self.partition_columns, self.prune
-        )
+        else:
+            splits = _list_partition_files(
+                self.table_dir, self.partition_columns, self.prune
+            )
+        # An EMPTY table (a write that committed zero data files, or a
+        # prune that eliminated every partition) must still present one
+        # split: PySpark treats an empty partitions() list as "use the
+        # default single partition" and hands read() a None it cannot
+        # unpack (EMPTY_AUDIT_r9.md E2). The sentinel yields no batches.
+        return splits or [_FileSplit("", {})]
 
     def read(self, partition: _FileSplit):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # the empty-table sentinel split (and a zero-row-group file, which
+        # pyarrow reads as a 0-row table below) carry no batches
+        if not partition.path:
+            return
         data_fields = [
             f for f in self.schema.fields if f.name not in partition.partition_values
         ]
