@@ -319,7 +319,13 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = spark.read.schema(_raw_schema(sf_dir)).parquet(
         table_path(sf_dir, "events")
     )
-    lo_us, hi_us = _ts_bounds_us(table_path(sf_dir, "events"))
+    bounds_us = _ts_bounds_us(table_path(sf_dir, "events"))
+    if bounds_us is None:
+        # empty source: no midpoint to split the two-batch replay on —
+        # the stream would emit nothing, so return the empty result frame
+        # directly (EMPTY_AUDIT_r9.md E5, harness prep only)
+        return spark.createDataFrame([], "window_start BIGINT, n BIGINT")
+    lo_us, hi_us = bounds_us
     thr_us = lo_us + (hi_us - lo_us) // 2
     if _ts_is_long(sf_dir):
         ts_us = F.expr("ts DIV 1000")
@@ -382,13 +388,18 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(agg, "complete")
 
 
-def _ts_bounds_us(path: str) -> tuple[int, int]:
+def _ts_bounds_us(path: str) -> tuple[int, int] | None:
     """(min, max) of the ``ts`` column in µs from parquet FOOTER row-group
     statistics — metadata-only, no data scan. At 100 TB the previous
     ``agg(min, max).first()`` was a full extra pass over the input before the
     stream even started; footers answer the same question in O(#row groups)
     bytes (the same stats Spark's own partition pruning reads). Raw stat
-    values are ns for INT64-ns-vintage fixtures, µs for timestamp[us]."""
+    values are ns for INT64-ns-vintage fixtures, µs for timestamp[us].
+
+    Returns None for an EMPTY source (zero row groups / no stats): there
+    is no midpoint to split a replay on, and the caller short-circuits to
+    its empty result instead of asserting (EMPTY_AUDIT_r9.md E5 — a
+    harness-prep guard, not operator logic)."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
@@ -400,9 +411,12 @@ def _ts_bounds_us(path: str) -> tuple[int, int]:
     hi: int | None = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
+        if st is None or st.min_raw is None:
+            continue
         lo = st.min_raw if lo is None else min(lo, st.min_raw)
         hi = st.max_raw if hi is None else max(hi, st.max_raw)
-    assert lo is not None and hi is not None
+    if lo is None or hi is None:
+        return None
     return int(lo) // div, int(hi) // div
 
 
