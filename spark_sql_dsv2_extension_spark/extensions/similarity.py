@@ -2796,6 +2796,142 @@ def ext_label_propagation_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Graph community evaluation over the mutual-kNN graph (round-10 thaw,
+# tranche 3; ROADMAP_r10 candidates)
+# ---------------------------------------------------------------------------
+
+_LABELED_EDGES_SQL = (
+    _MUTUAL_EDGES_SQL
+    + """
+    , lab AS (
+      SELECT vec_id, label FROM embeddings WHERE vec_id < 100
+    ), el AS (
+      SELECT e.u, e.v, lu.label AS cu, lv.label AS cv
+      FROM edges e JOIN lab lu ON e.u = lu.vec_id
+                   JOIN lab lv ON e.v = lv.vec_id
+    )
+"""
+)
+
+
+def _labeled_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN edge list with each endpoint's label attached — the
+    shared input of the community-evaluation keys. Labels broadcast (the
+    dim is #vectors × 2 ints); the edge list localCheckpoints once so the
+    downstream community aggregates reuse one lineage."""
+    edges = _mutual_edges(spark, sf_dir)
+    lab = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "label")
+    )
+    return (
+        edges.join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("u"), F.col("label").alias("cu"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("v"), F.col("label").alias("cv"))
+            ),
+            "v",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "ext_graph_modularity",
+    oracle=(
+        "WITH "
+        + _LABELED_EDGES_SQL
+        + """
+    , m2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2 FROM el
+    ), within AS (
+      SELECT cu AS community, CAST(count(*) AS BIGINT) AS e_in
+      FROM el WHERE cu = cv GROUP BY cu
+    ), degs AS (
+      SELECT cu AS community, CAST(count(*) AS BIGINT) AS deg_sum
+      FROM el GROUP BY cu
+    ), nn AS (
+      SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM lab l WHERE l.vec_id IN (SELECT u FROM edges)
+      GROUP BY l.label
+    )
+    SELECT d.community, nn.n_nodes,
+           coalesce(w.e_in, 0) AS e_in_directed,
+           d.deg_sum,
+           CAST(round(1000000.0 * (coalesce(w.e_in, 0) * m2.m2
+                                   - d.deg_sum * d.deg_sum)
+                      / (m2.m2 * m2.m2)) AS BIGINT) AS contribution6
+    FROM degs d
+    LEFT JOIN within w ON d.community = w.community
+    JOIN nn ON d.community = nn.community
+    CROSS JOIN m2
+    """
+    ),
+)
+def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community NEWMAN MODULARITY contribution on the mutual-kNN
+    graph, with the embedding labels as the candidate partition:
+    Q_c = e_c/m − (K_c/2m)², evaluated here on the directed edge list as
+    contribution6 = round(1e6·(e_c·2m − K_c²)/(2m)²) — the number that
+    says whether a labeling actually concentrates edges inside its
+    communities (Q_c above the random-graph expectation) before anyone
+    trusts those labels for stratification or dedup-cluster QA. Completes
+    the graph-evaluation family next to ext_triangle_count (local
+    density) and ext_label_propagation_bounded (component structure).
+
+    All-integer moments (edge counts, degree sums) until one rounded
+    division per community row — the house exactness pattern; the m2
+    scalar broadcasts. The division cannot raise: a community row exists
+    only if it has at least one incident edge, so m2 >= 1.
+
+    Scale: the mutual-kNN base is the declared bounded brute-force kNN
+    (swap: LSH/IVF candidate pairs at corpus scale — the edge list and
+    every aggregate here are shape-unchanged); everything after the edge
+    list is community-cardinality-sized."""
+    el = _labeled_edges(spark, sf_dir)
+    m2 = el.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    within = (
+        el.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    degs = el.groupBy(F.col("cu").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg_sum")
+    )
+    nodes = (
+        el.select(F.col("u").alias("vec_id"), F.col("cu").alias("community"))
+        .distinct()
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    return (
+        degs.join(F.broadcast(within), "community", "left")
+        .join(F.broadcast(nodes), "community")
+        .join(F.broadcast(m2))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).alias("e_in_directed"),
+            "deg_sum",
+            F.round(
+                1000000.0
+                * (F.coalesce("e_in", F.lit(0)) * F.col("m2")
+                   - F.col("deg_sum") * F.col("deg_sum"))
+                / (F.col("m2") * F.col("m2"))
+            )
+            .cast("long")
+            .alias("contribution6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF recall-vs-nprobe operating curve (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------
 

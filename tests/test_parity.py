@@ -103,7 +103,6 @@ _R10_INTERIM = frozenset({
     "ext_label_propagation_bounded", "ext_holt_winters_additive",
     "ext_anomaly_mad_rolling", "ext_shard_skew_rebalance",
     "ext_ann_ivf_nprobe_curve", "tpch_q20_potential_promo",
-    "ext_lang_confusion",
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH | _R10_INTERIM
 

@@ -1389,6 +1389,10 @@ _EXCHANGE_BUDGETS = {
     "ext_energy_distance": 0,
     # per-source count agg + 2-row broadcast FPP dim, integer-only math
     "ext_bloom_size_planner": 1,
+    # --- round-10 tranche-3 thaw registrations (ROADMAP_r10 pre-census) ---
+    # mutual-kNN edge list (checkpointed) + community aggregates, all
+    # post-edge relations community-cardinality-sized
+    "ext_graph_modularity": 4,
 }
 
 
