@@ -2931,6 +2931,65 @@ def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_conductance_communities",
+    oracle=(
+        "WITH "
+        + _LABELED_EDGES_SQL
+        + """
+    , m2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2 FROM el
+    ), agg AS (
+      SELECT cu AS community,
+             CAST(SUM(CASE WHEN cu <> cv THEN 1 ELSE 0 END) AS BIGINT) AS cut,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM el GROUP BY cu
+    )
+    SELECT community, cut, vol,
+           CAST(round(1000000.0 * cut / LEAST(vol, m2.m2 - vol))
+                AS BIGINT) AS conductance6
+    FROM agg CROSS JOIN m2
+    WHERE LEAST(vol, m2.m2 - vol) > 0
+    """
+    ),
+)
+def ext_conductance_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community CONDUCTANCE on the mutual-kNN graph:
+    phi(C) = cut(C) / min(vol(C), 2m - vol(C)) — the boundary-quality
+    complement of ext_graph_modularity's density view (low conductance =
+    few edges escape the community relative to its volume; the measure
+    spectral partitioning optimizes). Exact integer cut/volume counts
+    from one grouped aggregate over the labeled edge list, one rounded
+    division per community; the min(vol, 2m-vol) > 0 guard drops the
+    degenerate whole-graph community exactly as the oracle's WHERE does
+    (0/0 never evaluates on either engine).
+
+    Scale: same declared bounded-kNN edge base and candidate-generator
+    swap as the other graph keys; one community-sized aggregate + a
+    broadcast edge-count scalar."""
+    el = _labeled_edges(spark, sf_dir)
+    m2 = el.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    agg = el.groupBy(F.col("cu").alias("community")).agg(
+        F.sum((F.col("cu") != F.col("cv")).cast("long")).alias("cut"),
+        F.count(F.lit(1)).cast("long").alias("vol"),
+    )
+    return (
+        agg.join(F.broadcast(m2))
+        .filter(F.least("vol", F.col("m2") - F.col("vol")) > 0)
+        .select(
+            "community",
+            "cut",
+            "vol",
+            F.round(
+                1000000.0 * F.col("cut")
+                / F.least("vol", F.col("m2") - F.col("vol"))
+            )
+            .cast("long")
+            .alias("conductance6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF recall-vs-nprobe operating curve (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------

@@ -1393,6 +1393,9 @@ _EXCHANGE_BUDGETS = {
     # mutual-kNN edge list (checkpointed) + community aggregates, all
     # post-edge relations community-cardinality-sized
     "ext_graph_modularity": 4,
+    # one community aggregate over the checkpointed edge list + broadcast
+    # edge-count scalar
+    "ext_conductance_communities": 1,
 }
 
 
