@@ -4464,6 +4464,110 @@ def ext_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bounded time-series mining (round-10 thaw, tranche 3; ROADMAP_r10 candidates)
+# ---------------------------------------------------------------------------
+
+
+def _daily_value_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-value series in integer MILLI-units (per-row rounding
+    BEFORE the sum — the cross-engine float rule; the micro-unit twin
+    below feeds Holt-Winters, milli keeps the matrix-profile squared
+    distances comfortably inside int64)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("y")
+    )
+
+
+@query(
+    "ext_matrix_profile_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ), nsub AS (
+      SELECT CAST(max(i) - 6 AS BIGINT) AS ns FROM idx
+    ), dists AS (
+      SELECT a.i AS si, b.i AS sj,
+             CAST(SUM((xa.y - xb.y) * (xa.y - xb.y)) AS BIGINT) AS d2
+      FROM idx a
+      JOIN idx b ON abs(a.i - b.i) >= 4
+      JOIN nsub ON a.i <= nsub.ns AND b.i <= nsub.ns
+      JOIN idx xa ON xa.i BETWEEN a.i AND a.i + 6
+      JOIN idx xb ON xb.i = b.i + (xa.i - a.i)
+      GROUP BY a.i, b.i
+    ), mp AS (
+      SELECT si, d2, sj,
+             row_number() OVER (PARTITION BY si ORDER BY d2, sj) AS rn
+      FROM dists
+    )
+    SELECT si AS subseq, d2 AS mp_d2, sj AS nn_subseq
+    FROM mp WHERE rn = 1
+    """,
+)
+def ext_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX PROFILE of the daily event-value series (window w=7,
+    exclusion zone |i−j| >= 4): for every 7-day subsequence, the distance
+    to its nearest non-trivial neighbor — low profile = recurring motif
+    (weekly rhythm), high profile = discord (the anomaly a rolling
+    z-score misses because it is shape-, not level-, based). The
+    UNNORMALIZED squared-Euclidean variant keeps every distance an exact
+    int64 over the milli-unit series, so both engines agree bit-for-bit
+    (the z-normalized variant would put a float sqrt inside the argmin).
+
+    Scale: the heavy reduction (events → daily) is fully distributed;
+    the pair set is CALENDAR-bounded (#days² at w=7, ~133k pairs/decade)
+    and the per-pair expansion is ×7 — a broadcast-joined integer
+    aggregate, not a corpus-sized shuffle. ``distributed_row_number``
+    indexes the series without an unpartitioned window."""
+    daily = _daily_value_milli(spark, sf_dir)
+    idx = distributed_row_number(daily.select("d", "y"), ["d"], rn="i").select(
+        "i", "y"
+    ).localCheckpoint(eager=False)
+    ns = idx.agg((F.max("i") - 6).cast("long").alias("ns"))
+    subs = idx.join(F.broadcast(ns)).filter(F.col("i") <= F.col("ns")).select(
+        F.col("i").alias("si")
+    )
+    pairs = subs.join(
+        F.broadcast(subs.select(F.col("si").alias("sj"))),
+        F.abs(F.col("si") - F.col("sj")) >= 4,
+    )
+    expanded = pairs.select(
+        "si", "sj", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("t")
+    )
+    d2 = (
+        expanded.join(
+            F.broadcast(idx.select(F.col("i").alias("ia"), F.col("y").alias("ya"))),
+            F.col("ia") == F.col("si") + F.col("t"),
+        )
+        .join(
+            F.broadcast(idx.select(F.col("i").alias("ib"), F.col("y").alias("yb"))),
+            F.col("ib") == F.col("sj") + F.col("t"),
+        )
+        .groupBy("si", "sj")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("si").orderBy("d2", "sj")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("si").alias("subseq"),
+            F.col("d2").alias("mp_d2"),
+            F.col("sj").alias("nn_subseq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Holt-Winters additive double smoothing (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------
 

@@ -169,6 +169,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # block holds the slot as a named interim _DELIBERATE_REFRONTS entry. ---
     "ext_graph_modularity",
     "ext_conductance_communities",
+    "ext_matrix_profile_daily",
     # --- r9-verified keys (50/50 green in CORRECTNESS_r09.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
     "ext_paragraph_dedup",

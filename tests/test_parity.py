@@ -102,7 +102,6 @@ _R10_INTERIM = frozenset({
     "join_interval_point_containment", "agg_kll_quantile_invariant",
     "ext_label_propagation_bounded", "ext_holt_winters_additive",
     "ext_anomaly_mad_rolling", "ext_shard_skew_rebalance",
-    "ext_ann_ivf_nprobe_curve",
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH | _R10_INTERIM
 

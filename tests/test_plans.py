@@ -1396,6 +1396,9 @@ _EXCHANGE_BUDGETS = {
     # one community aggregate over the checkpointed edge list + broadcast
     # edge-count scalar
     "ext_conductance_communities": 1,
+    # events->daily reduction + calendar-bounded pair aggregate (series
+    # indexed via distributed_row_number, broadcast-joined expansions)
+    "ext_matrix_profile_daily": 2,
 }
 
 
