@@ -4567,6 +4567,157 @@ def ext_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dtw_cells_sql() -> str:
+    """The 7x7 integer DTW recurrence unrolled into generated per-cell
+    CTEs for the DuckDB oracle. Each cell MUST be AS MATERIALIZED: DuckDB
+    otherwise inlines the cell chain exponentially AND re-opens the
+    parquet scan per CTE reference ("Too many open files") — the
+    determinism lesson recorded in ROADMAP_r10.md."""
+    cells = []
+    for i in range(1, 8):
+        for j in range(1, 8):
+            cost = (
+                f"(SELECT (pa.y - pb.y) * (pa.y - pb.y) FROM pa, pb "
+                f"WHERE pa.dow = {i} AND pb.dow = {j})"
+            )
+            if i == 1 and j == 1:
+                prev = "0"
+            elif i == 1:
+                prev = f"(SELECT v FROM c{i}_{j-1})"
+            elif j == 1:
+                prev = f"(SELECT v FROM c{i-1}_{j})"
+            else:
+                prev = (f"LEAST((SELECT v FROM c{i-1}_{j}), "
+                        f"(SELECT v FROM c{i}_{j-1}), "
+                        f"(SELECT v FROM c{i-1}_{j-1}))")
+            cells.append(
+                f"c{i}_{j} AS MATERIALIZED "
+                f"(SELECT CAST({cost} + {prev} AS BIGINT) AS v)"
+            )
+    return ",\n    ".join(cells)
+
+
+@query(
+    "ext_dtw_bounded",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), wk AS MATERIALIZED (
+      SELECT d, y, CAST(isodow(d) AS BIGINT) AS dow,
+             date_trunc('week', d) AS w
+      FROM daily
+    ), full_weeks AS MATERIALIZED (
+      SELECT w FROM wk GROUP BY w HAVING count(*) = 7
+    ), pa AS MATERIALIZED (
+      SELECT dow, y FROM wk
+      WHERE w = (SELECT min(w) FROM full_weeks)
+    ), pb AS MATERIALIZED (
+      SELECT dow, y FROM wk
+      WHERE w = (SELECT max(w) FROM full_weeks)
+    ),
+    {_dtw_cells_sql()}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM full_weeks) AS n_full_weeks,
+           (SELECT v FROM c7_7) AS dtw_d2,
+           CAST((SELECT SUM((pa.y - pb.y) * (pa.y - pb.y))
+                 FROM pa JOIN pb ON pa.dow = pb.dow) AS BIGINT)
+             AS euclid_d2
+    -- degenerate-series gate (r8 prep for this registration): with
+    -- fewer than 2 full ISO weeks there is no (first, last) profile pair
+    -- — emit ZERO rows (the ungated form returned one row of NULL cells
+    -- at 0 weeks and self-DTW at 1, while the Spark DP raised on the
+    -- missing side; both engines now agree on empty)
+    WHERE (SELECT count(*) FROM full_weeks) >= 2
+    """,
+)
+def ext_dtw_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer DTW between the first and last FULL ISO week of the daily
+    series (Monday-anchored 7-point profiles): the warped distance next
+    to the rigid Euclidean one — DTW << Euclid means the weekly shape
+    persisted but phase-shifted (a holiday moved the peak), similar
+    values mean genuine drift; the shape-drift check for the seasonal
+    profiles ext_holt_winters_additive smooths. Spark ``weekday(d)+1``
+    equals DuckDB ``isodow(d)`` and both week-truncations are
+    Monday-anchored, so the profile keys line up exactly (ROADMAP_r10
+    determinism lesson).
+
+    Gated on n_full_weeks >= 2 in BOTH the plan and the oracle: at one
+    full week the "b" profile is empty and the ungated DP raised
+    IndexError where the oracle returned self-DTW — both engines now
+    emit zero rows (validated on 5/7/14-day crafted fixtures in r8).
+
+    Scale: the 7x7 DP is sequential by definition, but its input is two
+    CALENDAR-bounded 7-point integer profiles — the heavy events→daily
+    reduction runs fully distributed and ONE applyInPandas group replays
+    the recurrence (the ext_holt_winters_additive bounded-tail
+    rationale). The oracle unrolls the same recurrence as 49 generated
+    MATERIALIZED CTE cells."""
+    import pandas as pd
+
+    daily = _daily_value_milli(spark, sf_dir)
+    wk = daily.select(
+        "d",
+        "y",
+        (F.weekday("d") + 1).cast("long").alias("dow"),
+        F.date_trunc("week", "d").alias("w"),
+    )
+    full_weeks = wk.groupBy("w").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") == 7
+    )
+    bounds = full_weeks.agg(
+        F.min("w").alias("w0"), F.max("w").alias("w1"),
+        F.count(F.lit(1)).cast("long").alias("n_full_weeks"),
+    )
+    prof = wk.join(F.broadcast(bounds)).filter(
+        (F.col("n_full_weeks") >= 2)
+        & ((F.col("w") == F.col("w0")) | (F.col("w") == F.col("w1")))
+    ).select(
+        F.when(F.col("w") == F.col("w0"), F.lit("a")).otherwise(F.lit("b")).alias(
+            "side"
+        ),
+        "dow",
+        "y",
+        "n_full_weeks",
+    )
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf.side == "a"].sort_values("dow")["y"].astype(int).tolist()
+        b = pdf[pdf.side == "b"].sort_values("dow")["y"].astype(int).tolist()
+        n = len(a)
+        D = [[0] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                c = (a[i] - b[j]) ** 2
+                if i == 0 and j == 0:
+                    D[i][j] = c
+                elif i == 0:
+                    D[i][j] = c + D[i][j - 1]
+                elif j == 0:
+                    D[i][j] = c + D[i - 1][j]
+                else:
+                    D[i][j] = c + min(
+                        D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                    )
+        euclid = sum((x - y) ** 2 for x, y in zip(a, b))
+        return pd.DataFrame(
+            {
+                "g": [1],
+                "n_full_weeks": [int(pdf["n_full_weeks"].iloc[0])],
+                "dtw_d2": [D[n - 1][n - 1]],
+                "euclid_d2": [euclid],
+            }
+        )
+
+    return (
+        prof.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            dtw, "g int, n_full_weeks long, dtw_d2 long, euclid_d2 long"
+        )
+        .select("n_full_weeks", "dtw_d2", "euclid_d2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Holt-Winters additive double smoothing (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------

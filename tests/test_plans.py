@@ -1399,6 +1399,9 @@ _EXCHANGE_BUDGETS = {
     # events->daily reduction + calendar-bounded pair aggregate (series
     # indexed via distributed_row_number, broadcast-joined expansions)
     "ext_matrix_profile_daily": 2,
+    # events->daily + full-week census + ONE applyInPandas group over two
+    # calendar-bounded 7-point profiles
+    "ext_dtw_bounded": 4,
 }
 
 
