@@ -2501,6 +2501,83 @@ def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_embedding_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT label, t.i AS dim,
+             CAST(round(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x6
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      WHERE label < 5
+    ), cent AS (
+      SELECT label, dim, CAST(SUM(x6) AS BIGINT) AS s6,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dims GROUP BY label, dim
+    ), pairs AS (
+      SELECT a.label AS l1, b.label AS l2, a.dim,
+             (1.0 * a.s6 / a.n - 1.0 * b.s6 / b.n) AS diff
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    )
+    SELECT l1, l2,
+           CAST(round(sqrt(SUM(diff * diff))) AS BIGINT) AS centroid_dist6
+    FROM pairs GROUP BY l1, l2
+    """,
+)
+def ext_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distance between per-label embedding CENTROIDS (labels
+    0-4): the distribution-drift summary an embedding pipeline tracks
+    across re-embeds and data refreshes — centroids drifting apart means
+    the label structure sharpened; collapsing together means the encoder
+    stopped separating them. Completes the embedding-QA family next to
+    ext_embedding_whitening (per-dim scale) and ext_embedding_outliers
+    (per-point tails).
+
+    Per-dimension micro-int component sums via posexplode are
+    shuffle-order-proof (the integer-moment contract); floats enter only
+    in the final identical per-pair mean-difference expression on both
+    engines. The divisions cannot raise: a (label, dim) centroid row
+    exists only with n >= 1.
+
+    Scale: one (label, dim)-grouped integer aggregate over the exploded
+    components (the corpus pass), then label²-sized pair arithmetic —
+    broadcast territory for any real label count."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).filter(F.col("label") < 5)
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("x6"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.sum("x6").cast("long").alias("s6"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = cent.select(
+        F.col("label").alias("l1"), "dim",
+        F.col("s6").alias("sa"), F.col("n").alias("na"),
+    )
+    b = cent.select(
+        F.col("label").alias("l2"), F.col("dim").alias("dimb"),
+        F.col("s6").alias("sb"), F.col("n").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("dim") == F.col("dimb")) & (F.col("l1") < F.col("l2"))
+    ).select(
+        "l1",
+        "l2",
+        (1.0 * F.col("sa") / F.col("na") - 1.0 * F.col("sb") / F.col("nb")).alias(
+            "diff"
+        ),
+    )
+    return pairs.groupBy("l1", "l2").agg(
+        F.round(F.sqrt(F.sum(F.col("diff") * F.col("diff"))))
+        .cast("long")
+        .alias("centroid_dist6")
+    )
+
+
 RECALL_KS = (1, 3, 5)
 
 

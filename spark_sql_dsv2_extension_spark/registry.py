@@ -171,6 +171,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_conductance_communities",
     "ext_matrix_profile_daily",
     "ext_dtw_bounded",
+    "ext_embedding_centroid_drift",
     # --- r9-verified keys (50/50 green in CORRECTNESS_r09.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
     "ext_paragraph_dedup",

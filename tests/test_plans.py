@@ -1402,6 +1402,8 @@ _EXCHANGE_BUDGETS = {
     # events->daily + full-week census + ONE applyInPandas group over two
     # calendar-bounded 7-point profiles
     "ext_dtw_bounded": 4,
+    # posexplode + (label, dim) integer moment agg + label^2 pair arithmetic
+    "ext_embedding_centroid_drift": 3,
 }
 
 
