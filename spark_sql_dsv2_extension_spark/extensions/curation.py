@@ -1106,6 +1106,154 @@ def ext_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t-closeness audit (completes the privacy triad; round-10 thaw, tranche 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_t_closeness_audit",
+    oracle="""
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS b
+      FROM customer
+    ), buckets AS (
+      SELECT DISTINCT b FROM s
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM buckets
+    ), groups AS (
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM s
+    ), gb AS (
+      SELECT g.c_nationkey, g.c_mktsegment, buckets.b,
+             CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+      FROM groups g CROSS JOIN buckets
+      LEFT JOIN (
+        SELECT c_nationkey, c_mktsegment, b, CAST(count(*) AS BIGINT) AS c
+        FROM s GROUP BY 1, 2, 3
+      ) cnt ON cnt.c_nationkey = g.c_nationkey
+           AND cnt.c_mktsegment = g.c_mktsegment AND cnt.b = buckets.b
+    ), gcum AS (
+      SELECT c_nationkey, c_mktsegment, b,
+             SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+      FROM gb
+    ), allcum AS (
+      SELECT b, SUM(CAST(count(*) AS BIGINT))
+                  OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_all,
+             (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_all
+      FROM s GROUP BY b
+    )
+    SELECT g.c_nationkey, g.c_mktsegment,
+           CAST(max(g.n) AS BIGINT) AS group_n,
+           CAST(round(1000000.0 / (m.m - 1)
+                * SUM(abs(1.0 * g.cum / g.n - 1.0 * a.cum_all / a.n_all)))
+                AS BIGINT) AS emd6,
+           CAST(round(1000000.0 / (m.m - 1)
+                * SUM(abs(1.0 * g.cum / g.n - 1.0 * a.cum_all / a.n_all)))
+                AS BIGINT) > 200000 AS at_risk
+    FROM gcum g JOIN allcum a ON g.b = a.b CROSS JOIN m
+    -- degenerate gate (r8 audit): one sensitive bucket -> zero rows
+    WHERE m.m >= 2
+    GROUP BY g.c_nationkey, g.c_mktsegment, m.m
+    """,
+)
+def ext_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the privacy triad (k-anonymity:
+    class sizes; l-diversity: distinct sensitive values; t-closeness:
+    the DISTRIBUTION of the sensitive attribute within each class must
+    stay close to the global one, or skew itself leaks — the attack
+    l-diversity misses when a class has l distinct but wildly
+    unrepresentative values). Distance is the ordered-value EMD over the
+    acctbal buckets, normalized by 1/(m-1), flagged at t = 0.2.
+
+    Exact integer cumulative counts; floats only in the identical final
+    per-group combination. The GLOBAL cumulative runs as a TRIANGULAR
+    broadcast self-join over the bounded bucket domain — never an
+    unpartitioned window, even on a handful of rows, because the plan
+    guardrail parses plan text, not cardinality (ROADMAP_r10 lesson).
+    Gated m >= 2 in BOTH plan and oracle: one distinct sensitive bucket
+    makes the 1/(m-1) normalizer 0/0 (ANSI raise vs NaN — r8 audit);
+    with a single bucket every group trivially matches the global
+    distribution, so both engines emit zero rows.
+
+    Scale: per-group cumulative windows are partitioned by the QI tuple;
+    groups × buckets is domain-bounded, independent of row count."""
+    cust = load(spark, sf_dir, "customer")
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("b"),
+    )
+    buckets = s.select("b").distinct()
+    m = buckets.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    groups = s.select("c_nationkey", "c_mktsegment").distinct()
+    cnt = s.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gb = (
+        groups.join(F.broadcast(buckets))
+        .join(cnt, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "b",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("c_nationkey", "c_mktsegment")
+    gcum = gb.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "b",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    # global cumulative over the BOUNDED bucket domain: triangular
+    # broadcast self-join instead of an unpartitioned window
+    bc = s.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    allcum = (
+        bc.join(
+            F.broadcast(
+                bc.select(F.col("b").alias("b2"), F.col("cb").alias("cb2"))
+            ),
+            F.col("b2") <= F.col("b"),
+        )
+        .groupBy("b")
+        .agg(F.sum("cb2").cast("long").alias("cum_all"))
+    )
+    n_all = s.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    emd = (
+        gcum.join(F.broadcast(allcum), "b")
+        .join(F.broadcast(n_all))
+        .join(F.broadcast(m))
+        .groupBy("c_nationkey", "c_mktsegment", "m")
+        .agg(
+            F.max("n").cast("long").alias("group_n"),
+            F.sum(
+                F.abs(
+                    1.0 * F.col("cum") / F.col("n")
+                    - 1.0 * F.col("cum_all") / F.col("n_all")
+                )
+            ).alias("sabs"),
+        )
+    )
+    emd6 = F.round(1000000.0 / (F.col("m") - 1) * F.col("sabs")).cast("long")
+    return emd.filter(F.col("m") >= 2).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_n",
+        emd6.alias("emd6"),
+        (emd6 > 200000).alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winsorized robust stats
 # ---------------------------------------------------------------------------
 

@@ -172,6 +172,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_matrix_profile_daily",
     "ext_dtw_bounded",
     "ext_embedding_centroid_drift",
+    "ext_t_closeness_audit",
     # --- r9-verified keys (50/50 green in CORRECTNESS_r09.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
     "ext_paragraph_dedup",

@@ -1404,6 +1404,9 @@ _EXCHANGE_BUDGETS = {
     "ext_dtw_bounded": 4,
     # posexplode + (label, dim) integer moment agg + label^2 pair arithmetic
     "ext_embedding_centroid_drift": 3,
+    # groups x buckets densify + QI-partitioned cumulative windows +
+    # triangular broadcast global cumulative over the bounded bucket domain
+    "ext_t_closeness_audit": 6,
 }
 
 
