@@ -2751,7 +2751,16 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (in-block partitioned window + broadcast cumulative block offsets) —
     the single-task Window.orderBy over the whole value domain never
     appears, so the histogram scales to arbitrarily wide domains; the
-    bin assignment is a broadcast {EQUIDEPTH_BINS}-row range join."""
+    bin assignment is a broadcast {EQUIDEPTH_BINS}-row range join.
+
+    The corpus is scanned ONCE: every downstream relation (cumulative,
+    block totals, min edge, final per-bin counts) derives from the
+    cached value-domain histogram (c, cnt) — one row per distinct cent
+    value, bounded by the value domain, not the row count. The round-9
+    committed plan re-scanned the parquet base five times for the same
+    information (r10 perf re-front, ROADMAP_r10.md agenda; n_rows per
+    bin = Σcnt and n_distinct = count(*) over the histogram rows are
+    identical by construction to counting the base)."""
     li = load(spark, sf_dir, "lineitem")
     v = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
     hist = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
@@ -2762,7 +2771,8 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appears. Block key = c div 2^20 keeps blocks value-contiguous so
     # offset(b) + in-block prefix == global prefix.
     blk = (F.col("c") / F.lit(1 << 20)).cast("long")
-    hist = hist.withColumn("blk", blk)
+    # the single corpus pass lands here; every later relation reuses it
+    hist = hist.withColumn("blk", blk).cache()
     wblk = (
         Window.partitionBy("blk")
         .orderBy("c")
@@ -2800,7 +2810,7 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hi")
         )
     )
-    vmin = v.agg((F.min("c") - 1).alias("vm"))
+    vmin = hist.agg((F.min("c") - 1).alias("vm"))
     bounds = edges.join(F.broadcast(vmin)).select(
         "bin",
         "hi",
@@ -2808,15 +2818,19 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lo"
         ),
     )
+    # per-bin counts off the histogram, not the base: hist holds one row
+    # per distinct c, so sum(cnt) == base row count and count(*) == base
+    # distinct count within each (lo, hi] bin — no second corpus scan,
+    # and the countDistinct expand disappears from the plan
     return (
-        v.join(
+        hist.join(
             F.broadcast(bounds),
             (F.col("c") > F.col("lo")) & (F.col("c") <= F.col("hi")),
         )
         .groupBy("bin", "lo", "hi")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("c").alias("n_distinct"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
         )
     )
 
