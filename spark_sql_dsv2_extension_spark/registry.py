@@ -158,10 +158,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- slot 37: inverse-shape fix (Spark emitted one all-NULL row on an
     # empty corpus where the oracle emits none). ---
     "ext_simpson_diversity",
-    # --- slots 38-39: measured-positive perf re-fronts (ROADMAP_r10.md's
-    # perf agenda: equidepth five-scan collapse; fuzzy-levenshtein). ---
+    # --- slot 38: measured-positive perf re-front (ROADMAP_r10.md's perf
+    # agenda: the equidepth five-scan collapse). The second perf candidate
+    # (fuzzy-levenshtein) measured NOT actionable — ROADMAP_r11's own note
+    # stands: the residual cost is inherent to the 0.3 relative threshold
+    # and every strictly-recall-preserving trick (length bands, thresholded
+    # DP, dedup-by-construction) already shipped in r7 — so its slot was
+    # reallocated to a sixth tranche-2 thaw registration below. ---
     "ext_equidepth_histogram",
-    "ext_fuzzy_dedup_levenshtein",
     # --- slots 40-50: tranche-3 (6) + tranche-2 leftover (5) thaw
     # registrations land HERE one commit each (thaw rule above), displacing
     # the interim occupants below one-for-one so the window closes at
@@ -252,6 +256,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_percentile_invariant",
     "win_time_range_rolling",
     "ext_dedup_incremental",
+    "ext_fuzzy_dedup_levenshtein",
     "tpch_q13_customer_distribution",
     "tpch_q21_waiting_supplier",
     "ext_pmi_bigrams",
