@@ -3067,6 +3067,92 @@ def ext_conductance_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_degree_assortativity",
+    oracle=(
+        "WITH "
+        + _MUTUAL_EDGES_SQL
+        + """
+    , deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), de AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM de
+    )
+    SELECT n AS n_edges,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS assortativity6
+    FROM s
+    -- degenerate gate (r8 audit): zero degree variance -> zero rows
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """
+    ),
+)
+def ext_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the mutual-kNN graph: Pearson correlation
+    of (deg(u), deg(v)) over the directed edge list — positive means
+    hubs link to hubs (a core-periphery embedding space, hubness
+    pathology for ANN), negative means hubs link to leaves. The one-
+    number structural complement to ext_triangle_count (local density)
+    and the community keys (partition quality).
+
+    Integer moment sums over exact degrees with one rounded division;
+    GATED to zero rows when either degree variance is 0 (a regular
+    graph, e.g. byte-identical embeddings): ANSI Spark would raise on
+    the 0/0 and DuckDB renders NaN — both engines emit ZERO rows, the
+    pre-registration gate shape validated in the r8 degenerate audit
+    (oracle carries the same WHERE).
+
+    Scale: degrees come from one groupBy over the shared mutual-kNN
+    edge list (declared bounded-kNN base, LSH/IVF candidate swap at
+    corpus scale); the moment row is a broadcast scalar."""
+    edges = _mutual_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    de = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
+            "v",
+        )
+        .select("x", "y")
+    )
+    s = de.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        F.col("n").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF recall-vs-nprobe operating curve (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------

@@ -102,9 +102,6 @@ _R10_INTERIM = frozenset({
     "ext_paragraph_dedup", "join_asof_tolerance",
     "join_interval_point_containment", "agg_kll_quantile_invariant",
     "ext_label_propagation_bounded",
-    # re-entered at slot 50 when the fuzzy-levenshtein perf slot was
-    # reallocated (window shifted up one); the next thaw displaces it
-    "ext_holt_winters_additive",
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH | _R10_INTERIM
 

@@ -1407,6 +1407,10 @@ _EXCHANGE_BUDGETS = {
     # groups x buckets densify + QI-partitioned cumulative windows +
     # triangular broadcast global cumulative over the bounded bucket domain
     "ext_t_closeness_audit": 6,
+    # --- round-10 tranche-2 leftover registrations ---
+    # shared mutual-kNN edge list (checkpointed) + degree groupBy +
+    # broadcast moment scalar (pre-census 26 was the unshared prototype)
+    "ext_degree_assortativity": 2,
 }
 
 
