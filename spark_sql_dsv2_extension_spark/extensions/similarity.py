@@ -3153,6 +3153,102 @@ def ext_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_mips_cosine_reduction",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), m AS (
+      SELECT max(nrm) AS mx FROM norms
+    ), ip AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS raw_ip,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (a.nrm * m.mx) AS aug_cos
+      FROM norms a JOIN norms b ON a.vec_id <> b.vec_id CROSS JOIN m
+      WHERE a.vec_id < 16
+    ), r1 AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw_ip DESC, neighbor_id) AS rk
+      FROM ip
+    ), r2 AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY aug_cos DESC, neighbor_id) AS rk
+      FROM ip
+    )
+    SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_agree
+    FROM (SELECT * FROM r1 WHERE rk <= 5) a
+    JOIN (SELECT * FROM r2 WHERE rk <= 5) b
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY a.query_id
+    """,
+)
+def ext_mips_cosine_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIPS→cosine REDUCTION invariant, verified per query: ranking
+    by raw inner product equals ranking by the norm-augmented cosine
+    (score / (‖q‖·M) with M the global max norm — the monotone transform
+    behind Shrivastava & Li's asymmetric-LSH trick that lets every
+    cosine index in this module, LSH/IVF/PQ, serve maximum-inner-product
+    workloads like recommendation scoring). n_agree must be 5/5 for
+    every query; a drop below 5 would mean the augmentation (or an index
+    built on it) is wrong — this is the theory check the ANN family's
+    MIPS mode rests on.
+
+    Both rankings order the SAME double expression per pair (raw_ip,
+    then one shared division by (‖q‖·M)), so ties and near-ties break
+    identically on both engines (the knn precedent). No degenerate gate
+    needed: norms are positive on the fixture family and M >= ‖q‖ > 0.
+
+    Scale: the 16-query × corpus score pass is the declared bounded
+    brute-force base (swap: the LSH/IVF candidate generator); the
+    per-query top-5 windows are partitioned by query_id."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    mx = norms.agg(F.max("nrm").alias("mx"))
+    a = norms.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    ip = (
+        a.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(mx))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qe"), F.col("ne")).alias("raw_ip"),
+            (_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("mx"))).alias(
+                "aug_cos"
+            ),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("raw_ip").desc(), "neighbor_id"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("aug_cos").desc(), "neighbor_id"
+    )
+    r1 = ip.withColumn("rk", F.row_number().over(w1)).filter(F.col("rk") <= 5)
+    r2 = ip.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= 5)
+    return (
+        r1.select("query_id", "neighbor_id")
+        .join(r2.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_agree"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF recall-vs-nprobe operating curve (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------

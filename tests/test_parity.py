@@ -101,7 +101,6 @@ _R10_FIX_BATCH = frozenset({
 _R10_INTERIM = frozenset({
     "ext_paragraph_dedup", "join_asof_tolerance",
     "join_interval_point_containment", "agg_kll_quantile_invariant",
-    "ext_label_propagation_bounded",
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH | _R10_INTERIM
 

@@ -1411,6 +1411,9 @@ _EXCHANGE_BUDGETS = {
     # shared mutual-kNN edge list (checkpointed) + degree groupBy +
     # broadcast moment scalar (pre-census 26 was the unshared prototype)
     "ext_degree_assortativity": 2,
+    # bounded 16-query score pass + two query-partitioned top-5 windows +
+    # the agreement equi-join (matches the ROADMAP_r9 pre-census)
+    "ext_mips_cosine_reduction": 5,
 }
 
 
