@@ -3249,6 +3249,116 @@ def ext_mips_cosine_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_random_projection_jl",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    - CAST(b.embedding[i] AS DOUBLE)) AS diff
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 50
+    ), proj AS (
+      SELECT u, v,
+             list_sum(list_transform(range(1, 65), i -> diff[i] * diff[i]))
+               AS orig_d2,
+             list_transform(range(1, 17), j ->
+               list_sum(list_transform(range(1, 65), i ->
+                 CASE WHEN (1103515245 * ((i - 1) * 16 + j) + 12345) % 2 = 0
+                      THEN diff[i] ELSE -diff[i] END))) AS pvec
+      FROM pairs
+    ), pd AS (
+      SELECT u, v, orig_d2,
+             list_sum(list_transform(pvec, p -> p * p)) AS proj_d2
+      FROM proj
+    )
+    SELECT u, v,
+           CAST(round(1000000 * proj_d2 / (16 * orig_d2)) AS BIGINT) AS ratio6,
+           (proj_d2 / (16 * orig_d2) BETWEEN 0.2 AND 3.0) AS within_jl
+    FROM pd
+    WHERE orig_d2 > 0  -- degenerate gate (r8 audit): identical pair
+    """,
+)
+def ext_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION check: project each
+    adjacent-pair difference 64→16 dims through a deterministic ±1 sign
+    matrix (LCG parity on the flattened (i, j) index — both engines
+    evaluate the identical literal recurrence) and report the distance-
+    preservation ratio ‖Pd‖²/(16·‖d‖²) — the measured counterpart of the
+    JL lemma every projection-based sketch in this module (SimHash,
+    embedding quantization) silently relies on. within_jl flags the
+    (0.2, 3.0) sanity band.
+
+    The projection FOLDS over the fixed array order on both engines
+    (never explode+SUM — shuffle order would break float determinism:
+    the ROADMAP_r9 design rule). GATED to exclude zero-distance pairs
+    (identical adjacent embeddings: the ratio is 0/0 — ANSI raise vs
+    NaN, r8 audit) on both sides.
+
+    Scale: one adjacent-pair self-join on vec_id (equi-join, no
+    candidate explosion) and a per-row map-side fold — embarrassingly
+    parallel; the 50-pair slice only bounds the verified output."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    a = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("u"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("v") == F.col("u") + 1).select(
+        "u",
+        "v",
+        F.zip_with(
+            "ea", "eb", lambda p, q: p.cast("double") - q.cast("double")
+        ).alias("diff"),
+    )
+    orig = F.aggregate(
+        F.transform(F.col("diff"), lambda d: d * d),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pvec = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("diff"),
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d, i: F.when(
+                    (
+                        F.lit(1103515245)
+                        * ((i.cast("long") - 1) * 16 + j.cast("long"))
+                        + 12345
+                    )
+                    % 2
+                    == 0,
+                    d,
+                ).otherwise(-d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    proj = pairs.select(
+        "u",
+        "v",
+        orig.alias("orig_d2"),
+        F.aggregate(
+            F.transform(pvec, lambda p: p * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("proj_d2"),
+    )
+    return proj.filter(F.col("orig_d2") > 0).select(
+        "u",
+        "v",
+        F.round(1000000 * F.col("proj_d2") / (16 * F.col("orig_d2")))
+        .cast("long")
+        .alias("ratio6"),
+        (F.col("proj_d2") / (16 * F.col("orig_d2"))).between(0.2, 3.0).alias(
+            "within_jl"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF recall-vs-nprobe operating curve (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------

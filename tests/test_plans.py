@@ -1414,6 +1414,9 @@ _EXCHANGE_BUDGETS = {
     # bounded 16-query score pass + two query-partitioned top-5 windows +
     # the agreement equi-join (matches the ROADMAP_r9 pre-census)
     "ext_mips_cosine_reduction": 5,
+    # adjacent-pair broadcast equi-join + per-row map-side folds: zero
+    # shuffles by design (matches the ROADMAP_r9 pre-census)
+    "ext_random_projection_jl": 0,
 }
 
 
