@@ -4732,6 +4732,81 @@ def ext_dtw_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_sax_symbols",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sx,
+             CAST(SUM(y * y) AS BIGINT) AS sxx
+      FROM daily
+    ), z AS (
+      SELECT d, y,
+             (y - 1.0 * sx / n) /
+             sqrt((1.0 * n * sxx - 1.0 * sx * sx) / (1.0 * n * n)) AS zv
+      FROM daily, s
+      -- degenerate gate (r8 audit): constant series -> zero rows
+      WHERE n * sxx - sx * sx > 0
+    )
+    SELECT d, y AS y_milli, CAST(round(1000000 * zv) AS BIGINT) AS z6,
+           CASE WHEN zv < -0.6744897501960817 THEN 'a'
+                WHEN zv < 0.0 THEN 'b'
+                WHEN zv < 0.6744897501960817 THEN 'c'
+                ELSE 'd' END AS sax_letter
+    FROM z
+    """,
+)
+def ext_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (alphabet 4) of the daily series: z-score each
+    day against the global moments, then bucket at the standard-normal
+    quartile breakpoints ±0.6744… — the discretization that turns a
+    numeric series into strings so the TEXT machinery (n-gram novelty,
+    fingerprinting, Markov transitions) can mine temporal motifs. The
+    breakpoint is an EMBEDDED literal, identical on both engines (never
+    a per-engine quantile call — the ROADMAP_r9 transcendental rule);
+    moments are exact milli-unit integers and the z-score is one shared
+    double expression. GATED to zero rows on a constant series (zero
+    variance: ANSI raise vs NaN, r8 audit) on both sides.
+
+    Scale: the events→daily reduction is the only corpus pass; the
+    z-score joins one broadcast moment row against the calendar-bounded
+    series."""
+    daily = _daily_value_milli(spark, sf_dir)
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sxx"),
+    )
+    z = daily.join(F.broadcast(s)).filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
+        "d",
+        "y",
+        (
+            (F.col("y") - 1.0 * F.col("sx") / F.col("n"))
+            / F.sqrt(
+                (1.0 * F.col("n") * F.col("sxx") - 1.0 * F.col("sx") * F.col("sx"))
+                / (1.0 * F.col("n") * F.col("n"))
+            )
+        ).alias("zv"),
+    )
+    bp = 0.6744897501960817
+    return z.select(
+        "d",
+        F.col("y").alias("y_milli"),
+        F.round(1000000 * F.col("zv")).cast("long").alias("z6"),
+        F.when(F.col("zv") < -bp, "a")
+        .when(F.col("zv") < 0.0, "b")
+        .when(F.col("zv") < bp, "c")
+        .otherwise("d")
+        .alias("sax_letter"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Holt-Winters additive double smoothing (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------

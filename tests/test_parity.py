@@ -100,7 +100,6 @@ _R10_FIX_BATCH = frozenset({
 })
 _R10_INTERIM = frozenset({
     "ext_paragraph_dedup", "join_asof_tolerance",
-    "join_interval_point_containment",
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH | _R10_INTERIM
 

@@ -1417,6 +1417,8 @@ _EXCHANGE_BUDGETS = {
     # adjacent-pair broadcast equi-join + per-row map-side folds: zero
     # shuffles by design (matches the ROADMAP_r9 pre-census)
     "ext_random_projection_jl": 0,
+    # events->daily reduction + broadcast moment row (pre-census 2)
+    "ext_sax_symbols": 2,
 }
 
 
