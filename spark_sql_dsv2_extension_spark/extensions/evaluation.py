@@ -4919,6 +4919,125 @@ def ext_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_holt_winters_seasonal",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), cal AS (
+      SELECT unnest(generate_series(
+               (SELECT min(d) FROM daily),
+               (SELECT max(d) FROM daily), INTERVAL 1 DAY)) AS d
+    ), series AS (
+      SELECT cal.d, coalesce(daily.y, 0) AS y,
+             CAST(row_number() OVER (ORDER BY cal.d) AS BIGINT) AS i
+      FROM cal LEFT JOIN daily ON cal.d = daily.d
+    ), hw AS (
+      SELECT i, d, y, y AS lvl, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS seas_used,
+             CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+             CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+             CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+             CAST(0 AS BIGINT) AS s7
+      FROM series WHERE i = 1
+      UNION ALL
+      SELECT s.i, s.d, s.y,
+             CAST(floor((3 * (s.y - hw.s1) + 7 * (hw.lvl + hw.b)) / 10.0)
+                  AS BIGINT) AS lvl,
+             CAST(floor((1 * (CAST(floor((3 * (s.y - hw.s1)
+                                           + 7 * (hw.lvl + hw.b)) / 10.0)
+                              AS BIGINT) - hw.lvl) + 9 * hw.b) / 10.0)
+                  AS BIGINT) AS b,
+             hw.s1 AS seas_used,
+             hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+             CAST(floor((2 * (s.y - CAST(floor((3 * (s.y - hw.s1)
+                                                + 7 * (hw.lvl + hw.b)) / 10.0)
+                                        AS BIGINT)) + 8 * hw.s1) / 10.0)
+                  AS BIGINT) AS s7
+      FROM hw JOIN series s ON s.i = hw.i + 1
+    )
+    SELECT d, y AS y_micro, lvl AS level_micro, b AS trend_micro,
+           seas_used AS seasonal_micro,
+           lvl + b + s1 AS forecast_next_micro
+    FROM hw ORDER BY d
+    """,
+)
+def ext_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive TRIPLE smoothing (alpha=0.3, beta=0.1,
+    gamma=0.2, weekly season) — the seasonal sibling of
+    ext_holt_winters_additive: level, trend, AND a 7-slot seasonal
+    component update each day; forecast = level + trend + next season
+    slot. The capacity-planning recurrence for any weekly-rhythm metric.
+    All-integer micro-unit arithmetic with explicit floor division; the
+    seasonal state is a 7-slot integer RING carried through the oracle's
+    recursive CTE (columns s1..s7, rotating each step) and a plain
+    Python list in the pandas group — both engines replay the identical
+    recurrence, so the result is bit-exact (the additive key's
+    |x| < 2^49 floor-division bound applies unchanged).
+
+    Scale: same argument as the additive sibling — the recurrence is
+    sequential by definition, its input the CALENDAR-bounded gap-filled
+    daily aggregate (<=366 rows/year at any corpus size); the heavy
+    events→daily reduction runs fully distributed and ONE applyInPandas
+    group smooths the provably tiny relation."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("y")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        lvl, trend, seas_used, fc = [], [], [], []
+        ring = [0] * 7  # ring[0] applies to the CURRENT step
+        for k, yv in enumerate(pdf["y"].astype(int)):
+            yv = int(yv)
+            if k == 0:
+                l, b = yv, 0
+                su = 0
+            else:
+                lp, bp = lvl[-1], trend[-1]
+                su = ring[0]
+                l = (3 * (yv - su) + 7 * (lp + bp)) // 10
+                b = (1 * (l - lp) + 9 * bp) // 10
+                s_new = (2 * (yv - l) + 8 * su) // 10
+                ring = ring[1:] + [s_new]
+            lvl.append(l)
+            trend.append(b)
+            seas_used.append(su)
+            fc.append(l + b + ring[0])
+        pdf["g"] = 1
+        pdf["level_micro"] = pd.Series(lvl, dtype="int64")
+        pdf["trend_micro"] = pd.Series(trend, dtype="int64")
+        pdf["seasonal_micro"] = pd.Series(seas_used, dtype="int64")
+        pdf["forecast_next_micro"] = pd.Series(fc, dtype="int64")
+        return pdf
+
+    out = series.groupBy(F.lit(1).alias("g")).applyInPandas(
+        hw,
+        "g int, d timestamp, y long, level_micro long, trend_micro long, "
+        "seasonal_micro long, forecast_next_micro long",
+    )
+    return out.select(
+        "d",
+        F.col("y").alias("y_micro"),
+        "level_micro",
+        "trend_micro",
+        "seasonal_micro",
+        "forecast_next_micro",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rolling-median MAD anomaly gate (round-8 thaw; ROADMAP_r8 candidate)
 # ---------------------------------------------------------------------------

@@ -181,6 +181,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_mips_cosine_reduction",
     "ext_random_projection_jl",
     "ext_sax_symbols",
+    "ext_holt_winters_seasonal",
     # --- r9-verified keys (50/50 green in CORRECTNESS_r09.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
     "ext_paragraph_dedup",

@@ -99,7 +99,7 @@ _R10_FIX_BATCH = frozenset({
     "ext_equidepth_histogram",
 })
 _R10_INTERIM = frozenset({
-    "ext_paragraph_dedup", "join_asof_tolerance",
+    "ext_paragraph_dedup",
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH | _R10_INTERIM
 

@@ -1419,6 +1419,9 @@ _EXCHANGE_BUDGETS = {
     "ext_random_projection_jl": 0,
     # events->daily reduction + broadcast moment row (pre-census 2)
     "ext_sax_symbols": 2,
+    # events->daily reduction + ONE applyInPandas group over the
+    # calendar-bounded gap-filled series (pre-census 1)
+    "ext_holt_winters_seasonal": 1,
 }
 
 
