@@ -182,6 +182,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_random_projection_jl",
     "ext_sax_symbols",
     "ext_holt_winters_seasonal",
+    "stream_stream_full_outer",
     # --- r9-verified keys (50/50 green in CORRECTNESS_r09.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
     "ext_paragraph_dedup",

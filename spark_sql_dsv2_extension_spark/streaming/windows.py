@@ -590,6 +590,84 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_full_outer",
+    oracle="""
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 120 MINUTE
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream FULL OUTER join: every click AND every purchase,
+    null-extended when the 2-hour attribution window finds no partner on
+    the other side — the reconciliation shape (which impressions never
+    converted, which conversions have no impression) that completes the
+    stream-stream join family over inner/left-outer. Both sides' outer
+    emission is watermark-driven, so the ``stream_stream_left_outer``
+    sentinel idiom applies unchanged: a far-future sentinel row appended
+    to EACH side (watermark = min across inputs) in a second
+    strictly-later file flushes all remaining state on BOTH sides, and
+    the result equals the batch FULL JOIN. State per side stays bounded
+    by the watermark-plus-range horizon at any input rate.
+
+    The sentinel filter stays OUTSIDE the streaming plan (after the
+    sink): pushed below the EventTimeWatermark node it would keep the
+    sentinels from advancing the watermarks and strand the final ~2h of
+    unmatched rows in state — the left_outer lesson, doubled."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="engine_stream_")
+    shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
+    for i, off in enumerate((0, 10**15)):
+        spark.createDataFrame(
+            [
+                (-1 - 10 * i, _sentinel_ts(sf_dir, off), SENTINEL_USER, "click", 0.0, "{}"),
+                (-2 - 10 * i, _sentinel_ts(sf_dir, off), SENTINEL_USER, "purchase", 0.0, "{}"),
+            ],
+            _raw_schema(sf_dir),
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.2)  # distinct mtimes => deterministic file order
+    raw = _normalize_ts(
+        spark.readStream.schema(_raw_schema(sf_dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        sf_dir,
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 120 MINUTES"
+        ),
+        "fullOuter",
+    )
+    out = _run_to_table(joined, "append")
+    return (
+        out.select(
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+            F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        )
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+
+
+@query(
     "stream_sink_catalog_table",
     oracle="""
     SELECT event_type,

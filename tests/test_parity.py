@@ -98,10 +98,10 @@ _R10_FIX_BATCH = frozenset({
     # measured not actionable — its slot went to a 6th tranche-2 thaw)
     "ext_equidepth_histogram",
 })
-_R10_INTERIM = frozenset({
-    "ext_paragraph_dedup",
-})
-_DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH | _R10_INTERIM
+# All 11 interim occupants were displaced by the 12 thaw registrations
+# (tranche 3 x6 + tranche-2 leftovers x6 after the fuzzy-slot
+# reallocation); the window closes at exactly 50 with zero interims.
+_DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH
 
 
 def test_driver_window_has_no_silent_refronts():
