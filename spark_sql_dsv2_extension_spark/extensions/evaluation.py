@@ -5238,8 +5238,11 @@ def ext_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), the three sums are exact integer aggregates, and only the
     final 3-term combination of six exact scalars runs in doubles — one
     shared-operand expression, identical both sides. A label class with
-    fewer than 2 members yields NaN on BOTH engines (0/0 pair count) —
-    matching by construction, no gate needed (r8 degenerate audit).
+    fewer than 2 members yields NULL on BOTH engines (the SUM over its
+    zero pair rows is NULL and propagates through the final expression;
+    the division never evaluates a 0/0) — matching by construction, no
+    gate needed (r8 degenerate audit; wording corrected per the r10
+    ADVICE: the agreement is NULL-propagation, not a NaN).
 
     Scale: the pairwise base is all-pairs BETWEEN the two bounded clouds
     — at corpus scale the estimator runs on fixed-size per-class random

@@ -3558,6 +3558,17 @@ def ext_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering or semdedup run publishes before anyone trusts its
     clusters — noise-heavy sources get flagged, not clustered.
 
+    Boundary-ULP assumption (r10 ADVICE note): the eps threshold
+    compares RAW double cosines, so a pair sitting exactly on 0.25 with
+    a 1-ULP cross-engine difference would flip n_neighbors outright —
+    unlike the knn keys, where a ULP only perturbs id-broken near-ties.
+    Accepted deliberately: the fold pattern is proven bit-identical for
+    the knn oracles on these fixtures (both engines evaluate the same
+    fixed-order dot-product fold), and no fixture value lands on the
+    boundary; a corpus where that cannot be assumed should compare on a
+    micro-unit-rounded similarity (round(1e6·sim)) on both sides, like
+    the other thresholded keys.
+
     Scale: the pairwise base here is the bounded 100-vector brute-force
     slice — the same declared small-sf baseline as ext_knn_cosine, exact
     so the oracle can reproduce every similarity bit. The 100 TB path

@@ -548,9 +548,13 @@ def ext_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule: identical literals both sides, no per-engine floating point).
 
     Scale: one map-side-combinable count per source and a 2-row
-    broadcast of the FPP targets; int64 is safe to n_docs ~ 9.6e11 per
-    source (n·c_micro < 2^63), past which the arithmetic moves to
-    DecimalType(38,0) unchanged."""
+    broadcast of the FPP targets. int64 headroom: the BINDING bound is
+    the k_hashes numerator 2·m_bits·693147 at p=0.1%, which overflows
+    first at n_docs ≈ 4.6e11 per source (the n·c_micro product for the
+    same row follows at ≈ 6.4e11; the p=1% row is safe to ≈ 9.6e11) —
+    past ~4.6e11 docs/source DuckDB silently promotes to HUGEINT while
+    ANSI Spark errors, so that is the DecimalType(38,0) switch-over
+    point, not the old 9.6e11 figure (r10 ADVICE correction)."""
     docs = load(spark, sf_dir, "documents")
     n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     fpp = spark.createDataFrame(
