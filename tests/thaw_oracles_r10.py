@@ -1,5 +1,9 @@
 """Round-10 thaw-candidate oracle validation (third tranche, drafted round 7).
 
+ROUND-10 STATUS: ALL 6 REGISTERED (one commit each; the registered
+copies in the extension modules are the source of truth, these oracles
+retained as the validation record).
+
 Run: ``python tests/thaw_oracles_r10.py`` (not pytest-collected). Same
 harness as the r8/r9 validators. Six quality-first candidates from the
 remaining genuine family gaps: graph community evaluation (modularity,

@@ -8,11 +8,17 @@ ext_spearman_corr re-front): ``ext_weighted_median``,
 ``ext_energy_distance``, ``ext_bloom_size_planner``. The registered
 copies in the extension modules are now the source of truth for those
 keys; the prototypes/oracles here are retained as the validation
-record. The 7 DEFERRED candidates remain vetted here for a later
-tranche: ``stream_stream_full_outer``, ``ext_degree_assortativity``,
-``ext_hits_bounded``, ``ext_holt_winters_seasonal``,
-``ext_mips_cosine_reduction``, ``ext_random_projection_jl``,
-``ext_sax_symbols``.
+record.
+
+ROUND-10 STATUS: 6 of the 7 deferred candidates were registered (one
+commit each — ``stream_stream_full_outer``, ``ext_degree_assortativity``,
+``ext_holt_winters_seasonal``, ``ext_mips_cosine_reduction``,
+``ext_random_projection_jl``, ``ext_sax_symbols``; the sixth slot came
+from the reallocated fuzzy-levenshtein perf re-front). Only
+``ext_hits_bounded`` remains vetted here off-registry — the graph
+family is the best covered after tranche 3 (modularity, conductance,
+assortativity, triangles, label propagation, pagerank), so it keeps
+until a future round wants the hub/authority view specifically.
 
 Run: ``python tests/thaw_oracles_r9.py`` (not pytest-collected). Same
 harness as tests/thaw_oracles_r8.py: each candidate oracle runs twice

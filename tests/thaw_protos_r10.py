@@ -1,11 +1,13 @@
 """Spark-side prototypes for the 6 round-10 thaw candidates (tranche 3).
 
-NOT registered — the freeze/thaw discipline in registry.py applies. Same
-harness as tests/thaw_protos_r{8,9}.py: house-style implementations
-compared against the tranche-3 oracles (tests/thaw_oracles_r10.py) under
-a vanilla session. Run: ``python tests/thaw_protos_r10.py [key ...]``
-(not pytest-collected). Status at round-7 end: 6/6 PASS at sf0.001,
-sf0.01, and sf0.1.
+ROUND-10 STATUS: ALL 6 REGISTERED (one commit each under the thaw
+rule; window slots 40-45). The registered copies in the extension
+modules are the source of truth; these prototypes are retained as the
+validation record. Same harness as tests/thaw_protos_r{8,9}.py:
+house-style implementations compared against the tranche-3 oracles
+(tests/thaw_oracles_r10.py) under a vanilla session. Run:
+``python tests/thaw_protos_r10.py [key ...]`` (not pytest-collected).
+Status at round-7 end: 6/6 PASS at sf0.001, sf0.01, and sf0.1.
 """
 from __future__ import annotations
 

@@ -5,9 +5,10 @@ thaw rule, capped at the window's 5 spare slots by the r8 verdict ask
 #3) — ext_weighted_median, ext_dbscan_core_points,
 ext_l_diversity_audit, ext_energy_distance, ext_bloom_size_planner.
 The registered copies in the extension modules are now the source of
-truth; the prototypes here are retained as the validation record. The
-7 DEFERRED candidates remain vetted here for a later tranche (see
-tests/thaw_oracles_r9.py's header for the list).
+truth; the prototypes here are retained as the validation record.
+
+ROUND-10 STATUS: 6 of the 7 deferred candidates were registered (only
+``ext_hits_bounded`` keeps — see tests/thaw_oracles_r9.py's header).
 
 Run: ``python tests/thaw_protos_r9.py [key ...]`` (not
 pytest-collected); house-style implementations compared against the
