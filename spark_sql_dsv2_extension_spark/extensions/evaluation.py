@@ -4749,8 +4749,11 @@ def ext_dtw_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
              (y - 1.0 * sx / n) /
              sqrt((1.0 * n * sxx - 1.0 * sx * sx) / (1.0 * n * n)) AS zv
       FROM daily, s
-      -- degenerate gate (r8 audit): constant series -> zero rows
-      WHERE n * sxx - sx * sx > 0
+      -- degenerate gate (r8 audit): constant series -> zero rows.
+      -- HUGEINT: n*sxx and sx*sx pass 2^63 at sf0.1 daily magnitudes
+      -- (bare INT64 multiplication raises in DuckDB, exactly like ANSI
+      -- Spark) — mirrored by the Spark side's decimal(38,0) gate
+      WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
     )
     SELECT d, y AS y_milli, CAST(round(1000000 * zv) AS BIGINT) AS z6,
            CASE WHEN zv < -0.6744897501960817 THEN 'a'
@@ -4774,15 +4777,23 @@ def ext_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the events→daily reduction is the only corpus pass; the
     z-score joins one broadcast moment row against the calendar-bounded
-    series."""
+    series. The variance GATE multiplies in DecimalType(38,0): n·sxx and
+    sx² pass 2^63 once daily milli totals reach ~1e8 (seen at sf0.1 —
+    the round-10 full-scale sweep caught the ANSI long overflow where
+    DuckDB silently promotes to HUGEINT), and a double gate would go
+    inexact past 2^53, silently flipping a tiny-but-nonzero variance;
+    decimal keeps the comparison exact on both engines."""
     daily = _daily_value_milli(spark, sf_dir)
     s = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sxx"),
     )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    sxxd = F.col("sxx").cast("decimal(38,0)")
     z = daily.join(F.broadcast(s)).filter(
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+        nd * sxxd - sxd * sxd > 0
     ).select(
         "d",
         "y",
