@@ -16,6 +16,8 @@ Usage:
     python tests/degenerate_audit.py --protos r9      # a thaw-candidate file
     python tests/degenerate_audit.py --empty [...]    # ZERO-ROW fixtures
                                                       # (round-9 frontier)
+    python tests/degenerate_audit.py --nulls [...]    # NULL-bearing fixtures
+                                                      # (round-10 frontier)
 
 Keys whose plan needs tables the degenerate set lacks, or that are
 streaming-only, report SKIP. Exit status 1 if any DIVERGE.
@@ -171,6 +173,178 @@ def build_degenerate_fixtures(tmp: str) -> None:
     )
 
 
+def build_null_fixtures(tmp: str) -> None:
+    """NULL-bearing versions of all ten fixture tables (round-10
+    frontier): every NULLABLE value column carries at least one NULL
+    somewhere — NULL text/lang/source, NULL embedding vectors and
+    labels, NULL prices/quantities/discounts, NULL names/segments/
+    priorities, a NULL shipdate/orderdate — because at 100 TB a column
+    that CAN be null WILL be null somewhere (failed extraction, schema
+    drift, a partner feed's empty field). Primary ids and the events
+    ``ts`` column stay NON-NULL: ingestion assigns both, and a NULL
+    event-time is a malformed-record problem for a quarantine step, not
+    an operator-semantics question (documented scoping choice). Column
+    types mirror the driver fixtures exactly. Contract: both-equal under
+    the driver-matched canonicalizer = OK; an exception on either side
+    or a value/shape mismatch = DIVERGE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    h = dt.timedelta(hours=1)
+    d = dt.timedelta(days=1)
+    ev = [
+        (0, MON, 1, "view", 1.0, "{}"),
+        (1, MON + h, 1, "click", 2.0, "{}"),
+        (2, MON + 2 * h, 2, "purchase", None, "{}"),   # value NULL
+        (3, MON + d, 2, None, 3.0, "{}"),              # event_type NULL
+        (4, MON + d + h, 1, "purchase", 4.0, None),    # props NULL
+        (5, MON + 2 * d, 2, "view", 5.0, "{}"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in ev], pa.int64()),
+                "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in ev], pa.int64()),
+                "event_type": pa.array([r[3] for r in ev], pa.string()),
+                "value": pa.array([r[4] for r in ev], pa.float64()),
+                "props": pa.array([r[5] for r in ev], pa.string()),
+            }
+        ),
+        f"{tmp}/events.parquet",
+    )
+    vecs = [
+        [0.1 + 0.01 * i for i in range(64)],
+        [0.9 - 0.01 * i for i in range(64)],
+        None,                                           # embedding NULL
+        [0.5] * 32 + [-0.5] * 32,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 1, 0, None], pa.int32()),  # label NULL
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    docs = [
+        (1, "the quick brown fox jumps over it", "en", "web", 33),
+        (2, None, "en", "web", None),                  # text + n_chars NULL
+        (3, "hello world again and again ok", None, "books", 30),  # lang NULL
+        (4, "short words here too yes fine", "de", None, 29),      # source NULL
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+                "lang": pa.array([r[2] for r in docs], pa.string()),
+                "source": pa.array([r[3] for r in docs], pa.string()),
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    li = [
+        (1, 0, 0, 1, 5.0, 100.0, 0.05, 0.02, "A", "F", MON),
+        (2, 0, 0, 1, None, 200.0, 0.0, 0.0, "R", "O", MON + d),   # qty NULL
+        (3, 0, 0, 2, 3.0, None, 0.1, 0.0, None, "F", MON + d),    # price+flag NULL
+        (4, 0, 0, 1, 2.0, 50.0, None, None, "N", "O", None),      # disc/tax/date NULL
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in li], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in li], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in li], pa.float64()),
+                "l_discount": pa.array([r[6] for r in li], pa.float64()),
+                "l_tax": pa.array([r[7] for r in li], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in li], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in li], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in li], pa.timestamp("us")),
+            }
+        ),
+        f"{tmp}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["c1", None, "c3"], pa.string()),
+                "c_nationkey": pa.array([0, 1, 0], pa.int32()),
+                "c_mktsegment": pa.array(
+                    ["BUILDING", None, "AUTOMOBILE"], pa.string()
+                ),
+                "c_acctbal": pa.array([100.0, None, 50.0], pa.float64()),
+            }
+        ),
+        f"{tmp}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([1, 2, 1], pa.int64()),
+                "o_orderstatus": pa.array(["O", None, "F"], pa.string()),
+                "o_totalprice": pa.array([100.0, None, 200.0], pa.float64()),
+                "o_orderdate": pa.array([MON, MON + d, None], pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", None, "2-HIGH"], pa.string()
+                ),
+            }
+        ),
+        f"{tmp}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([0, 1], pa.int64()),
+                "p_name": pa.array(["part zero", None], pa.string()),
+                "p_brand": pa.array(["Brand#0", None], pa.string()),
+                "p_type": pa.array(["STANDARD", None], pa.string()),
+                "p_size": pa.array([1, None], pa.int32()),
+                "p_retailprice": pa.array([1.0, None], pa.float64()),
+            }
+        ),
+        f"{tmp}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([0, 1], pa.int64()),
+                "s_name": pa.array(["s0", None], pa.string()),
+                "s_nationkey": pa.array([0, 1], pa.int32()),
+                "s_acctbal": pa.array([1.0, None], pa.float64()),
+            }
+        ),
+        f"{tmp}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["NATION0", None], pa.string()),
+                "n_regionkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        f"{tmp}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["REGION0", None], pa.string()),
+            }
+        ),
+        f"{tmp}/region.parquet",
+    )
+
+
 def build_empty_fixtures(tmp: str) -> None:
     """ZERO-ROW versions of all ten fixture tables, byte-identical
     schemas (round-9 extension): at 100 TB an empty source is routine —
@@ -194,8 +368,9 @@ def main() -> int:
 
     args = sys.argv[1:]
     empty_mode = "--empty" in args
-    if empty_mode:
-        args = [a for a in args if a != "--empty"]
+    null_mode = "--nulls" in args
+    if empty_mode or null_mode:
+        args = [a for a in args if a not in ("--empty", "--nulls")]
     if args[:1] == ["--protos"]:
         import importlib
 
@@ -211,7 +386,12 @@ def main() -> int:
         keys = args or list(pairs)
 
     tmp = tempfile.mkdtemp(prefix="degenerate_audit_")
-    (build_empty_fixtures if empty_mode else build_degenerate_fixtures)(tmp)
+    builder = (
+        build_empty_fixtures
+        if empty_mode
+        else build_null_fixtures if null_mode else build_degenerate_fixtures
+    )
+    builder(tmp)
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("degenerate-audit")
