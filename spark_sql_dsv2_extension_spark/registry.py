@@ -67,15 +67,22 @@ _loaded = False
 # absent from this list follow in module registration order; driver-green
 # keys go last (they stay fully covered by tests/test_parity.py either way).
 #
-# ROUND-10 ROTATION (applied this round, after CORRECTNESS_r09 came back
-# 50/50 green — cumulative 440/440, backlog ZERO for the first time): the
-# r9 window rotated behind. With no unverified keys left, every round-10
-# slot is conscious spending (ROADMAP_r10.md arithmetic): 13 Family-A
-# re-fronts (the _shingles gate), 14 Family-B/E4 try_divide re-fronts,
-# 1 Family-C coordinated-gate re-front, 9 EMPTY_AUDIT_r9.md re-fronts,
-# 2 measured-positive perf re-fronts, and 11 thaw registrations
-# (tranche 3 x6 + tranche-2 leftovers x5) inserted at slots 40-50 as they
-# land. Cumulative target: 451/451 including the registrations.
+# ROUND-10 ROTATION (as executed; counts corrected at the r11 rotation):
+# the r9 window rotated behind, backlog ZERO, every slot conscious
+# spending — 13 Family-A re-fronts, 14 Family-B/E4 try_divide re-fronts,
+# 1 Family-C re-front, 9 EMPTY_AUDIT_r9.md re-fronts, 1 measured-positive
+# perf re-front (the second measured not actionable, its slot
+# reallocated), and 12 thaw registrations at slots 39-50. Cumulative
+# 452/452 (CORRECTNESS_r10.json: 50/50 green).
+#
+# ROUND-11 ROTATION (applied this round): the r10 window rotates behind.
+# Backlog stays ZERO, so the whole window is again conscious spending:
+# the NULL_AUDIT_r10.md hardening worklist (engine-raise families N2+N6
+# first, then N3 gates, N1 ordering pins, N4/N5 explicit semantics) plus
+# the ADVICE ext_random_projection_jl re-front; two N5 overflow fixes sit
+# at slots 51-52 and front round 12. Where BOTH sides change (N1/N4/N5),
+# the oracle edits ship in lockstep with the plan edits — the choice of
+# NULL semantics IS the fix (NULL_AUDIT_r10.md's documented exception).
 #
 # STALE-ROW DISCIPLINE (hold at zero cost): before any perf or shared-helper
 # change, classify every touched key — in-window -> free; driver-unverified
@@ -99,14 +106,91 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # === ROUND-10 WINDOW (every slot a named _DELIBERATE_REFRONTS member
-    # or a new registration; CORRECTNESS_r09 came back 50/50 green —
-    # cumulative 440/440 — so the backlog is ZERO and this whole window is
-    # conscious spending per ROADMAP_r10.md's pre-computed arithmetic). ===
+    # === ROUND-11 WINDOW (CORRECTNESS_r10 came back 50/50 green —
+    # cumulative 452/452, backlog ZERO — so every slot is conscious
+    # spending per ROADMAP_r11.md's pre-computed arithmetic: the
+    # NULL_AUDIT_r10.md fix batches, engine-raise classes first, plus the
+    # ADVICE-flagged ext_random_projection_jl sign-matrix re-front). ===
     #
-    # --- slots 1-13: Family-A batch (DEGENERATE_AUDIT_r8.md): the shared
-    # _shingles helper gains the size(words) >= 3 gate (dedup.py) and all
-    # 13 consumer keys re-front to carry the driver re-verification. ---
+    # --- slots 1-9: Family N2 (Python-worker None-crashes): None-guards
+    # in the UDF bodies, oracle pinned to the same choice in lockstep. ---
+    "udf_python_scalar",
+    "udf_arrow_scalar",
+    "udaf_pandas_grouped",
+    "udaf_grouped_map_zscore",
+    "ext_multimodal_decode",
+    "ext_multimodal_frames",
+    "ext_multimodal_resize",
+    "ext_multimodal_aspect_buckets",
+    "stream_stateful_user_profile",
+    # --- slots 10-13: Family N6 (NULL-induced zero denominators): the
+    # uniform Family-B try_divide/nullif shape; oracles untouched (all
+    # four already render NULL/NaN rows on the NULL fixtures). ---
+    "ext_ks_two_sample",
+    "ext_poisson_bootstrap_ci",
+    "ext_spearman_corr",
+    "ext_t_closeness_audit",
+    # --- slots 14-23: Family N3 (NULL embedding / NULL label gates):
+    # explicit IS NOT NULL on BOTH sides — a vector that failed to embed
+    # cannot be scored; lockstep oracle edits. ---
+    "ext_retrieval_auc",
+    "ext_mips_cosine_reduction",
+    "ext_rank_fusion_rrf",
+    "ext_conductance_communities",
+    "ext_knn_ivf_trained",
+    "ext_dbscan_core_points",
+    "ext_semdedup",
+    "ext_kmeans_train",
+    "ext_ivfpq_search",
+    "ext_embedding_centroid_drift",
+    # --- slots 24-41: Family N1 (NULL-ordering defaults): pin the NULL
+    # position explicitly and identically on both sides
+    # (asc_nulls_last() <-> ASC NULLS LAST), or pre-filter NULLs where the
+    # statistic's semantics demand it; lockstep oracle edits. ---
+    "win_row_number",
+    "win_lag_lead",
+    "win_running_sum_rows",
+    "win_nth_value",
+    "sort_multi_dir",
+    "dedup_by_key",
+    "ext_scd2_versions",
+    "ext_rfm_segmentation",
+    "stream_complete_topk",
+    "agg_collect_sorted",
+    "ext_sequential_patterns",
+    "ext_quantile_align_sources",
+    "ext_wasserstein_1d",
+    "ext_calibration_ece",
+    "ext_tukey_fences",
+    "agg_approx_percentile_invariant",
+    "agg_kll_quantile_invariant",
+    "ext_equidepth_histogram",
+    # --- slots 42-44: Family N4 (multi-argument distinct/argmax NULL
+    # semantics): make NULLs explicit — sentinel or filter, both sides. ---
+    "ext_functional_dependency",
+    "agg_min_by_max_by",
+    "agg_hll_native_union",
+    # --- slots 45-49: Family N5 (scalar string/array/map NULL
+    # semantics), the five highest-risk members incl. the fn_map_hof
+    # NULL_MAP_KEY raise; fn_struct and scan_text overflow to slots
+    # 51-52 and front the round-12 window. ---
+    "fn_string",
+    "fn_string_extras",
+    "fn_array",
+    "fn_map",
+    "fn_map_hof",
+    # --- slot 50: the ADVICE medium — ext_random_projection_jl's
+    # degenerate LCG sign matrix (rank-1 projection) is replaced by a
+    # sign that varies with both i and j, Spark plan + oracle in
+    # lockstep. ---
+    "ext_random_projection_jl",
+    # --- slots 51+: overflow fixes (front the round-12 window: the two
+    # mildest N5 value drifts) and any round-11 thaw registration
+    # (inserted here per the thaw rule as it lands). ---
+    "fn_struct",
+    "scan_text",
+    # --- r10-verified keys (50/50 green in CORRECTNESS_r10.json) rotate
+    # behind; earlier-round blocks keep their relative order after them. ---
     "ext_near_dedup_minhash",
     "ext_dedup_cascade_report",
     "ext_dedup_survivorship",
@@ -120,75 +204,36 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_near_dup_containment",
     "ext_cross_source_dup_rate",
     "ext_split_leakage",
-    # --- slots 14-27: Family-B zero-variance batch — uniform F.try_divide
-    # on the raising division(s), ORACLES UNTOUCHED (r9 addendum in
-    # DEGENERATE_AUDIT_r8.md classified all 12 as NaN-on-DuckDB), plus the
-    # two Family-E4 riders from EMPTY_AUDIT_r9.md (consistent_hash_ring,
-    # functional_dependency — same try_divide shape on the empty corpus;
-    # poisson_bootstrap_ci additionally carries its try_element_at guard). ---
     "agg_stats_corr",
     "ext_jackknife_blocks",
     "ext_embedding_whitening",
-    "ext_retrieval_auc",
     "ext_cross_correlation_lags",
     "ext_chi2_terms",
     "ext_acf_daily",
-    "ext_poisson_bootstrap_ci",
     "ext_cramers_v",
     "ext_cohens_kappa",
     "ext_cuped_adjustment",
     "ext_design_effect_icc",
     "ext_consistent_hash_ring",
-    "ext_functional_dependency",
-    # --- slot 28: Family-C — udaf_grouped_map_zscore needs the
-    # COORDINATED UDF+oracle gate (the DuckDB oracle itself raises on a
-    # negative single-row sample variance; shape in DEGENERATE_AUDIT_r8.md). ---
-    "udaf_grouped_map_zscore",
-    # --- slots 29-34: EMPTY_AUDIT_r9.md Family E1 — empty-write
-    # round-trips re-read with the writer frame's explicit schema. ---
     "scan_partition_prune",
     "sink_overwrite_dynamic",
     "sink_merge_upsert",
     "sink_compaction",
     "sink_python_datasource",
     "join_dpp_partition_prune",
-    # --- slots 35-36: Family E2 — Python DataSource zero-row-group guard. ---
     "scan_python_datasource",
     "scan_python_datasource_pushdown",
-    # --- slot 37: inverse-shape fix (Spark emitted one all-NULL row on an
-    # empty corpus where the oracle emits none). ---
     "ext_simpson_diversity",
-    # --- slot 38: measured-positive perf re-front (ROADMAP_r10.md's perf
-    # agenda: the equidepth five-scan collapse). The second perf candidate
-    # (fuzzy-levenshtein) measured NOT actionable — ROADMAP_r11's own note
-    # stands: the residual cost is inherent to the 0.3 relative threshold
-    # and every strictly-recall-preserving trick (length bands, thresholded
-    # DP, dedup-by-construction) already shipped in r7 — so its slot was
-    # reallocated to a sixth tranche-2 thaw registration below. ---
-    "ext_equidepth_histogram",
-    # --- slots 40-50: tranche-3 (6) + tranche-2 leftover (5) thaw
-    # registrations land HERE one commit each (thaw rule above), displacing
-    # the interim occupants below one-for-one so the window closes at
-    # exactly 50. Until each lands, the head of the rotated r9-verified
-    # block holds the slot as a named interim _DELIBERATE_REFRONTS entry. ---
     "ext_graph_modularity",
-    "ext_conductance_communities",
     "ext_matrix_profile_daily",
     "ext_dtw_bounded",
-    "ext_embedding_centroid_drift",
-    "ext_t_closeness_audit",
     "ext_degree_assortativity",
-    "ext_mips_cosine_reduction",
-    "ext_random_projection_jl",
     "ext_sax_symbols",
     "ext_holt_winters_seasonal",
     "stream_stream_full_outer",
-    # --- r9-verified keys (50/50 green in CORRECTNESS_r09.json) rotate
-    # behind; earlier-round blocks keep their relative order after them. ---
     "ext_paragraph_dedup",
     "join_asof_tolerance",
     "join_interval_point_containment",
-    "agg_kll_quantile_invariant",
     "ext_label_propagation_bounded",
     "ext_holt_winters_additive",
     "ext_anomaly_mad_rolling",
@@ -199,11 +244,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_type_token_ratio",
     "fn_url_parse",
     "ext_timeseries_densify",
-    "stream_complete_topk",
     "stream_foreach_batch_sink",
     "ext_hypertable_rollup",
     "ext_ann_recall_eval",
-    "udf_arrow_scalar",
     "fn_variant_extract",
     "ext_vocab_oov_rate",
     "ext_curriculum_order",
@@ -217,21 +260,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_label_cohesion",
     "ext_join_skew_report",
     "ext_packing_efficiency",
-    "fn_map_hof",
     "fn_array_hof",
     "subq_scalar_correlated_select",
     "ext_shared_span_dedup",
     "ext_funnel_analysis",
     "ext_retention_cohorts",
     "ext_multimodal_meta_prune",
-    "ext_spearman_corr",
     "ext_weighted_median",
-    "ext_dbscan_core_points",
     "ext_l_diversity_audit",
     "ext_energy_distance",
     "ext_bloom_size_planner",
     "udtf_arrow",
-    "ext_knn_ivf_trained",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
@@ -249,17 +288,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_length_histogram",
     "ext_label_balance",
     "agg_percentile_exact",
-    "agg_min_by_max_by",
     "pivot_wide",
     "unpivot_long",
-    "ext_semdedup",
     "ext_unigram_logprob",
-    "scan_text",
     "agg_stats_exact",
     "ext_dataset_mixture",
     "stream_document_etl",
     "fn_datetime_arith",
-    "agg_approx_percentile_invariant",
     "win_time_range_rolling",
     "ext_dedup_incremental",
     "ext_fuzzy_dedup_levenshtein",
@@ -290,9 +325,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_multimodal_shard_pack",
     "fn_interval_arith",
     "ext_ctr_wilson",
-    "ext_ks_two_sample",
     "ext_holdout_lm_eval",
-    "ext_sequential_patterns",
     "ext_source_vocab_overlap",
     "ext_rake_keyphrases",
     "ext_churn_labels",
@@ -301,13 +334,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_kmv_intersection",
     "ext_power_analysis",
     "ext_did_estimate",
-    "ext_wasserstein_1d",
     "ext_gini_concentration",
     "ext_mutual_information",
     "ext_sample_k_per_group",
     "ext_mad_outliers",
     "ext_seasonal_profile",
-    "ext_rank_fusion_rrf",
     "ext_join_cardinality_estimate",
     "ext_classifier_metrics",
     "ext_epoch_shuffle_plan",
@@ -328,7 +359,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "win_rolling_regression",
     "join_multi_exists_onepass",
     "ext_sliding_active_users",
-    "ext_calibration_ece",
     "stream_chained_dedup_daily_active",
     "ext_seasonal_decompose",
     "ext_share_of_parent",
@@ -342,10 +372,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_user_trend_slope",
     "ext_interarrival_stats",
     "ext_effective_sample_size",
-    "ext_quantile_align_sources",
     "ext_hill_tail_index",
     "ext_source_cap",
-    "agg_hll_native_union",
     "ext_boilerplate_sentences",
     "ext_code_detect",
     "ext_readability",
@@ -355,12 +383,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ewma_events",
     "ext_label_centroids",
     "ext_markov_transitions",
-    "ext_rfm_segmentation",
     "ext_cdc_chunking",
     "ext_inverted_index",
     "ext_bpe_apply_merge",
     "ext_silhouette_labels",
-    "sort_multi_dir",
     "ext_behavior_similarity",
     "ext_conversion_deciles",
     "win_range_frame",
@@ -383,16 +409,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_time_weighted_avg",
     "ext_mann_kendall_trend",
     "ext_khop_neighborhood",
-    "fn_string_extras",
     "ext_ann_recall_curve",
     "ext_kaplan_meier_retention",
     "ext_entropy_rate_markov",
     "ext_theil_sen_slope",
-    "ext_multimodal_aspect_buckets",
     "ext_walk_forward_splits",
     "ext_burrows_delta",
     "ext_srm_check",
-    "ext_tukey_fences",
     "ext_shapley_attribution",
     "ext_link_prediction_jaccard",
     "ext_ucb_ranking",
@@ -423,7 +446,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_hard_negatives",
     "ext_product_quantize",
     "ext_pq_adc_search",
-    "ext_ivfpq_search",
     "join_asof_nearest",
     "ext_quality_funnel",
     "ext_ohlc_resample",
@@ -432,7 +454,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_benford_audit",
     "sql_recursive_hierarchy",
     "sink_python_stream",
-    "ext_scd2_versions",
     "ext_negative_sampling_table",
     "fn_xml",
     "ext_sentiment_lexicon",
@@ -453,16 +474,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dataset_diff",
     "ext_point_in_time_join",
     "agg_approx_count_distinct",
-    "agg_collect_sorted",
-    "fn_array",
-    "fn_map",
     "ext_exact_dedup",
     "ext_near_dedup_simhash",
     "ext_knn_cosine",
     "ext_knn_lsh",
     "ext_knn_ivf",
     "ext_embedding_near_dup",
-    "ext_kmeans_train",
     "ext_text_stats",
     "ext_token_count",
     "ext_quality_score",
@@ -478,9 +495,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bm25",
     "ext_stratified_sample",
     "ext_multimodal_struct",
-    "ext_multimodal_decode",
-    "ext_multimodal_frames",
-    "ext_multimodal_resize",
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_window",
@@ -490,7 +504,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sink_files",
     "stream_stream_join",
     "stream_stream_left_outer",
-    "stream_stateful_user_profile",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
@@ -507,9 +520,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_json",
     "scan_orc",
     "scan_ignore_corrupt",
-    "udf_python_scalar",
     "udf_pandas_scalar",
-    "udaf_pandas_grouped",
     "udtf_python",
     "subq_scalar",
     "subq_in",
@@ -524,12 +535,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "set_union_by_name",
     "set_intersect_all",
     "distinct_rows",
-    "dedup_by_key",
     "topk_limit",
     "topk_per_group",
-    "win_nth_value",
     "win_fill_forward",
-    "fn_string",
     "fn_regex",
     "fn_date",
     "fn_math",
@@ -540,7 +548,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_bitwise",
     "fn_hash",
     "fn_json_nested",
-    "fn_struct",
     "scan_parquet",
     "scan_projection_pushdown",
     "scan_filter_pushdown",
@@ -580,10 +587,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_histogram",
     "agg_mode",
     "agg_bool_countif",
-    "win_row_number",
     "win_rank_dense",
-    "win_lag_lead",
-    "win_running_sum_rows",
     "win_ntile_first_last",
     "win_cume_percent",
     "win_session_gaps",

@@ -64,44 +64,49 @@ def test_driver_priority_exactly_covers_registry():
 # Deliberate re-fronts this round (keys whose green driver row predates a
 # plan-changing rewrite, consciously re-spending a window slot).
 #
-# Round 10: CORRECTNESS_r09 closed the backlog (cumulative 440/440), so
-# the ENTIRE window is conscious spending per ROADMAP_r10.md: slots 1-39
-# are the pre-computed fix/perf batches (13 Family-A _shingles-gate
-# consumers, 14 Family-B/E4 try_divide keys, the Family-C coordinated
-# gate, 9 EMPTY_AUDIT_r9.md keys, 2 measured-positive perf keys); slots
-# 40-50 receive the 11 thaw registrations (tranche 3 x6 + tranche-2
-# leftovers x5) as they land, interim-held until then by the head of the
-# rotated r9-verified block (the INTERIM set below — each name removed by
-# the thaw commit that displaces it out of the window).
-_R10_FIX_BATCH = frozenset({
-    # Family A (DEGENERATE_AUDIT_r8.md: the _shingles size>=3 gate)
-    "ext_near_dedup_minhash", "ext_dedup_cascade_report",
-    "ext_dedup_survivorship", "ext_dedup_threshold_curve",
-    "ext_dedup_clusters", "ext_dup_transitivity_audit",
-    "ext_dup_pair_bleu", "ext_minhash_fidelity", "ext_minhash_band_tuning",
-    "ext_ngram_jaccard", "ext_near_dup_containment",
-    "ext_cross_source_dup_rate", "ext_split_leakage",
-    # Family B + E4 riders (uniform try_divide, oracles untouched)
-    "agg_stats_corr", "ext_jackknife_blocks", "ext_embedding_whitening",
-    "ext_retrieval_auc", "ext_cross_correlation_lags", "ext_chi2_terms",
-    "ext_acf_daily", "ext_poisson_bootstrap_ci", "ext_cramers_v",
-    "ext_cohens_kappa", "ext_cuped_adjustment", "ext_design_effect_icc",
-    "ext_consistent_hash_ring", "ext_functional_dependency",
-    # Family C (coordinated UDF + oracle gate)
-    "udaf_grouped_map_zscore",
-    # EMPTY_AUDIT_r9.md: E1 round-trips, E2 datasource guards, simpson
-    "scan_partition_prune", "sink_overwrite_dynamic", "sink_merge_upsert",
-    "sink_compaction", "sink_python_datasource", "join_dpp_partition_prune",
-    "scan_python_datasource", "scan_python_datasource_pushdown",
-    "ext_simpson_diversity",
-    # perf agenda (ROADMAP_r10.md; the fuzzy-levenshtein candidate
-    # measured not actionable — its slot went to a 6th tranche-2 thaw)
+# Round 11: CORRECTNESS_r10 came back 50/50 green (cumulative 452/452,
+# backlog still ZERO), so the ENTIRE window is again conscious spending
+# per ROADMAP_r11.md: the NULL_AUDIT_r10.md hardening worklist, ordered
+# engine-raise families first (N2 Python-worker None-crashes, N6
+# NULL-induced zero denominators), then N3 embedding/label NOT-NULL
+# gates, N1 explicit NULL-ordering pins, N4/N5 explicit-semantics picks
+# (minus the two N5 overflow keys at slots 51-52, which front round 12),
+# plus the ADVICE-flagged ext_random_projection_jl sign-matrix fix at
+# slot 50. The overflow keys (fn_struct, scan_text) are named here too:
+# their fixes land this round even though their driver re-verification
+# waits for the round-12 window.
+_R11_FIX_BATCH = frozenset({
+    # Family N2 (Python-worker None-crashes; NULL_AUDIT_r10.md raise sites)
+    "udf_python_scalar", "udf_arrow_scalar", "udaf_pandas_grouped",
+    "udaf_grouped_map_zscore", "ext_multimodal_decode",
+    "ext_multimodal_frames", "ext_multimodal_resize",
+    "ext_multimodal_aspect_buckets", "stream_stateful_user_profile",
+    # Family N6 (NULL-induced zero denominators; try_divide/nullif shape)
+    "ext_ks_two_sample", "ext_poisson_bootstrap_ci", "ext_spearman_corr",
+    "ext_t_closeness_audit",
+    # Family N3 (NULL embedding / NULL label NOT-NULL gates, both sides)
+    "ext_retrieval_auc", "ext_mips_cosine_reduction", "ext_rank_fusion_rrf",
+    "ext_conductance_communities", "ext_knn_ivf_trained",
+    "ext_dbscan_core_points", "ext_semdedup", "ext_kmeans_train",
+    "ext_ivfpq_search", "ext_embedding_centroid_drift",
+    # Family N1 (explicit NULL-ordering pins / NULL pre-filters, both sides)
+    "win_row_number", "win_lag_lead", "win_running_sum_rows",
+    "win_nth_value", "sort_multi_dir", "dedup_by_key", "ext_scd2_versions",
+    "ext_rfm_segmentation", "stream_complete_topk", "agg_collect_sorted",
+    "ext_sequential_patterns", "ext_quantile_align_sources",
+    "ext_wasserstein_1d", "ext_calibration_ece", "ext_tukey_fences",
+    "agg_approx_percentile_invariant", "agg_kll_quantile_invariant",
     "ext_equidepth_histogram",
+    # Family N4 (multi-argument distinct/argmax NULL semantics)
+    "ext_functional_dependency", "agg_min_by_max_by", "agg_hll_native_union",
+    # Family N5 (scalar string/array/map NULL semantics; fn_struct and
+    # scan_text are the slots-51/52 overflow)
+    "fn_string", "fn_string_extras", "fn_array", "fn_map", "fn_map_hof",
+    "fn_struct", "scan_text",
+    # ADVICE medium: the JL sign-matrix degeneracy (plan + oracle lockstep)
+    "ext_random_projection_jl",
 })
-# All 11 interim occupants were displaced by the 12 thaw registrations
-# (tranche 3 x6 + tranche-2 leftovers x6 after the fuzzy-slot
-# reallocation); the window closes at exactly 50 with zero interims.
-_DELIBERATE_REFRONTS: frozenset[str] = _R10_FIX_BATCH
+_DELIBERATE_REFRONTS: frozenset[str] = _R11_FIX_BATCH
 
 
 def test_driver_window_has_no_silent_refronts():
