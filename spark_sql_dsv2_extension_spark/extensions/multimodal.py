@@ -98,7 +98,11 @@ def _decode_stub(payload: bytes) -> dict:
 
 
 # decode oracle: the stub's features are byte arithmetic DuckDB reproduces
-# from the source text (ASCII corpus: len == octet_length, ascii == byte)
+# from the source text (ASCII corpus: len == octet_length, ascii == byte).
+# The NULL-payload quarantine gate (text IS NOT NULL) mirrors the Spark
+# side's payload.isNotNull filter in lockstep — a NULL payload cannot be
+# decoded by any codec, and NULL_AUDIT_r10.md Family N2 makes that
+# explicit rather than letting the worker raise.
 _DECODE_ORACLE = """
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
@@ -109,6 +113,7 @@ _DECODE_ORACLE = """
            CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INT) AS fake_width,
            CAST(ascii(substring(text, length(text), 1)) % 64 + 1 AS INT) AS fake_height
     FROM documents
+    WHERE text IS NOT NULL
 """
 
 
@@ -118,10 +123,15 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the codec stubbed deterministically (see _decode_stub)."""
     docs = load(spark, sf_dir, "documents")
     # payload: binary column (here derived from text; in production this IS
-    # the image/audio bytes read from object storage)
-    with_payload = docs.select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    ).repartition(8, "doc_id")  # decode parallelism knob
+    # the image/audio bytes read from object storage). NULL payloads are
+    # quarantined at construction (Family N2): a fetch that returned no
+    # bytes is a dead-letter row, not codec input — a real codec also
+    # fails on a null payload, and the explicit gate states the choice.
+    with_payload = (
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .filter(F.col("payload").isNotNull())
+        .repartition(8, "doc_id")  # decode parallelism knob
+    )
 
     out_schema = (
         "doc_id BIGINT, n_bytes BIGINT, checksum BIGINT, "
@@ -154,6 +164,7 @@ _FRAMES_ORACLE = f"""
                 CAST(ceil(length(text) / {_FRAME_BYTES}.0) AS BIGINT)))
                 * {_FRAME_BYTES} + 1 AS INT), {_FRAME_BYTES})) AS INT) AS frame_bytes
     FROM documents
+    WHERE text IS NOT NULL
 """
 
 
@@ -165,7 +176,10 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop and keeps the iterator shape. Oracle: the chunk arithmetic is
     reproducible from the source text."""
     docs = load(spark, sf_dir, "documents")
-    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # NULL-payload quarantine gate, same Family-N2 shape as decode
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    ).filter(F.col("payload").isNotNull())
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -192,6 +206,7 @@ _RESIZE_ORACLE = f"""
              ascii(substring(text, 1, 1)) % 64 + 1 AS src_w,
              ascii(substring(text, length(text), 1)) % 64 + 1 AS src_h
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT doc_id, CAST(src_w AS INT) AS src_w, CAST(src_h AS INT) AS src_h,
            CAST(CASE WHEN greatest(src_w, src_h) <= {_RESIZE_MAX} THEN src_w
@@ -214,9 +229,12 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codec call and the Spark plumbing is unchanged. 1 row in → 1 row
     out, Arrow-batched, no shuffle."""
     docs = load(spark, sf_dir, "documents")
-    with_payload = docs.select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    ).repartition(8, "doc_id")
+    # NULL-payload quarantine gate, same Family-N2 shape as decode
+    with_payload = (
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .filter(F.col("payload").isNotNull())
+        .repartition(8, "doc_id")
+    )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -32,7 +32,8 @@ from ..tables import load
     "udf_python_scalar",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice >= 300000.0 THEN 'A'
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice >= 300000.0 THEN 'A'
                 WHEN o_totalprice >= 100000.0 THEN 'B'
                 ELSE 'C' END AS bracket
     FROM orders
@@ -40,10 +41,15 @@ from ..tables import load
 )
 def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (deliberately the slow path — each row
-    crosses the JVM↔Python boundary individually)."""
+    crosses the JVM↔Python boundary individually). NULL prices bracket to
+    NULL on both engines (Family N2, NULL_AUDIT_r10.md): an unknown price
+    is an unknown bracket, not the else-branch 'C' that bare CASE
+    semantics would silently assign."""
 
     @F.udf(T.StringType())
     def bracket(price: float) -> str:
+        if price is None:
+            return None
         if price >= 300000.0:
             return "A"
         if price >= 100000.0:
@@ -92,12 +98,19 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate Pandas UDAF. The mean is computed on integer cents
     so the result doesn't depend on the (shuffle-nondeterministic) row order
-    within each group — the same discipline tables.dsum applies engine-wide."""
+    within each group — the same discipline tables.dsum applies engine-wide.
+
+    NULL quantities (Family N2): the oracle's SUM skips NULLs while its
+    COUNT(*) counts every row, so the UDF drops NaN before the integer
+    cast but divides by the full group size; an all-NULL group yields a
+    NULL mean exactly as SUM-of-nothing does."""
 
     @pandas_udf(T.DoubleType())
     def mean_cents(qty: pd.Series) -> float:
-        cents = (qty * 100).round().astype("int64")
-        return float(cents.sum()) / (len(cents) * 100.0)
+        cents = (qty * 100).round().dropna().astype("int64")
+        if len(cents) == 0:
+            return None
+        return float(cents.sum()) / (len(qty) * 100.0)
 
     # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
     # aggregates in one agg() — the count is a second pandas UDAF.
@@ -129,7 +142,8 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
              s.cents_sq / (s.n * 1e4)
              - (s.cents / (s.n * 1e2)) * (s.cents / (s.n * 1e2)), 0)), 0)
              AS qty_z
-    FROM lineitem l JOIN stats s USING (l_returnflag)
+    FROM lineitem l JOIN stats s
+      ON l.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
     """,
 )
 def udaf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,19 +162,31 @@ def udaf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the zero stddev; the UDF mirrors it exactly (max(var, 0), NaN z-score
     when std == 0 — the driver-matched canonicalizer equates NaN with
     NULL). Non-degenerate groups evaluate the identical expression as
-    before."""
+    before. NULL group keys (Family N2 rider): groupBy keeps a NULL
+    l_returnflag group per SQL GROUP BY semantics, so the oracle joins
+    stats back NULL-safely (IS NOT DISTINCT FROM) instead of USING,
+    which would silently drop the NULL-flag rows."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["l_quantity"] * 100).round().astype("int64")
-        n = len(cents)
-        mean = int(cents.sum()) / (n * 1e2)
-        var = int((cents * cents).sum()) / (n * 1e4) - mean * mean
-        std = max(var, 0.0) ** 0.5
-        z = (
-            (pdf["l_quantity"] - mean) / std
-            if std > 0
-            else pd.Series(float("nan"), index=pdf.index)
-        )
+        # NULL quantities (Family N2): drop NaN before the integer cast —
+        # the oracle's SUMs skip NULLs while its n = count(*) counts every
+        # row, and a NULL quantity's z-score is NULL via NaN propagation
+        # in the (qty - mean) / std expression below, matching the
+        # oracle's NULL arithmetic row-for-row.
+        cents = (pdf["l_quantity"] * 100).round().dropna().astype("int64")
+        n = len(pdf)
+        if len(cents) == 0:
+            # oracle: SUM over an all-NULL group is NULL, so every z is NULL
+            z = pd.Series(float("nan"), index=pdf.index)
+        else:
+            mean = int(cents.sum()) / (n * 1e2)
+            var = int((cents * cents).sum()) / (n * 1e4) - mean * mean
+            std = max(var, 0.0) ** 0.5
+            z = (
+                (pdf["l_quantity"] - mean) / std
+                if std > 0
+                else pd.Series(float("nan"), index=pdf.index)
+            )
         return pd.DataFrame(
             {
                 "l_orderkey": pdf["l_orderkey"],
@@ -274,12 +300,18 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic as the classic-UDF key so the ladder is comparable."""
     from pyspark.sql.functions import udf
 
+    # None in → None out (Family N2): mirrors the oracle's natural NULL
+    # propagation through arithmetic and string concatenation.
     @udf("long", useArrow=True)
     def shard_of(n_chars: int, source: str) -> int:
+        if n_chars is None or source is None:
+            return None
         return (n_chars * 31 + len(source)) % 97
 
     @udf("string", useArrow=True)
     def tag_of(source: str, lang: str) -> str:
+        if source is None or lang is None:
+            return None
         return source[:3].upper() + "-" + lang
 
     docs = load(spark, sf_dir, "documents")

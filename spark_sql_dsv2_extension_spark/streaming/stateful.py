@@ -48,22 +48,30 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing: a per-user profile accumulated across
     micro-batches with applyInPandasWithState, emitted once per key at the
     end of the bounded replay. Exact oracle: the profile is arrival-order-
-    independent by construction (integer-scaled sums + set union)."""
+    independent by construction (integer-scaled sums + set union).
+
+    NULL events (Family N2, NULL_AUDIT_r10.md): the handler accumulates
+    like the oracle's aggregates — count(*) counts every row, SUM and
+    count(DISTINCT) skip NULLs — so NaN values are dropped before the
+    int64 cast (the raise site), NULL event types never enter the type
+    set, and a user whose values are all NULL profiles a NULL total."""
     ev = _stream_source(spark, sf_dir).select("user_id", "event_type", "value")
 
     out_schema = "user_id BIGINT, n_events BIGINT, n_types BIGINT, total_value DOUBLE"
-    state_schema = "n BIGINT, cents BIGINT, types ARRAY<STRING>"
+    state_schema = "n BIGINT, cents BIGINT, nvals BIGINT, types ARRAY<STRING>"
 
     def update(
         key: Any, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, cents, types = state.get if state.exists else (0, 0, [])
+        n, cents, nvals, types = state.get if state.exists else (0, 0, 0, [])
         types = set(types or [])
         for pdf in batches:
             n += len(pdf)
-            cents += int((pdf["value"] * 10000).round().astype("int64").sum())
-            types |= set(pdf["event_type"])
-        state.update((n, cents, sorted(types)))
+            vals = (pdf["value"] * 10000).round().dropna()
+            cents += int(vals.astype("int64").sum())
+            nvals += len(vals)
+            types |= set(pdf["event_type"].dropna())
+        state.update((n, cents, nvals, sorted(types)))
         # bounded replay: every batch re-emits the key's current profile;
         # the final state per key is selected downstream (update mode keeps
         # the last emission per key in the memory sink... but to stay
@@ -73,7 +81,8 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [key[0]],
                 "n_events": [n],
                 "n_types": [len(types)],
-                "total_value": [cents / 1e4],
+                # SUM over zero non-NULL values is NULL, not 0
+                "total_value": [cents / 1e4 if nvals else None],
             }
         )
 
