@@ -1235,9 +1235,15 @@ def ext_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_mktsegment", "m")
         .agg(
             F.max("n").cast("long").alias("group_n"),
+            # try_divide (Family N6): a QI class whose members all carry a
+            # NULL sensitive bucket (or a NULL QI key, which the equality
+            # join zeroes out on both engines) has n = 0 — the oracle's
+            # 0/0 renders NULL and the class reports group_n = 0 with a
+            # NULL emd6: "this class could not be audited", identically
+            # on both engines instead of an ANSI raise here.
             F.sum(
                 F.abs(
-                    1.0 * F.col("cum") / F.col("n")
+                    F.try_divide(F.col("cum").cast("double"), F.col("n"))
                     - 1.0 * F.col("cum_all") / F.col("n_all")
                 )
             ).alias("sabs"),

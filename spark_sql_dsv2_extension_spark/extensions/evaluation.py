@@ -207,6 +207,7 @@ def ext_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              rank() OVER (PARTITION BY l_returnflag
                           ORDER BY l_extendedprice) AS ry
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ), s AS (
       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
@@ -243,8 +244,19 @@ def ext_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two window ranks over the same partition key (one exchange —
     Catalyst reuses the hash partitioning; each is a per-group sort) and a
-    3-row aggregate."""
-    li = load(spark, sf_dir, "lineitem")
+    3-row aggregate.
+
+    NULL handling (Families N6+N1, NULL_AUDIT_r10.md, lockstep): rows
+    with a NULL quantity or price are pre-filtered on BOTH engines —
+    textbook Spearman drops incomplete pairs, and leaving them in would
+    rank them at opposite ends (Spark NULLS FIRST vs DuckDB NULLS LAST).
+    A group reduced to n = 1 has denominator n(n²-1) = 0: try_divide
+    NULLs the rho6 exactly where the oracle's 0.0/0.0 goes NaN→NULL."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
+        .filter(F.col("l_extendedprice").isNotNull())
+    )
     wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     ranked = li.select(
@@ -265,11 +277,10 @@ def ext_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000000
             * (
                 1
-                - 6.0
-                * F.col("sum_d2")
-                / (
+                - F.try_divide(
+                    6.0 * F.col("sum_d2"),
                     F.col("n").cast("double")
-                    * (F.col("n").cast("double") * F.col("n").cast("double") - 1)
+                    * (F.col("n").cast("double") * F.col("n").cast("double") - 1),
                 )
             )
         )
@@ -340,8 +351,15 @@ def ext_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "% 2147483647 % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END"
         ).alias("m"),
     )
+    # nullif divisor (Family N6): NULL-cents purchases are skipped by
+    # SUM(m * cents) but their multiplicities still land in SUM(m); a
+    # resample whose every row drew m = 0 has SUM(m) = 0, which ANSI
+    # `div` raises on while DuckDB's `//` yields NULL — nullif
+    # reproduces the oracle's NULL exactly, and the downstream
+    # collect_list/try_element_at pair already tolerates NULL means the
+    # same way the oracle's NULLS-LAST list_sort indexing does.
     means = rs.groupBy("b").agg(
-        F.expr("sum(m * cents) * 10000 div sum(m)").alias("mean6")
+        F.expr("sum(m * cents) * 10000 div nullif(sum(m), 0)").alias("mean6")
     )
     # try_element_at: zero purchases -> zero resample groups -> an EMPTY
     # collect_list, where ANSI element_at raises INVALID_ARRAY_INDEX and

@@ -1409,7 +1409,7 @@ def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(round(value * 100) AS BIGINT) AS c,
              CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END
                AS grp
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), n AS (
       SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
              SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
@@ -1447,7 +1447,15 @@ def ext_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ECDF prefix sums ride one ``distributed_running_sum`` (range
     exchange + broadcast offsets — no single-task ordering even at
     extreme value domains), and a global max."""
-    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # NULL purchase values are pre-filtered on BOTH engines (Families
+    # N6+N1, lockstep): a NULL has no place on a value ECDF, and leaving
+    # it in would step the cumulatives at opposite ends of the domain
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST).
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("value").isNotNull())
+    )
     v = ev.select(
         F.round(F.col("value") * 100).cast("long").alias("c"),
         F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),
@@ -1470,9 +1478,17 @@ def ext_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n0",
             "n1",
+            # try_divide: an empty slice (zero weekend purchases after
+            # the NULL gate) has n = 0 where the oracle's `// 0` yields
+            # NULL — the KS statistic of a one-sided comparison is NULL
+            # on both engines (Family N6).
             F.abs(
-                F.floor(F.col("c0").cast("double") * 1000000 / F.col("n0"))
-                - F.floor(F.col("c1").cast("double") * 1000000 / F.col("n1"))
+                F.floor(
+                    F.try_divide(F.col("c0").cast("double") * 1000000, F.col("n0"))
+                )
+                - F.floor(
+                    F.try_divide(F.col("c1").cast("double") * 1000000, F.col("n1"))
+                )
             ).alias("step_d6"),
         )
         .groupBy("n0", "n1")
