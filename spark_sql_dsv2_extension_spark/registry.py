@@ -185,10 +185,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # lockstep. ---
     "ext_random_projection_jl",
     # --- slots 51+: overflow fixes (front the round-12 window: the two
-    # mildest N5 value drifts) and any round-11 thaw registration
+    # mildest N5 value drifts, plus the 52nd audit key — the
+    # stream_foreach_batch_sink n_batches constant, a fixture-scale
+    # artifact fixed oracle-side) and any round-11 thaw registration
     # (inserted here per the thaw rule as it lands). ---
     "fn_struct",
     "scan_text",
+    "stream_foreach_batch_sink",
     # --- r10-verified keys (50/50 green in CORRECTNESS_r10.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
     "ext_near_dedup_minhash",
@@ -244,7 +247,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_type_token_ratio",
     "fn_url_parse",
     "ext_timeseries_densify",
-    "stream_foreach_batch_sink",
     "ext_hypertable_rollup",
     "ext_ann_recall_eval",
     "fn_variant_extract",

@@ -852,7 +852,7 @@ def stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_foreach_batch_sink",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(2 AS BIGINT) AS n_batches
+           CAST(count(DISTINCT event_id % 2) AS BIGINT) AS n_batches
     FROM events
     GROUP BY event_type
     """,
@@ -864,9 +864,14 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     each batch lands in its own parquet subdir keyed by batch_id — the
     idempotent-write discipline (a replayed batch overwrites its own dir,
     never double-appends). Verified exactly: every event written once
-    across batches (per-type counts match batch) and the batch count is
-    the file count. The batch function does a distributed write only —
-    nothing driver-side."""
+    across batches (per-type counts match batch) and each type's batch
+    membership IS its set of event_id parities (the split key), which the
+    oracle computes as count(DISTINCT event_id % 2) rather than assuming
+    the corpus-scale constant 2 — on a tiny corpus a type can land
+    entirely in one parity batch (caught by the round-10 NULL-fixture
+    audit, where the divergence was fixture scale, not NULL semantics).
+    The batch function does a distributed write only — nothing
+    driver-side."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="engine_feb_src_")
     out_dir = tempfile.mkdtemp(prefix="engine_feb_out_")

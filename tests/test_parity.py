@@ -103,6 +103,9 @@ _R11_FIX_BATCH = frozenset({
     # scan_text are the slots-51/52 overflow)
     "fn_string", "fn_string_extras", "fn_array", "fn_map", "fn_map_hof",
     "fn_struct", "scan_text",
+    # the 52nd audit key (slot-53 overflow): the n_batches constant was a
+    # fixture-scale oracle artifact, fixed oracle-side in lockstep
+    "stream_foreach_batch_sink",
     # ADVICE medium: the JL sign-matrix degeneracy (plan + oracle lockstep)
     "ext_random_projection_jl",
 })
