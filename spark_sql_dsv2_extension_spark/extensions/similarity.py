@@ -38,6 +38,28 @@ TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_PLANES = 6  # 2^6 buckets
 
+# NULL-embedding quarantine gate (NULL_AUDIT_r10.md Family N3): a vector
+# that failed to embed cannot be scored, clustered, or searched — keys
+# that consume the embedding column gate it explicitly and identically on
+# both engines. Spark side: _emb_nonnull below; oracle side: this CTE
+# prepended to the oracle's WITH, shadowing the raw view (main. qualifies
+# the base table per DuckDB's circular-CTE rule) so every inner
+# `FROM embeddings` reads the gated relation unchanged. MATERIALIZED is
+# load-bearing: DuckDB 1.0's list_inner_product validates the child
+# buffer's validity mask, so an INLINED gate can still raise on a list
+# column whose shared buffer holds NULLs at filtered-out offsets (it
+# raises even when both actual arguments are non-NULL — verified);
+# materializing repacks the gated rows into a NULL-free buffer.
+_EMB_NOT_NULL_CTE = (
+    "embeddings AS MATERIALIZED "
+    "(SELECT * FROM main.embeddings WHERE embedding IS NOT NULL)"
+)
+
+
+def _emb_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the Family-N3 gate (see _EMB_NOT_NULL_CTE)."""
+    return load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with a sequential left-to-right double fold (bit-stable)."""
@@ -409,7 +431,7 @@ def _kmeans_iter_sql(prev: str, n: int) -> str:
 
 
 _KMEANS_ORACLE = f"""
-    WITH c0 AS (
+    WITH {_EMB_NOT_NULL_CTE}, c0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
       FROM embeddings WHERE vec_id < {K_CLUSTERS}
     ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}
@@ -487,7 +509,7 @@ def ext_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving-side cell search. See :func:`train_kmeans` for the exactness
     and scale argument. Output: (centroid_id, dim, component, n_members)
     — K×64 rows."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_nonnull(spark, sf_dir))
     comp, _ = train_kmeans(emb)
     return comp.select(
         F.col("cid").alias("centroid_id"),
@@ -498,7 +520,7 @@ def ext_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_TRAINED_ORACLE = f"""
-    WITH c0 AS (
+    WITH {_EMB_NOT_NULL_CTE}, c0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
       FROM embeddings WHERE vec_id < {K_CLUSTERS}
     ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}, assignf AS (
@@ -549,7 +571,7 @@ def ext_knn_ivf_trained(
     on the cell id — a query touches |corpus|/K vectors (nprobe=1;
     production raises nprobe by joining the q-side to its p nearest cells
     — same join, more rows on the tiny side)."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_nonnull(spark, sf_dir))
     _, cent = train_kmeans(emb)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("sqd").asc(), F.col("cid").asc()
@@ -737,7 +759,7 @@ SEMDEDUP_T = 0.35  # cosine threshold: fixture embeddings are near-random
 
 
 _SEMDEDUP_ORACLE = f"""
-    WITH c0 AS (
+    WITH {_EMB_NOT_NULL_CTE}, c0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
       FROM embeddings WHERE vec_id < {K_CLUSTERS}
     ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}, assignf AS (
@@ -781,7 +803,7 @@ def ext_semdedup(
     The kept flag is a left-semi-negation expressed as an aggregate, all
     plan-side; exact oracle because both kmeans and cosine are
     bit-identical sequential folds."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_nonnull(spark, sf_dir))
     _, cent = train_kmeans(emb)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("sqd").asc(), F.col("cid").asc()
@@ -1217,7 +1239,7 @@ _IVFPQ_NPROBE = 2
 
 
 _IVFPQ_ORACLE = f"""
-    WITH coarse AS (
+    WITH {_EMB_NOT_NULL_CTE}, coarse AS (
       SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cc
       FROM embeddings WHERE vec_id < {_IVFPQ_CELLS}
     ), cd AS (
@@ -1300,7 +1322,7 @@ def ext_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_S} integer adds. Memory is codes + codebooks, not vectors. This
     is the composition the module's docstring promises: routing x
     compression x LUT scoring, all Catalyst-planned."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_nonnull(spark, sf_dir))
     coarse = emb.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
         F.col("vec_id").alias("cell_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cc"),
@@ -1663,7 +1685,7 @@ _RRF_K = 60
 
 
 _RRF_ORACLE = f"""
-    WITH dl AS (
+    WITH {_EMB_NOT_NULL_CTE}, dl AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
       FROM documents
     ), stats AS (
@@ -1745,7 +1767,7 @@ def ext_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = ext_bm25(spark, sf_dir).select(
         "doc_id", F.row_number().over(lex_w).alias("lex_rank")
     )
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb_nonnull(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
@@ -1785,7 +1807,7 @@ _AUC_SCALE = 1_000_000
 
 
 _AUC_ORACLE = f"""
-    WITH q AS (
+    WITH {_EMB_NOT_NULL_CTE}, q AS (
       SELECT embedding AS q_emb, label AS q_label FROM embeddings
       WHERE vec_id = 0
     ), scored AS (
@@ -1836,7 +1858,7 @@ def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scoring pass + one ``distributed_row_number`` rank (range
     exchange + broadcast offsets — no single-task sort over the corpus)
     + a 1-row aggregate."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_nonnull(spark, sf_dir))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
     )
@@ -2509,7 +2531,11 @@ def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000)
                   AS BIGINT) AS x6
       FROM embeddings, unnest(range(1, 65)) AS t(i)
-      WHERE label < 5
+      -- embedding IS NOT NULL: Family N3 lockstep gate — Spark's
+      -- posexplode of a NULL array emits nothing, while bare range
+      -- indexing here would emit 64 NULL components whose count(*)
+      -- rows shift the centroid mean
+      WHERE label < 5 AND embedding IS NOT NULL
     ), cent AS (
       SELECT label, dim, CAST(SUM(x6) AS BIGINT) AS s6,
              CAST(count(*) AS BIGINT) AS n
@@ -2542,7 +2568,7 @@ def ext_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (label, dim)-grouped integer aggregate over the exploded
     components (the corpus pass), then label²-sized pair arithmetic —
     broadcast territory for any real label count."""
-    emb = fan_out(load(spark, sf_dir, "embeddings")).filter(F.col("label") < 5)
+    emb = fan_out(_emb_nonnull(spark, sf_dir)).filter(F.col("label") < 5)
     dims = emb.select(
         "label", F.posexplode("embedding").alias("dim0", "x")
     ).select(
@@ -3014,13 +3040,19 @@ def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _LABELED_EDGES_SQL
         + """
-    , m2 AS (
-      SELECT CAST(count(*) AS BIGINT) AS m2 FROM el
+    , eln AS (
+      -- Family N3 (NULL_AUDIT_r10.md): an unlabeled endpoint cannot be
+      -- attributed to a community — gate NULL-label edges out of both
+      -- cut and volume, identically on both engines (the Spark side
+      -- filters the same predicate on the shared labeled edge list)
+      SELECT * FROM el WHERE cu IS NOT NULL AND cv IS NOT NULL
+    ), m2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2 FROM eln
     ), agg AS (
       SELECT cu AS community,
              CAST(SUM(CASE WHEN cu <> cv THEN 1 ELSE 0 END) AS BIGINT) AS cut,
              CAST(count(*) AS BIGINT) AS vol
-      FROM el GROUP BY cu
+      FROM eln GROUP BY cu
     )
     SELECT community, cut, vol,
            CAST(round(1000000.0 * cut / LEAST(vol, m2.m2 - vol))
@@ -3043,8 +3075,16 @@ def ext_conductance_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same declared bounded-kNN edge base and candidate-generator
     swap as the other graph keys; one community-sized aggregate + a
-    broadcast edge-count scalar."""
-    el = _labeled_edges(spark, sf_dir)
+    broadcast edge-count scalar.
+
+    NULL labels (Family N3, lockstep): an unlabeled endpoint cannot be
+    attributed to a community, so NULL-label edges are gated out of both
+    cut and volume on BOTH engines — left in, Spark's boolean SUM skips
+    the NULL comparisons (an all-NULL community sums to NULL) where the
+    oracle's CASE counted 0, a phantom-community divergence."""
+    el = _labeled_edges(spark, sf_dir).filter(
+        F.col("cu").isNotNull() & F.col("cv").isNotNull()
+    )
     m2 = el.agg(F.count(F.lit(1)).cast("long").alias("m2"))
     agg = el.groupBy(F.col("cu").alias("community")).agg(
         F.sum((F.col("cu") != F.col("cv")).cast("long")).alias("cut"),
@@ -3155,8 +3195,8 @@ def ext_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_mips_cosine_reduction",
-    oracle="""
-    WITH norms AS (
+    oracle=f"""
+    WITH {_EMB_NOT_NULL_CTE}, norms AS (
       SELECT vec_id, embedding,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
@@ -3206,7 +3246,7 @@ def ext_mips_cosine_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the 16-query × corpus score pass is the declared bounded
     brute-force base (swap: the LSH/IVF candidate generator); the
     per-query top-5 windows are partitioned by query_id."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_nonnull(spark, sf_dir))
     norms = emb.select(
         "vec_id",
         "embedding",
@@ -3535,8 +3575,8 @@ def ext_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dbscan_core_points",
-    oracle="""
-    WITH sims AS (
+    oracle=f"""
+    WITH {_EMB_NOT_NULL_CTE}, sims AS (
       SELECT a.vec_id AS u,
              list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
@@ -3577,7 +3617,7 @@ def ext_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor-count aggregate, an eps-ball count being exactly the
     candidate-pair shape those operators already produce. The aggregate
     itself is a map-side-combinable groupBy on vec_id."""
-    emb = fan_out(load(spark, sf_dir, "embeddings")).filter(F.col("vec_id") < 100)
+    emb = fan_out(_emb_nonnull(spark, sf_dir)).filter(F.col("vec_id") < 100)
     a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
     sims = a.join(b, F.col("u") != F.col("v")).select(
