@@ -1685,8 +1685,10 @@ def ext_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_quantile_align_sources",
     oracle="""
     WITH pooled AS (
+      -- n_chars IS NOT NULL (Family N1 lockstep): a NULL length has no
+      -- decile position (a NULL source stays a legitimate group)
       SELECT ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile, n_chars
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ), ref AS (
       SELECT decile, CAST(max(n_chars) AS BIGINT) AS pooled_max
       FROM pooled GROUP BY decile
@@ -1695,7 +1697,7 @@ def ext_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
              ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
                AS decile,
              n_chars
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ), agg AS (
       SELECT source, decile,
              CAST(count(*) AS BIGINT) AS n_docs,
@@ -1720,8 +1722,13 @@ def ext_quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pooled decile runs through ``distributed_ntile`` (range
     exchange + broadcast prefix-counts — no single-task sort); the
     per-source window is partitioned and fine as-is; + a 10-row
-    broadcast join."""
-    docs = load(spark, sf_dir, "documents")
+    broadcast join.
+
+    NULL lengths (Family N1, lockstep): pre-filtered on both engines — a
+    NULL n_chars has no decile position and would tile at opposite ends
+    of the order under the engines' differing NULL-sort defaults. A NULL
+    source remains a legitimate per-source group on both."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     pooled = distributed_ntile(
         docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], 10,
         out="decile",

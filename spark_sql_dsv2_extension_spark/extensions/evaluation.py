@@ -2306,8 +2306,12 @@ def ext_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_tukey_fences",
     oracle="""
     WITH hist AS (
+      -- n_chars IS NOT NULL (Family N1 lockstep): a NULL length has no
+      -- order-statistic position; left in, the NULL histogram row would
+      -- shift the cumulative counts from opposite ends of the value
+      -- order under the engines' NULL-sort defaults
       SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
-      FROM documents GROUP BY n_chars
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars
     ), cum AS (
       SELECT v, cnt,
              CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
@@ -2339,11 +2343,16 @@ def ext_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct-value histogram + cumulative window over it — reduce
     cardinality is the value domain, not the corpus (the same
-    shuffle-diet as agg_salted_twophase)."""
+    shuffle-diet as agg_salted_twophase).
+
+    NULL lengths (Family N1, lockstep): excluded from the quartile
+    histogram on both engines — a NULL has no order-statistic position.
+    The fence counts need no extra gate: a NULL comparison is falsy
+    identically on both sides."""
     docs = load(spark, sf_dir, "documents")
-    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    hist = docs.filter(F.col("n_chars").isNotNull()).groupBy(
+        F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     ntot = hist.agg(F.sum("cnt").cast("long").alias("n"))
     cum = (
         distributed_running_sum(hist, ["v"], "cnt", out="c")
@@ -2726,8 +2735,10 @@ EQUIDEPTH_BINS = 10
     "ext_equidepth_histogram",
     oracle=f"""
     WITH v AS (
+      -- l_extendedprice IS NOT NULL (Family N1 lockstep): a NULL price
+      -- has no histogram position
       SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ), hist AS (
       SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY c
     ), cum AS (
@@ -2778,8 +2789,13 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed plan re-scanned the parquet base five times for the same
     information (r10 perf re-front, ROADMAP_r10.md agenda; n_rows per
     bin = Σcnt and n_distinct = count(*) over the histogram rows are
-    identical by construction to counting the base)."""
-    li = load(spark, sf_dir, "lineitem")
+    identical by construction to counting the base).
+
+    NULL prices (Family N1, lockstep): pre-filtered on both engines — a
+    NULL cent value has no order-statistic position in the histogram."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     v = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
     hist = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
     # Distributed prefix sum over the value domain (two-level): an
@@ -2789,8 +2805,12 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appears. Block key = c div 2^20 keeps blocks value-contiguous so
     # offset(b) + in-block prefix == global prefix.
     blk = (F.col("c") / F.lit(1 << 20)).cast("long")
-    # the single corpus pass lands here; every later relation reuses it
-    hist = hist.withColumn("blk", blk).cache()
+    # the single corpus pass lands here; every later relation reuses it.
+    # localCheckpoint (lazy) rather than cache(): the r10 ADVICE note —
+    # an un-unpersisted cache accumulates executor storage across a
+    # 452-key sweep, while a checkpointed lineage is released with the
+    # RDD reference
+    hist = hist.withColumn("blk", blk).localCheckpoint(eager=False)
     wblk = (
         Window.partitionBy("blk")
         .orderBy("c")
@@ -4181,9 +4201,11 @@ def ext_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_calibration_ece",
     oracle="""
     WITH scored AS (
+      -- value IS NOT NULL (Family N1 lockstep): a NULL score cannot be
+      -- placed in a confidence bin
       SELECT ntile(10) OVER (ORDER BY value, event_id) AS bin,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), bins AS (
       SELECT bin, CAST(count(*) AS BIGINT) AS nb,
              CAST(SUM(y) AS BIGINT) AS pos,
@@ -4209,8 +4231,12 @@ def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: decile assignment via ``distributed_ntile`` (range exchange,
     in-partition rank, broadcast offsets — no single-task global sort
-    over events) and a 10-row aggregation."""
-    ev = load(spark, sf_dir, "events")
+    over events) and a 10-row aggregation.
+
+    NULL scores (Family N1, lockstep): pre-filtered on both engines — a
+    NULL value cannot be placed in a confidence bin, and left in it would
+    tile at opposite ends under the engines' NULL-sort defaults."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     scored = distributed_ntile(
         ev.select("value", "event_id", "event_type"),
         ["value", "event_id"],

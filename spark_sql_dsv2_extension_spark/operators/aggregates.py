@@ -383,14 +383,24 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List aggregation, sorted for determinism (collect_list order is
     partition-dependent; sort_array makes it canonical). Projected to a
     delimiter-joined string: array-typed output cells are unhashable in
-    the driver's pandas canonicalizer, so both sides emit scalars."""
+    the driver's pandas canonicalizer, so both sides emit scalars.
+
+    NULL names (Family N1): both collect_list and string_agg skip NULL
+    elements, but a group whose every name is NULL aggregates to NULL in
+    string_agg and to an EMPTY list (array_join '') here — the explicit
+    when-count guard mirrors the aggregate-of-nothing-is-NULL rule."""
     return (
         load(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(
             F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
-                "names"
-            )
+                "_names"
+            ),
+            F.count("n_name").alias("_nn"),
+        )
+        .select(
+            "n_regionkey",
+            F.when(F.col("_nn") > 0, F.col("_names")).alias("names"),
         )
     )
 
@@ -762,17 +772,17 @@ def agg_approx_percentile_invariant(spark: SparkSession, sf_dir: str) -> DataFra
     land within 5%% of the exact interpolated percentile computed side by
     side in the same aggregate. The oracle asserts the invariant (literal
     true per group), so the check is exact while the operator stays
-    approximate."""
+    approximate. A group with no non-NULL prices has no percentile to
+    test — the invariant holds vacuously (Family N1: both percentile
+    variants skip NULLs, so an all-NULL group yields NULL, not a
+    failure)."""
     o = load(spark, sf_dir, "orders")
+    exact = F.percentile("o_totalprice", F.lit(0.5))
+    approx = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
     return o.groupBy("o_orderstatus").agg(
-        (
-            F.abs(
-                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
-                - F.percentile("o_totalprice", F.lit(0.5))
-            )
-            / F.percentile("o_totalprice", F.lit(0.5))
-            <= F.lit(0.05)
-        ).alias("within_tol")
+        F.when(exact.isNull(), F.lit(True))
+        .otherwise(F.abs(approx - exact) / exact <= F.lit(0.05))
+        .alias("within_tol")
     )
 
 
@@ -896,13 +906,14 @@ def ext_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_wasserstein_1d",
     oracle="""
     WITH a AS (
+      -- value IS NOT NULL (Family N1 lockstep): a NULL has no percentile
       SELECT CAST(round(value * 100) AS BIGINT) AS cents,
              ntile(100) OVER (ORDER BY value, event_id) AS tile
-      FROM events WHERE event_type = 'click'
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
     ), b AS (
       SELECT CAST(round(value * 100) AS BIGINT) AS cents,
              ntile(100) OVER (ORDER BY value, event_id) AS tile
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), qa AS (
       SELECT tile, CAST(SUM(cents) // count(*) AS BIGINT) AS mean_cents
       FROM a GROUP BY tile
@@ -929,8 +940,13 @@ def ext_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ntile cuts.
 
     Scale: two ``distributed_ntile`` passes (range exchange + broadcast
-    offsets — no single-task sort over events) and a 100-row join."""
-    ev = load(spark, sf_dir, "events")
+    offsets — no single-task sort over events) and a 100-row join.
+
+    NULL values (Family N1, lockstep): pre-filtered on both engines — a
+    NULL has no percentile position, and left in it would tile at
+    opposite ends of the value order (Spark NULLS FIRST vs DuckDB
+    NULLS LAST) while each engine's mean skipped it differently."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
     def quantiles(etype: str):
         return (
@@ -1348,7 +1364,8 @@ _KLL_EPS = 0.02  # rank tolerance; percentile_approx accuracy 10000 => ~1e-4
     "agg_kll_quantile_invariant",
     oracle="""
     SELECT l_returnflag, q_pct, TRUE AS within_tol
-    FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem
+          WHERE l_extendedprice IS NOT NULL),
          (SELECT unnest([25, 50, 75]) AS q_pct)
     ORDER BY l_returnflag, q_pct
     """,
@@ -1368,7 +1385,13 @@ def agg_kll_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     table back as a BROADCAST and re-aggregates — one extra scan, no
     extra shuffle width. percentile_approx accuracy 10000 bounds rank
     error at ~1e-4, far inside the 0.02 gate, so the invariant is
-    robustly TRUE without being vacuous (accuracy 10 would fail it)."""
+    robustly TRUE without being vacuous (accuracy 10 would fail it).
+
+    NULL prices (Family N1): a group with no non-NULL prices has no
+    quantiles to check — the oracle's group list carries the same
+    IS NOT NULL gate the sketch applies implicitly (posexplode of a NULL
+    sketch emits nothing), and the rank target counts only non-NULL
+    values, matching the comparisons' own NULL-skipping."""
     li = load(spark, sf_dir, "lineitem")
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
@@ -1394,7 +1417,7 @@ def agg_kll_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("l_extendedprice") <= F.col("ap")).cast("long")
             ).alias("n_le"),
-            F.count(F.lit(1)).alias("n"),
+            F.count("l_extendedprice").alias("n"),
         )
     )
     target = F.col("q_pct") / F.lit(100.0) * F.col("n")

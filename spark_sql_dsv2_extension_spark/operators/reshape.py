@@ -393,10 +393,14 @@ def ext_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_scd2_versions",
     oracle="""
     WITH ch AS (
+      -- valid_from IS NOT NULL (Family N1 lockstep): an undated change
+      -- cannot be placed on a validity timeline; letting it sort would
+      -- also corrupt the previous version's valid_to via lead()
       SELECT o_custkey AS custkey, o_orderdate AS valid_from,
              CAST(round(o_totalprice * 100) AS BIGINT) AS attr_cents,
              o_orderkey
       FROM orders
+      WHERE o_orderdate IS NOT NULL
     ), dedup AS (
       -- one change per (custkey, ts): highest orderkey wins
       SELECT custkey, valid_from, attr_cents FROM (
@@ -427,8 +431,13 @@ def ext_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on the dimension key; versions are windows over it
     — no self-join. Incremental refresh appends changes and re-windows
-    only touched keys."""
-    o = load(spark, sf_dir, "orders")
+    only touched keys.
+
+    NULL change dates (Family N1, lockstep): filtered on both engines —
+    an undated change cannot be placed on a validity timeline, and
+    sorting it (either NULL position) would corrupt the neighboring
+    version's valid_to through lead()."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     ch = o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderdate").alias("valid_from"),
@@ -1272,8 +1281,8 @@ _RFM_REF_TS = "2096-01-01 00:00:00"  # fixed reference instant (post-fixture)
              AS r_score,
            CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS BIGINT)
              AS f_score,
-           CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
-             AS m_score
+           CAST(ntile(4) OVER (ORDER BY monetary_cents NULLS FIRST, user_id)
+                AS BIGINT) AS m_score
     FROM rfm
     """,
 )
@@ -1301,7 +1310,12 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = distributed_ntile(rfm, ["recency_s", "user_id"], 4, out="_r4")
     d = distributed_ntile(d, ["frequency", "user_id"], 4, out="_f4")
-    d = distributed_ntile(d, ["monetary_cents", "user_id"], 4, out="_m4")
+    # monetary can be NULL (a user whose every purchase value is NULL):
+    # pinned NULLS FIRST on both engines (Family N1) — unknown spend
+    # ranks below every known spend, the conservative m_score
+    d = distributed_ntile(
+        d, [F.col("monetary_cents").asc_nulls_first(), F.col("user_id")], 4, out="_m4"
+    )
     return d.select(
         "user_id",
         "recency_s",
@@ -1320,10 +1334,14 @@ _SEQ_TOP = 20
     "ext_sequential_patterns",
     oracle=f"""
     WITH seq AS (
+      -- event_type IS NOT NULL (Family N1/N5 lockstep): an unknown event
+      -- type cannot be a pattern element — left in, Spark's concat_ws
+      -- silently skips it (emitting a shortened 2-gram) while || yields
+      -- a NULL pattern here
       SELECT user_id, event_type AS e1,
              lead(event_type, 1) OVER w AS e2,
              lead(event_type, 2) OVER w AS e3
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), pat AS (
       SELECT user_id, e1 || '>' || e2 || '>' || e3 AS pattern
@@ -1346,8 +1364,13 @@ def ext_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable screen that feeds a targeted gapped search).
 
     Scale: one window shuffle on user_id, one aggregation over a pattern
-    space bounded by |types|³, and a top-k."""
-    ev = load(spark, sf_dir, "events")
+    space bounded by |types|³, and a top-k.
+
+    NULL event types (Family N1/N5, lockstep): filtered on both engines
+    before sequencing — an unknown event type cannot be a pattern
+    element, and left in, concat_ws would silently emit a shortened
+    2-gram where the oracle's || yields a NULL pattern."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",

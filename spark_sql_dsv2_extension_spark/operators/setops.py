@@ -124,7 +124,7 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate,
              row_number() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
              ) AS rn
       FROM orders
     )
@@ -137,7 +137,9 @@ def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winner doesn't matter; this ranked form is what a 100 TB pipeline
     should use — same single shuffle, reproducible output."""
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+        # NULLS LAST pinned on both engines (Family N1): an order with an
+        # unknown date cannot be the "earliest" winner
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
     )
     return (
         load(spark, sf_dir, "orders")

@@ -30,7 +30,7 @@ from ..tables import load
     )
     SELECT c_custkey, c_mktsegment, bal,
            CAST(row_number() OVER (
-             ORDER BY c_mktsegment ASC, bal DESC NULLS LAST, c_custkey ASC
+             ORDER BY c_mktsegment ASC NULLS LAST, bal DESC NULLS LAST, c_custkey ASC
            ) AS BIGINT) AS rk
     FROM t
     """,
@@ -45,7 +45,9 @@ def sort_multi_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
     )
     order = [
-        F.col("c_mktsegment").asc(),
+        # NULLS LAST on the segment too (Family N1): Spark's ASC default
+        # is NULLS FIRST, DuckDB's is NULLS LAST
+        F.col("c_mktsegment").asc_nulls_last(),
         F.col("bal").desc_nulls_last(),
         F.col("c_custkey").asc(),
     ]

@@ -26,7 +26,7 @@ from .quantiles import distributed_range_sum
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(row_number() OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
            ) AS BIGINT) AS rn
     FROM orders
     """,
@@ -34,7 +34,9 @@ from .quantiles import distributed_range_sum
 def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking by position within a total per-partition order."""
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+        # NULLS LAST pinned explicitly on both engines (Family N1):
+        # Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
     )
     return load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
@@ -71,13 +73,15 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(o_totalprice, 1) OVER w AS next_price,
            lag(o_totalprice, 2, -1.0) OVER w AS prev2_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic offsets with and without default values."""
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+        # NULLS LAST pinned explicitly on both engines (Family N1):
+        # Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
     )
     return load(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -94,11 +98,11 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) / 1e2 AS running_spend,
            CAST(count(*) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS running_n
     FROM orders
@@ -109,7 +113,8 @@ def win_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't perturb float bits)."""
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        # NULLS LAST pinned on both engines (Family N1)
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -277,7 +282,7 @@ def win_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            nth_value(o_totalprice, 2) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
            CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_epoch
     FROM orders
@@ -292,7 +297,8 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        # NULLS LAST pinned on both engines (Family N1)
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(

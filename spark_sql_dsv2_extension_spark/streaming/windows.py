@@ -826,7 +826,7 @@ def stream_restart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
-    ORDER BY n DESC, event_type
+    ORDER BY n DESC, event_type NULLS LAST
     LIMIT 3
     """,
 )
@@ -843,7 +843,11 @@ def stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_table(agg, "complete")
     return (
         out.select("event_type", F.col("n").cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), "event_type")
+        # NULLS LAST pinned on both engines (Family N1): the NULL-type
+        # group is a legitimate leaderboard row, but its tie-break
+        # position at the top-3 boundary must not depend on engine
+        # defaults
+        .orderBy(F.col("n").desc(), F.col("event_type").asc_nulls_last())
         .limit(3)
     )
 
