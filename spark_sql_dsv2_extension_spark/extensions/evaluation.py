@@ -2881,20 +2881,26 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_part('year', l_shipdate) AS BIGINT) AS yr
       FROM lineitem
     ), pairs AS (
+      -- per-pair NOT NULL gates (Family N4 lockstep): FD strength is a
+      -- statement about OBSERVED (A, B) pairs — Spark's multi-argument
+      -- count(DISTINCT a, b) skips a row when ANY argument is NULL while
+      -- a ROW(a, b) tuple with a NULL field still counts here, so both
+      -- engines now restrict each candidate to rows where both sides
+      -- are known
       SELECT 'returnflag->linestatus' AS fd,
              CAST(count(DISTINCT rf) AS BIGINT) AS n_det,
              CAST(count(DISTINCT (rf, ls)) AS BIGINT) AS n_pair
-      FROM cols
+      FROM cols WHERE rf IS NOT NULL AND ls IS NOT NULL
       UNION ALL
       SELECT 'linestatus->returnflag',
              CAST(count(DISTINCT ls) AS BIGINT),
              CAST(count(DISTINCT (ls, rf)) AS BIGINT)
-      FROM cols
+      FROM cols WHERE rf IS NOT NULL AND ls IS NOT NULL
       UNION ALL
       SELECT 'year->linestatus',
              CAST(count(DISTINCT yr) AS BIGINT),
              CAST(count(DISTINCT (yr, ls)) AS BIGINT)
-      FROM cols
+      FROM cols WHERE yr IS NOT NULL AND ls IS NOT NULL
     )
     SELECT fd, n_det, n_pair,
            CAST((n_det * 1000000) // n_pair AS BIGINT) AS fd_strength6
@@ -2928,7 +2934,10 @@ def ext_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols.cache()
 
     def fd(name: str, det, dep):
-        return cols.agg(
+        # FD strength is about OBSERVED pairs (Family N4, lockstep with
+        # the oracle's per-branch WHERE): restrict to rows where both
+        # sides are known, so n_det and n_pair count the same population
+        return cols.filter(det.isNotNull() & dep.isNotNull()).agg(
             F.countDistinct(det).alias("n_det"),
             F.countDistinct(det, dep).alias("n_pair"),
         ).select(

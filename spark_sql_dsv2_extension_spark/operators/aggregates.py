@@ -665,6 +665,9 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_by_max_by",
     oracle="""
     WITH ranked AS (
+      -- o_totalprice IS NOT NULL (Family N4 lockstep): an argmax over an
+      -- unknown price is undefined — and the two engines would otherwise
+      -- rank the NULL-price rows at opposite ends
       SELECT o_orderstatus, o_orderkey, o_custkey, o_totalprice,
              row_number() OVER (PARTITION BY o_orderstatus
                                 ORDER BY o_totalprice DESC, o_orderkey ASC)
@@ -672,13 +675,14 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY o_orderstatus
                                 ORDER BY o_totalprice ASC, o_orderkey ASC)
                AS rk_min
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT a.o_orderstatus,
            a.o_orderkey AS max_price_order,
            b.o_orderkey AS min_price_order
     FROM (SELECT * FROM ranked WHERE rk_max = 1) a
-    JOIN (SELECT * FROM ranked WHERE rk_min = 1) b USING (o_orderstatus)
+    JOIN (SELECT * FROM ranked WHERE rk_min = 1) b
+      ON a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
     """,
 )
 def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,8 +691,15 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite ordering struct, making the result deterministic (a bare
     max_by on a tied column is engine-order-dependent — the struct
     tie-break is the pattern that survives an oracle). One partial-agg
-    shuffle; the struct comparison happens map-side."""
-    o = load(spark, sf_dir, "orders")
+    shuffle; the struct comparison happens map-side.
+
+    NULL prices (Family N4, lockstep): filtered on both engines — an
+    argmax over an unknown price is undefined, and a NULL field inside
+    the ordering struct would otherwise rank by engine-specific NULL
+    placement. The oracle's self-join is NULL-safe (IS NOT DISTINCT
+    FROM) because groupBy keeps a NULL o_orderstatus group per SQL
+    GROUP BY semantics while USING would silently drop it."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     # struct orders lexicographically: (price, -orderkey) picks the SMALLEST
     # key among max-price ties; (price, orderkey) the smallest among min ties
     return o.groupBy("o_orderstatus").agg(
@@ -1307,8 +1318,12 @@ def agg_hll_native_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = docs.groupBy("source").agg(
         F.hll_sketch_agg("doc_id").alias("sk")
     )
+    # count("source") not count(*): the oracle's count(DISTINCT source)
+    # skips NULL (Family N4) — the NULL-source group is not a named
+    # shard, but its sketch still joins the union so its docs keep
+    # counting toward the merged estimate, exactly like exact_docs
     merged = per_source.agg(
-        F.count(F.lit(1)).alias("n_sources"),
+        F.count("source").alias("n_sources"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
     )
     exact = docs.agg(F.count_distinct("doc_id").alias("exact_docs"))
