@@ -27,7 +27,7 @@ from ..tables import load
     "fn_string",
     oracle="""
     SELECT c_custkey,
-           concat(c_name, '|', c_mktsegment) AS tagged,
+           concat_ws('|', c_name, c_mktsegment) AS tagged,
            upper(c_name) AS up,
            lower(c_mktsegment) AS lo,
            CAST(length(c_name) AS INT) AS name_len,
@@ -228,7 +228,14 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        F.array_join(F.array(F.col("p_brand"), F.col("p_type")), "|").alias("tags"),
+        # both engines skip NULL elements when joining, but an all-NULL
+        # list renders NULL in array_to_string (string_agg-of-nothing)
+        # and '' in array_join — the compact-size guard mirrors the
+        # oracle (Family N5)
+        F.when(
+            F.size(F.array_compact(F.array(F.col("p_brand"), F.col("p_type")))) > 0,
+            F.array_join(F.array(F.col("p_brand"), F.col("p_type")), "|"),
+        ).alias("tags"),
         F.size(words).cast("int").alias("n_words"),
         F.array_contains(words, "green").alias("has_green"),
         F.array_join(F.sort_array(words), "|").alias("sorted_words"),
@@ -277,11 +284,25 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.array_join(F.map_keys(m), "|").alias("mkeys"),
-        F.array_join(
-            F.transform(
-                F.map_values(m), lambda x: F.round(x * 100).cast("bigint")
+        # all-NULL value list renders NULL in the oracle's
+        # array_to_string (string_agg-of-nothing) vs '' here — the
+        # compact-size guard mirrors it (Family N5)
+        F.when(
+            F.size(
+                F.array_compact(
+                    F.transform(
+                        F.map_values(m),
+                        lambda x: F.round(x * 100).cast("bigint"),
+                    )
+                )
+            )
+            > 0,
+            F.array_join(
+                F.transform(
+                    F.map_values(m), lambda x: F.round(x * 100).cast("bigint")
+                ),
+                "|",
             ),
-            "|",
         ).alias("mvals_cents"),
         F.element_at(m, "price").alias("price_val"),
     )
@@ -410,7 +431,13 @@ def fn_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(struct_pack(p := o_totalprice, k := o_orderkey)) AS s,
              max(struct_pack(p := o_totalprice, k := o_orderkey)) AS t
       FROM orders
-      WHERE (o_orderstatus, o_orderpriority) >= ('O', '3-MEDIUM')
+      -- NOT NULL gates (Family N5 lockstep): the engines disagree on
+      -- row-value comparison with NULL fields (Spark's struct >= is
+      -- NULL, DuckDB ranks NULL fields high) and on min/max over
+      -- structs with NULL members — both sides compare only known rows
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        AND o_totalprice IS NOT NULL
+        AND (o_orderstatus, o_orderpriority) >= ('O', '3-MEDIUM')
       GROUP BY o_orderstatus
     )
     SELECT o_orderstatus,
@@ -425,8 +452,18 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max over struct columns as a deterministic argmin/argmax (the
     (price, key) tuple is unique, so ties are impossible). The structs
     exist only inside the aggregate; the output is projected flat because
-    the oracle comparison works on scalar columns."""
-    o = load(spark, sf_dir, "orders")
+    the oracle comparison works on scalar columns.
+
+    NULL fields (Family N5, lockstep): rows with a NULL status, priority,
+    or price are gated out on BOTH engines — Spark's struct comparison
+    yields NULL on a NULL field (row filtered) where DuckDB's row-value
+    comparison ranks NULL fields high (row kept), and struct min/max
+    over NULL members diverges the same way."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     pair = F.struct(
         F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
     )
@@ -706,8 +743,12 @@ def fn_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_hof",
     oracle="""
     WITH counts AS (
+      -- event_type IS NOT NULL (Family N5 lockstep): a NULL cannot be a
+      -- map key — Spark raises NULL_MAP_KEY by spec, so the gate is the
+      -- documented semantics, not a workaround
       SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY user_id, event_type
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
     ), kept AS (
       SELECT user_id, event_type, c * 10 AS c10
       FROM counts WHERE c * 10 >= 100
@@ -725,8 +766,12 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a string — map cells themselves hash dialect-divergently, so the
     string render is the comparable form). The map NEVER leaves the JVM:
     all four HOFs run inside codegen. The oracle rebuilds the same render
-    relationally — proving the map pipeline equals the flat pipeline."""
-    ev = load(spark, sf_dir, "events")
+    relationally — proving the map pipeline equals the flat pipeline.
+
+    NULL event types (Family N5, lockstep): filtered on both engines — a
+    NULL cannot be a map key (Spark's NULL_MAP_KEY raise is the engine
+    spec), so the gate states the semantics explicitly."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -939,8 +984,12 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_string_extras",
     oracle="""
     SELECT doc_id,
-           split_part(text, ' ', 1) AS first_tok,
-           split_part(text, ' ', 3) AS third_tok,
+           -- DuckDB's split_part maps NULL text to '' where Spark's
+           -- yields NULL: pin NULL-in -> NULL-out (Family N5 lockstep)
+           CASE WHEN text IS NULL THEN NULL
+                ELSE split_part(text, ' ', 1) END AS first_tok,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE split_part(text, ' ', 3) END AS third_tok,
            translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
            reverse(source) AS source_rev,
            left(source, 3) AS source_left3,

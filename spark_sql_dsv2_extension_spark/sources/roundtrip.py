@@ -520,7 +520,7 @@ def scan_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_text",
     oracle="""
-    SELECT text AS value FROM documents
+    SELECT text AS value FROM documents WHERE text IS NOT NULL
     """,
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,9 +529,20 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     format of most raw web-crawl corpora (WET files are exactly this); the
     read side is a zero-parse scan whose single ``value`` column feeds the
     normalize→filter front of the pipeline. Fixture docs are single-line,
-    so the line↔doc bijection is exact."""
+    so the line↔doc bijection is exact.
+
+    NULL documents (Family N5, lockstep): filtered before the write on
+    both engines — a line-oriented format has no NULL representation
+    (Spark's text sink would silently round-trip NULL as an empty
+    line), so the sink contract is stated explicitly."""
     out = os.path.join(_scratch("text"), "documents")
-    load(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
+    (
+        load(spark, sf_dir, "documents")
+        .select("text")
+        .filter(F.col("text").isNotNull())
+        .write.mode("overwrite")
+        .text(out)
+    )
     return spark.read.text(out)
 
 
