@@ -3108,6 +3108,103 @@ def ext_conductance_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_hits_bounded",
+    oracle=(
+        "WITH {gate}, ".format(gate=_EMB_NOT_NULL_CTE)
+        + _MUTUAL_EDGES_SQL
+        + """
+    , a1 AS (
+      SELECT v AS node, CAST(count(*) AS BIGINT) AS a FROM topk GROUP BY v
+    ), h1 AS (
+      SELECT t.u AS node, CAST(SUM(coalesce(a1.a, 0)) AS BIGINT) AS h
+      FROM topk t LEFT JOIN a1 ON t.v = a1.node GROUP BY t.u
+    ), a2 AS (
+      SELECT t.v AS node, CAST(SUM(coalesce(h1.h, 0)) AS BIGINT) AS a
+      FROM topk t LEFT JOIN h1 ON t.u = h1.node GROUP BY t.v
+    ), h2 AS (
+      SELECT t.u AS node, CAST(SUM(coalesce(a2.a, 0)) AS BIGINT) AS h
+      FROM topk t LEFT JOIN a2 ON t.v = a2.node GROUP BY t.u
+    ), nodes AS (
+      SELECT u AS node FROM topk UNION SELECT v FROM topk
+    )
+    SELECT n.node, coalesce(h2.h, 0) AS hub2, coalesce(a2.a, 0) AS auth2
+    FROM nodes n
+    LEFT JOIN h2 ON n.node = h2.node
+    LEFT JOIN a2 ON n.node = a2.node
+    ORDER BY hub2 DESC, n.node LIMIT 20
+    """
+    ),
+)
+def ext_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores, TWO UNNORMALIZED ROUNDS over the
+    DIRECTED top-{_MKNN_K} kNN edge list (the same bounded brute-force base as
+    the mutual-kNN family, kept directed: "u ranks v in its top-k" is an
+    asymmetric endorsement, which is exactly what HITS consumes) —
+    hub(u) = Σ auth(v) over u's out-edges, auth(v) = Σ hub(u) over v's
+    in-edges, seeded at auth₀ = in-degree. A FIXED round count keeps the
+    key exact: integer scores stay int64 (no normalization float), and
+    the oracle unrolls the same two rounds as CTEs — the
+    ext_label_propagation_bounded verification pattern. Top-20 by hub
+    with node tie-break. Vetted off-registry since round 9
+    (tests/thaw_oracles_r9.py); registered round 11 with the Family-N3
+    NULL-embedding gate both sides.
+
+    Scale: each round is one edge-list equi-join against a
+    node-score aggregate (broadcast here — node scores are
+    node-cardinality-sized; at corpus scale the same join shuffles on
+    the node id) + one groupBy; the edge list localCheckpoints once so
+    the two-round lineage stays shallow. The kNN base is the declared
+    candidate-generator swap point shared with every graph key."""
+    emb = fan_out(_emb_nonnull(spark, sf_dir)).filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
+    sim = a.join(b, F.col("u") != F.col("v")).select(
+        "u", "v", cosine(F.col("ea"), F.col("eb")).alias("sim")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("sim").desc(), "v")
+    topk = (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MKNN_K)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    a1 = topk.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    h1 = (
+        topk.join(F.broadcast(a1.select(F.col("node").alias("v"), "a")), "v", "left")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum(F.coalesce("a", F.lit(0))).cast("long").alias("h"))
+    )
+    a2 = (
+        topk.join(F.broadcast(h1.select(F.col("node").alias("u"), "h")), "u", "left")
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.sum(F.coalesce("h", F.lit(0))).cast("long").alias("a"))
+    )
+    h2 = (
+        topk.join(F.broadcast(a2.select(F.col("node").alias("v"), "a")), "v", "left")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum(F.coalesce("a", F.lit(0))).cast("long").alias("h"))
+    )
+    nodes = (
+        topk.select(F.col("u").alias("node"))
+        .unionByName(topk.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(F.broadcast(h2), "node", "left")
+        .join(F.broadcast(a2), "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).alias("hub2"),
+            F.coalesce("a", F.lit(0)).alias("auth2"),
+        )
+        .orderBy(F.col("hub2").desc(), "node")
+        .limit(20)
+    )
+
+
+@query(
     "ext_degree_assortativity",
     oracle=(
         "WITH "

@@ -192,6 +192,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_struct",
     "scan_text",
     "stream_foreach_batch_sink",
+    # --- round-11 thaw registration (the last r9-tranche candidate;
+    # one-commit rule): ---
+    "ext_hits_bounded",
     # --- r10-verified keys (50/50 green in CORRECTNESS_r10.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
     "ext_near_dedup_minhash",

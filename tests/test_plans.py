@@ -1422,6 +1422,13 @@ _EXCHANGE_BUDGETS = {
     # events->daily reduction + ONE applyInPandas group over the
     # calendar-bounded gap-filled series (pre-census 1)
     "ext_holt_winters_seasonal": 1,
+    # --- round-11 thaw registration ---
+    # bounded directed-kNN edge base (one u-partitioned window) + two
+    # unrolled HITS rounds (per-round groupBy against a broadcast
+    # node-score aggregate, each aggregate's own exchange counted once
+    # standalone and once inside the broadcast subtree) + the node-set
+    # union distinct; all post-edge relations node-cardinality-sized
+    "ext_hits_bounded": 8,
 }
 
 

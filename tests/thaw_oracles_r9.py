@@ -14,11 +14,11 @@ ROUND-10 STATUS: 6 of the 7 deferred candidates were registered (one
 commit each — ``stream_stream_full_outer``, ``ext_degree_assortativity``,
 ``ext_holt_winters_seasonal``, ``ext_mips_cosine_reduction``,
 ``ext_random_projection_jl``, ``ext_sax_symbols``; the sixth slot came
-from the reallocated fuzzy-levenshtein perf re-front). Only
-``ext_hits_bounded`` remains vetted here off-registry — the graph
-family is the best covered after tranche 3 (modularity, conductance,
-assortativity, triangles, label propagation, pagerank), so it keeps
-until a future round wants the hub/authority view specifically.
+from the reallocated fuzzy-levenshtein perf re-front). ROUND-11 STATUS: ``ext_hits_bounded`` — the last candidate — was
+registered (extensions/similarity.py) with the Family-N3
+NULL-embedding gate added to both sides; the tranche is now fully
+on-registry and this file is retained purely as the validation
+record.
 
 Run: ``python tests/thaw_oracles_r9.py`` (not pytest-collected). Same
 harness as tests/thaw_oracles_r8.py: each candidate oracle runs twice

@@ -8,7 +8,8 @@ The registered copies in the extension modules are now the source of
 truth; the prototypes here are retained as the validation record.
 
 ROUND-10 STATUS: 6 of the 7 deferred candidates were registered (only
-``ext_hits_bounded`` keeps — see tests/thaw_oracles_r9.py's header).
+``ext_hits_bounded`` registered in round 11 — see
+tests/thaw_oracles_r9.py's header; the tranche is fully on-registry).
 
 Run: ``python tests/thaw_protos_r9.py [key ...]`` (not
 pytest-collected); house-style implementations compared against the
