@@ -18,6 +18,8 @@ Usage:
                                                       # (round-9 frontier)
     python tests/degenerate_audit.py --nulls [...]    # NULL-bearing fixtures
                                                       # (round-10 frontier)
+    python tests/degenerate_audit.py --extreme [...]  # adversarial VALUES
+                                                      # (round-11 frontier)
 
 Keys whose plan needs tables the degenerate set lacks, or that are
 streaming-only, report SKIP. Exit status 1 if any DIVERGE.
@@ -345,6 +347,235 @@ def build_null_fixtures(tmp: str) -> None:
     )
 
 
+def build_extreme_fixtures(tmp: str) -> None:
+    """ADVERSARIAL-VALUE versions of all ten fixture tables (round-11
+    frontier, opened after the NULL frontier closed): every column is
+    NON-NULL (that dimension is audited separately) but carries the
+    values a 100 TB corpus will eventually contain — unicode with
+    engine-divergent case mappings (ß), combining codepoints, CJK and
+    emoji; regex metacharacters inside data; zero / subnormal /
+    overflow-to-inf embedding vectors; half-cent and 1e7-magnitude
+    money; 100% discounts and negative (refund) values; epoch-0,
+    leap-day, ISO-week-boundary, and 23:59:59.999999 timestamps;
+    int32-max sizes and labels; exact duplicate rows differing only in
+    their key. Contract identical to the other modes: both-equal under
+    the driver-matched canonicalizer = OK; an exception on either side
+    or a value/shape mismatch = DIVERGE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    h = dt.timedelta(hours=1)
+    ev = [
+        # rounding edge (half-cent), duplicate full values (ids 0/1),
+        # refund, sub-cent precision, 1e7 magnitude, µs-edge + ISO-week
+        # + leap-day timestamps
+        (0, dt.datetime(2024, 1, 1, 10), 1, "view", 0.005, "{}"),
+        (1, dt.datetime(2024, 1, 1, 10), 1, "view", 0.005, "{}"),
+        (2, dt.datetime(2024, 2, 29, 23, 59, 59, 999999), 1, "purchase",
+         9999999.99, '{"k": "42"}'),
+        (3, dt.datetime(2024, 12, 30), 2, "purchase", 123.456789,
+         '{"k": null}'),
+        (4, dt.datetime(2024, 12, 31, 23, 59, 59, 999999), 2, "click",
+         -5.0, '{"k": [1, 2]}'),
+        (5, dt.datetime(2024, 7, 1), 2, "purchase", 0.0001, "{}"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in ev], pa.int64()),
+                "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in ev], pa.int64()),
+                "event_type": pa.array([r[3] for r in ev], pa.string()),
+                "value": pa.array([r[4] for r in ev], pa.float64()),
+                "props": pa.array([r[5] for r in ev], pa.string()),
+            }
+        ),
+        f"{tmp}/events.parquet",
+    )
+    vecs = [
+        [0.1 + 0.01 * i for i in range(64)],          # normal
+        [0.0] * 64,                                    # zero vector: norm 0
+        [1e30] * 64,                                   # square overflows f32->inf path
+        [1e-40] * 64,                                  # float32 subnormal
+        [-0.0] * 32 + [0.0] * 32,                      # negative zero
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(5), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 1, 2147483647, 2, 0], pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    long_doc = " ".join("token%d" % (i % 7) for i in range(400))
+    docs = [
+        (1, "STRASSE \u00df \u00fcber na\u00efve caf\u00e9 ok", "de", "web"),
+        (2, "\u4e2d\u6587 \u6587\u672c \u6d4b\u8bd5 emoji \U0001f680 ok", "zh", "web"),
+        (3, "cafe\u0301 noe\u0308l deja vu encore une fois", "fr", "books"),
+        (4, "a.b (c) [d] {e} * + ? end of regex", "en", "news"),
+        (5, long_doc, "en", "web"),
+        (6, "STRASSE \u00df \u00fcber na\u00efve caf\u00e9 ok", "de", "news"),  # exact dup text
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+                "lang": pa.array([r[2] for r in docs], pa.string()),
+                "source": pa.array([r[3] for r in docs], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in docs], pa.int64()
+                ),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    li = [
+        # half-cent qty, 100% discount, 1e7 price, refund-negative
+        # price, exact duplicate rows (linenumber apart), week-boundary
+        # + leap-day dates
+        (1, 0, 0, 1, 0.005, 9999999.99, 0.0, 0.0, "A", "F",
+         dt.datetime(2024, 2, 29)),
+        (1, 0, 0, 2, 49.999999, 0.01, 1.0, 0.999, "R", "O",
+         dt.datetime(2024, 12, 30)),
+        (2, 1, 1, 1, 1000000.0, -123.45, 0.5, 0.0, "N", "O",
+         dt.datetime(2024, 12, 31)),
+        (3, 1, 1, 1, 7.0, 1234.125, 0.05, 0.02, "A", "F",
+         dt.datetime(2024, 1, 1)),
+        (3, 1, 1, 2, 7.0, 1234.125, 0.05, 0.02, "A", "F",
+         dt.datetime(2024, 1, 1)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in li], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in li], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in li], pa.float64()),
+                "l_discount": pa.array([r[6] for r in li], pa.float64()),
+                "l_tax": pa.array([r[7] for r in li], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in li], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in li], pa.string()),
+                "l_shipdate": pa.array(
+                    [r[10] for r in li], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{tmp}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_name": pa.array(
+                    ["M\u00fcller#1", "na\u00efve \u00df#2", "c#3", "c#4"],
+                    pa.string(),
+                ),
+                "c_nationkey": pa.array([0, 1, 0, 1], pa.int32()),
+                "c_mktsegment": pa.array(
+                    ["BUILDING", "building", "AUTOMOBILE", "BUILDING"],
+                    pa.string(),
+                ),
+                "c_acctbal": pa.array(
+                    [-999999.99, 9999999.99, 0.005, 0.005], pa.float64()
+                ),
+            }
+        ),
+        f"{tmp}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_custkey": pa.array([1, 2, 1, 3], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F", "O", "P"], pa.string()),
+                "o_totalprice": pa.array(
+                    [0.005, 9999999.99, 123.456789, 0.005], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    [
+                        dt.datetime(1970, 1, 1),
+                        dt.datetime(2024, 2, 29),
+                        dt.datetime(2024, 12, 30),
+                        dt.datetime(2024, 12, 31),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"], pa.string()
+                ),
+            }
+        ),
+        f"{tmp}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([0, 1, 2], pa.int64()),
+                "p_name": pa.array(
+                    [
+                        "part (zero) *star* end",
+                        "na\u00efve \u00df part again",
+                        "part zero",
+                    ],
+                    pa.string(),
+                ),
+                "p_brand": pa.array(
+                    ["Brand#0", "Brand#2147483647", "Brand#0"], pa.string()
+                ),
+                "p_type": pa.array(
+                    ["STANDARD", "PROMO", "ECONOMY"], pa.string()
+                ),
+                "p_size": pa.array([1, 2147483642, 6], pa.int32()),
+                "p_retailprice": pa.array(
+                    [0.005, 9999999.99, 1.0], pa.float64()
+                ),
+            }
+        ),
+        f"{tmp}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([0, 1], pa.int64()),
+                "s_name": pa.array(
+                    ["s\u00df#0", "s#1"], pa.string()
+                ),
+                "s_nationkey": pa.array([0, 1], pa.int32()),
+                "s_acctbal": pa.array([-0.0, 9999999.99], pa.float64()),
+            }
+        ),
+        f"{tmp}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(
+                    ["NATI\u00d6N0", "NATION1"], pa.string()
+                ),
+                "n_regionkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        f"{tmp}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(
+                    ["R\u00c9GION0", "REGION1"], pa.string()
+                ),
+            }
+        ),
+        f"{tmp}/region.parquet",
+    )
+
+
 def build_empty_fixtures(tmp: str) -> None:
     """ZERO-ROW versions of all ten fixture tables, byte-identical
     schemas (round-9 extension): at 100 TB an empty source is routine —
@@ -369,8 +600,9 @@ def main() -> int:
     args = sys.argv[1:]
     empty_mode = "--empty" in args
     null_mode = "--nulls" in args
-    if empty_mode or null_mode:
-        args = [a for a in args if a not in ("--empty", "--nulls")]
+    extreme_mode = "--extreme" in args
+    if empty_mode or null_mode or extreme_mode:
+        args = [a for a in args if a not in ("--empty", "--nulls", "--extreme")]
     if args[:1] == ["--protos"]:
         import importlib
 
@@ -389,7 +621,11 @@ def main() -> int:
     builder = (
         build_empty_fixtures
         if empty_mode
-        else build_null_fixtures if null_mode else build_degenerate_fixtures
+        else build_null_fixtures
+        if null_mode
+        else build_extreme_fixtures
+        if extreme_mode
+        else build_degenerate_fixtures
     )
     builder(tmp)
     spark = (
