@@ -3975,3 +3975,133 @@ def ext_sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("shift6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training, k unrolled rounds (round-11 thaw; vetted since r8 in
+# tests/thaw_protos_r8.py / thaw_oracles_r8.py)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUND_SQL = """
+    , p{n} AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               i -> substring(w, CAST(i AS INT), 2))) AS pair, f
+      FROM freq{m}
+    ), w{n} AS (
+      SELECT pair, n FROM (
+        SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p{n} GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 1)
+    ), freq{n} AS (
+      SELECT replace(f.w, (SELECT pair FROM w{n}), chr({n})) AS w, f.f
+      FROM freq{m} f
+      WHERE EXISTS (SELECT 1 FROM w{n})
+    )
+"""
+
+
+@query(
+    "ext_bpe_train_k_rounds",
+    oracle=(
+        """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM tok WHERE length(w) >= 2 GROUP BY w
+    )
+    """
+        + "".join(_BPE_ROUND_SQL.format(n=n, m=n - 1) for n in (1, 2, 3))
+        + """
+    SELECT r AS round, pair AS merged_pair, n AS pair_count, vocab_symbols
+    FROM (
+      SELECT 1 AS r, (SELECT pair FROM w1) AS pair, (SELECT n FROM w1) AS n,
+             (SELECT CAST(SUM(length(w) * f) AS BIGINT) FROM freq1)
+               AS vocab_symbols
+      WHERE EXISTS (SELECT 1 FROM w1)
+      UNION ALL
+      SELECT 2, (SELECT pair FROM w2), (SELECT n FROM w2),
+             (SELECT CAST(SUM(length(w) * f) AS BIGINT) FROM freq2)
+      WHERE EXISTS (SELECT 1 FROM w2)
+      UNION ALL
+      SELECT 3, (SELECT pair FROM w3), (SELECT n FROM w3),
+             (SELECT CAST(SUM(length(w) * f) AS BIGINT) FROM freq3)
+      WHERE EXISTS (SELECT 1 FROM w3)
+    ) ORDER BY round
+    """
+    ),
+)
+def ext_bpe_train_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE TRAINING, three unrolled rounds over the corpus's
+    distinct-word frequency table — the training half of the tokenizer
+    family (ext_token_count / ext_tokenizer_fertility consume a learned
+    vocabulary; this key LEARNS the first merges): per round, count every
+    adjacent character pair weighted by word frequency, pick the most
+    frequent (count desc, pair asc tie-break — the deterministic variant
+    of the Sennrich et al. recipe), splice it into a fresh single symbol
+    (chr(round), a codepoint no fixture word contains), and report the
+    merged pair, its count, and the post-merge corpus symbol volume.
+    A FIXED round count keeps the key exact — the oracle unrolls the
+    same three rounds as CTEs (the label-propagation verification
+    pattern). Rounds after the pair supply is exhausted emit NOTHING on
+    both engines (Spark: the broadcast-winner join is empty; oracle: the
+    per-round EXISTS gates) — the empty-corpus shape validated across
+    all four audit fixture modes at registration.
+
+    Why the distinct-word table and not raw tokens: BPE statistics are
+    invariant to where words occur, so the corpus collapses to
+    (word, frequency) once — at 100 TB that is the difference between
+    re-scanning petabytes per merge round and iterating on a
+    vocabulary-sized relation (the same reduce-to-value-domain diet as
+    ext_equidepth_histogram). Each round is then one map-side pair
+    explosion over the word table, a pair-domain aggregate, a 1-row
+    TakeOrdered winner, and a broadcast splice — no shuffle grows with
+    the corpus, only with the vocabulary.
+
+    NULL text is dropped by split/explode on both engines; multibyte
+    words pair-split identically (both substring in codepoints); the
+    chr(1..3) merge symbols survive later rounds' pair extraction
+    identically on both engines."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    out = None
+    for r in (1, 2, 3):
+        # pin one materialization per round: the pairs branch and the
+        # splice branch both read it (the quantiles-helper lesson)
+        freq = freq.localCheckpoint(eager=False)
+        pairs = freq.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "f",
+        )
+        winner = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+        )
+        freq = freq.join(F.broadcast(winner)).select(
+            F.replace(F.col("w"), F.col("pair"), F.lit(chr(r))).alias("w"),
+            "f",
+        )
+        stats = freq.agg(
+            F.sum(F.length("w") * F.col("f")).cast("long").alias("vocab_symbols")
+        )
+        row = (
+            winner.select(
+                F.lit(r).alias("round"),
+                F.col("pair").alias("merged_pair"),
+                F.col("n").alias("pair_count"),
+            )
+            .join(F.broadcast(stats))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -192,9 +192,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_struct",
     "scan_text",
     "stream_foreach_batch_sink",
-    # --- round-11 thaw registration (the last r9-tranche candidate;
-    # one-commit rule): ---
+    # --- round-11 thaw registrations (the last r9-tranche candidate and
+    # an r8 deferral; one-commit rule each): ---
     "ext_hits_bounded",
+    "ext_bpe_train_k_rounds",
     # --- r10-verified keys (50/50 green in CORRECTNESS_r10.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
     "ext_near_dedup_minhash",

@@ -1422,13 +1422,19 @@ _EXCHANGE_BUDGETS = {
     # events->daily reduction + ONE applyInPandas group over the
     # calendar-bounded gap-filled series (pre-census 1)
     "ext_holt_winters_seasonal": 1,
-    # --- round-11 thaw registration ---
+    # --- round-11 thaw registrations ---
     # bounded directed-kNN edge base (one u-partitioned window) + two
     # unrolled HITS rounds (per-round groupBy against a broadcast
     # node-score aggregate, each aggregate's own exchange counted once
     # standalone and once inside the broadcast subtree) + the node-set
     # union distinct; all post-edge relations node-cardinality-sized
     "ext_hits_bounded": 8,
+    # one corpus tokenization to the distinct-word table, then three
+    # unrolled merge rounds of (map-side pair explosion + pair-domain
+    # aggregate + 1-row TakeOrdered winner + broadcast splice): the word
+    # agg + ~1-2 pair aggs visible per round behind the lazy checkpoints
+    # — every exchange vocabulary-sized, none corpus-sized
+    "ext_bpe_train_k_rounds": 6,
 }
 
 

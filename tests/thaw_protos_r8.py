@@ -4,7 +4,11 @@ ROUND-8 STATUS: 10 of the 12 were registered (one commit each, per the
 thaw rule) — the registered copies in the extension modules are now the
 source of truth for those keys; the prototypes here are retained as the
 validation record. The two DEFERRED candidates remain vetted here for a
-later tranche: ``ext_bpe_train_k_rounds`` and ``ext_graph_degeneracy_core``.
+later tranche: ``ext_bpe_train_k_rounds`` (REGISTERED round 11 in
+extensions/text.py with empty-round EXISTS gates, validated across all
+four audit fixture modes) and ``ext_graph_degeneracy_core`` (still
+deferred — it needs the zero-norm-vector gate the round-12 X1 batch
+introduces, so it registers alongside it).
 
 Each ROADMAP_r8.md candidate gets a (spark, sf_dir) -> DataFrame
 implementation in the house style (tables.load / fan_out, built-in
