@@ -4073,7 +4073,14 @@ def ext_bpe_train_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin one materialization per round: the pairs branch and the
         # splice branch both read it (the quantiles-helper lesson)
         freq = freq.localCheckpoint(eager=False)
-        pairs = freq.select(
+        # Pair extraction must skip words already collapsed to a single
+        # merge symbol: F.sequence(1, length-1) on a length-1 word is
+        # sequence(1, 0) — Spark steps DESCENDING, yielding [1, 0] and two
+        # spurious 1-char "pairs" weighted by the word's frequency, where
+        # the oracle's range(1, length(w)) is empty. Length-1 words stay in
+        # ``freq`` (they still count toward vocab_symbols); they just
+        # contribute no pairs, matching the oracle's empty range.
+        pairs = freq.filter(F.length("w") >= 2).select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.length("w") - 1),

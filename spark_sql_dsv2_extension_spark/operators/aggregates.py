@@ -1422,8 +1422,18 @@ def agg_kll_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("idx") * 25 + 25).cast("int").alias("q_pct"),
         "ap",
     )
+    # NULL-safe equi-join (IS NOT DISTINCT FROM): a NULL-returnflag group
+    # that has non-NULL prices still gets its rank check — a plain
+    # equi-join would drop it Spark-side while the oracle's DISTINCT
+    # group list keeps it (the agg_min_by_max_by / udaf_grouped_map_zscore
+    # precedent). Still a broadcast equi-join: eqNullSafe plans as
+    # BroadcastHashJoin on the null-safe key.
     ranks = (
-        li.join(F.broadcast(ap), "l_returnflag")
+        li.join(
+            F.broadcast(ap),
+            li["l_returnflag"].eqNullSafe(ap["l_returnflag"]),
+        )
+        .drop(li["l_returnflag"])
         .groupBy("l_returnflag", "q_pct", "ap")
         .agg(
             F.sum(
