@@ -1174,7 +1174,7 @@ COOC_MIN_SUPPORT = 3
     oracle=f"""
     WITH ui AS (
       SELECT DISTINCT user_id,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
       FROM events
     ), ic AS (
       SELECT item, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY item
@@ -1208,11 +1208,18 @@ def ext_item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair join is per-user (bounded by per-user basket size, the
     classic market-basket shape — salt any whale user), supports broadcast
     back onto pairs. No item×item cartesian: pairs exist only where a
-    basket witnessed them."""
+    basket witnessed them.
+
+    try_cast ↔ TRY_CAST (EXTREME_AUDIT_r11.md Family X3, shared by all six
+    recommendation-graph keys parsing events.props.k): a non-scalar payload
+    field (props.k = [1,2], routine schema drift) is not an item id — a
+    bare cast raises on BOTH engines; NULL-and-drop is the explicit,
+    engine-agreed semantics (the NULL item then falls out of the DISTINCT
+    basket exactly like a missing key)."""
     ev = load(spark, sf_dir, "events")
     ui = ev.select(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("item"),
     ).distinct()
     ui.cache()
     ic = ui.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
@@ -1259,7 +1266,7 @@ def ext_item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ui AS (
       SELECT DISTINCT user_id,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
       FROM events
     ), pairs AS (
       SELECT a.item AS item_a, b.item AS item_b
@@ -1289,7 +1296,7 @@ def ext_cooccurrence_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     ui = ev.select(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("item"),
     ).distinct()
     a = ui.select("user_id", F.col("item").alias("item_a"))
     b = ui.select("user_id", F.col("item").alias("item_b"))
@@ -1437,7 +1444,7 @@ def ext_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ui AS (
       SELECT DISTINCT user_id,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
       FROM events
     ), p AS (
       SELECT a.item AS ia, b.item AS ib
@@ -1476,7 +1483,7 @@ def ext_khop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     ui = ev.select(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("item"),
     ).distinct()
     a = ui.select("user_id", F.col("item").alias("ia"))
     b = ui.select("user_id", F.col("item").alias("ib"))
@@ -2495,7 +2502,7 @@ LP_TOP_M = 5
     oracle=f"""
     WITH ui AS (
       SELECT DISTINCT user_id,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
       FROM events
     ), cc AS (
       SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS c
@@ -2550,7 +2557,7 @@ def ext_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     ui = ev.select(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("item"),
     ).distinct()
     a = ui.select("user_id", F.col("item").alias("ia"))
     b = ui.select("user_id", F.col("item").alias("ib"))
@@ -2604,7 +2611,7 @@ def ext_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_ucb_ranking",
     oracle="""
     WITH pulls AS (
-      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+      SELECT TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS reward
       FROM events
     ), stats AS (
@@ -2635,7 +2642,7 @@ def ext_ucb_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is touched once."""
     ev = load(spark, sf_dir, "events")
     pulls = ev.select(
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("item"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("reward"),
     )
     stats = pulls.groupBy("item").agg(
@@ -3524,23 +3531,23 @@ def ext_psm_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_u AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS nj,
              CAST(SUM(y) AS BIGINT) AS sj,
-             CAST(SUM(y * y) AS BIGINT) AS ssj
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ssj
       FROM v GROUP BY user_id
     ), terms AS (
       SELECT nj, sj,
              CAST(round((ssj - CAST(sj AS DOUBLE) * sj / nj) * 100)
-                  AS BIGINT) AS ssw2,
+                  AS HUGEINT) AS ssw2,
              CAST(count(*) OVER () AS BIGINT) AS k,
              CAST(SUM(nj) OVER () AS BIGINT) AS n,
              CAST(SUM(sj) OVER () AS BIGINT) AS s
       FROM per_u
     ), agg AS (
       SELECT k, n,
-             CAST(SUM(ssw2) AS BIGINT) AS ssw2,
+             CAST(SUM(ssw2) AS HUGEINT) AS ssw2,
              CAST(SUM(CAST(round(
                nj * (CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n)
                   * (CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n) * 100)
-               AS BIGINT)) AS BIGINT) AS ssb2
+               AS HUGEINT)) AS HUGEINT) AS ssb2
       FROM terms GROUP BY k, n
     )
     SELECT n AS n_events, k AS n_users,
@@ -3585,7 +3592,9 @@ def ext_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_u = v.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("nj"),
         F.sum("y").cast("long").alias("sj"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssj"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("ssj"),
     )
     # grand totals as a broadcast 1-row join — an empty-partitionBy
     # window here would funnel the whole per-user relation through one
@@ -3599,10 +3608,11 @@ def ext_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nj",
         "sj",
         F.round(
-            (F.col("ssj") - F.col("sj").cast("double") * F.col("sj") / F.col("nj"))
+            (F.col("ssj").cast("double")
+             - F.col("sj").cast("double") * F.col("sj") / F.col("nj"))
             * 100
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("ssw2"),
         "k",
         "n",
@@ -3610,9 +3620,9 @@ def ext_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = F.col("sj").cast("double") / F.col("nj") - F.col("s").cast("double") / F.col("n")
     agg = terms.groupBy("k", "n").agg(
-        F.sum("ssw2").cast("long").alias("ssw2"),
-        F.sum(F.round(F.col("nj") * dev * dev * 100).cast("long"))
-        .cast("long")
+        F.sum("ssw2").cast("decimal(38,0)").alias("ssw2"),
+        F.sum(F.round(F.col("nj") * dev * dev * 100).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
         .alias("ssb2"),
     )
     msb = F.try_divide(F.col("ssb2").cast("double"), F.col("k") - 1)
@@ -3873,7 +3883,7 @@ def ext_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_als_rank1",
     oracle="""
     WITH r AS (
-      SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+      SELECT user_id, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item,
              CAST(count(*) AS BIGINT) AS cnt
       FROM events GROUP BY 1, 2
     ), u AS (
@@ -3912,7 +3922,7 @@ def ext_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     r = ev.groupBy(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("item"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     r.cache()
     u = r.groupBy("user_id").agg(
@@ -4795,7 +4805,11 @@ def ext_dtw_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(SUM(y) AS BIGINT) AS sx,
-             CAST(SUM(y * y) AS BIGINT) AS sxx
+             -- HUGEINT from the per-element multiply up: a 1e7-magnitude
+             -- money day makes y ~ 1e10 milli-units and y*y ~ 1e20 — past
+             -- int64 at the ELEMENT, not just the sum (EXTREME_AUDIT_r11
+             -- Family X2(b); mirrored by Spark's decimal(38,0) below)
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sxx
       FROM daily
     ), z AS (
       SELECT d, y,
@@ -4840,7 +4854,9 @@ def ext_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
     )
     nd = F.col("n").cast("decimal(38,0)")
     sxd = F.col("sx").cast("decimal(38,0)")

@@ -61,6 +61,38 @@ def _emb_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
 
 
+# SCORABLE-embedding quarantine gate (EXTREME_AUDIT_r11.md Families X1+X2):
+# the N3 NOT-NULL gate extended with the two value conditions a 100 TB
+# corpus will eventually violate —
+#   * norm > 0 (⟺ max|component| > 0): a zero vector (a zeroed/failed
+#     encode) cannot be cosine-scored; its 0/0 raises DIVIDE_BY_ZERO on
+#     ANSI Spark where DuckDB renders NULL/NaN rows (Family X1);
+#   * max|component| < 1e9: the integer-moment contract
+#     (round(x·1e6) → BIGINT) needs scaled squares inside int64 at
+#     corpus-scale sums; a 1e30 component is a broken encode, not data,
+#     and overflows BOTH engines with unhashable raises (Family X2(a)).
+# Applied explicitly and identically on BOTH sides by every key that
+# scores, clusters, quantizes, or searches the embedding column. Keys that
+# only count/project embeddings keep the plain N3 gate. MATERIALIZED for
+# the same DuckDB list-buffer-validity reason as _EMB_NOT_NULL_CTE above.
+_EMB_ABS_MAX_SQL = "list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))"
+_EMB_SCORABLE_CTE = (
+    "embeddings AS MATERIALIZED "
+    "(SELECT * FROM main.embeddings WHERE embedding IS NOT NULL"
+    f" AND {_EMB_ABS_MAX_SQL} > 0 AND {_EMB_ABS_MAX_SQL} < 1e9)"
+)
+
+
+def _emb_scorable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the X1+X2 gate (see _EMB_SCORABLE_CTE)."""
+    abs_max = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    return load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (abs_max > 0) & (abs_max < 1e9)
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with a sequential left-to-right double fold (bit-stable)."""
     return F.aggregate(
@@ -85,7 +117,8 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 _KNN_ORACLE = f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    WITH {_EMB_SCORABLE_CTE},
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
     sims AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
@@ -117,7 +150,7 @@ def ext_knn_cosine(
     The corpus is fanned out (tables.fan_out) because the broadcast join is
     narrow — without it a single-split corpus computes every cosine in one
     task."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -144,7 +177,8 @@ _LSH_M = 2_147_483_647  # 2^31 - 1
 
 
 _LSH_ORACLE = f"""
-    WITH sigs AS (
+    WITH {_EMB_SCORABLE_CTE},
+    sigs AS (
       SELECT vec_id, embedding,
              CAST(list_sum(list_transform(range(0, {N_PLANES}),
                p -> CASE WHEN list_reduce(
@@ -198,7 +232,7 @@ def ext_knn_lsh(
     join replaces the corpus scan per query with ~|corpus|/2^N_PLANES
     candidates (recall tunable via multi-probe / more hash tables; plane
     count scales with corpus size)."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
 
     def projection(vec: Column, p: Column) -> Column:
         # Σ_j vec[j] * plane(p, j); plane(p, j) ∈ [-0.5, 0.5) via minstd LCG
@@ -259,7 +293,8 @@ def ext_knn_lsh(
 N_CENTROIDS = 8
 
 _IVF_ORACLE = f"""
-    WITH cent AS (
+    WITH {_EMB_SCORABLE_CTE},
+    cent AS (
       SELECT vec_id AS centroid_id, embedding AS c_emb
       FROM embeddings WHERE vec_id < {N_CENTROIDS}
     ), assign AS (
@@ -314,7 +349,7 @@ def ext_knn_ivf(
     partitioned into cells, and a query touches |corpus|/C vectors (nprobe=1
     here; production raises nprobe and trains real centroids — the join
     shape is identical)."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
@@ -370,14 +405,17 @@ _NEAR_DUP_ORACLE = """
 """
 
 
-@query("ext_embedding_near_dup", oracle=_NEAR_DUP_ORACLE)
+@query(
+    "ext_embedding_near_dup",
+    oracle="WITH " + _EMB_SCORABLE_CTE + " " + _NEAR_DUP_ORACLE,
+)
 def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within label blocks.
 
     Blocking on ``label`` turns the all-pairs O(n²) into Σ O(n_b²) — the
     standard scale move when a cheap partition key exists (at 100 TB the
     block would be an LSH bucket instead; same join shape)."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     a = emb.alias("a")
     b = emb.alias("b")
     sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
@@ -431,7 +469,7 @@ def _kmeans_iter_sql(prev: str, n: int) -> str:
 
 
 _KMEANS_ORACLE = f"""
-    WITH {_EMB_NOT_NULL_CTE}, c0 AS (
+    WITH {_EMB_SCORABLE_CTE}, c0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
       FROM embeddings WHERE vec_id < {K_CLUSTERS}
     ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}
@@ -509,7 +547,7 @@ def ext_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving-side cell search. See :func:`train_kmeans` for the exactness
     and scale argument. Output: (centroid_id, dim, component, n_members)
     — K×64 rows."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     comp, _ = train_kmeans(emb)
     return comp.select(
         F.col("cid").alias("centroid_id"),
@@ -520,7 +558,7 @@ def ext_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_TRAINED_ORACLE = f"""
-    WITH {_EMB_NOT_NULL_CTE}, c0 AS (
+    WITH {_EMB_SCORABLE_CTE}, c0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
       FROM embeddings WHERE vec_id < {K_CLUSTERS}
     ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}, assignf AS (
@@ -571,7 +609,7 @@ def ext_knn_ivf_trained(
     on the cell id — a query touches |corpus|/K vectors (nprobe=1;
     production raises nprobe by joining the q-side to its p nearest cells
     — same join, more rows on the tiny side)."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     _, cent = train_kmeans(emb)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("sqd").asc(), F.col("cid").asc()
@@ -612,8 +650,8 @@ def ext_knn_ivf_trained(
 
 @query(
     "ext_embedding_quantize",
-    oracle="""
-    WITH m AS (
+    oracle="WITH " + _EMB_SCORABLE_CTE + """,
+    m AS (
       SELECT vec_id, label, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
                AS mx
@@ -646,7 +684,7 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codes emitted as a joined string: the driver canonicalizer cannot
     hash list cells). Pure map over the scan — no shuffle at all; at
     100 TB this runs at scan throughput inside codegen."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     x_d = lambda x: x.cast("double")  # noqa: E731
     mx = F.array_max(F.transform("embedding", lambda x: F.abs(x_d(x))))
     inv_scale = F.lit(127.0) / mx
@@ -675,7 +713,8 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_knn_int8",
     oracle=f"""
-    WITH codes AS (
+    WITH {_EMB_SCORABLE_CTE},
+    codes AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> greatest(-127, least(127,
@@ -717,7 +756,7 @@ def ext_knn_int8(
     Same scale shape as ``ext_knn_cosine``: queries broadcast, corpus
     fanned out, one window per query for top-k. No float comparisons
     anywhere past quantization."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     inv_scale = F.lit(127.0) / mx
     codes = emb.select(
@@ -759,7 +798,7 @@ SEMDEDUP_T = 0.35  # cosine threshold: fixture embeddings are near-random
 
 
 _SEMDEDUP_ORACLE = f"""
-    WITH {_EMB_NOT_NULL_CTE}, c0 AS (
+    WITH {_EMB_SCORABLE_CTE}, c0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
       FROM embeddings WHERE vec_id < {K_CLUSTERS}
     ), {_kmeans_iter_sql("c0", 1)}, {_kmeans_iter_sql("c1", 2)}, assignf AS (
@@ -803,7 +842,7 @@ def ext_semdedup(
     The kept flag is a left-semi-negation expressed as an aggregate, all
     plan-side; exact oracle because both kmeans and cosine are
     bit-identical sequential folds."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     _, cent = train_kmeans(emb)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("sqd").asc(), F.col("cid").asc()
@@ -910,8 +949,8 @@ def ext_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_label_cohesion",
-    oracle="""
-    WITH comp AS (
+    oracle="WITH " + _EMB_SCORABLE_CTE + """,
+    comp AS (
       SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
              generate_subscripts(embedding, 1) AS dim
       FROM embeddings
@@ -942,7 +981,7 @@ def ext_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     so results are partition-order-independent and bit-exact. Shuffles:
     explode → (label, dim) centroid agg → join back → per-vector agg →
     per-label agg; every aggregate partial-combines map-side."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     comp = emb.select(
         "vec_id",
         "label",
@@ -976,7 +1015,8 @@ def ext_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HN_ORACLE = f"""
-    WITH q AS (
+    WITH {_EMB_SCORABLE_CTE},
+    q AS (
       SELECT vec_id, embedding, label FROM embeddings
       WHERE vec_id < {N_QUERIES}
     ), sims AS (
@@ -1015,7 +1055,7 @@ def ext_hard_negatives(
     (filtered BEFORE ranking, so no negative is wasted on a same-label
     hit); at scale the LSH/IVF bucketed variants slot in identically, with
     the label filter applied to the candidate set."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1088,7 +1128,8 @@ def _pq_dist_table(emb: DataFrame) -> DataFrame:
 
 
 _PQ_ORACLE = f"""
-    WITH cent AS (
+    WITH {_EMB_SCORABLE_CTE},
+    cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
       FROM embeddings WHERE vec_id < {_PQ_K}
     ), d AS (
@@ -1132,7 +1173,7 @@ def ext_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     once computing {_PQ_S}*{_PQ_K} distances per vector map-side, then one
     (vec, subspace) min-aggregation — the same shape that encodes billions
     of vectors for ANN serving."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     d = _pq_dist_table(emb).select(
         "vec_id", "s", (F.col("d6") * 1024 + F.col("cid")).alias("key")
     )
@@ -1153,7 +1194,8 @@ _ADC_TOP = 5
 
 
 _ADC_ORACLE = f"""
-    WITH cent AS (
+    WITH {_EMB_SCORABLE_CTE},
+    cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS c
       FROM embeddings WHERE vec_id < {_PQ_K}
     ), d AS (
@@ -1208,7 +1250,7 @@ def ext_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     does integer adds only. This is why PQ indexes serve billion-vector
     corpora from RAM. Composes with IVF routing (ext_knn_ivf) to skip most
     codes entirely."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     d = _pq_dist_table(emb)
     best = (
         d.groupBy("vec_id", "s")
@@ -1239,7 +1281,7 @@ _IVFPQ_NPROBE = 2
 
 
 _IVFPQ_ORACLE = f"""
-    WITH {_EMB_NOT_NULL_CTE}, coarse AS (
+    WITH {_EMB_SCORABLE_CTE}, coarse AS (
       SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cc
       FROM embeddings WHERE vec_id < {_IVFPQ_CELLS}
     ), cd AS (
@@ -1322,7 +1364,7 @@ def ext_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_S} integer adds. Memory is codes + codebooks, not vectors. This
     is the composition the module's docstring promises: routing x
     compression x LUT scoring, all Catalyst-planned."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     coarse = emb.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
         F.col("vec_id").alias("cell_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cc"),
@@ -1494,7 +1536,8 @@ _AGREE_K = 5
 
 
 _AGREE_ORACLE = f"""
-    WITH sims AS (
+    WITH {_EMB_SCORABLE_CTE},
+    sims AS (
       SELECT a.vec_id AS vid, a.label AS own_label,
              b.vec_id AS nid, b.label AS nbr_label,
              list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1530,7 +1573,7 @@ def ext_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the candidate set comes from the LSH/IVF bucket joins
     (ext_knn_lsh / ext_knn_ivf) and the vote is identical. Ranking is
     (cos desc, id) — fully deterministic."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     a = emb.select(
         F.col("vec_id").alias("vid"),
         F.col("label").alias("own_label"),
@@ -1575,7 +1618,8 @@ def _kc_d6_sql(other: str) -> str:
 
 
 _KC_ORACLE = f"""
-    WITH seed AS (
+    WITH {_EMB_SCORABLE_CTE},
+    seed AS (
       SELECT embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id = 0
     ), d0 AS (
       SELECT e.vec_id, {_kc_d6_sql('seed.c')} AS d6
@@ -1623,7 +1667,7 @@ def ext_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast) plus a 1-row argmax — k passes total, the textbook
     distributed Gonzalez sweep. The distance state (one int per vector)
     carries between steps as a column."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
 
     def d6_to(center_df):
         c = F.col("c")
@@ -1685,7 +1729,7 @@ _RRF_K = 60
 
 
 _RRF_ORACLE = f"""
-    WITH {_EMB_NOT_NULL_CTE}, dl AS (
+    WITH {_EMB_SCORABLE_CTE}, dl AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
       FROM documents
     ), stats AS (
@@ -1767,7 +1811,7 @@ def ext_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = ext_bm25(spark, sf_dir).select(
         "doc_id", F.row_number().over(lex_w).alias("lex_rank")
     )
-    emb = _emb_nonnull(spark, sf_dir)
+    emb = _emb_scorable(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
@@ -1807,7 +1851,7 @@ _AUC_SCALE = 1_000_000
 
 
 _AUC_ORACLE = f"""
-    WITH {_EMB_NOT_NULL_CTE}, q AS (
+    WITH {_EMB_SCORABLE_CTE}, q AS (
       SELECT embedding AS q_emb, label AS q_label FROM embeddings
       WHERE vec_id = 0
     ), scored AS (
@@ -1858,7 +1902,7 @@ def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scoring pass + one ``distributed_row_number`` rank (range
     exchange + broadcast offsets — no single-task sort over the corpus)
     + a 1-row aggregate."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
     )
@@ -1885,7 +1929,8 @@ def ext_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MULTIPROBE_ORACLE = f"""
-    WITH sigs AS (
+    WITH {_EMB_SCORABLE_CTE},
+    sigs AS (
       SELECT vec_id, embedding,
              CAST(list_sum(list_transform(range(0, {N_PLANES}),
                p -> CASE WHEN list_reduce(
@@ -1947,7 +1992,7 @@ def ext_knn_lsh_multiprobe(
     ~|corpus|·(planes+1)/2^planes per query — the knob that makes LSH
     recall tunable WITHOUT re-hashing the corpus (contrast adding planes,
     which rebuilds signatures)."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
 
     def projection(vec: Column, p: Column) -> Column:
         return F.aggregate(
@@ -2026,7 +2071,8 @@ _CENTROID_DIMS = 8  # report the first 8 components per label
 @query(
     "ext_label_centroids",
     oracle=f"""
-    WITH comp AS (
+    WITH {_EMB_SCORABLE_CTE},
+    comp AS (
       SELECT label,
              generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
@@ -2055,7 +2101,7 @@ def ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries (label × dim) partial sums, never the vectors.
     The float→int scaling is what makes the result mergeable without
     float-order divergence — the same trick as tables.dsum."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     comp = emb.select(
         "label",
         F.posexplode("embedding").alias("pos", "x"),
@@ -2087,8 +2133,8 @@ def ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_silhouette_labels",
-    oracle="""
-    WITH comp AS (
+    oracle="WITH " + _EMB_SCORABLE_CTE + """,
+    comp AS (
       SELECT vec_id, label,
              generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
@@ -2140,7 +2186,7 @@ def ext_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     index and reduced by partial aggregation. The classic O(n²) pairwise
     silhouette is replaced by the centroid form exactly because the
     pairwise version cannot scale."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     comp = emb.select(
         "vec_id",
         "label",
@@ -2197,7 +2243,8 @@ _OUTLIER_TOP = 20
 @query(
     "ext_embedding_outliers",
     oracle=f"""
-    WITH comp AS (
+    WITH {_EMB_SCORABLE_CTE},
+    comp AS (
       SELECT vec_id, label,
              generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
@@ -2231,7 +2278,7 @@ def ext_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: centroid build + one self-distance per vector (equi-join on
     (label, pos), partial-aggregated) and a global top-k — no pairwise
     anything."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     comp = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
     ).select(
@@ -2274,7 +2321,8 @@ _MKNN_K = 5
 @query(
     "ext_mutual_knn_pairs",
     oracle=f"""
-    WITH pairs AS (
+    WITH {_EMB_SCORABLE_CTE},
+    pairs AS (
       SELECT a.vec_id AS u, b.vec_id AS v,
              list_sum(list_transform(range(1, len(a.embedding) + 1),
                i -> CAST(a.embedding[i] AS DOUBLE)
@@ -2310,7 +2358,7 @@ def ext_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the mutual check is one self-equi-join of the (n × k) edge
     list on (u=v, v=u) — edge-list-sized, never touching vectors."""
-    emb = fan_out(load(spark, sf_dir, "embeddings")).filter(
+    emb = fan_out(_emb_scorable(spark, sf_dir)).filter(
         F.col("vec_id") < 100
     )
 
@@ -2367,7 +2415,8 @@ def ext_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_triangle_count",
     oracle=f"""
-    WITH pairs AS (
+    WITH {_EMB_SCORABLE_CTE},
+    pairs AS (
       SELECT a.vec_id AS u, b.vec_id AS v,
              list_sum(list_transform(range(1, len(a.embedding) + 1),
                i -> CAST(a.embedding[i] AS DOUBLE)
@@ -2450,7 +2499,8 @@ _WHITEN_DIMS = 8
 @query(
     "ext_embedding_whitening",
     oracle=f"""
-    WITH comp AS (
+    WITH {_EMB_SCORABLE_CTE},
+    comp AS (
       SELECT vec_id,
              generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
@@ -2495,7 +2545,7 @@ def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     back), then a map-side transform of every vector; this is the
     column-statistics + broadcast-normalize shape of every feature
     scaler."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
     ).select(
@@ -2792,6 +2842,7 @@ def ext_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vetted oracle fragment (round 7): the mutual-kNN edge list, both
 # directions — shared by the bounded-rounds graph keys.
 _MUTUAL_EDGES_SQL = f"""
+    {_EMB_SCORABLE_CTE},
     pairs AS (
       SELECT a.vec_id AS u, b.vec_id AS v,
              list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -2924,7 +2975,7 @@ def _labeled_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream community aggregates reuse one lineage."""
     edges = _mutual_edges(spark, sf_dir)
     lab = (
-        load(spark, sf_dir, "embeddings")
+        _emb_scorable(spark, sf_dir)
         .filter(F.col("vec_id") < 100)
         .select("vec_id", "label")
     )
@@ -3110,7 +3161,7 @@ def ext_conductance_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_hits_bounded",
     oracle=(
-        "WITH {gate}, ".format(gate=_EMB_NOT_NULL_CTE)
+        "WITH "
         + _MUTUAL_EDGES_SQL
         + """
     , a1 AS (
@@ -3155,7 +3206,7 @@ def ext_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the node id) + one groupBy; the edge list localCheckpoints once so
     the two-round lineage stays shallow. The kNN base is the declared
     candidate-generator swap point shared with every graph key."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir)).filter(F.col("vec_id") < 100)
+    emb = fan_out(_emb_scorable(spark, sf_dir)).filter(F.col("vec_id") < 100)
     a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
     sim = a.join(b, F.col("u") != F.col("v")).select(
@@ -3293,7 +3344,7 @@ def ext_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_mips_cosine_reduction",
     oracle=f"""
-    WITH {_EMB_NOT_NULL_CTE}, norms AS (
+    WITH {_EMB_SCORABLE_CTE}, norms AS (
       SELECT vec_id, embedding,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
@@ -3343,7 +3394,7 @@ def ext_mips_cosine_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the 16-query × corpus score pass is the declared bounded
     brute-force base (swap: the LSH/IVF candidate generator); the
     per-query top-5 windows are partitioned by query_id."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     norms = emb.select(
         "vec_id",
         "embedding",
@@ -3523,7 +3574,8 @@ _NPROBE_LEVELS = (1, 2, 4)
 @query(
     "ext_ann_ivf_nprobe_curve",
     oracle=f"""
-    WITH cent AS (
+    WITH {_EMB_SCORABLE_CTE},
+    cent AS (
       SELECT vec_id AS centroid_id, embedding AS c_emb
       FROM embeddings WHERE vec_id < 8
     ), q2c AS (
@@ -3592,7 +3644,7 @@ def ext_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ext_bpe_apply_merge`` shape). Ground truth stays affordable by
     bounding queries to 32 vectors; at production scale the truth table
     comes from an offline exact pass, and the curve plan is unchanged."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = fan_out(_emb_scorable(spark, sf_dir))
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
@@ -3690,7 +3742,7 @@ def ext_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_dbscan_core_points",
     oracle=f"""
-    WITH {_EMB_NOT_NULL_CTE}, sims AS (
+    WITH {_EMB_SCORABLE_CTE}, sims AS (
       SELECT a.vec_id AS u,
              list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
@@ -3731,7 +3783,7 @@ def ext_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor-count aggregate, an eps-ball count being exactly the
     candidate-pair shape those operators already produce. The aggregate
     itself is a map-side-combinable groupBy on vec_id."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir)).filter(F.col("vec_id") < 100)
+    emb = fan_out(_emb_scorable(spark, sf_dir)).filter(F.col("vec_id") < 100)
     a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
     sims = a.join(b, F.col("u") != F.col("v")).select(
