@@ -97,23 +97,50 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
-# decode oracle: the stub's features are byte arithmetic DuckDB reproduces
-# from the source text (ASCII corpus: len == octet_length, ascii == byte).
-# The NULL-payload quarantine gate (text IS NOT NULL) mirrors the Spark
-# side's payload.isNotNull filter in lockstep — a NULL payload cannot be
-# decoded by any codec, and NULL_AUDIT_r10.md Family N2 makes that
-# explicit rather than letting the worker raise.
-_DECODE_ORACLE = """
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(list_sum(list_transform(
-                  range(1, length(text) + 1),
-                  i -> ascii(substring(text, CAST(i AS INT), 1)))) % 65536
-                AS BIGINT) AS checksum,
-           CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INT) AS fake_width,
-           CAST(ascii(substring(text, length(text), 1)) % 64 + 1 AS INT) AS fake_height
-    FROM documents
-    WHERE text IS NOT NULL
+# decode oracle: the stub's features are OCTET arithmetic — the payload is
+# UTF-8 BYTES, and the oracle must model the bytes a codec actually sees
+# (EXTREME_AUDIT_r11.md Family X4: the old char-indexed derivation assumed
+# an ASCII corpus where len == octet_length; é is 1 char but 2 octets, so
+# every multibyte document diverged). DuckDB cannot explode BLOB bytes, so
+# the byte features derive from codepoints via the UTF-8 encoding rules:
+# a codepoint u encodes to 1/2/3/4 bytes whose values are pure integer
+# arithmetic both engines reproduce exactly —
+#   leading byte: u | 192+u//64 | 224+u//4096 | 240+u//262144
+#   trailing byte (any multibyte char): 128 + u%64
+#   per-char byte SUM: u | 320+u//64+u%64 | 480+u//4096+(u//64)%64+u%64
+#                      | 624+u//262144+(u//4096)%64+(u//64)%64+u%64
+# (320 = 192+128, 480 = 224+2*128, 624 = 240+3*128). n_bytes uses the
+# builtin octet_length(encode(text)). The NULL-payload quarantine gate
+# (text IS NOT NULL) mirrors the Spark side's payload.isNotNull filter in
+# lockstep — a NULL payload cannot be decoded by any codec (Family N2).
+_UTF8_LEAD_BYTE = """CASE WHEN {u} < 128 THEN {u}
+                  WHEN {u} < 2048 THEN 192 + {u} // 64
+                  WHEN {u} < 65536 THEN 224 + {u} // 4096
+                  ELSE 240 + {u} // 262144 END"""
+_UTF8_TAIL_BYTE = "CASE WHEN {u} < 128 THEN {u} ELSE 128 + {u} % 64 END"
+_UTF8_BYTE_SUM = """CASE WHEN u < 128 THEN u
+              WHEN u < 2048 THEN 320 + u // 64 + u % 64
+              WHEN u < 65536 THEN 480 + u // 4096 + (u // 64) % 64 + u % 64
+              ELSE 624 + u // 262144 + (u // 4096) % 64
+                   + (u // 64) % 64 + u % 64 END"""
+
+_DECODE_ORACLE = f"""
+    WITH cps AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             list_transform(range(1, length(text) + 1),
+               i -> unicode(substring(text, CAST(i AS INT), 1))) AS cp
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_bytes,
+           CAST(list_sum(list_transform(cp, u ->
+             {_UTF8_BYTE_SUM})) % 65536 AS BIGINT) AS checksum,
+           CAST(({_UTF8_LEAD_BYTE.format(u="cp[1]")}) % 64 + 1 AS INT)
+             AS fake_width,
+           CAST(({_UTF8_TAIL_BYTE.format(u="cp[-1]")}) % 64 + 1 AS INT)
+             AS fake_height
+    FROM cps
 """
 
 
@@ -156,15 +183,22 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRAME_BYTES = 100  # stub "frame" size; a real video codec sets this
 
+# frames oracle: chunk arithmetic over OCTETS (the payload is UTF-8 bytes;
+# char-based substring counted frames of a multibyte document wrong —
+# Family X4). Aligned unnests zip in DuckDB.
 _FRAMES_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+      WHERE text IS NOT NULL
+    )
     SELECT doc_id,
-           unnest(range(0, CAST(ceil(length(text) / {_FRAME_BYTES}.0) AS BIGINT)))
+           unnest(range(0, CAST(ceil(nb / {_FRAME_BYTES}.0) AS BIGINT)))
              AS frame_idx,
-           CAST(length(substring(text, CAST(unnest(range(0,
-                CAST(ceil(length(text) / {_FRAME_BYTES}.0) AS BIGINT)))
-                * {_FRAME_BYTES} + 1 AS INT), {_FRAME_BYTES})) AS INT) AS frame_bytes
-    FROM documents
-    WHERE text IS NOT NULL
+           CAST(least({_FRAME_BYTES},
+                nb - unnest(range(0, CAST(ceil(nb / {_FRAME_BYTES}.0) AS BIGINT)))
+                     * {_FRAME_BYTES}) AS INT) AS frame_bytes
+    FROM d
 """
 
 
@@ -200,13 +234,21 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_MAX = 32  # stub target box; a real pipeline passes the model's input size
 
 
+# resize oracle: source dims from the payload's FIRST and LAST OCTETS
+# (UTF-8 lead byte of the first char / tail byte of the last char —
+# Family X4; see the _DECODE_ORACLE note for the encoding arithmetic)
 _RESIZE_ORACLE = f"""
-    WITH dims AS (
+    WITH cps AS (
       SELECT doc_id,
-             ascii(substring(text, 1, 1)) % 64 + 1 AS src_w,
-             ascii(substring(text, length(text), 1)) % 64 + 1 AS src_h
+             unicode(substring(text, 1, 1)) AS uf,
+             unicode(substring(text, length(text), 1)) AS ul
       FROM documents
       WHERE text IS NOT NULL
+    ), dims AS (
+      SELECT doc_id,
+             ({_UTF8_LEAD_BYTE.format(u="uf")}) % 64 + 1 AS src_w,
+             ({_UTF8_TAIL_BYTE.format(u="ul")}) % 64 + 1 AS src_h
+      FROM cps
     )
     SELECT doc_id, CAST(src_w AS INT) AS src_w, CAST(src_h AS INT) AS src_h,
            CAST(CASE WHEN greatest(src_w, src_h) <= {_RESIZE_MAX} THEN src_w

@@ -28,7 +28,7 @@ from ..tables import load
     oracle="""
     SELECT c_custkey,
            concat_ws('|', c_name, c_mktsegment) AS tagged,
-           upper(c_name) AS up,
+           upper(replace(c_name, 'ß', 'ss')) AS up,
            lower(c_mktsegment) AS lo,
            CAST(length(c_name) AS INT) AS name_len,
            substring(c_name, 1, 8) AS prefix,
@@ -40,12 +40,22 @@ from ..tables import load
     """,
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """concat/substring/upper/lower/trim/length/replace/lpad/split."""
+    """concat/substring/upper/lower/trim/length/replace/lpad/split.
+
+    upper() goes through an explicit ß→ss fold on both sides — see the
+    inline X4 note (locale-table divergence pinned, not documented-away).
+    """
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         F.concat_ws("|", "c_name", "c_mktsegment").alias("tagged"),
-        F.upper("c_name").alias("up"),
+        # ß pin (EXTREME_AUDIT_r11.md Family X4): upper('ß') is 'SS' on
+        # the JVM but 'ẞ' (capital sharp s) under DuckDB's ICU-style
+        # mapping — a genuine locale-table difference. Folding ß→ss BEFORE
+        # upper makes both engines compute the JVM's (and German
+        # orthography's) result identically; all other fixture codepoints
+        # (ü ï é Ö É, CJK, emoji) case-map identically on both engines.
+        F.upper(F.replace(F.col("c_name"), F.lit("ß"), F.lit("ss"))).alias("up"),
         F.lower("c_mktsegment").alias("lo"),
         F.length("c_name").cast("int").alias("name_len"),
         F.substring("c_name", 1, 8).alias("prefix"),
@@ -119,8 +129,10 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
            ((CAST(l_orderkey AS INT) % 7) + 7) % 7 AS key_mod,
            power(l_quantity, 2.0) AS qty_sq,
-           sqrt(l_extendedprice) AS price_root,
-           round(ln(l_extendedprice), 4) AS price_ln,
+           CASE WHEN l_extendedprice > 0
+                THEN sqrt(l_extendedprice) END AS price_root,
+           CASE WHEN l_extendedprice > 0
+                THEN round(ln(l_extendedprice), 4) END AS price_ln,
            CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
     FROM lineitem
     """,
@@ -138,10 +150,19 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k_floor"),
         F.pmod(F.col("l_orderkey").cast("int"), F.lit(7)).alias("key_mod"),
         F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
-        F.sqrt("l_extendedprice").alias("price_root"),
+        # domain gate (EXTREME_AUDIT_r11.md Family X4): sqrt(-x) is NaN on
+        # the JVM but a RAISE on DuckDB (ln likewise NULL-vs-raise) — a
+        # refund-negative price must produce NULL explicitly and
+        # identically on both engines, never an engine-convention value
+        F.when(
+            F.col("l_extendedprice") > 0, F.sqrt("l_extendedprice")
+        ).alias("price_root"),
         # libm natural-log differs by ~1 ulp between JVM and DuckDB —
         # rounded to 4 decimals so the comparison is implementation-proof.
-        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.round(F.log("l_extendedprice"), 4),
+        ).alias("price_ln"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
     )
 
@@ -180,7 +201,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_cast",
     oracle="""
     SELECT l_orderkey,
-           CAST(l_quantity AS INT) AS qty_int,
+           CAST(trunc(l_quantity) AS INT) AS qty_int,
            CAST(l_linenumber AS DOUBLE) AS line_dbl,
            CAST(l_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
@@ -190,10 +211,12 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Casts across int/double/string/decimal/date. double→int only on
-    integral doubles (DuckDB rounds, Spark truncates — they agree only
-    there); double→string goes through DECIMAL so both engines format
-    identically."""
+    """Casts across int/double/string/decimal/date. double→int is pinned
+    to TRUNCATION on both sides (EXTREME_AUDIT_r11.md Family X4): Spark's
+    CAST truncates toward zero (the SQL-standard behavior) while DuckDB's
+    rounds — the oracle casts through trunc() so a 49.999999 quantity is
+    49 on both engines. double→string goes through DECIMAL so both
+    engines format identically."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -313,18 +336,24 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
            json_extract_string(props, '$.missing') AS missing
     FROM events
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object + typed extraction from the events.props JSON column."""
+    """get_json_object + typed extraction from the events.props JSON column.
+
+    try_cast ↔ TRY_CAST (EXTREME_AUDIT_r11.md Family X3): a freeform JSON
+    payload will eventually carry a non-scalar under a scalar-typed key
+    (props.k = [1,2] — routine schema drift at 100 TB); a bare cast raises
+    on BOTH engines (differently, so the driver can hash neither), while
+    NULL-and-keep is the explicit, engine-agreed semantics."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing"),
     )
 

@@ -18,6 +18,7 @@ the declarative equivalent.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +27,18 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 from ..registry import query
 from ..tables import load
+
+
+def _sql_round(x: pd.Series) -> pd.Series:
+    """SQL ROUND (half-AWAY-FROM-ZERO), vectorized — NOT pandas .round().
+
+    pandas/numpy round HALF-EVEN (banker's): a half-cent value (0.5 after
+    scaling) rounds to 0 where SQL's round() on BOTH engines gives 1,
+    shifting every integer-cents moment built on it
+    (EXTREME_AUDIT_r11.md Family X4). The worker must implement the
+    ENGINE's rounding: sign-aware floor(|x| + 0.5). NaN propagates.
+    """
+    return np.floor(x.abs() + 0.5) * np.sign(x).replace(0.0, 1.0)
 
 
 @query(
@@ -107,7 +120,7 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(T.DoubleType())
     def mean_cents(qty: pd.Series) -> float:
-        cents = (qty * 100).round().dropna().astype("int64")
+        cents = _sql_round(qty * 100).dropna().astype("int64")
         if len(cents) == 0:
             return None
         return float(cents.sum()) / (len(qty) * 100.0)
@@ -173,7 +186,7 @@ def udaf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row, and a NULL quantity's z-score is NULL via NaN propagation
         # in the (qty - mean) / std expression below, matching the
         # oracle's NULL arithmetic row-for-row.
-        cents = (pdf["l_quantity"] * 100).round().dropna().astype("int64")
+        cents = _sql_round(pdf["l_quantity"] * 100).dropna().astype("int64")
         n = len(pdf)
         if len(cents) == 0:
             # oracle: SUM over an all-NULL group is NULL, so every z is NULL

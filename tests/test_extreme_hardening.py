@@ -31,8 +31,12 @@ from spark_sql_dsv2_extension_spark.tables import TABLE_NAMES
 
 from .parity import compare
 
-# populated as each X-family's fix batch lands in round 12
-_FAMILY_REPS: list[str] = []
+_FAMILY_REPS = [
+    "ext_knn_cosine",
+    "ext_kmeans_train",
+    "fn_json",
+    "udaf_pandas_grouped",
+]
 
 
 @pytest.fixture(scope="module")
