@@ -154,18 +154,14 @@ def ext_near_dedup_minhash(
     At 100 TB only this LSH path survives; the oracle's shape is the
     brute-force baseline (see ext_ngram_jaccard).
 
-    PRECONDITION (round-8 degenerate audit): documents must have ≥ 3
-    words — the 3-gram shingle expression indexes words[i+2], and on a
-    shorter document ANSI Spark raises INVALID_ARRAY_INDEX where the
-    DuckDB oracle silently yields no shingles. Unreachable on the
-    fixtures (min doc length is far above 3) and on any real corpus that
-    ran a length gate first; the in-operator guard (filter
-    size(words) >= 3 before shingling, matching the oracle's no-shingle
-    behavior) is scheduled as a DELIBERATE RE-FRONT fix in the rounds-
-    10+ window where re-verification is free (ROADMAP_r11) — this is a
-    driver-verified key, so the stale-row rule defers the code change.
-    ``ext_dedup_cascade_report`` composes this operator and inherits the
-    precondition.
+    Sub-shingle documents (fewer than 3 words) are GATED, not a
+    precondition: ``_shingles`` filters ``size(words) >= 3`` before the
+    n-gram access (landed at round-11 close, re-fronted in the round-12
+    driver window), so a short document yields zero shingles on both
+    engines instead of ANSI-raising INVALID_ARRAY_INDEX on ``w[i + 2]`` —
+    matching the oracle's position self-join, which naturally produces no
+    3-grams. ``ext_dedup_cascade_report`` composes this operator and
+    inherits the gate.
     """
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()

@@ -3341,6 +3341,68 @@ def ext_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PEEL_ROUND_SQL = """
+    , deg{n} AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e{m} GROUP BY u
+    ), alive{n} AS (
+      SELECT node FROM deg{n} WHERE deg >= 2
+    ), e{n} AS (
+      SELECT e.u, e.v FROM e{m} e
+      JOIN alive{n} a ON e.u = a.node
+      JOIN alive{n} b ON e.v = b.node
+    )
+"""
+
+
+@query(
+    "ext_graph_degeneracy_core",
+    oracle=(
+        "WITH "
+        + _MUTUAL_EDGES_SQL
+        + ", e0 AS (SELECT u, v FROM edges)"
+        + "".join(_PEEL_ROUND_SQL.format(n=n, m=n - 1) for n in (1, 2, 3))
+        + """
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e3 GROUP BY u
+    """
+    ),
+)
+def ext_graph_degeneracy_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE PEELING (k=2, three unrolled rounds) over the mutual-kNN
+    graph: each round drops nodes of degree < 2 and the edges touching
+    them; what survives round 3 is the (approximate) 2-core — the dense
+    backbone community detection and coreset pickers start from, with
+    hub/leaf noise peeled away. A FIXED round count keeps the key exact
+    (the label-propagation unroll pattern); the oracle replays the same
+    three peels as CTEs. Registered with the round-12 scorable-embedding
+    gate already in the shared edge base (the r8-vetted proto predated
+    the X1 zero-norm fix — its mutual-kNN base inherits _EMB_SCORABLE_CTE
+    / _emb_scorable through ext_mutual_knn_pairs, which is why this
+    registration waited for the gate; thaw_protos_r8.py:296).
+
+    Scale: each peel round is one groupBy + two BROADCAST semi-joins over
+    the edge list (bounded: |nodes| × k edges from the kNN construction —
+    the alive set only shrinks), never touching vectors; lineage is
+    truncated once up front (localCheckpoint) so the unrolled plan does
+    not recompute the kNN stage per round."""
+    e = _mutual_edges(spark, sf_dir).localCheckpoint(eager=False)
+    for _ in range(3):
+        alive = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("u")
+        )
+        e = (
+            e.join(F.broadcast(alive), "u")
+            .join(F.broadcast(alive.select(F.col("u").alias("v"))), "v")
+            .select("u", "v")
+        )
+    return e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+
+
 @query(
     "ext_mips_cosine_reduction",
     oracle=f"""

@@ -1429,6 +1429,9 @@ _EXCHANGE_BUDGETS = {
     # standalone and once inside the broadcast subtree) + the node-set
     # union distinct; all post-edge relations node-cardinality-sized
     "ext_hits_bounded": 8,
+    # r12 thaw registration: mutual-kNN base lineage (pre-checkpoint) +
+    # one groupBy per unrolled peel round; the alive-set joins broadcast
+    "ext_graph_degeneracy_core": 27,
     # one corpus tokenization to the distinct-word table, then three
     # unrolled merge rounds of (map-side pair explosion + pair-domain
     # aggregate + 1-row TakeOrdered winner + broadcast splice): the word
