@@ -471,6 +471,86 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+# (format, codec) pairs the compression round-trip exercises; gzip for the
+# text formats (splittability doesn't matter for a round-trip proof), zstd
+# for parquet (the 100 TB default: ~zlib ratio at lz4-class speed)
+_COMPRESSED_FMT_CODEC = (("parquet", "zstd"), ("csv", "gzip"), ("json", "gzip"))
+_COMPRESSION_MAX_RECORDS = 50
+
+
+def write_compressed(df: DataFrame, root: str) -> dict[str, str]:
+    """Write ``df`` once per (format, codec) in ``_COMPRESSED_FMT_CODEC``
+    under ``root``, with ``maxRecordsPerFile`` capping the parquet files.
+
+    Shared by the ``sink_compression_roundtrip`` key and the file-layout
+    assertions in ``tests/test_datasource.py`` (codec suffixes + file-count
+    split) so the two can never drift. ``coalesce(1)`` first so any
+    multi-file parquet output is attributable to ``maxRecordsPerFile``
+    alone, not input partitioning."""
+    paths: dict[str, str] = {}
+    one = df.coalesce(1)
+    for fmt, codec in _COMPRESSED_FMT_CODEC:
+        out = os.path.join(root, fmt)
+        w = one.write.mode("overwrite").option("compression", codec)
+        if fmt == "parquet":
+            w = w.option("maxRecordsPerFile", _COMPRESSION_MAX_RECORDS)
+        if fmt == "csv":
+            w = w.option("header", True)
+        getattr(w, fmt)(out)
+        paths[fmt] = out
+    return paths
+
+
+@query(
+    "sink_compression_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, 'parquet' AS fmt FROM part
+    UNION ALL
+    SELECT p_partkey, p_name, p_retailprice, 'csv' AS fmt FROM part
+    UNION ALL
+    SELECT p_partkey, p_name, p_retailprice, 'json' AS fmt FROM part
+    """,
+)
+def sink_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression negotiation (A21) + per-file record cap (A20), the two
+    SURVEY §2A rows previously mapped but never exercised: the part table
+    is written with an explicit ``option("compression", ...)`` per
+    provider — zstd parquet, gzip csv, gzip json (the reference negotiates
+    codec per format and exempts ORC at its layer,
+    write/HiveFileFormatWriteBuilder.scala:208-223; ``scan_orc`` covers
+    the ORC exemption) — plus ``option("maxRecordsPerFile", 50)`` on the
+    parquet write (the reference's write-job description carries the same
+    knob, write/HiveFileFormatWriteBuilder.scala:147-177). Every variant
+    is read back and unioned with a format tag; the oracle is the base
+    projection once per format, so one value-hash proves all three
+    writer+reader pairs under non-default codecs. File-layout effects
+    (codec suffixes on data files, the record cap actually splitting
+    files) are pinned by tests/test_datasource.py over the shared
+    ``write_compressed`` helper.
+
+    Scale: maxRecordsPerFile is the file-count lever that keeps a 100 TB
+    table's files inside scanner-friendly sizes regardless of executor
+    count; zstd is the storage-bound default codec. Explicit read schemas
+    keep the empty-source round-trip inference-proof (EMPTY_AUDIT_r9 E1).
+    """
+    base = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    paths = write_compressed(base, _scratch("compress"))
+    parts = [
+        spark.read.schema(base.schema).parquet(paths["parquet"]),
+        spark.read.schema(base.schema)
+        .option("header", True)
+        .csv(paths["csv"]),
+        spark.read.schema(base.schema).json(paths["json"]),
+    ]
+    out = None
+    for (fmt, _), df in zip(_COMPRESSED_FMT_CODEC, parts):
+        tagged = df.withColumn("fmt", F.lit(fmt))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 @query(
     "scan_python_stream_source",
     oracle="""

@@ -199,3 +199,44 @@ def test_reader_push_in_filter_end_to_end(spark, tmp_path):
     batches = list(reader.read(_FileSplit(path, {})))
     got = sorted(x for b in batches for x in b.column(0).to_pylist())
     assert got == [2, 4]
+
+
+def test_compression_options_shape_file_layout(spark, sf_dir, tmp_path):
+    """A21 + A20 (write/HiveFileFormatWriteBuilder.scala:208-223,147-177):
+    option("compression", ...) must reach the data files (codec suffixes)
+    and option("maxRecordsPerFile") must split output by record count —
+    the layout half of sink_compression_roundtrip (whose oracle proves the
+    values; this pins the files)."""
+    import os
+
+    from spark_sql_dsv2_extension_spark.sources.roundtrip import (
+        _COMPRESSION_MAX_RECORDS,
+        write_compressed,
+    )
+    from spark_sql_dsv2_extension_spark.tables import load
+
+    base = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    n_rows = base.count()
+    paths = write_compressed(base, str(tmp_path))
+
+    def data_files(fmt):
+        return [
+            f
+            for f in os.listdir(paths[fmt])
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+
+    pq_files = data_files("parquet")
+    assert pq_files and all(f.endswith(".zstd.parquet") for f in pq_files)
+    # coalesce(1) upstream: any split below is maxRecordsPerFile's doing
+    import math
+
+    assert len(pq_files) == math.ceil(n_rows / _COMPRESSION_MAX_RECORDS)
+    per_file = [
+        spark.read.parquet(os.path.join(paths["parquet"], f)).count()
+        for f in pq_files
+    ]
+    assert max(per_file) <= _COMPRESSION_MAX_RECORDS and sum(per_file) == n_rows
+
+    assert all(f.endswith(".csv.gz") for f in data_files("csv"))
+    assert all(f.endswith(".json.gz") for f in data_files("json"))
