@@ -106,6 +106,95 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # === ROUND-12 WINDOW (CORRECTNESS_r11 came back 50/50 green —
+    # cumulative 453/453, backlog ZERO — so every slot is conscious
+    # spending per ROADMAP_r12.md's pre-computed arithmetic: the
+    # EXTREME_AUDIT_r11.md fix batches, engine-raise classes first).
+    # _driver_order keeps the FIRST occurrence, so keys re-listed below
+    # simply vacate their old positions. ===
+    #
+    # --- slots 1-5: the round-11 overflow/registration queue (N5 fixes
+    # landed in r11, verification deferred here; thaw registrations). ---
+    "fn_struct",
+    "scan_text",
+    "stream_foreach_batch_sink",
+    "ext_hits_bounded",
+    "ext_bpe_train_k_rounds",
+    # --- slots 6-7: round-12 registrations (one-commit thaw rule). ---
+    "ext_graph_degeneracy_core",
+    "sink_compression_roundtrip",
+    # --- slots 8-9: the size(words)>=3 shingle gate landed at r11 close;
+    # conscious re-fronts of the two driver-verified keys it touched. ---
+    "ext_near_dedup_minhash",
+    "ext_dedup_cascade_report",
+    # --- slot 10: the r11 ADVICE medium (NULL-safe rank-check join). ---
+    "agg_kll_quantile_invariant",
+    # --- slots 11-21: Family X4 convention pins (pandas SQL-rounding,
+    # trunc/sqrt/ß pins, rank-form invariant, octet-true multimodal
+    # oracles) + the X3 fn_json try_cast. ---
+    "udaf_pandas_grouped",
+    "udaf_grouped_map_zscore",
+    "fn_cast",
+    "fn_math",
+    "fn_string",
+    "fn_json",
+    "agg_approx_percentile_invariant",
+    "ext_multimodal_decode",
+    "ext_multimodal_frames",
+    "ext_multimodal_resize",
+    "ext_multimodal_aspect_buckets",
+    # --- slots 22-27: Family X3 try_cast idiom (events.props.k). ---
+    "ext_item_cooccurrence_lift",
+    "ext_cooccurrence_degree_dist",
+    "ext_khop_neighborhood",
+    "ext_link_prediction_jaccard",
+    "ext_ucb_ranking",
+    "ext_als_rank1",
+    # --- slots 28-29: Family X2(b) decimal(38)/HUGEINT widenings. ---
+    "ext_design_effect_icc",
+    "ext_sax_symbols",
+    # --- slots 30-50: Families X1+X2(a) — the scorable-embedding gate
+    # (21 of 35; the remaining 14 sit at slots 51+ and front round 13,
+    # all sweep-green at r12 HEAD). ---
+    "ext_knn_cosine",
+    "ext_knn_lsh",
+    "ext_knn_lsh_multiprobe",
+    "ext_knn_ivf",
+    "ext_knn_int8",
+    "ext_knn_ivf_trained",
+    "ext_kmeans_train",
+    "ext_semdedup",
+    "ext_ivfpq_search",
+    "ext_product_quantize",
+    "ext_pq_adc_search",
+    "ext_embedding_near_dup",
+    "ext_embedding_quantize",
+    "ext_hard_negatives",
+    "ext_knn_label_agreement",
+    "ext_kcenter_coreset",
+    "ext_ann_recall_eval",
+    "ext_ann_recall_curve",
+    "ext_ann_ivf_nprobe_curve",
+    "ext_mutual_knn_pairs",
+    "ext_retrieval_auc",
+    # --- slots 51-63: X1+X2(a) overflow (front the round-13 window). ---
+    "ext_mips_cosine_reduction",
+    "ext_rank_fusion_rrf",
+    "ext_dbscan_core_points",
+    "ext_triangle_count",
+    "ext_graph_modularity",
+    "ext_conductance_communities",
+    "ext_degree_assortativity",
+    "ext_label_propagation_bounded",
+    "ext_embedding_whitening",
+    "ext_embedding_outliers",
+    "ext_label_centroids",
+    "ext_label_cohesion",
+    "ext_silhouette_labels",
+    # --- r11-verified keys not re-listed above rotate behind in their
+    # original order (the blocks below; duplicates of the keys above are
+    # inert — first occurrence wins). ---
+    #
     # === ROUND-11 WINDOW (CORRECTNESS_r10 came back 50/50 green —
     # cumulative 452/452, backlog ZERO — so every slot is conscious
     # spending per ROADMAP_r11.md's pre-computed arithmetic: the
