@@ -20,6 +20,9 @@ Usage:
                                                       # (round-10 frontier)
     python tests/degenerate_audit.py --extreme [...]  # adversarial VALUES
                                                       # (round-11 frontier)
+    python tests/degenerate_audit.py --chaos [...]    # NULL x extreme x
+                                                      # empty-dim interactions
+                                                      # (round-12 frontier)
 
 Keys whose plan needs tables the degenerate set lacks, or that are
 streaming-only, report SKIP. Exit status 1 if any DIVERGE.
@@ -576,6 +579,126 @@ def build_extreme_fixtures(tmp: str) -> None:
     )
 
 
+def build_chaos_fixtures(tmp: str) -> None:
+    """COMBINED-frontier fixtures (opened at round-12 close, after the
+    adversarial-VALUE frontier hit 0 DIVERGE): the extreme-value tables
+    with NULL rows APPENDED whose non-NULL columns are themselves
+    adversarial, plus one fully EMPTY dimension (region) — probing the
+    INTERACTIONS the per-dimension audits cannot reach: a NULL group key
+    beside a 1e7-magnitude value (the agg_kll ADVICE shape), a zero-norm
+    vector with a NULL label (scorable gate × label gate), a NULL text
+    beside a 2-word ß document (shingle gate × case fold), a non-scalar
+    JSON payload on a NULL-typed event, and every region join running
+    against zero dimension rows. Contract identical to the other modes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_extreme_fixtures(tmp)
+
+    def append(name: str, rows: dict) -> None:
+        path = f"{tmp}/{name}.parquet"
+        t = pq.read_table(path)
+        extra = pa.table(
+            {f.name: pa.array(rows[f.name], f.type) for f in t.schema}
+        )
+        pq.write_table(pa.concat_tables([t, extra]), path)
+
+    append(
+        "events",
+        {
+            "event_id": [6, 7],
+            "ts": [dt.datetime(1970, 1, 1), dt.datetime(2024, 2, 29)],
+            "user_id": [3, 3],
+            "event_type": [None, "purchase"],
+            "value": [9999999.99, None],
+            "props": ['{"k": [1, 2]}', None],
+        },
+    )
+    append(
+        "embeddings",
+        {
+            "vec_id": [5, 6],
+            "embedding": [[0.0] * 64, None],
+            "label": [None, 2147483647],
+        },
+    )
+    append(
+        "documents",
+        {
+            "doc_id": [7, 8],
+            "text": [None, "STRASSE ß"],
+            "lang": ["de", None],
+            "source": [None, "web"],
+            "n_chars": [None, 9],
+        },
+    )
+    append(
+        "lineitem",
+        {
+            "l_orderkey": [4, 4],
+            "l_partkey": [2, 2],
+            "l_suppkey": [1, 0],
+            "l_linenumber": [1, 2],
+            "l_quantity": [None, 0.005],
+            "l_extendedprice": [9999999.99, None],
+            "l_discount": [1.0, None],
+            "l_tax": [None, 0.999],
+            "l_returnflag": [None, "R"],
+            "l_linestatus": ["O", None],
+            "l_shipdate": [dt.datetime(2024, 12, 31, 23, 59, 59, 999999), None],
+        },
+    )
+    append(
+        "customer",
+        {
+            "c_custkey": [5],
+            "c_name": [None],
+            "c_nationkey": [1],
+            "c_mktsegment": [None],
+            "c_acctbal": [-999999.99],
+        },
+    )
+    append(
+        "orders",
+        {
+            "o_orderkey": [5],
+            "o_custkey": [5],
+            "o_orderstatus": [None],
+            "o_totalprice": [9999999.99],
+            "o_orderdate": [None],
+            "o_orderpriority": [None],
+        },
+    )
+    append(
+        "part",
+        {
+            "p_partkey": [3],
+            "p_name": [None],
+            "p_brand": [None],
+            "p_type": ["PROMO"],
+            "p_size": [2147483647],
+            "p_retailprice": [None],
+        },
+    )
+    append(
+        "supplier",
+        {
+            "s_suppkey": [2],
+            "s_name": [None],
+            "s_nationkey": [1],
+            "s_acctbal": [None],
+        },
+    )
+    append(
+        "nation",
+        {"n_nationkey": [2], "n_name": [None], "n_regionkey": [0]},
+    )
+    # the one EMPTY dimension: every region join (TPC-H q5/q8 shapes)
+    # must agree on zero dimension rows while the facts stay populated
+    t = pq.read_table(f"{tmp}/region.parquet")
+    pq.write_table(t.slice(0, 0), f"{tmp}/region.parquet")
+
+
 def build_empty_fixtures(tmp: str) -> None:
     """ZERO-ROW versions of all ten fixture tables, byte-identical
     schemas (round-9 extension): at 100 TB an empty source is routine —
@@ -601,8 +724,13 @@ def main() -> int:
     empty_mode = "--empty" in args
     null_mode = "--nulls" in args
     extreme_mode = "--extreme" in args
-    if empty_mode or null_mode or extreme_mode:
-        args = [a for a in args if a not in ("--empty", "--nulls", "--extreme")]
+    chaos_mode = "--chaos" in args
+    if empty_mode or null_mode or extreme_mode or chaos_mode:
+        args = [
+            a
+            for a in args
+            if a not in ("--empty", "--nulls", "--extreme", "--chaos")
+        ]
     if args[:1] == ["--protos"]:
         import importlib
 
@@ -625,6 +753,8 @@ def main() -> int:
         if null_mode
         else build_extreme_fixtures
         if extreme_mode
+        else build_chaos_fixtures
+        if chaos_mode
         else build_degenerate_fixtures
     )
     builder(tmp)
