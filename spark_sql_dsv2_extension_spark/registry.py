@@ -205,12 +205,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # in the UDF bodies, oracle pinned to the same choice in lockstep. ---
     "udf_python_scalar",
     "udf_arrow_scalar",
-    "udaf_pandas_grouped",
-    "udaf_grouped_map_zscore",
-    "ext_multimodal_decode",
-    "ext_multimodal_frames",
-    "ext_multimodal_resize",
-    "ext_multimodal_aspect_buckets",
     "stream_stateful_user_profile",
     # --- slots 10-13: Family N6 (NULL-induced zero denominators): the
     # uniform Family-B try_divide/nullif shape; oracles untouched (all
@@ -222,15 +216,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- slots 14-23: Family N3 (NULL embedding / NULL label gates):
     # explicit IS NOT NULL on BOTH sides — a vector that failed to embed
     # cannot be scored; lockstep oracle edits. ---
-    "ext_retrieval_auc",
-    "ext_mips_cosine_reduction",
-    "ext_rank_fusion_rrf",
-    "ext_conductance_communities",
-    "ext_knn_ivf_trained",
-    "ext_dbscan_core_points",
-    "ext_semdedup",
-    "ext_kmeans_train",
-    "ext_ivfpq_search",
     "ext_embedding_centroid_drift",
     # --- slots 24-41: Family N1 (NULL-ordering defaults): pin the NULL
     # position explicitly and identically on both sides
@@ -251,8 +236,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_wasserstein_1d",
     "ext_calibration_ece",
     "ext_tukey_fences",
-    "agg_approx_percentile_invariant",
-    "agg_kll_quantile_invariant",
     "ext_equidepth_histogram",
     # --- slots 42-44: Family N4 (multi-argument distinct/argmax NULL
     # semantics): make NULLs explicit — sentinel or filter, both sides. ---
@@ -263,7 +246,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # semantics), the five highest-risk members incl. the fn_map_hof
     # NULL_MAP_KEY raise; fn_struct and scan_text overflow to slots
     # 51-52 and front the round-12 window. ---
-    "fn_string",
     "fn_string_extras",
     "fn_array",
     "fn_map",
@@ -278,17 +260,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # stream_foreach_batch_sink n_batches constant, a fixture-scale
     # artifact fixed oracle-side) and any round-11 thaw registration
     # (inserted here per the thaw rule as it lands). ---
-    "fn_struct",
-    "scan_text",
-    "stream_foreach_batch_sink",
     # --- round-11 thaw registrations (the last r9-tranche candidate and
     # an r8 deferral; one-commit rule each): ---
-    "ext_hits_bounded",
-    "ext_bpe_train_k_rounds",
     # --- r10-verified keys (50/50 green in CORRECTNESS_r10.json) rotate
     # behind; earlier-round blocks keep their relative order after them. ---
-    "ext_near_dedup_minhash",
-    "ext_dedup_cascade_report",
     "ext_dedup_survivorship",
     "ext_dedup_threshold_curve",
     "ext_dedup_clusters",
@@ -302,14 +277,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_split_leakage",
     "agg_stats_corr",
     "ext_jackknife_blocks",
-    "ext_embedding_whitening",
     "ext_cross_correlation_lags",
     "ext_chi2_terms",
     "ext_acf_daily",
     "ext_cramers_v",
     "ext_cohens_kappa",
     "ext_cuped_adjustment",
-    "ext_design_effect_icc",
     "ext_consistent_hash_ring",
     "scan_partition_prune",
     "sink_overwrite_dynamic",
@@ -320,28 +293,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_python_datasource",
     "scan_python_datasource_pushdown",
     "ext_simpson_diversity",
-    "ext_graph_modularity",
     "ext_matrix_profile_daily",
     "ext_dtw_bounded",
-    "ext_degree_assortativity",
-    "ext_sax_symbols",
     "ext_holt_winters_seasonal",
     "stream_stream_full_outer",
     "ext_paragraph_dedup",
     "join_asof_tolerance",
     "join_interval_point_containment",
-    "ext_label_propagation_bounded",
     "ext_holt_winters_additive",
     "ext_anomaly_mad_rolling",
     "ext_shard_skew_rebalance",
-    "ext_ann_ivf_nprobe_curve",
     "tpch_q20_potential_promo",
     "ext_lang_confusion",
     "ext_type_token_ratio",
     "fn_url_parse",
     "ext_timeseries_densify",
     "ext_hypertable_rollup",
-    "ext_ann_recall_eval",
     "fn_variant_extract",
     "ext_vocab_oov_rate",
     "ext_curriculum_order",
@@ -352,7 +319,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bigram_logprob",
     "ext_span_corruption",
     "agg_bitmap_distinct",
-    "ext_label_cohesion",
     "ext_join_skew_report",
     "ext_packing_efficiency",
     "fn_array_hof",
@@ -408,10 +374,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_source_quality_report",
     "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
-    "ext_embedding_outliers",
-    "ext_mutual_knn_pairs",
     "ext_zorder_layout",
-    "ext_triangle_count",
     "ext_feature_hashing",
     "ext_target_encoding_loo",
     "ext_weighted_sample_aes",
@@ -445,7 +408,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_heaps_law_points",
     "ext_good_turing",
     "scan_union_multiformat",
-    "ext_knn_lsh_multiprobe",
     "ext_run_length_stats",
     "ext_freshness_lag",
     "ext_first_touch_attribution",
@@ -476,12 +438,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_winsorized_stats",
     "ext_schema_profile",
     "ext_ewma_events",
-    "ext_label_centroids",
     "ext_markov_transitions",
     "ext_cdc_chunking",
     "ext_inverted_index",
     "ext_bpe_apply_merge",
-    "ext_silhouette_labels",
     "ext_behavior_similarity",
     "ext_conversion_deciles",
     "win_range_frame",
@@ -499,12 +459,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_permutation_test",
     "agg_salted_twophase",
     "ext_incremental_agg_merge",
-    "ext_item_cooccurrence_lift",
-    "ext_cooccurrence_degree_dist",
     "ext_time_weighted_avg",
     "ext_mann_kendall_trend",
-    "ext_khop_neighborhood",
-    "ext_ann_recall_curve",
     "ext_kaplan_meier_retention",
     "ext_entropy_rate_markov",
     "ext_theil_sen_slope",
@@ -512,8 +468,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_burrows_delta",
     "ext_srm_check",
     "ext_shapley_attribution",
-    "ext_link_prediction_jaccard",
-    "ext_ucb_ranking",
     "ext_ablation_leave_one_source",
     "subq_quantified_all",
     "join_interval_overlap_banded",
@@ -522,7 +476,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_psm_nearest_match",
     "ext_shuffle_quality_audit",
     "ext_bh_fdr",
-    "ext_als_rank1",
     "ext_hll_union",
     "ext_cms_heavy_hitters",
     "ext_bloom_probe",
@@ -538,9 +491,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_temperature_mixture",
     "ext_sentence_segmentation",
     "ext_kneser_ney_bigrams",
-    "ext_hard_negatives",
-    "ext_product_quantize",
-    "ext_pq_adc_search",
     "join_asof_nearest",
     "ext_quality_funnel",
     "ext_ohlc_resample",
@@ -556,10 +506,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_html_extract",
     "ext_hybrid_retrieval",
     "ext_pagerank_bounded",
-    "ext_knn_label_agreement",
     "ext_distribution_drift",
     "ext_lsa_power_step",
-    "ext_kcenter_coreset",
     "ext_split_doc_detect",
     "ext_session_bounce_rate",
     "ext_ab_test_lift",
@@ -571,10 +519,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_count_distinct",
     "ext_exact_dedup",
     "ext_near_dedup_simhash",
-    "ext_knn_cosine",
-    "ext_knn_lsh",
-    "ext_knn_ivf",
-    "ext_embedding_near_dup",
     "ext_text_stats",
     "ext_token_count",
     "ext_quality_score",
@@ -607,8 +551,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_volume",
     "ext_corpus_pipeline",
     "stream_sink_catalog_table",
-    "ext_embedding_quantize",
-    "ext_knn_int8",
     "scan_python_stream_source",
     "sink_sorted_layout",
     "scan_csv",
@@ -635,11 +577,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "win_fill_forward",
     "fn_regex",
     "fn_date",
-    "fn_math",
     "fn_conditional",
-    "fn_cast",
     "fn_array_explode",
-    "fn_json",
     "fn_bitwise",
     "fn_hash",
     "fn_json_nested",

@@ -109,7 +109,54 @@ _R11_FIX_BATCH = frozenset({
     # ADVICE medium: the JL sign-matrix degeneracy (plan + oracle lockstep)
     "ext_random_projection_jl",
 })
-_DELIBERATE_REFRONTS: frozenset[str] = _R11_FIX_BATCH
+
+# Round 12: CORRECTNESS_r11 came back 50/50 green (cumulative 453/453,
+# backlog ZERO), so the window is again conscious spending per
+# ROADMAP_r12.md: the EXTREME_AUDIT_r11.md fix batches (X1 zero-norm +
+# X2(a) magnitude gates via the shared scorable-embedding gate, X2(b)
+# decimal/HUGEINT widenings, X3 try_cast idiom, X4 convention pins), the
+# r11 ADVICE fixes (agg_kll NULL-safe join; the BPE collapse fix rides
+# the already-queued ext_bpe_train_k_rounds registration slot), and the
+# two shingle-gate re-fronts. Slots 1-7 (r11 overflow + the round-12
+# registrations) are driver-UNVERIFIED keys, so they need no entry here;
+# the 13 X1/X2(a) overflow keys at slots 51-63 are named too — their
+# fixes land this round even though driver re-verification waits for the
+# round-13 window.
+_R12_FIX_BATCH = frozenset({
+    # shingle-gate re-fronts (gate landed at r11 close) + ADVICE medium
+    "ext_near_dedup_minhash", "ext_dedup_cascade_report",
+    "agg_kll_quantile_invariant",
+    # Family X4 convention pins + X3 fn_json
+    "udaf_pandas_grouped", "udaf_grouped_map_zscore", "fn_cast", "fn_math",
+    "fn_string", "fn_json", "agg_approx_percentile_invariant",
+    "ext_multimodal_decode", "ext_multimodal_frames", "ext_multimodal_resize",
+    "ext_multimodal_aspect_buckets",
+    # Family X3 try_cast (events.props.k)
+    "ext_item_cooccurrence_lift", "ext_cooccurrence_degree_dist",
+    "ext_khop_neighborhood", "ext_link_prediction_jaccard",
+    "ext_ucb_ranking", "ext_als_rank1",
+    # Family X2(b) decimal(38)/HUGEINT widenings
+    "ext_design_effect_icc", "ext_sax_symbols",
+    # Families X1+X2(a): the scorable-embedding gate (35 keys; 21 in
+    # window, 13 at slots 51-63, ext_hits_bounded rides its unverified
+    # registration slot)
+    "ext_knn_cosine", "ext_knn_lsh", "ext_knn_lsh_multiprobe", "ext_knn_ivf",
+    "ext_knn_int8", "ext_knn_ivf_trained", "ext_kmeans_train", "ext_semdedup",
+    "ext_ivfpq_search", "ext_product_quantize", "ext_pq_adc_search",
+    "ext_embedding_near_dup", "ext_embedding_quantize", "ext_hard_negatives",
+    "ext_knn_label_agreement", "ext_kcenter_coreset", "ext_ann_recall_eval",
+    "ext_ann_recall_curve", "ext_ann_ivf_nprobe_curve", "ext_mutual_knn_pairs",
+    "ext_retrieval_auc", "ext_mips_cosine_reduction", "ext_rank_fusion_rrf",
+    "ext_dbscan_core_points", "ext_triangle_count", "ext_graph_modularity",
+    "ext_conductance_communities", "ext_degree_assortativity",
+    "ext_label_propagation_bounded", "ext_embedding_whitening",
+    "ext_embedding_outliers", "ext_label_centroids", "ext_label_cohesion",
+    "ext_silhouette_labels",
+    # r11 N5-overflow keys whose fixes landed in r11 with verification
+    # deferred to this window
+    "fn_struct", "scan_text", "stream_foreach_batch_sink",
+})
+_DELIBERATE_REFRONTS: frozenset[str] = _R12_FIX_BATCH
 
 
 def test_driver_window_has_no_silent_refronts():
