@@ -1052,9 +1052,12 @@ def ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_twophase",
     oracle="""
     WITH hist AS (
+      -- a NULL value has no place in an order statistic: excluded on BOTH
+      -- sides (chaos-audit r12: under Spark's NULLS FIRST a NULL histogram
+      -- row shifts every cumulative count; DuckDB sorts it last)
       SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
              CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ), cum AS (
       SELECT event_type, cents, cnt,
              CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
@@ -1082,7 +1085,8 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-per-group — a hot group with 1e9 rows but 1e4 distinct cents
     values shuffles 1e4 records. This is how exact percentiles stay
     feasible at 100 TB."""
-    ev = load(spark, sf_dir, "events")
+    # NULL values carry no rank — excluded on both sides (chaos r12)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     # phase 1: salted partial histograms (explicit salt keeps ANY single
     # reduce key bounded even before Spark's own partial aggregation)
     phase1 = (
@@ -1326,7 +1330,11 @@ def ext_cooccurrence_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
              CAST(SUM(dur_s) AS BIGINT) AS total_s,
-             CAST(SUM(cents * dur_s) AS BIGINT) AS wsum
+             -- HUGEINT from the per-element multiply up: a 1e7 price held
+             -- across a 54-year gap (epoch-0 to 2024) puts cents*dur_s at
+             -- ~1.7e18 and wsum*10000 past int64 on BOTH engines
+             -- (chaos-audit r12; mirrored by Spark's decimal(38,0))
+             CAST(SUM(CAST(cents AS HUGEINT) * dur_s) AS HUGEINT) AS wsum
       FROM seq WHERE dur_s IS NOT NULL GROUP BY user_id
     )
     SELECT user_id, n_intervals, total_s,
@@ -1362,14 +1370,16 @@ def ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum("dur_s").cast("long").alias("total_s"),
-            F.sum(F.col("cents") * F.col("dur_s")).cast("long").alias("wsum"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur_s"))
+            .cast("decimal(38,0)")
+            .alias("wsum"),
         )
     )
     return agg.filter(F.col("total_s") > 0).select(
         "user_id",
         "n_intervals",
         "total_s",
-        F.expr("wsum * 10000 div total_s").alias("twap6"),
+        F.expr("CAST(wsum * 10000 div total_s AS BIGINT)").alias("twap6"),
     )
 
 
@@ -3206,7 +3216,7 @@ CONF_ALPHA_PCT = 90  # target coverage
       SELECT event_type AS t,
              CAST(round(value * 100) AS BIGINT) AS cents,
              (event_id * 2654435761 + 12289) % 2147483647 % 2 AS half
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), cal_hist AS (
       SELECT t, cents, CAST(count(*) AS BIGINT) AS cnt
       FROM v WHERE half = 0 GROUP BY t, cents
@@ -3267,7 +3277,9 @@ def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every window partitions by event_type over DISTINCT values —
     the agg_salted_twophase shuffle diet, three passes over aggregated
     relations, never a per-row sort."""
-    ev = load(spark, sf_dir, "events")
+    # NULL values carry neither rank nor residual — excluded on both
+    # sides (chaos r12, the agg_salted_twophase shape)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.select(
         F.col("event_type").alias("t"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -3953,7 +3965,7 @@ def ext_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT CAST(round(value * 100) AS BIGINT) AS c,
              (event_id * 2654435761 + 12289) % 2147483647 % 2 AS arm
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), hist AS (
       SELECT arm, c, CAST(count(*) AS BIGINT) AS cnt
       FROM v GROUP BY arm, c
@@ -3985,7 +3997,11 @@ def ext_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: per-arm distinct-value histograms + arm-partitioned cumulative
     windows — two small relations joined on decile at the end."""
-    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # NULL purchase values carry no rank — excluded on both sides
+    # (chaos r12, the agg_salted_twophase shape)
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
     v = ev.select(
         F.round(F.col("value") * 100).cast("long").alias("c"),
         F.expr("(event_id * 2654435761 + 12289) % 2147483647 % 2").alias("arm"),

