@@ -3855,3 +3855,185 @@ def ext_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("sim") >= 0.25).cast("long")).alias("n_neighbors"),
         (F.sum((F.col("sim") >= 0.25).cast("long")) >= 3).alias("is_core"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation-recall + binary-Hamming cascade (round-12 close
+# registrations; tranche-5 protos validated in tests/thaw_protos_r12.py
+# across sf0.001/0.01/0.1 and all five audit fixture modes)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)
+
+
+@query(
+    "ext_mrl_truncation_curve",
+    oracle='WITH embeddings AS MATERIALIZED (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0 AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) < 1e9),\n    tfull AS (\n      SELECT vec_id, embedding[1:64]::DOUBLE[] AS v\n      FROM embeddings\n      WHERE list_dot_product(embedding[1:64]::DOUBLE[],\n                             embedding[1:64]::DOUBLE[]) > 0\n    ), qfull AS (\n      SELECT vec_id AS query_id, v AS qv FROM tfull WHERE vec_id < 10\n    ), sfull AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id,\n             list_dot_product(q.qv, e.v) /\n             (sqrt(list_dot_product(q.qv, q.qv)) *\n              sqrt(list_dot_product(e.v, e.v))) AS sim\n      FROM qfull q JOIN tfull e ON e.vec_id <> q.query_id\n    ), kfull AS (\n      SELECT query_id, neighbor_id FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n        FROM sfull\n      ) WHERE rk <= 5\n    )\n,\n    td8 AS (\n      SELECT vec_id, embedding[1:8]::DOUBLE[] AS v\n      FROM embeddings\n      WHERE list_dot_product(embedding[1:8]::DOUBLE[],\n                             embedding[1:8]::DOUBLE[]) > 0\n    ), qd8 AS (\n      SELECT vec_id AS query_id, v AS qv FROM td8 WHERE vec_id < 10\n    ), sd8 AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id,\n             list_dot_product(q.qv, e.v) /\n             (sqrt(list_dot_product(q.qv, q.qv)) *\n              sqrt(list_dot_product(e.v, e.v))) AS sim\n      FROM qd8 q JOIN td8 e ON e.vec_id <> q.query_id\n    ), kd8 AS (\n      SELECT query_id, neighbor_id FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n        FROM sd8\n      ) WHERE rk <= 5\n    )\n,\n    td16 AS (\n      SELECT vec_id, embedding[1:16]::DOUBLE[] AS v\n      FROM embeddings\n      WHERE list_dot_product(embedding[1:16]::DOUBLE[],\n                             embedding[1:16]::DOUBLE[]) > 0\n    ), qd16 AS (\n      SELECT vec_id AS query_id, v AS qv FROM td16 WHERE vec_id < 10\n    ), sd16 AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id,\n             list_dot_product(q.qv, e.v) /\n             (sqrt(list_dot_product(q.qv, q.qv)) *\n              sqrt(list_dot_product(e.v, e.v))) AS sim\n      FROM qd16 q JOIN td16 e ON e.vec_id <> q.query_id\n    ), kd16 AS (\n      SELECT query_id, neighbor_id FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n        FROM sd16\n      ) WHERE rk <= 5\n    )\n,\n    td32 AS (\n      SELECT vec_id, embedding[1:32]::DOUBLE[] AS v\n      FROM embeddings\n      WHERE list_dot_product(embedding[1:32]::DOUBLE[],\n                             embedding[1:32]::DOUBLE[]) > 0\n    ), qd32 AS (\n      SELECT vec_id AS query_id, v AS qv FROM td32 WHERE vec_id < 10\n    ), sd32 AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id,\n             list_dot_product(q.qv, e.v) /\n             (sqrt(list_dot_product(q.qv, q.qv)) *\n              sqrt(list_dot_product(e.v, e.v))) AS sim\n      FROM qd32 q JOIN td32 e ON e.vec_id <> q.query_id\n    ), kd32 AS (\n      SELECT query_id, neighbor_id FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n        FROM sd32\n      ) WHERE rk <= 5\n    )\n SELECT * FROM (\n    SELECT CAST(8 AS BIGINT) AS trunc_dim,\n           CAST(count(*) AS BIGINT) AS n_exact,\n           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                AS BIGINT) AS n_hits,\n           CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                 * 1000000) // count(*) AS BIGINT) AS recall6\n    FROM kfull f LEFT JOIN kd8 t\n      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id\n UNION ALL \n    SELECT CAST(16 AS BIGINT) AS trunc_dim,\n           CAST(count(*) AS BIGINT) AS n_exact,\n           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                AS BIGINT) AS n_hits,\n           CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                 * 1000000) // count(*) AS BIGINT) AS recall6\n    FROM kfull f LEFT JOIN kd16 t\n      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id\n UNION ALL \n    SELECT CAST(32 AS BIGINT) AS trunc_dim,\n           CAST(count(*) AS BIGINT) AS n_exact,\n           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                AS BIGINT) AS n_hits,\n           CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                 * 1000000) // count(*) AS BIGINT) AS recall6\n    FROM kfull f LEFT JOIN kd32 t\n      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id\n)',
+)
+def ext_mrl_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation-recall curve: recall@k of TRUNCATED-dimension
+    cosine retrieval (first d of 64 dims, d in {8, 16, 32}) against the
+    full-dimension exact top-k over the standard query set — the serving
+    decision modern MRL-trained embedders expose ("can I serve 16-dim
+    vectors and keep 95% of retrieval?"). Exact: both rankings use the
+    deterministic (sim desc, neighbor asc) tie-break, and recall is an
+    integer micro-ratio per dim.
+
+    Prefix-norm gate: a vector scorable at 64 dims can still be ZERO in
+    its first d dims — each dim's ranking drops prefix-norm-0 vectors
+    identically on both sides (dot(v,v) > 0), the _emb_scorable pattern
+    applied per truncation.
+
+    Scale: per dim this is the brute-force exactness baseline (broadcast
+    queries × corpus, one pass per dim over the fanned-out corpus); at
+    production scale each dim's ranking swaps for the LSH/IVF path and
+    the recall join shape is unchanged — the point of the key is the
+    EVALUATION, whose cost is (queries × k × dims) rows."""
+    emb = fan_out(_emb_scorable(spark, sf_dir))
+
+    def topk(dim):
+        e = emb.select(
+            "vec_id",
+            (F.slice("embedding", 1, dim) if dim else F.col("embedding"))
+            .alias("v"),
+        ).filter(_dot(F.col("v"), F.col("v")) > 0)
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        sims = e.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                )
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sims.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(None)
+    out = None
+    for d in MRL_DIMS:
+        t = topk(d).withColumnRenamed("neighbor_id", "t_nid")
+        hits = (
+            full.join(
+                t,
+                (full["query_id"] == t["query_id"])
+                & (full["neighbor_id"] == t["t_nid"]),
+                "left",
+            )
+            .drop(t["query_id"])
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.sum(F.when(F.col("t_nid").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(d).cast("long").alias("trunc_dim"),
+                "n_exact",
+                "n_hits",
+                F.expr("CAST(n_hits * 1000000 div n_exact AS BIGINT)").alias(
+                    "recall6"
+                ),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+_HAM_C = 20  # Hamming candidate pool per query
+
+
+@query(
+    "ext_knn_binary_hamming",
+    oracle='\n    WITH embeddings AS MATERIALIZED (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0 AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) < 1e9), coded AS (\n      SELECT vec_id, embedding,\n             CAST(list_sum(list_transform(range(0, 32),\n               i -> CASE WHEN CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) > 0\n                         THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT)\n               AS b0,\n             CAST(list_sum(list_transform(range(32, 64),\n               i -> CASE WHEN CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) > 0\n                         THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END))\n               AS BIGINT) AS b1\n      FROM embeddings\n    ), q AS (\n      SELECT vec_id AS query_id, embedding AS q_emb, b0 AS q0, b1 AS q1\n      FROM coded WHERE vec_id < 10\n    ), ham AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id, q.q_emb, e.embedding,\n             bit_count(xor(e.b0, q.q0)) + bit_count(xor(e.b1, q.q1))\n               AS hamming\n      FROM q JOIN coded e ON e.vec_id <> q.query_id\n    ), cand AS (\n      SELECT * FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS crk\n        FROM ham\n      ) WHERE crk <= 20\n    ), rer AS (\n      SELECT query_id, neighbor_id, hamming,\n             list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /\n             (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *\n              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))\n               AS sim\n      FROM cand\n    )\n    SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,\n           round(sim, 6) AS cosine6, CAST(rk AS BIGINT) AS rk\n    FROM (\n      SELECT *, row_number() OVER (\n        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n      FROM rer\n    )\n    WHERE rk <= 5\n',
+)
+def ext_knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZATION retrieval cascade: 1-bit sign quantization
+    (x > 0) packed into two 32-bit words per vector (64x compression),
+    Hamming-distance candidate generation (top-C by popcount of XOR,
+    tie: neighbor asc), exact-cosine rerank to top-k — the BQ/RaBitQ
+    serving shape, with an EXACT oracle because sign bits and popcounts
+    are integer arithmetic both engines reproduce bit-identically.
+
+    Scale: the candidate stage carries two BIGINTs per vector instead of
+    64 floats — the XOR+popcount scan is memory-bandwidth-bound at ~1/32
+    the bytes of a float scan, and only |queries| x C vectors ever reach
+    the exact rerank. At production scale the packed words live in their
+    own compact column/index table."""
+    emb = fan_out(_emb_scorable(spark, sf_dir))
+
+    def pack(lo: int) -> Column:
+        # 32 precomputed bit literals summed: constant-folded, codegen'd
+        terms = [
+            F.when(
+                F.element_at(F.col("embedding"), lo + j + 1).cast("double")
+                > 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(32)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    coded = emb.select(
+        "vec_id", "embedding", pack(0).alias("b0"), pack(32).alias("b1")
+    )
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("b0").alias("q0"),
+        F.col("b1").alias("q1"),
+    )
+    ham = coded.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "q_emb",
+        "embedding",
+        (
+            F.bit_count(F.col("b0").bitwiseXOR(F.col("q0")))
+            + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
+        ).alias("hamming"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cand = ham.withColumn("crk", F.row_number().over(wc)).filter(
+        F.col("crk") <= _HAM_C
+    )
+    rer = cand.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.round("sim", 6).alias("cosine6"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -177,7 +177,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ann_ivf_nprobe_curve",
     "ext_mutual_knn_pairs",
     "ext_retrieval_auc",
-    # --- slots 51-55: chaos-audit fixes landed at round-12 close (the
+    # --- slots 51-52: round-12-close thaw registrations (tranche 5,
+    # validated in tests/thaw_protos_r12.py at three SFs and all five
+    # audit modes before registration; front the round-13 window). ---
+    "ext_mrl_truncation_curve",
+    "ext_knn_binary_hamming",
+    # --- slots 53-57: chaos-audit fixes landed at round-12 close (the
     # r12 --chaos sweep's only 5 divergences; verification fronts round
     # 13): NULL-value exclusion from histogram order statistics,
     # decimal/HUGEINT TWAP widening, the epoch-0 watermark quarantine. ---
@@ -186,7 +191,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_conformal_interval",
     "ext_time_weighted_avg",
     "stream_dedup_watermark",
-    # --- slots 56-68: X1+X2(a) overflow (front the round-13 window). ---
+    # --- slots 58-70: X1+X2(a) overflow (front the round-13 window). ---
     "ext_mips_cosine_reduction",
     "ext_rank_fusion_rrf",
     "ext_dbscan_core_points",

@@ -1432,6 +1432,11 @@ _EXCHANGE_BUDGETS = {
     # r12 thaw registration: mutual-kNN base lineage (pre-checkpoint) +
     # one groupBy per unrolled peel round; the alive-set joins broadcast
     "ext_graph_degeneracy_core": 27,
+    # r12-close registrations (tranche 5): per-truncation-dim window +
+    # recall join (4 rankings); hamming cascade is one window pair over
+    # the broadcast-kNN base
+    "ext_mrl_truncation_curve": 12,
+    "ext_knn_binary_hamming": 1,
     # one corpus tokenization to the distinct-word table, then three
     # unrolled merge rounds of (map-side pair explosion + pair-domain
     # aggregate + 1-row TakeOrdered winner + broadcast splice): the word
