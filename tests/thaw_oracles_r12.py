@@ -1,5 +1,8 @@
-"""Round-12 thaw-candidate oracle validation (fifth tranche, drafted at
-round-12 close for ROUND-13 registration).
+"""Round-12 thaw-candidate oracle validation (fifth tranche).
+
+ROUND-12 STATUS: BOTH REGISTERED at round-12 close (the registered
+copies in extensions/similarity.py are the source of truth; these
+oracles retained as the validation record).
 
 Run: ``python tests/thaw_protos_r12.py`` (not pytest-collected). Same
 harness as the r8/r9/r10 validators. Two quality-first candidates from

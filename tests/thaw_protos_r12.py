@@ -1,7 +1,9 @@
 """Spark-side prototypes for the 2 round-12 thaw candidates (tranche 5).
 
-Drafted at round-12 close for ROUND-13 registration under the one-commit
-thaw rule. Both fill genuine gaps in the embedding-retrieval family that
+ROUND-12 STATUS: BOTH REGISTERED at round-12 close (one commit each
+under the thaw rule; rotation slots 51-52 front the round-13 window).
+The registered copies in extensions/similarity.py are the source of
+truth; these prototypes are retained as the validation record. Both fill genuine gaps in the embedding-retrieval family that
 the registry's 456 keys do not cover:
 
 - ``ext_mrl_truncation_curve`` — Matryoshka-representation evaluation:
