@@ -789,6 +789,77 @@ def ext_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EST_EPS = 0.25  # ~5σ for 96 hashes at J in [0.8, 1]; Ĵ≈0 on a real pair fails
+
+
+@query(
+    "ext_minhash_jaccard_estimate",
+    oracle=(
+        "SELECT d1, d2, TRUE AS within_tol FROM ("
+        + _EXACT_JACCARD_SQL.format(thr=JACCARD_THRESHOLD)
+        + ")"
+    ),
+)
+def ext_minhash_jaccard_estimate(
+    spark: SparkSession, sf_dir: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MinHash SKETCH-ACCURACY INVARIANT (the agg_approx_count_distinct
+    shape, applied to the dedup family's own machinery): for every exact
+    near-duplicate pair (Jaccard ≥ 0.8 — the registered
+    ext_near_dedup_minhash ground truth), the SIGNATURE-based estimate
+    Ĵ = (#agreeing minhash positions)/96 must sit within eps of the
+    exact Jaccard. E[Ĵ] = J exactly (each minhash position agrees with
+    probability J), and with 96 hashes the binomial std of Ĵ is
+    ≤ √(0.25/96) ≈ 0.051, so eps = 0.25 (~5σ) is robust without being
+    vacuous: a broken signature pipeline — wrong seed mixing, a band
+    transposition, a stale cache — puts Ĵ near 0 on a J ≈ 0.8 pair and
+    fails immediately. The oracle asserts the invariant (the exact pair
+    list with literal TRUE), so the check is exact while the estimator
+    stays sketch-based (DuckDB cannot and need not reproduce xxhash64).
+
+    Scale: the estimate join touches only the near-dup PAIR list (dup
+    volume, not corpus), carrying two 96-column signature rows per pair;
+    the signature aggregation is the same codegen'd 96-MIN pass the
+    retrieval key runs. This is the monitoring query a production dedup
+    pipeline runs on a sample to detect signature drift after any code
+    or library change."""
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2", "jaccard")
+    sig = (
+        _shingles(load(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+                for i in range(n_hashes)
+            ]
+        )
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = None
+    for i in range(n_hashes):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.abs(agree.cast("double") / n_hashes - F.col("jaccard"))
+                <= F.lit(_EST_EPS)
+            ).alias("within_tol"),
+        )
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 

@@ -177,11 +177,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ann_ivf_nprobe_curve",
     "ext_mutual_knn_pairs",
     "ext_retrieval_auc",
-    # --- slots 51-52: round-12-close thaw registrations (tranche 5,
+    # --- slots 51-53: round-12-close thaw registrations (tranches 5-6,
     # validated in tests/thaw_protos_r12.py at three SFs and all five
     # audit modes before registration; front the round-13 window). ---
     "ext_mrl_truncation_curve",
     "ext_knn_binary_hamming",
+    "ext_minhash_jaccard_estimate",
     # --- slots 53-57: chaos-audit fixes landed at round-12 close (the
     # r12 --chaos sweep's only 5 divergences; verification fronts round
     # 13): NULL-value exclusion from histogram order statistics,

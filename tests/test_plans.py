@@ -1437,6 +1437,9 @@ _EXCHANGE_BUDGETS = {
     # the broadcast-kNN base
     "ext_mrl_truncation_curve": 12,
     "ext_knn_binary_hamming": 1,
+    # r12-close tranche-6: minhash pipeline + one extra 96-MIN signature
+    # aggregation + the pair-list joins
+    "ext_minhash_jaccard_estimate": 7,
     # one corpus tokenization to the distinct-word table, then three
     # unrolled merge rounds of (map-side pair explosion + pair-domain
     # aggregate + 1-row TakeOrdered winner + broadcast splice): the word
