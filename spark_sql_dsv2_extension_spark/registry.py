@@ -106,6 +106,84 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # === ROUND-13 WINDOW (CORRECTNESS_r12 came back 50/50 green —
+    # cumulative 456/456, backlog ZERO — so every slot is conscious
+    # spending per ROADMAP_r13.md's pre-computed arithmetic: the 21-key
+    # round-12 overflow block first, then the two _sql_round ADVICE
+    # re-fronts, then a staleness-refresh block of the OLDEST
+    # driver-verified keys (last checked in round 1) — the r12 judge's
+    # own spot-check sampled rounds 1-3, and 43 keys still date to r1;
+    # this block starts retiring that tail. Keys registered early this
+    # round replace staleness fillers from the END of the block. ===
+    #
+    # --- slots 1-3: round-12-close thaw registrations (tranches 5-6),
+    # driver-unverified by definition; the r12 ADVICE items on their
+    # oracle constants land this round while they are in-window. ---
+    "ext_mrl_truncation_curve",
+    "ext_knn_binary_hamming",
+    "ext_minhash_jaccard_estimate",
+    # --- slots 4-8: the five chaos-audit fixes landed at round-12 close
+    # (NULL-value exclusion from histogram order statistics ×3, the TWAP
+    # decimal widening, the epoch-0 watermark quarantine). ---
+    "agg_salted_twophase",
+    "ext_quantile_treatment_effect",
+    "ext_conformal_interval",
+    "ext_time_weighted_avg",
+    "stream_dedup_watermark",
+    # --- slots 9-21: the 13 X1/X2(a) scorable-gate keys that did not fit
+    # the round-12 window (fixes landed r12, sweep-green at r12 HEAD). ---
+    "ext_mips_cosine_reduction",
+    "ext_rank_fusion_rrf",
+    "ext_dbscan_core_points",
+    "ext_triangle_count",
+    "ext_graph_modularity",
+    "ext_conductance_communities",
+    "ext_degree_assortativity",
+    "ext_label_propagation_bounded",
+    "ext_embedding_whitening",
+    "ext_embedding_outliers",
+    "ext_label_centroids",
+    "ext_label_cohesion",
+    "ext_silhouette_labels",
+    # --- slots 22-23: the r12 ADVICE _sql_round carry fix touches the
+    # shared pandas-worker rounding helper; both its verified consumers
+    # re-front consciously. ---
+    "udaf_pandas_grouped",
+    "udaf_grouped_map_zscore",
+    # --- slots 24-50: staleness-refresh re-fronts — the oldest
+    # driver-verified keys (newest CORRECTNESS row = round 1), registry
+    # order. Twelve rounds of shared-helper evolution (tables.dsum
+    # integer-moment discipline, NULL-ordering pins, the scorable gate)
+    # sit between their last driver check and HEAD; re-verify the
+    # foundation blocks first. New round-13 registrations displace this
+    # block from the END (agg_multi_distinct out first). ---
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "scan_filter_pushdown",
+    "count_star_fastpath",
+    "project_expr",
+    "filter_compound",
+    "filter_null_semantics",
+    "filter_in_between_like",
+    "join_multi_key_chain",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_range_banded",
+    "join_broadcast_hint",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "join_asof_time",
+    "join_shuffle_hash_hint",
+    "agg_hash_group",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_multi_distinct",
     # === ROUND-12 WINDOW (CORRECTNESS_r11 came back 50/50 green —
     # cumulative 453/453, backlog ZERO — so every slot is conscious
     # spending per ROADMAP_r12.md's pre-computed arithmetic: the
@@ -132,8 +210,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- slots 11-21: Family X4 convention pins (pandas SQL-rounding,
     # trunc/sqrt/ß pins, rank-form invariant, octet-true multimodal
     # oracles) + the X3 fn_json try_cast. ---
-    "udaf_pandas_grouped",
-    "udaf_grouped_map_zscore",
     "fn_cast",
     "fn_math",
     "fn_string",
@@ -180,32 +256,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- slots 51-53: round-12-close thaw registrations (tranches 5-6,
     # validated in tests/thaw_protos_r12.py at three SFs and all five
     # audit modes before registration; front the round-13 window). ---
-    "ext_mrl_truncation_curve",
-    "ext_knn_binary_hamming",
-    "ext_minhash_jaccard_estimate",
     # --- slots 53-57: chaos-audit fixes landed at round-12 close (the
     # r12 --chaos sweep's only 5 divergences; verification fronts round
     # 13): NULL-value exclusion from histogram order statistics,
     # decimal/HUGEINT TWAP widening, the epoch-0 watermark quarantine. ---
-    "agg_salted_twophase",
-    "ext_quantile_treatment_effect",
-    "ext_conformal_interval",
-    "ext_time_weighted_avg",
-    "stream_dedup_watermark",
     # --- slots 58-70: X1+X2(a) overflow (front the round-13 window). ---
-    "ext_mips_cosine_reduction",
-    "ext_rank_fusion_rrf",
-    "ext_dbscan_core_points",
-    "ext_triangle_count",
-    "ext_graph_modularity",
-    "ext_conductance_communities",
-    "ext_degree_assortativity",
-    "ext_label_propagation_bounded",
-    "ext_embedding_whitening",
-    "ext_embedding_outliers",
-    "ext_label_centroids",
-    "ext_label_cohesion",
-    "ext_silhouette_labels",
     # --- r11-verified keys not re-listed above rotate behind in their
     # original order (the blocks below; duplicates of the keys above are
     # inert — first occurrence wins). ---
@@ -592,33 +647,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_bitwise",
     "fn_hash",
     "fn_json_nested",
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "scan_filter_pushdown",
-    "count_star_fastpath",
-    "project_expr",
-    "filter_compound",
-    "filter_null_semantics",
-    "filter_in_between_like",
-    "join_multi_key_chain",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_range_banded",
-    "join_broadcast_hint",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "join_asof_time",
-    "join_shuffle_hash_hint",
-    "agg_hash_group",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_multi_distinct",
     "agg_having",
     "agg_rollup",
     "agg_cube",

@@ -162,7 +162,46 @@ _R12_FIX_BATCH = frozenset({
     "ext_conformal_interval", "ext_time_weighted_avg",
     "stream_dedup_watermark",
 })
-_DELIBERATE_REFRONTS: frozenset[str] = _R12_FIX_BATCH
+
+# Round 13: CORRECTNESS_r12 came back 50/50 green (cumulative 456/456,
+# backlog ZERO), so the window is again conscious spending per
+# ROADMAP_r13.md: the 21-key round-12 overflow block (slots 1-3 are the
+# driver-UNVERIFIED tranche-5/6 registrations and need no entry here;
+# slots 4-21 are the chaos-fix + scorable-gate-overflow re-fronts already
+# named in _R12_FIX_BATCH), the two _sql_round ADVICE re-fronts (the
+# shared pandas-worker rounding helper changes this round — its two
+# verified consumers re-verify), and a 27-key staleness-refresh block:
+# the oldest driver-verified keys (newest CORRECTNESS row = round 1, 43
+# keys strong), re-fronted registry-order to start retiring the r1 tail
+# the round-12 judge spot-checked by hand. Round-13 registrations
+# displace staleness fillers from the END of the block.
+_R13_FIX_BATCH = frozenset({
+    # chaos-audit fixes (landed r12 close; re-verification fronts now)
+    "agg_salted_twophase", "ext_quantile_treatment_effect",
+    "ext_conformal_interval", "ext_time_weighted_avg",
+    "stream_dedup_watermark",
+    # X1/X2(a) scorable-gate overflow (fixes landed r12)
+    "ext_mips_cosine_reduction", "ext_rank_fusion_rrf",
+    "ext_dbscan_core_points", "ext_triangle_count", "ext_graph_modularity",
+    "ext_conductance_communities", "ext_degree_assortativity",
+    "ext_label_propagation_bounded", "ext_embedding_whitening",
+    "ext_embedding_outliers", "ext_label_centroids", "ext_label_cohesion",
+    "ext_silhouette_labels",
+    # the r12 ADVICE _sql_round carry fix (shared helper; both consumers)
+    "udaf_pandas_grouped", "udaf_grouped_map_zscore",
+    # staleness-refresh: last driver-checked in round 1
+    "scan_parquet", "scan_projection_pushdown", "scan_filter_pushdown",
+    "count_star_fastpath", "project_expr", "filter_compound",
+    "filter_null_semantics", "filter_in_between_like",
+    "join_multi_key_chain", "join_inner_equi", "join_left_outer",
+    "join_right_outer", "join_full_outer", "join_left_semi",
+    "join_left_anti", "join_cross", "join_theta_range",
+    "join_range_banded", "join_broadcast_hint", "join_skew_salted",
+    "join_bucketed_colocated", "join_asof_time", "join_shuffle_hash_hint",
+    "agg_hash_group", "agg_global", "agg_count_distinct",
+    "agg_multi_distinct",
+})
+_DELIBERATE_REFRONTS: frozenset[str] = _R13_FIX_BATCH
 
 
 def test_driver_window_has_no_silent_refronts():
