@@ -789,7 +789,14 @@ def ext_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EST_EPS = 0.25  # ~5σ for 96 hashes at J in [0.8, 1]; Ĵ≈0 on a real pair fails
+def _est_eps(n_hashes: int) -> float:
+    """5σ tolerance for the n-hash MinHash estimator: Ĵ is a mean of n
+    Bernoulli(J) indicators, so σ(Ĵ) ≤ √(0.25/n) and 5·√(0.25/n) is
+    ~5σ at any n (0.255 at the default 96 — the r12-registered 0.25,
+    rederived). Deriving from n_hashes keeps the tolerance honest when a
+    caller passes a smaller signature (r12 ADVICE: a fixed 0.25 at
+    n = 16 would be only ~2σ); Ĵ≈0 on a real J ≥ 0.8 pair still fails."""
+    return 5.0 * (0.25 / n_hashes) ** 0.5
 
 
 @query(
@@ -809,9 +816,9 @@ def ext_minhash_jaccard_estimate(
     ext_near_dedup_minhash ground truth), the SIGNATURE-based estimate
     Ĵ = (#agreeing minhash positions)/96 must sit within eps of the
     exact Jaccard. E[Ĵ] = J exactly (each minhash position agrees with
-    probability J), and with 96 hashes the binomial std of Ĵ is
-    ≤ √(0.25/96) ≈ 0.051, so eps = 0.25 (~5σ) is robust without being
-    vacuous: a broken signature pipeline — wrong seed mixing, a band
+    probability J), and the binomial std of Ĵ is ≤ √(0.25/n_hashes)
+    (≈ 0.051 at the default 96), so eps = _est_eps(n_hashes) (~5σ at any
+    n) is robust without being vacuous: a broken signature pipeline — wrong seed mixing, a band
     transposition, a stale cache — puts Ĵ near 0 on a J ≈ 0.8 pair and
     fails immediately. The oracle asserts the invariant (the exact pair
     list with literal TRUE), so the check is exact while the estimator
@@ -854,7 +861,7 @@ def ext_minhash_jaccard_estimate(
             "d2",
             (
                 F.abs(agree.cast("double") / n_hashes - F.col("jaccard"))
-                <= F.lit(_EST_EPS)
+                <= F.lit(_est_eps(n_hashes))
             ).alias("within_tol"),
         )
     )

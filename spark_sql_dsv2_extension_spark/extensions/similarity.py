@@ -3864,11 +3864,62 @@ def ext_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MRL_DIMS = (8, 16, 32)
+_MRL_FULL_DIM = 64  # the fixtures' full embedding width
+
+
+def _mrl_rank_ctes(tag: str, dim: int) -> str:
+    """One truncation's gated/query/similarity/top-k oracle CTE chain,
+    interpolated from the same constants the plan uses (N_QUERIES, TOP_K —
+    r12 ADVICE: the registered oracle inlined literal 10/5/gate copies, so
+    a constant edit would silently desynchronize engine and oracle)."""
+    return f"""
+    t{tag} AS (
+      SELECT vec_id, embedding[1:{dim}]::DOUBLE[] AS v
+      FROM embeddings
+      WHERE list_dot_product(embedding[1:{dim}]::DOUBLE[],
+                             embedding[1:{dim}]::DOUBLE[]) > 0
+    ), q{tag} AS (
+      SELECT vec_id AS query_id, v AS qv FROM t{tag} WHERE vec_id < {N_QUERIES}
+    ), s{tag} AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.v) /
+             (sqrt(list_dot_product(q.qv, q.qv)) *
+              sqrt(list_dot_product(e.v, e.v))) AS sim
+      FROM q{tag} q JOIN t{tag} e ON e.vec_id <> q.query_id
+    ), k{tag} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM s{tag}
+      ) WHERE rk <= {TOP_K}
+    )"""
+
+
+def _mrl_recall_select(d: int) -> str:
+    return f"""
+    SELECT CAST({d} AS BIGINT) AS trunc_dim,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS recall6
+    FROM kfull f LEFT JOIN kd{d} t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id"""
+
+
+_MRL_ORACLE = (
+    f"WITH {_EMB_SCORABLE_CTE},"
+    + _mrl_rank_ctes("full", _MRL_FULL_DIM)
+    + "".join("\n," + _mrl_rank_ctes(f"d{d}", d) for d in MRL_DIMS)
+    + "\n SELECT * FROM (\n"
+    + "\n UNION ALL \n".join(_mrl_recall_select(d) for d in MRL_DIMS)
+    + "\n)"
+)
 
 
 @query(
     "ext_mrl_truncation_curve",
-    oracle='WITH embeddings AS MATERIALIZED (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0 AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) < 1e9),\n    tfull AS (\n      SELECT vec_id, embedding[1:64]::DOUBLE[] AS v\n      FROM embeddings\n      WHERE list_dot_product(embedding[1:64]::DOUBLE[],\n                             embedding[1:64]::DOUBLE[]) > 0\n    ), qfull AS (\n      SELECT vec_id AS query_id, v AS qv FROM tfull WHERE vec_id < 10\n    ), sfull AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id,\n             list_dot_product(q.qv, e.v) /\n             (sqrt(list_dot_product(q.qv, q.qv)) *\n              sqrt(list_dot_product(e.v, e.v))) AS sim\n      FROM qfull q JOIN tfull e ON e.vec_id <> q.query_id\n    ), kfull AS (\n      SELECT query_id, neighbor_id FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n        FROM sfull\n      ) WHERE rk <= 5\n    )\n,\n    td8 AS (\n      SELECT vec_id, embedding[1:8]::DOUBLE[] AS v\n      FROM embeddings\n      WHERE list_dot_product(embedding[1:8]::DOUBLE[],\n                             embedding[1:8]::DOUBLE[]) > 0\n    ), qd8 AS (\n      SELECT vec_id AS query_id, v AS qv FROM td8 WHERE vec_id < 10\n    ), sd8 AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id,\n             list_dot_product(q.qv, e.v) /\n             (sqrt(list_dot_product(q.qv, q.qv)) *\n              sqrt(list_dot_product(e.v, e.v))) AS sim\n      FROM qd8 q JOIN td8 e ON e.vec_id <> q.query_id\n    ), kd8 AS (\n      SELECT query_id, neighbor_id FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n        FROM sd8\n      ) WHERE rk <= 5\n    )\n,\n    td16 AS (\n      SELECT vec_id, embedding[1:16]::DOUBLE[] AS v\n      FROM embeddings\n      WHERE list_dot_product(embedding[1:16]::DOUBLE[],\n                             embedding[1:16]::DOUBLE[]) > 0\n    ), qd16 AS (\n      SELECT vec_id AS query_id, v AS qv FROM td16 WHERE vec_id < 10\n    ), sd16 AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id,\n             list_dot_product(q.qv, e.v) /\n             (sqrt(list_dot_product(q.qv, q.qv)) *\n              sqrt(list_dot_product(e.v, e.v))) AS sim\n      FROM qd16 q JOIN td16 e ON e.vec_id <> q.query_id\n    ), kd16 AS (\n      SELECT query_id, neighbor_id FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n        FROM sd16\n      ) WHERE rk <= 5\n    )\n,\n    td32 AS (\n      SELECT vec_id, embedding[1:32]::DOUBLE[] AS v\n      FROM embeddings\n      WHERE list_dot_product(embedding[1:32]::DOUBLE[],\n                             embedding[1:32]::DOUBLE[]) > 0\n    ), qd32 AS (\n      SELECT vec_id AS query_id, v AS qv FROM td32 WHERE vec_id < 10\n    ), sd32 AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id,\n             list_dot_product(q.qv, e.v) /\n             (sqrt(list_dot_product(q.qv, q.qv)) *\n              sqrt(list_dot_product(e.v, e.v))) AS sim\n      FROM qd32 q JOIN td32 e ON e.vec_id <> q.query_id\n    ), kd32 AS (\n      SELECT query_id, neighbor_id FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n        FROM sd32\n      ) WHERE rk <= 5\n    )\n SELECT * FROM (\n    SELECT CAST(8 AS BIGINT) AS trunc_dim,\n           CAST(count(*) AS BIGINT) AS n_exact,\n           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                AS BIGINT) AS n_hits,\n           CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                 * 1000000) // count(*) AS BIGINT) AS recall6\n    FROM kfull f LEFT JOIN kd8 t\n      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id\n UNION ALL \n    SELECT CAST(16 AS BIGINT) AS trunc_dim,\n           CAST(count(*) AS BIGINT) AS n_exact,\n           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                AS BIGINT) AS n_hits,\n           CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                 * 1000000) // count(*) AS BIGINT) AS recall6\n    FROM kfull f LEFT JOIN kd16 t\n      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id\n UNION ALL \n    SELECT CAST(32 AS BIGINT) AS trunc_dim,\n           CAST(count(*) AS BIGINT) AS n_exact,\n           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                AS BIGINT) AS n_hits,\n           CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n                 * 1000000) // count(*) AS BIGINT) AS recall6\n    FROM kfull f LEFT JOIN kd32 t\n      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id\n)',
+    oracle=_MRL_ORACLE,
 )
 def ext_mrl_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATRYOSHKA truncation-recall curve: recall@k of TRUNCATED-dimension
@@ -3954,11 +4005,63 @@ def ext_mrl_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HAM_C = 20  # Hamming candidate pool per query
+_HAM_BITS = 64  # sign bits packed into two 32-bit words; needs full width
+
+# Interpolated from the same constants as the plan (N_QUERIES, _HAM_C,
+# TOP_K, the scorable gate — r12 ADVICE); the len() >= _HAM_BITS condition
+# is the second r12 ADVICE item: pack() reads positions 1..64, so under
+# ANSI a ragged scorable embedding (1 <= len < 64) would raise
+# INVALID_ARRAY_INDEX on Spark while DuckDB's OOB index yields NULL bits —
+# the width gate excludes ragged vectors identically on both engines.
+_HAM_ORACLE = f"""
+    WITH {_EMB_SCORABLE_CTE}, coded AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) > 0
+                         THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT)
+               AS b0,
+             CAST(list_sum(list_transform(range(32, 64),
+               i -> CASE WHEN CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) > 0
+                         THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END))
+               AS BIGINT) AS b1
+      FROM embeddings
+      WHERE len(embedding) >= {_HAM_BITS}
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, b0 AS q0, b1 AS q1
+      FROM coded WHERE vec_id < {N_QUERIES}
+    ), ham AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, q.q_emb, e.embedding,
+             bit_count(xor(e.b0, q.q0)) + bit_count(xor(e.b1, q.q1))
+               AS hamming
+      FROM q JOIN coded e ON e.vec_id <> q.query_id
+    ), cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS crk
+        FROM ham
+      ) WHERE crk <= {_HAM_C}
+    ), rer AS (
+      SELECT query_id, neighbor_id, hamming,
+             list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+               AS sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+           round(sim, 6) AS cosine6, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM rer
+    )
+    WHERE rk <= {TOP_K}
+"""
 
 
 @query(
     "ext_knn_binary_hamming",
-    oracle='\n    WITH embeddings AS MATERIALIZED (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0 AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) < 1e9), coded AS (\n      SELECT vec_id, embedding,\n             CAST(list_sum(list_transform(range(0, 32),\n               i -> CASE WHEN CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) > 0\n                         THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT)\n               AS b0,\n             CAST(list_sum(list_transform(range(32, 64),\n               i -> CASE WHEN CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) > 0\n                         THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END))\n               AS BIGINT) AS b1\n      FROM embeddings\n    ), q AS (\n      SELECT vec_id AS query_id, embedding AS q_emb, b0 AS q0, b1 AS q1\n      FROM coded WHERE vec_id < 10\n    ), ham AS (\n      SELECT q.query_id, e.vec_id AS neighbor_id, q.q_emb, e.embedding,\n             bit_count(xor(e.b0, q.q0)) + bit_count(xor(e.b1, q.q1))\n               AS hamming\n      FROM q JOIN coded e ON e.vec_id <> q.query_id\n    ), cand AS (\n      SELECT * FROM (\n        SELECT *, row_number() OVER (\n          PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS crk\n        FROM ham\n      ) WHERE crk <= 20\n    ), rer AS (\n      SELECT query_id, neighbor_id, hamming,\n             list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /\n             (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *\n              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))\n               AS sim\n      FROM cand\n    )\n    SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,\n           round(sim, 6) AS cosine6, CAST(rk AS BIGINT) AS rk\n    FROM (\n      SELECT *, row_number() OVER (\n        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk\n      FROM rer\n    )\n    WHERE rk <= 5\n',
+    oracle=_HAM_ORACLE,
 )
 def ext_knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY-QUANTIZATION retrieval cascade: 1-bit sign quantization
@@ -3972,8 +4075,15 @@ def ext_knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 floats — the XOR+popcount scan is memory-bandwidth-bound at ~1/32
     the bytes of a float scan, and only |queries| x C vectors ever reach
     the exact rerank. At production scale the packed words live in their
-    own compact column/index table."""
-    emb = fan_out(_emb_scorable(spark, sf_dir))
+    own compact column/index table.
+
+    Width gate (r12 ADVICE): pack() reads element_at(embedding, 1..64),
+    which raises INVALID_ARRAY_INDEX under ANSI on a ragged scorable
+    embedding while the oracle's OOB index yields NULL bits — both sides
+    exclude len < 64 vectors via the same size condition."""
+    emb = fan_out(_emb_scorable(spark, sf_dir)).filter(
+        F.size("embedding") >= _HAM_BITS
+    )
 
     def pack(lo: int) -> Column:
         # 32 precomputed bit literals summed: constant-folded, codegen'd

@@ -36,9 +36,17 @@ def _sql_round(x: pd.Series) -> pd.Series:
     scaling) rounds to 0 where SQL's round() on BOTH engines gives 1,
     shifting every integer-cents moment built on it
     (EXTREME_AUDIT_r11.md Family X4). The worker must implement the
-    ENGINE's rounding: sign-aware floor(|x| + 0.5). NaN propagates.
+    ENGINE's rounding, WITHOUT the floor(|x| + 0.5) idiom: for a double
+    1 ulp below a half boundary (0.49999999999999994) the +0.5 addition
+    carries to exactly 0.5 and floors to 1, while Spark round()
+    (BigDecimal HALF_UP on the exact double) and DuckDB round() both give
+    0 (r12 ADVICE). Compare the fractional part exactly instead — no
+    addition, no carry, exact at every double. NaN propagates (NaN >= 0.5
+    is False, but i is NaN so the sum stays NaN).
     """
-    return np.floor(x.abs() + 0.5) * np.sign(x).replace(0.0, 1.0)
+    f = x.abs()
+    i = np.floor(f)
+    return (i + ((f - i) >= 0.5)) * np.sign(x).replace(0.0, 1.0)
 
 
 @query(
