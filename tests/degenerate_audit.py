@@ -23,6 +23,10 @@ Usage:
     python tests/degenerate_audit.py --chaos [...]    # NULL x extreme x
                                                       # empty-dim interactions
                                                       # (round-12 frontier)
+    python tests/degenerate_audit.py --ragged [...]   # SHAPE malformations:
+                                                      # ragged arrays, broken
+                                                      # JSON, degenerate text
+                                                      # (round-13 frontier)
 
 Keys whose plan needs tables the degenerate set lacks, or that are
 streaming-only, report SKIP. Exit status 1 if any DIVERGE.
@@ -699,6 +703,85 @@ def build_chaos_fixtures(tmp: str) -> None:
     pq.write_table(t.slice(0, 0), f"{tmp}/region.parquet")
 
 
+def build_ragged_fixtures(tmp: str) -> None:
+    """SHAPE-malformation fixtures (round-13 frontier, opened after the
+    chaos frontier closed): the extreme-value tables with rows APPENDED
+    whose VALUES are ordinary but whose SHAPE is broken — the payloads a
+    100 TB corpus accumulates from failed encoders and truncated writes:
+    ragged embedding widths (0, 1, 17, 63, 100 elements beside the
+    declared 64), malformed / non-object JSON payloads (truncated,
+    bare-word, array-root, wrong-case key), and degenerate text shapes
+    (an embedded NUL byte, whitespace-only, single-char). Every appended
+    cell is NON-NULL (NULL interactions are the chaos mode's dimension)
+    and numerically tame (adversarial values are the extreme mode's).
+    The class is real in-registry: the r12 ADVICE found by inspection
+    that a ragged scorable embedding raises INVALID_ARRAY_INDEX in
+    ext_knn_binary_hamming's pack() under ANSI Spark while DuckDB yields
+    NULL bits — and DuckDB's list_dot_product raises outright on
+    unequal-length pairs where Spark's zip_with pads with NULL. This
+    mode hunts that whole class mechanically. Contract identical to the
+    other modes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_extreme_fixtures(tmp)
+
+    def append(name: str, rows: dict) -> None:
+        path = f"{tmp}/{name}.parquet"
+        t = pq.read_table(path)
+        extra = pa.table(
+            {f.name: pa.array(rows[f.name], f.type) for f in t.schema}
+        )
+        pq.write_table(pa.concat_tables([t, extra]), path)
+
+    # ragged widths beside the declared 64; values all scorable (non-zero,
+    # tame magnitude) so ONLY the shape is abnormal, plus one extra
+    # normal-width vector so ragged x normal pairs are guaranteed
+    append(
+        "embeddings",
+        {
+            "vec_id": [5, 6, 7, 8, 9, 10],
+            "embedding": [
+                [],
+                [0.5],
+                [0.1 + 0.01 * i for i in range(17)],
+                [0.2 + 0.01 * i for i in range(63)],
+                [0.3 + 0.001 * i for i in range(100)],
+                [0.4 + 0.001 * i for i in range(64)],
+            ],
+            "label": [0, 1, 2, 0, 1, 2],
+        },
+    )
+    append(
+        "documents",
+        {
+            "doc_id": [7, 8, 9],
+            "text": ["nul\x00byte inside this text ok", "      ", "x"],
+            "lang": ["en", "en", "en"],
+            "source": ["web", "web", "web"],
+            "n_chars": [28, 6, 1],
+        },
+    )
+    # JSON payloads that parse on neither / only-one engine's lenient
+    # path: truncated object, bare word, array root, wrong-case key
+    append(
+        "events",
+        {
+            "event_id": [6, 7, 8, 9],
+            "ts": [
+                dt.datetime(2024, 3, 1, 10),
+                dt.datetime(2024, 3, 1, 11),
+                dt.datetime(2024, 3, 1, 12),
+                dt.datetime(2024, 3, 1, 13),
+            ],
+            "user_id": [4, 4, 5, 5],
+            "event_type": ["view", "purchase", "view", "purchase"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ['{"k": ', "not json", "[]", '{"K": "7"}'],
+        },
+    )
+
+
 def build_empty_fixtures(tmp: str) -> None:
     """ZERO-ROW versions of all ten fixture tables, byte-identical
     schemas (round-9 extension): at 100 TB an empty source is routine —
@@ -725,11 +808,13 @@ def main() -> int:
     null_mode = "--nulls" in args
     extreme_mode = "--extreme" in args
     chaos_mode = "--chaos" in args
-    if empty_mode or null_mode or extreme_mode or chaos_mode:
+    ragged_mode = "--ragged" in args
+    if empty_mode or null_mode or extreme_mode or chaos_mode or ragged_mode:
         args = [
             a
             for a in args
-            if a not in ("--empty", "--nulls", "--extreme", "--chaos")
+            if a not in ("--empty", "--nulls", "--extreme", "--chaos",
+                         "--ragged")
         ]
     if args[:1] == ["--protos"]:
         import importlib
@@ -755,6 +840,8 @@ def main() -> int:
         if extreme_mode
         else build_chaos_fixtures
         if chaos_mode
+        else build_ragged_fixtures
+        if ragged_mode
         else build_degenerate_fixtures
     )
     builder(tmp)
