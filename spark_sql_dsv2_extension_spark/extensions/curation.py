@@ -419,14 +419,20 @@ def ext_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics broadcast back. Higher orders chain the same shape."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(F.split("text", " ").alias("toks"))
+    # Adjacent pairs via two aligned slices zipped — NOT
+    # sequence(1, size-1) + element_at: on a single-token document that
+    # sequence is the DESCENDING [1, 0] (Spark's sequence runs backwards
+    # when stop < start), so element_at hits index 0 and the OOB index 2
+    # and raises under ANSI where the oracle's range(0, len-1) is simply
+    # empty (RAGGED_AUDIT_r13.md Family T). Both slices are empty for
+    # size < 2.
+    n_pairs = F.greatest(F.size("toks") - 1, F.lit(0))
     pairs = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("toks"), i).alias("w1"),
-                    F.element_at(F.col("toks"), i + 1).alias("w2"),
-                ),
+            F.zip_with(
+                F.slice("toks", 1, n_pairs),
+                F.slice("toks", 2, n_pairs),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
             )
         ).alias("p")
     ).select("p.w1", "p.w2")

@@ -27,7 +27,8 @@ from ..operators.quantiles import (
     distributed_running_sum,
 )
 from ..registry import query
-from ..tables import fan_out, load
+from ..tables import SQL_PROPS_JSON, fan_out, load
+from .similarity import EMB_DIM as _EMB_DIM
 
 NDCG_K = 10
 BOOTSTRAP_B = 20  # resamples; CI = 2nd/19th order statistic (~90%)
@@ -1178,7 +1179,7 @@ COOC_MIN_SUPPORT = 3
     oracle=f"""
     WITH ui AS (
       SELECT DISTINCT user_id,
-             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) AS item
       FROM events
     ), ic AS (
       SELECT item, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY item
@@ -1270,7 +1271,7 @@ def ext_item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ui AS (
       SELECT DISTINCT user_id,
-             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) AS item
       FROM events
     ), pairs AS (
       SELECT a.item AS item_a, b.item AS item_b
@@ -1454,7 +1455,7 @@ def ext_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ui AS (
       SELECT DISTINCT user_id,
-             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) AS item
       FROM events
     ), p AS (
       SELECT a.item AS ia, b.item AS ib
@@ -2512,7 +2513,7 @@ LP_TOP_M = 5
     oracle=f"""
     WITH ui AS (
       SELECT DISTINCT user_id,
-             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) AS item
       FROM events
     ), cc AS (
       SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS c
@@ -2619,9 +2620,9 @@ def ext_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_ucb_ranking",
-    oracle="""
+    oracle=f"""
     WITH pulls AS (
-      SELECT TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+      SELECT TRY_CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) AS item,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS reward
       FROM events
     ), stats AS (
@@ -3893,9 +3894,9 @@ def ext_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_als_rank1",
-    oracle="""
+    oracle=f"""
     WITH r AS (
-      SELECT user_id, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+      SELECT user_id, TRY_CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) AS item,
              CAST(count(*) AS BIGINT) AS cnt
       FROM events GROUP BY 1, 2
     ), u AS (
@@ -5299,8 +5300,10 @@ _ED_D6_SQL = """CAST(round(1000000 * sqrt(list_sum(list_transform(
 @query(
     "ext_energy_distance",
     oracle=f"""
-    WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
-         y AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+    WITH x AS (SELECT vec_id, embedding FROM embeddings
+               WHERE label = 0 AND len(embedding) = {_EMB_DIM}),
+         y AS (SELECT vec_id, embedding FROM embeddings
+               WHERE label = 1 AND len(embedding) = {_EMB_DIM}),
     dxy AS (
       SELECT {_ED_D6_SQL} AS d6 FROM x a JOIN y b ON true
     ), dxx AS (
@@ -5346,8 +5349,19 @@ def ext_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate far tighter than any drift threshold), so the quadratic
     term is bounded by the SAMPLE size, never the corpus: the same
     declared-baseline shape as ext_knn_cosine. The three sums are
-    map-side-combinable; the final combine is a 1-row broadcast join."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    map-side-combinable; the final combine is a 1-row broadcast join.
+
+    Width gate (Family W, RAGGED_AUDIT_r13.md): an off-width vector is
+    quarantined from BOTH clouds on BOTH sides — the oracle's
+    fixed-range fold list_sum-SKIPS the NULL terms of a ragged pair (a
+    partial, wrong distance) while Spark's zip_with fold goes NULL (a
+    dropped distance still counted by nxy) — the lockstep
+    len = EMB_DIM gate removes the broken encode from the sample
+    instead, the same choice the retrieval family's scorable gate
+    makes. NULL embeddings (len NULL) leave under the same condition."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == _EMB_DIM
+    )
     x = emb.filter(F.col("label") == 0).select(
         F.col("vec_id").alias("xi"), F.col("embedding").alias("ex")
     )

@@ -37,6 +37,7 @@ from ..tables import fan_out, load
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_PLANES = 6  # 2^6 buckets
+EMB_DIM = 64  # the corpus's declared embedding width (fixture contract)
 
 # NULL-embedding quarantine gate (NULL_AUDIT_r10.md Family N3): a vector
 # that failed to embed cannot be scored, clustered, or searched — keys
@@ -71,6 +72,14 @@ def _emb_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (round(x·1e6) → BIGINT) needs scaled squares inside int64 at
 #     corpus-scale sums; a 1e30 component is a broken encode, not data,
 #     and overflows BOTH engines with unhashable raises (Family X2(a)).
+# Round-13 SHAPE extension (RAGGED_AUDIT_r13.md Family W): a vector whose
+# width differs from the corpus's declared EMB_DIM is a broken encode
+# (truncated write, failed encoder) exactly like a 1e30 component — and it
+# is ENGINE-DIVERGENT the moment it reaches any pairwise expression:
+# DuckDB's list_inner_product raises outright on unequal lengths while
+# Spark's zip_with pads the shorter side with NULL and yields a NULL
+# similarity. The gate pins len(embedding) = EMB_DIM on both sides.
+#
 # Applied explicitly and identically on BOTH sides by every key that
 # scores, clusters, quantizes, or searches the embedding column. Keys that
 # only count/project embeddings keep the plain N3 gate. MATERIALIZED for
@@ -79,17 +88,21 @@ _EMB_ABS_MAX_SQL = "list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))"
 _EMB_SCORABLE_CTE = (
     "embeddings AS MATERIALIZED "
     "(SELECT * FROM main.embeddings WHERE embedding IS NOT NULL"
+    f" AND len(embedding) = {EMB_DIM}"
     f" AND {_EMB_ABS_MAX_SQL} > 0 AND {_EMB_ABS_MAX_SQL} < 1e9)"
 )
 
 
 def _emb_scorable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Spark half of the X1+X2 gate (see _EMB_SCORABLE_CTE)."""
+    """The Spark half of the X1+X2+W gate (see _EMB_SCORABLE_CTE)."""
     abs_max = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
     return load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (abs_max > 0) & (abs_max < 1e9)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
+        & (abs_max > 0)
+        & (abs_max < 1e9)
     )
 
 
@@ -2575,17 +2588,24 @@ def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_embedding_centroid_drift",
-    oracle="""
+    oracle=f"""
     WITH dims AS (
       SELECT label, t.i AS dim,
              CAST(round(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000)
                   AS BIGINT) AS x6
-      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS t(i)
       -- embedding IS NOT NULL: Family N3 lockstep gate — Spark's
       -- posexplode of a NULL array emits nothing, while bare range
       -- indexing here would emit 64 NULL components whose count(*)
-      -- rows shift the centroid mean
+      -- rows shift the centroid mean.
+      -- len(embedding) = EMB_DIM: Family W lockstep gate
+      -- (RAGGED_AUDIT_r13.md) — this side's fixed range(1, 65) emits 64
+      -- rows per vector regardless of width (OOB index -> NULL x6, but
+      -- count(*) still counts the row) while Spark's posexplode emits
+      -- the ACTUAL width, shifting every centroid n; an off-width
+      -- vector is a broken encode and is quarantined identically.
       WHERE label < 5 AND embedding IS NOT NULL
+        AND len(embedding) = {EMB_DIM}
     ), cent AS (
       SELECT label, dim, CAST(SUM(x6) AS BIGINT) AS s6,
              CAST(count(*) AS BIGINT) AS n
@@ -2618,7 +2638,9 @@ def ext_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (label, dim)-grouped integer aggregate over the exploded
     components (the corpus pass), then label²-sized pair arithmetic —
     broadcast territory for any real label count."""
-    emb = fan_out(_emb_nonnull(spark, sf_dir)).filter(F.col("label") < 5)
+    emb = fan_out(_emb_nonnull(spark, sf_dir)).filter(
+        (F.col("label") < 5) & (F.size("embedding") == EMB_DIM)
+    )
     dims = emb.select(
         "label", F.posexplode("embedding").alias("dim0", "x")
     ).select(
@@ -3501,14 +3523,21 @@ def ext_mips_cosine_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_random_projection_jl",
-    oracle="""
+    oracle=f"""
     WITH pairs AS (
       SELECT a.vec_id AS u, b.vec_id AS v,
-             list_transform(range(1, 65),
+             list_transform(range(1, {EMB_DIM + 1}),
                i -> CAST(a.embedding[i] AS DOUBLE)
                     - CAST(b.embedding[i] AS DOUBLE)) AS diff
       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      -- len = EMB_DIM on BOTH vectors (Family W, RAGGED_AUDIT_r13.md):
+      -- this side's fixed range indexes OOB positions to NULL and
+      -- list_sum SKIPS them (a partial distance), while Spark's
+      -- zip_with pads to NULL and the whole fold goes NULL (pair
+      -- dropped) — an off-width vector is quarantined identically
+      -- instead.
       WHERE a.vec_id < 50
+        AND len(a.embedding) = {EMB_DIM} AND len(b.embedding) = {EMB_DIM}
     ), proj AS (
       SELECT u, v,
              list_sum(list_transform(range(1, 65), i -> diff[i] * diff[i]))
@@ -3562,8 +3591,15 @@ def ext_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one adjacent-pair self-join on vec_id (equi-join, no
     candidate explosion) and a per-row map-side fold — embarrassingly
-    parallel; the 50-pair slice only bounds the verified output."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    parallel; the 50-pair slice only bounds the verified output.
+
+    Width gate (Family W, RAGGED_AUDIT_r13.md): both pair members must
+    be exactly EMB_DIM wide — an EXPLICIT size filter, not reliance on
+    zip_with NULL-padding (which would silently keep a same-width
+    ragged pair the oracle's len = EMB_DIM gate drops)."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == EMB_DIM
+    )
     a = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("u"), F.col("embedding").alias("ea")
     )
@@ -3864,7 +3900,7 @@ def ext_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MRL_DIMS = (8, 16, 32)
-_MRL_FULL_DIM = 64  # the fixtures' full embedding width
+_MRL_FULL_DIM = EMB_DIM  # the corpus's declared full embedding width
 
 
 def _mrl_rank_ctes(tag: str, dim: int) -> str:

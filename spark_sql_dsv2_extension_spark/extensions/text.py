@@ -2704,10 +2704,17 @@ def ext_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates only."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
+    # Adjacent pairs via two aligned slices zipped — NOT index arithmetic
+    # (w[i + 1] over sequence(0, greatest(size-2, 0)) raises
+    # INVALID_ARRAY_INDEX under ANSI on a single-token document, where
+    # the oracle's pos+1 self-join simply finds no pair —
+    # RAGGED_AUDIT_r13.md Family T). Both slices are empty for size < 2.
+    n_pairs = F.greatest(F.size(w) - 1, F.lit(0))
     pairs = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0))),
-            lambda i: F.struct(w[i].alias("x"), w[i + 1].alias("y")),
+        F.zip_with(
+            F.slice(w, 1, n_pairs),
+            F.slice(w, 2, n_pairs),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
         ),
         lambda s: (F.length(s["x"]) > 0) & (F.length(s["y"]) > 0),
     )

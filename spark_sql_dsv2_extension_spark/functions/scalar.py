@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import SQL_PROPS_JSON, load
 
 
 @query(
@@ -333,11 +333,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_json",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-           json_extract_string(props, '$.missing') AS missing
+           json_extract_string({SQL_PROPS_JSON}, '$.k') AS k_str,
+           TRY_CAST(json_extract_string({SQL_PROPS_JSON}, '$.k') AS INT) AS k_int,
+           json_extract_string({SQL_PROPS_JSON}, '$.missing') AS missing
     FROM events
     """,
 )
@@ -673,11 +673,11 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_variant_extract",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+           CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) AS k,
+           CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CASE WHEN CAST(json_extract({SQL_PROPS_JSON}, '$.k') AS BIGINT) >= 50
                 THEN 'high' ELSE 'low' END AS k_band
     FROM events WHERE event_id % 25 = 0
     """,
@@ -690,7 +690,10 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each of which re-tokenizes the JSON). Downstream expressions
     (bucketing, banding) run on the extracted long, fully codegen'd."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
-    v = ev.select("event_id", F.parse_json("props").alias("p"))
+    # try_parse_json, not parse_json: a malformed payload must become a
+    # NULL variant (variant_get then yields NULL) to match the oracle's
+    # json_valid quarantine — bare parse_json raises on it (Family J).
+    v = ev.select("event_id", F.try_parse_json("props").alias("p"))
     k = F.variant_get("p", "$.k", "long")
     return v.select(
         "event_id",

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import SQL_PROPS_JSON, load
 
 
 def _scratch(tag: str) -> str:
@@ -56,9 +56,9 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scan_json",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, event_type, value,
-           json_extract_string(props, '$.k') AS k
+           json_extract_string({SQL_PROPS_JSON}, '$.k') AS k
     FROM events
     """,
 )

@@ -121,3 +121,16 @@ def sql_davg(expr: str, scale: int = 2) -> str:
     """SQL text mirroring :func:`davg` (DuckDB- and Spark-SQL-compatible)."""
     scaled = f"CAST(round(({expr}) * {10**scale}) AS BIGINT)"
     return f"SUM({scaled}) / (COUNT({scaled}) * 1e{scale})"
+
+
+# Malformed-JSON quarantine for the events.props payload (oracle side;
+# RAGGED_AUDIT_r13.md Family J): Spark's get_json_object returns NULL on
+# a payload its strict parser rejects (truncated object, bare word), but
+# DuckDB's json_extract RAISES — TRY_CAST around the EXTRACTION doesn't
+# help because the parse itself throws. Substituting this expression for
+# a bare `props` makes every DuckDB extraction NULL-and-keep, matching
+# Spark exactly on strict-invalid payloads. (Payloads where the two
+# strict parsers themselves disagree — single-quoted keys, NaN literals —
+# are out of contract; the fixtures and audits probe strict-invalid
+# shapes only.)
+SQL_PROPS_JSON = "(CASE WHEN json_valid(props) THEN props END)"
