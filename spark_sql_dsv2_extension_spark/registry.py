@@ -150,13 +150,65 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # re-front consciously. ---
     "udaf_pandas_grouped",
     "udaf_grouped_map_zscore",
-    # --- slots 24-50: staleness-refresh re-fronts — the oldest
-    # driver-verified keys (newest CORRECTNESS row = round 1), registry
-    # order. Twelve rounds of shared-helper evolution (tables.dsum
-    # integer-moment discipline, NULL-ordering pins, the scorable gate)
-    # sit between their last driver check and HEAD; re-verify the
-    # foundation blocks first. New round-13 registrations displace this
-    # block from the END (agg_multi_distinct out first). ---
+    # --- slots 24-50: RAGGED_AUDIT_r13.md re-fronts. The SHAPE frontier
+    # (seventh fixture dimension, opened this round) found 45 divergences;
+    # the fixes touch 37 driver-verified keys beyond the 15 already in
+    # this window. 27 fit here — semantic per-key fixes first (Families
+    # W2+T), then the malformed-JSON idiom (Family J), then the
+    # shared-scorable-gate consumers (Family W) — and the 10-key W
+    # remainder sits at slots 51-60 to front round 14. The planned
+    # staleness-refresh block is displaced to slots 61+ (deferred to
+    # round 14; its keys are untouched by this round's edits). ---
+    #
+    # Families W2 + T: per-key semantic fixes (width gates outside the
+    # shared gate; slice-zip bigram pairing instead of OOB indexing)
+    "ext_energy_distance",
+    "ext_embedding_centroid_drift",
+    "ext_random_projection_jl",
+    "ext_good_turing",
+    "ext_kneser_ney_bigrams",
+    # Family J: the SQL_PROPS_JSON malformed-payload quarantine (oracle
+    # side) + fn_variant_extract's try_parse_json (plan side)
+    "fn_json",
+    "fn_variant_extract",
+    "scan_json",
+    "ext_item_cooccurrence_lift",
+    "ext_cooccurrence_degree_dist",
+    "ext_khop_neighborhood",
+    "ext_link_prediction_jaccard",
+    "ext_ucb_ranking",
+    "ext_als_rank1",
+    # Family W: shared scorable-gate width condition (len = EMB_DIM,
+    # both sides) — the 13 most-load-bearing verified consumers
+    "ext_knn_cosine",
+    "ext_knn_lsh",
+    "ext_knn_lsh_multiprobe",
+    "ext_knn_ivf",
+    "ext_knn_int8",
+    "ext_knn_ivf_trained",
+    "ext_kmeans_train",
+    "ext_semdedup",
+    "ext_ivfpq_search",
+    "ext_product_quantize",
+    "ext_pq_adc_search",
+    "ext_embedding_near_dup",
+    "ext_embedding_quantize",
+    # --- slots 51-60: Family W re-front overflow (fixes landed this
+    # round; driver re-verification fronts round 14). ---
+    "ext_hard_negatives",
+    "ext_knn_label_agreement",
+    "ext_kcenter_coreset",
+    "ext_ann_recall_eval",
+    "ext_ann_recall_curve",
+    "ext_ann_ivf_nprobe_curve",
+    "ext_mutual_knn_pairs",
+    "ext_retrieval_auc",
+    "ext_graph_degeneracy_core",
+    "ext_hits_bounded",
+    # --- slots 61-87: the staleness-refresh block (oldest
+    # driver-verified keys, newest CORRECTNESS row = round 1), displaced
+    # from the round-13 window by the ragged re-fronts; fronts round 14
+    # behind the W overflow. ---
     "scan_parquet",
     "scan_projection_pushdown",
     "scan_filter_pushdown",
@@ -196,10 +248,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_struct",
     "scan_text",
     "stream_foreach_batch_sink",
-    "ext_hits_bounded",
     "ext_bpe_train_k_rounds",
     # --- slots 6-7: round-12 registrations (one-commit thaw rule). ---
-    "ext_graph_degeneracy_core",
     "sink_compression_roundtrip",
     # --- slots 8-9: the size(words)>=3 shingle gate landed at r11 close;
     # conscious re-fronts of the two driver-verified keys it touched. ---
@@ -213,46 +263,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_cast",
     "fn_math",
     "fn_string",
-    "fn_json",
     "agg_approx_percentile_invariant",
     "ext_multimodal_decode",
     "ext_multimodal_frames",
     "ext_multimodal_resize",
     "ext_multimodal_aspect_buckets",
     # --- slots 22-27: Family X3 try_cast idiom (events.props.k). ---
-    "ext_item_cooccurrence_lift",
-    "ext_cooccurrence_degree_dist",
-    "ext_khop_neighborhood",
-    "ext_link_prediction_jaccard",
-    "ext_ucb_ranking",
-    "ext_als_rank1",
     # --- slots 28-29: Family X2(b) decimal(38)/HUGEINT widenings. ---
     "ext_design_effect_icc",
     "ext_sax_symbols",
     # --- slots 30-50: Families X1+X2(a) — the scorable-embedding gate
     # (21 of 35; the remaining 14 sit at slots 51+ and front round 13,
     # all sweep-green at r12 HEAD). ---
-    "ext_knn_cosine",
-    "ext_knn_lsh",
-    "ext_knn_lsh_multiprobe",
-    "ext_knn_ivf",
-    "ext_knn_int8",
-    "ext_knn_ivf_trained",
-    "ext_kmeans_train",
-    "ext_semdedup",
-    "ext_ivfpq_search",
-    "ext_product_quantize",
-    "ext_pq_adc_search",
-    "ext_embedding_near_dup",
-    "ext_embedding_quantize",
-    "ext_hard_negatives",
-    "ext_knn_label_agreement",
-    "ext_kcenter_coreset",
-    "ext_ann_recall_eval",
-    "ext_ann_recall_curve",
-    "ext_ann_ivf_nprobe_curve",
-    "ext_mutual_knn_pairs",
-    "ext_retrieval_auc",
     # --- slots 51-53: round-12-close thaw registrations (tranches 5-6,
     # validated in tests/thaw_protos_r12.py at three SFs and all five
     # audit modes before registration; front the round-13 window). ---
@@ -286,7 +308,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- slots 14-23: Family N3 (NULL embedding / NULL label gates):
     # explicit IS NOT NULL on BOTH sides — a vector that failed to embed
     # cannot be scored; lockstep oracle edits. ---
-    "ext_embedding_centroid_drift",
     # --- slots 24-41: Family N1 (NULL-ordering defaults): pin the NULL
     # position explicitly and identically on both sides
     # (asc_nulls_last() <-> ASC NULLS LAST), or pre-filter NULLs where the
@@ -324,7 +345,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # degenerate LCG sign matrix (rank-1 projection) is replaced by a
     # sign that varies with both i and j, Spark plan + oracle in
     # lockstep. ---
-    "ext_random_projection_jl",
     # --- slots 51+: overflow fixes (front the round-12 window: the two
     # mildest N5 value drifts, plus the 52nd audit key — the
     # stream_foreach_batch_sink n_batches constant, a fixture-scale
@@ -379,7 +399,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_url_parse",
     "ext_timeseries_densify",
     "ext_hypertable_rollup",
-    "fn_variant_extract",
     "ext_vocab_oov_rate",
     "ext_curriculum_order",
     "ext_length_outliers",
@@ -399,7 +418,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_multimodal_meta_prune",
     "ext_weighted_median",
     "ext_l_diversity_audit",
-    "ext_energy_distance",
     "ext_bloom_size_planner",
     "udtf_arrow",
     "tpch_q4_order_priority",
@@ -476,7 +494,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_burstiness_fano",
     "ext_cusum_changepoint",
     "ext_heaps_law_points",
-    "ext_good_turing",
     "scan_union_multiformat",
     "ext_run_length_stats",
     "ext_freshness_lag",
@@ -556,7 +573,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_token_budget_trim",
     "ext_temperature_mixture",
     "ext_sentence_segmentation",
-    "ext_kneser_ney_bigrams",
     "join_asof_nearest",
     "ext_quality_funnel",
     "ext_ohlc_resample",
@@ -619,7 +635,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_python_stream_source",
     "sink_sorted_layout",
     "scan_csv",
-    "scan_json",
     "scan_orc",
     "scan_ignore_corrupt",
     "udf_pandas_scalar",

@@ -170,17 +170,23 @@ _R12_FIX_BATCH = frozenset({
 # slots 4-21 are the chaos-fix + scorable-gate-overflow re-fronts already
 # named in _R12_FIX_BATCH), the two _sql_round ADVICE re-fronts (the
 # shared pandas-worker rounding helper changes this round — its two
-# verified consumers re-verify), and a 27-key staleness-refresh block:
-# the oldest driver-verified keys (newest CORRECTNESS row = round 1, 43
-# keys strong), re-fronted registry-order to start retiring the r1 tail
-# the round-12 judge spot-checked by hand. Round-13 registrations
-# displace staleness fillers from the END of the block.
+# verified consumers re-verify), and the RAGGED_AUDIT_r13.md re-fronts:
+# the SHAPE frontier (seventh fixture dimension, opened this round)
+# found 45 divergences whose fixes touch 37 driver-verified keys beyond
+# the 15 already in-window — 27 re-front at slots 24-50 (Families W2+T
+# per-key fixes, the Family-J malformed-JSON idiom, the 13 most
+# load-bearing Family-W shared-gate consumers) and the 10-key Family-W
+# remainder overflows to slots 51-60 to front round 14 (named here too:
+# their fixes land this round). The planned staleness-refresh block
+# (oldest r1-verified keys) is displaced to slots 61+ and defers to
+# round 14 untouched.
 _R13_FIX_BATCH = frozenset({
     # chaos-audit fixes (landed r12 close; re-verification fronts now)
     "agg_salted_twophase", "ext_quantile_treatment_effect",
     "ext_conformal_interval", "ext_time_weighted_avg",
     "stream_dedup_watermark",
-    # X1/X2(a) scorable-gate overflow (fixes landed r12)
+    # X1/X2(a) scorable-gate overflow (fixes landed r12) — all 13 also
+    # carry this round's Family-W width gate
     "ext_mips_cosine_reduction", "ext_rank_fusion_rrf",
     "ext_dbscan_core_points", "ext_triangle_count", "ext_graph_modularity",
     "ext_conductance_communities", "ext_degree_assortativity",
@@ -189,17 +195,27 @@ _R13_FIX_BATCH = frozenset({
     "ext_silhouette_labels",
     # the r12 ADVICE _sql_round carry fix (shared helper; both consumers)
     "udaf_pandas_grouped", "udaf_grouped_map_zscore",
-    # staleness-refresh: last driver-checked in round 1
-    "scan_parquet", "scan_projection_pushdown", "scan_filter_pushdown",
-    "count_star_fastpath", "project_expr", "filter_compound",
-    "filter_null_semantics", "filter_in_between_like",
-    "join_multi_key_chain", "join_inner_equi", "join_left_outer",
-    "join_right_outer", "join_full_outer", "join_left_semi",
-    "join_left_anti", "join_cross", "join_theta_range",
-    "join_range_banded", "join_broadcast_hint", "join_skew_salted",
-    "join_bucketed_colocated", "join_asof_time", "join_shuffle_hash_hint",
-    "agg_hash_group", "agg_global", "agg_count_distinct",
-    "agg_multi_distinct",
+    # RAGGED Families W2 + T (per-key semantic fixes)
+    "ext_energy_distance", "ext_embedding_centroid_drift",
+    "ext_random_projection_jl", "ext_good_turing",
+    "ext_kneser_ney_bigrams",
+    # RAGGED Family J (SQL_PROPS_JSON quarantine / try_parse_json)
+    "fn_json", "fn_variant_extract", "scan_json",
+    "ext_item_cooccurrence_lift", "ext_cooccurrence_degree_dist",
+    "ext_khop_neighborhood", "ext_link_prediction_jaccard",
+    "ext_ucb_ranking", "ext_als_rank1",
+    # RAGGED Family W (shared scorable-gate width condition), in-window
+    "ext_knn_cosine", "ext_knn_lsh", "ext_knn_lsh_multiprobe",
+    "ext_knn_ivf", "ext_knn_int8", "ext_knn_ivf_trained",
+    "ext_kmeans_train", "ext_semdedup", "ext_ivfpq_search",
+    "ext_product_quantize", "ext_pq_adc_search", "ext_embedding_near_dup",
+    "ext_embedding_quantize",
+    # RAGGED Family W overflow (slots 51-60; fixes land this round,
+    # driver re-verification fronts round 14)
+    "ext_hard_negatives", "ext_knn_label_agreement", "ext_kcenter_coreset",
+    "ext_ann_recall_eval", "ext_ann_recall_curve",
+    "ext_ann_ivf_nprobe_curve", "ext_mutual_knn_pairs", "ext_retrieval_auc",
+    "ext_graph_degeneracy_core", "ext_hits_bounded",
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R13_FIX_BATCH
 
