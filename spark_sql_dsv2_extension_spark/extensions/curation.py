@@ -1886,3 +1886,123 @@ def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SHAPE telemetry (round-13 tranche 7, registered with RAGGED_AUDIT_r13.md):
+# the monitoring queries that QUANTIFY the malformation classes the ragged
+# audit frontier probes — a pipeline publishes its quarantine rates so a
+# producer regression shows up as a moved metric, not a silent drop.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_payload_shape_profile",
+    oracle="""
+    WITH c AS (
+      SELECT CASE
+               WHEN props IS NULL OR trim(props) = '' THEN 'empty'
+               WHEN substring(trim(props), 1, 1) = '{' THEN 'object'
+               WHEN substring(trim(props), 1, 1) = '[' THEN 'array'
+               WHEN substring(trim(props), 1, 1) = '"' THEN 'string'
+               WHEN substring(trim(props), 1, 1) IN
+                    ('-','0','1','2','3','4','5','6','7','8','9')
+                 THEN 'number'
+               ELSE 'other'
+             END AS shape_class,
+             COALESCE(length(props), 0) AS n_chars
+      FROM events
+    )
+    SELECT shape_class,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM c GROUP BY shape_class
+    """,
+)
+def ext_payload_shape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURAL profile of the events.props JSON payload — the Family-J
+    quarantine's telemetry (RAGGED_AUDIT_r13.md): row counts and payload
+    byte volume per structural class (empty / object / array / quoted
+    string / number / other), classified by the first non-space character.
+    Deliberately NOT a parse-validity check: the two engines' JSON parsers
+    have different leniency edges, while first-character classification is
+    pure string arithmetic both evaluate bit-identically — and an
+    array-root or bare-scalar payload is a producer contract violation
+    regardless of whether it parses.
+
+    Scale: one map-side-combinable groupBy over the scan; six classes."""
+    ev = load(spark, sf_dir, "events")
+    t = F.trim(F.col("props"))
+    c1 = F.substring(t, 1, 1)
+    cls = (
+        F.when(F.col("props").isNull() | (t == ""), "empty")
+        .when(c1 == "{", "object")
+        .when(c1 == "[", "array")
+        .when(c1 == '"', "string")
+        .when(
+            c1.isin("-", "0", "1", "2", "3", "4", "5", "6", "7", "8", "9"),
+            "number",
+        )
+        .otherwise("other")
+    )
+    return (
+        ev.select(
+            cls.alias("shape_class"),
+            F.coalesce(F.length("props"), F.lit(0)).alias("n_chars"),
+        )
+        .groupBy("shape_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "ext_text_shape_audit",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_null,
+           CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL AND text = ''
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty,
+           CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL AND text <> ''
+                          AND trim(text) = ''
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ws_only,
+           CAST(COALESCE(SUM(CASE WHEN length(text) = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_single_char,
+           CAST(COALESCE(SUM(CASE WHEN contains(text, chr(0))
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_nul
+    FROM documents GROUP BY source
+    """,
+)
+def ext_text_shape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-SHAPE audit — the Family-T hazards as counters
+    (RAGGED_AUDIT_r13.md): NULL texts, empty strings, whitespace-only
+    bodies, single-character documents, and embedded NUL bytes. These are
+    the rows that crash naive tokenizers and skew length statistics; a
+    source whose counters move between crawls changed its extractor.
+    All flags are exact string predicates both engines share (trim,
+    length, NUL containment via the explicit chr(0) codepoint).
+
+    Scale: one map-side-combinable groupBy(source) over the scan — the
+    same aggregate shape a per-source quality dashboard materializes."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+
+    def flag(c):
+        return F.when(c, 1).otherwise(0)
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(flag(text.isNull())).cast("long").alias("n_null"),
+        F.sum(flag(text.isNotNull() & (text == "")))
+        .cast("long")
+        .alias("n_empty"),
+        F.sum(flag(text.isNotNull() & (text != "") & (F.trim(text) == "")))
+        .cast("long")
+        .alias("n_ws_only"),
+        F.sum(flag(F.length(text) == 1)).cast("long").alias("n_single_char"),
+        F.sum(flag(text.contains("\x00"))).cast("long").alias("n_with_nul"),
+    )

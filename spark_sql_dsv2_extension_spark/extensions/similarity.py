@@ -106,6 +106,63 @@ def _emb_scorable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_embedding_width_audit",
+    oracle=f"""
+    SELECT CAST(COALESCE(len(embedding), -1) AS BIGINT) AS width,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(SUM(CASE WHEN embedding IS NOT NULL
+                          AND len(embedding) = {EMB_DIM}
+                          AND {_EMB_ABS_MAX_SQL} > 0
+                          AND {_EMB_ABS_MAX_SQL} < 1e9
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_scorable
+    FROM main.embeddings GROUP BY 1
+    """,
+)
+def ext_embedding_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding WIDTH/SCORABILITY audit — the scorable gate's own
+    telemetry (round-13 tranche 7, registered with RAGGED_AUDIT_r13.md):
+    per observed width (NULL embeddings keyed as -1), how many vectors
+    exist and how many pass the full scorable gate (non-NULL, width =
+    EMB_DIM, norm > 0, max|component| < 1e9). A 100 TB pipeline doesn't
+    just quarantine broken encodes — it publishes how much it
+    quarantined, so a truncating writer or an encoder regression shows
+    up as a moved metric, not a silent recall drop. The oracle
+    interpolates the SAME constants as the gate (EMB_DIM,
+    _EMB_ABS_MAX_SQL), so the audited pass rate IS the gate's pass rate
+    by construction.
+
+    Exactness: pure integer counts — no floats anywhere.
+
+    Scale: one map-side-combinable groupBy over the corpus scan; the
+    width key's cardinality is tiny (a handful of observed widths), so
+    the shuffle carries one row per (partition, width)."""
+    emb = load(spark, sf_dir, "embeddings")
+    abs_max = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scorable = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
+        & (abs_max > 0)
+        & (abs_max < 1e9)
+    )
+    width = F.when(F.col("embedding").isNull(), F.lit(-1)).otherwise(
+        F.size("embedding")
+    )
+    return (
+        emb.select(
+            width.cast("long").alias("width"),
+            F.when(scorable, 1).otherwise(0).alias("sc"),
+        )
+        .groupBy("width")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("sc").cast("long").alias("n_scorable"),
+        )
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with a sequential left-to-right double fold (bit-stable)."""
     return F.aggregate(

@@ -193,7 +193,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_pq_adc_search",
     "ext_embedding_near_dup",
     "ext_embedding_quantize",
-    # --- slots 51-60: Family W re-front overflow (fixes landed this
+    # --- slots 51-53: round-13 tranche-7 registrations (SHAPE telemetry,
+    # one-commit thaw rule; validated at 3 SFs x 6 audit modes in
+    # tests/thaw_protos_r13b.py before registration) — front round 14. ---
+    "ext_embedding_width_audit",
+    "ext_payload_shape_profile",
+    "ext_text_shape_audit",
+    # --- slots 54-63: Family W re-front overflow (fixes landed this
     # round; driver re-verification fronts round 14). ---
     "ext_hard_negatives",
     "ext_knn_label_agreement",

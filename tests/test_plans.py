@@ -1446,6 +1446,12 @@ _EXCHANGE_BUDGETS = {
     # agg + ~1-2 pair aggs visible per round behind the lazy checkpoints
     # — every exchange vocabulary-sized, none corpus-sized
     "ext_bpe_train_k_rounds": 6,
+    # r13 tranche-7 registrations (SHAPE telemetry): each is one
+    # map-side-combinable groupBy over its scan — measured 1 exchange
+    # each at sf0.01; +2 slack per census convention
+    "ext_embedding_width_audit": 3,
+    "ext_payload_shape_profile": 3,
+    "ext_text_shape_audit": 3,
 }
 
 
