@@ -64,7 +64,13 @@ def _customer(tmp, rows):
 
 
 def _embeddings(tmp, rows):
-    """rows: (vec_id, [floats], label)"""
+    """rows: (vec_id, [floats], label).
+
+    Vectors are zero-padded to the engine's declared width (EMB_DIM = 64,
+    the round-13 Family-W gate — RAGGED_AUDIT_r13.md): an off-width vector
+    is quarantined as a broken encode, and these tests pin GEOMETRY, which
+    zero components leave untouched (dot products, norms, and Euclidean
+    distances are all invariant under trailing zeros)."""
     _write(
         tmp,
         "embeddings",
@@ -72,7 +78,8 @@ def _embeddings(tmp, rows):
             {
                 "vec_id": pa.array([r[0] for r in rows], pa.int64()),
                 "embedding": pa.array(
-                    [r[1] for r in rows], pa.list_(pa.float32())
+                    [r[1] + [0.0] * (64 - len(r[1])) for r in rows],
+                    pa.list_(pa.float32()),
                 ),
                 "label": pa.array([r[2] for r in rows], pa.int32()),
             }

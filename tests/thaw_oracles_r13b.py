@@ -1,5 +1,9 @@
 """Round-13 tranche-7 thaw-candidate oracle validation.
 
+ROUND-13 STATUS: ALL THREE REGISTERED mid-round (the registered copies
+in extensions/similarity.py and extensions/curation.py are the source
+of truth; these oracles retained as the validation record).
+
 Run: ``python tests/thaw_protos_r13b.py`` (not pytest-collected). Three
 SHAPE-telemetry candidates (see the proto module's docstring). All three
 oracles are exact-integer aggregates; the scorable condition in the

@@ -1,5 +1,11 @@
 """Spark-side prototypes for the round-13 tranche-7 thaw candidates.
 
+ROUND-13 STATUS: ALL THREE REGISTERED mid-round (one tranche commit
+under the thaw rule; rotation slots 51-53 front the round-14 window).
+The registered copies in extensions/similarity.py (width audit) and
+extensions/curation.py (payload/text shape) are the source of truth;
+these prototypes are retained as the validation record.
+
 Three SHAPE-telemetry keys — the monitoring queries that QUANTIFY the
 malformation classes the round-13 ragged frontier (RAGGED_AUDIT_r13.md)
 probes. A 100 TB pipeline doesn't just quarantine broken shapes; it
