@@ -106,101 +106,22 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # === ROUND-13 WINDOW (CORRECTNESS_r12 came back 50/50 green —
-    # cumulative 456/456, backlog ZERO — so every slot is conscious
-    # spending per ROADMAP_r13.md's pre-computed arithmetic: the 21-key
-    # round-12 overflow block first, then the two _sql_round ADVICE
-    # re-fronts, then a staleness-refresh block of the OLDEST
-    # driver-verified keys (last checked in round 1) — the r12 judge's
-    # own spot-check sampled rounds 1-3, and 43 keys still date to r1;
-    # this block starts retiring that tail. Keys registered early this
-    # round replace staleness fillers from the END of the block. ===
+    # === ROUND-14 WINDOW (CORRECTNESS_r13 came back 50/50 green —
+    # cumulative 459/462, backlog ZERO beyond the 3 driver-unverified
+    # tranche-7 registrations — so the window is exactly ROADMAP_r14.md's
+    # pre-computed arithmetic: the 40 queued keys at old slots 51-90
+    # (3 tranche-7 SHAPE-telemetry registrations, the 10-key Family-W
+    # re-front overflow, the 27-key r1-staleness block), then 10
+    # conscious staleness slots drawn oldest-first from the 16-key
+    # r1-verified remainder (agg_having .. agg_histogram). ===
     #
-    # --- slots 1-3: round-12-close thaw registrations (tranches 5-6),
-    # driver-unverified by definition; the r12 ADVICE items on their
-    # oracle constants land this round while they are in-window. ---
-    "ext_mrl_truncation_curve",
-    "ext_knn_binary_hamming",
-    "ext_minhash_jaccard_estimate",
-    # --- slots 4-8: the five chaos-audit fixes landed at round-12 close
-    # (NULL-value exclusion from histogram order statistics ×3, the TWAP
-    # decimal widening, the epoch-0 watermark quarantine). ---
-    "agg_salted_twophase",
-    "ext_quantile_treatment_effect",
-    "ext_conformal_interval",
-    "ext_time_weighted_avg",
-    "stream_dedup_watermark",
-    # --- slots 9-21: the 13 X1/X2(a) scorable-gate keys that did not fit
-    # the round-12 window (fixes landed r12, sweep-green at r12 HEAD). ---
-    "ext_mips_cosine_reduction",
-    "ext_rank_fusion_rrf",
-    "ext_dbscan_core_points",
-    "ext_triangle_count",
-    "ext_graph_modularity",
-    "ext_conductance_communities",
-    "ext_degree_assortativity",
-    "ext_label_propagation_bounded",
-    "ext_embedding_whitening",
-    "ext_embedding_outliers",
-    "ext_label_centroids",
-    "ext_label_cohesion",
-    "ext_silhouette_labels",
-    # --- slots 22-23: the r12 ADVICE _sql_round carry fix touches the
-    # shared pandas-worker rounding helper; both its verified consumers
-    # re-front consciously. ---
-    "udaf_pandas_grouped",
-    "udaf_grouped_map_zscore",
-    # --- slots 24-50: RAGGED_AUDIT_r13.md re-fronts. The SHAPE frontier
-    # (seventh fixture dimension, opened this round) found 45 divergences;
-    # the fixes touch 37 driver-verified keys beyond the 15 already in
-    # this window. 27 fit here — semantic per-key fixes first (Families
-    # W2+T), then the malformed-JSON idiom (Family J), then the
-    # shared-scorable-gate consumers (Family W) — and the 10-key W
-    # remainder sits at slots 51-60 to front round 14. The planned
-    # staleness-refresh block is displaced to slots 61+ (deferred to
-    # round 14; its keys are untouched by this round's edits). ---
-    #
-    # Families W2 + T: per-key semantic fixes (width gates outside the
-    # shared gate; slice-zip bigram pairing instead of OOB indexing)
-    "ext_energy_distance",
-    "ext_embedding_centroid_drift",
-    "ext_random_projection_jl",
-    "ext_good_turing",
-    "ext_kneser_ney_bigrams",
-    # Family J: the SQL_PROPS_JSON malformed-payload quarantine (oracle
-    # side) + fn_variant_extract's try_parse_json (plan side)
-    "fn_json",
-    "fn_variant_extract",
-    "scan_json",
-    "ext_item_cooccurrence_lift",
-    "ext_cooccurrence_degree_dist",
-    "ext_khop_neighborhood",
-    "ext_link_prediction_jaccard",
-    "ext_ucb_ranking",
-    "ext_als_rank1",
-    # Family W: shared scorable-gate width condition (len = EMB_DIM,
-    # both sides) — the 13 most-load-bearing verified consumers
-    "ext_knn_cosine",
-    "ext_knn_lsh",
-    "ext_knn_lsh_multiprobe",
-    "ext_knn_ivf",
-    "ext_knn_int8",
-    "ext_knn_ivf_trained",
-    "ext_kmeans_train",
-    "ext_semdedup",
-    "ext_ivfpq_search",
-    "ext_product_quantize",
-    "ext_pq_adc_search",
-    "ext_embedding_near_dup",
-    "ext_embedding_quantize",
-    # --- slots 51-53: round-13 tranche-7 registrations (SHAPE telemetry,
-    # one-commit thaw rule; validated at 3 SFs x 6 audit modes in
-    # tests/thaw_protos_r13b.py before registration) — front round 14. ---
+    # --- slots 1-3: round-13 tranche-7 registrations (SHAPE telemetry),
+    # driver-unverified by definition. ---
     "ext_embedding_width_audit",
     "ext_payload_shape_profile",
     "ext_text_shape_audit",
-    # --- slots 54-63: Family W re-front overflow (fixes landed this
-    # round; driver re-verification fronts round 14). ---
+    # --- slots 4-13: Family-W re-front overflow (shared scorable-gate
+    # width condition landed r13; sweep-green at r13 HEAD). ---
     "ext_hard_negatives",
     "ext_knn_label_agreement",
     "ext_kcenter_coreset",
@@ -211,10 +132,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_retrieval_auc",
     "ext_graph_degeneracy_core",
     "ext_hits_bounded",
-    # --- slots 61-87: the staleness-refresh block (oldest
+    # --- slots 14-40: the 27-key staleness-refresh block (oldest
     # driver-verified keys, newest CORRECTNESS row = round 1), displaced
-    # from the round-13 window by the ragged re-fronts; fronts round 14
-    # behind the W overflow. ---
+    # from the r13 window by the ragged re-fronts; untouched since. ---
     "scan_parquet",
     "scan_projection_pushdown",
     "scan_filter_pushdown",
@@ -242,30 +162,124 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_global",
     "agg_count_distinct",
     "agg_multi_distinct",
-    # === ROUND-12 WINDOW (CORRECTNESS_r11 came back 50/50 green —
-    # cumulative 453/453, backlog ZERO — so every slot is conscious
-    # spending per ROADMAP_r12.md's pre-computed arithmetic: the
-    # EXTREME_AUDIT_r11.md fix batches, engine-raise classes first).
-    # _driver_order keeps the FIRST occurrence, so keys re-listed below
-    # simply vacate their old positions. ===
-    #
-    # --- slots 1-5: the round-11 overflow/registration queue (N5 fixes
-    # landed in r11, verification deferred here; thaw registrations). ---
+    # --- slots 41-50: conscious staleness spending — the first 10 of the
+    # 16-key r1-verified remainder, registration order. ---
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_percentile",
+    "agg_max_by_min_by",
+    "agg_filtered",
+    "agg_histogram",
+    # --- slots 51-56: the r1-staleness tail remainder (fronts round 15). ---
+    "agg_mode",
+    "agg_bool_countif",
+    "win_rank_dense",
+    "win_ntile_first_last",
+    "win_cume_percent",
+    "win_session_gaps",
+    # --- slots 57-90: the full r2-staleness tail (streaming + §2C
+    # flagship + TPC-H head), oldest-first per the drain-to-r4 plan;
+    # pre-computed to front round 15 behind the r1 tail. ---
+    "agg_approx_count_distinct",
+    "ext_exact_dedup",
+    "ext_near_dedup_simhash",
+    "ext_text_stats",
+    "ext_token_count",
+    "ext_quality_score",
+    "ext_langid",
+    "ext_tfidf_topterms",
+    "ext_fingerprint",
+    "ext_hash_split",
+    "ext_pii_scrub",
+    "ext_text_normalize",
+    "ext_sequence_packing",
+    "ext_decontamination",
+    "ext_validate_rules",
+    "ext_bm25",
+    "ext_stratified_sample",
+    "ext_multimodal_struct",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_watermark_late_drop",
+    "stream_static_join",
+    "stream_sink_files",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_volume",
+    "ext_corpus_pipeline",
+    "stream_sink_catalog_table",
+    # --- the round-13 window (50/50 green in CORRECTNESS_r13.json)
+    # rotates directly behind the queued tails. ---
+    "ext_mrl_truncation_curve",
+    "ext_knn_binary_hamming",
+    "ext_minhash_jaccard_estimate",
+    "agg_salted_twophase",
+    "ext_quantile_treatment_effect",
+    "ext_conformal_interval",
+    "ext_time_weighted_avg",
+    "stream_dedup_watermark",
+    "ext_mips_cosine_reduction",
+    "ext_rank_fusion_rrf",
+    "ext_dbscan_core_points",
+    "ext_triangle_count",
+    "ext_graph_modularity",
+    "ext_conductance_communities",
+    "ext_degree_assortativity",
+    "ext_label_propagation_bounded",
+    "ext_embedding_whitening",
+    "ext_embedding_outliers",
+    "ext_label_centroids",
+    "ext_label_cohesion",
+    "ext_silhouette_labels",
+    "udaf_pandas_grouped",
+    "udaf_grouped_map_zscore",
+    "ext_energy_distance",
+    "ext_embedding_centroid_drift",
+    "ext_random_projection_jl",
+    "ext_good_turing",
+    "ext_kneser_ney_bigrams",
+    "fn_json",
+    "fn_variant_extract",
+    "scan_json",
+    "ext_item_cooccurrence_lift",
+    "ext_cooccurrence_degree_dist",
+    "ext_khop_neighborhood",
+    "ext_link_prediction_jaccard",
+    "ext_ucb_ranking",
+    "ext_als_rank1",
+    "ext_knn_cosine",
+    "ext_knn_lsh",
+    "ext_knn_lsh_multiprobe",
+    "ext_knn_ivf",
+    "ext_knn_int8",
+    "ext_knn_ivf_trained",
+    "ext_kmeans_train",
+    "ext_semdedup",
+    "ext_ivfpq_search",
+    "ext_product_quantize",
+    "ext_pq_adc_search",
+    "ext_embedding_near_dup",
+    "ext_embedding_quantize",
+    # --- remaining keys keep their relative order (r3+ verified blocks;
+    # see git history for the per-round window commentary). ---
     "fn_struct",
     "scan_text",
     "stream_foreach_batch_sink",
     "ext_bpe_train_k_rounds",
-    # --- slots 6-7: round-12 registrations (one-commit thaw rule). ---
     "sink_compression_roundtrip",
-    # --- slots 8-9: the size(words)>=3 shingle gate landed at r11 close;
-    # conscious re-fronts of the two driver-verified keys it touched. ---
     "ext_near_dedup_minhash",
     "ext_dedup_cascade_report",
-    # --- slot 10: the r11 ADVICE medium (NULL-safe rank-check join). ---
     "agg_kll_quantile_invariant",
-    # --- slots 11-21: Family X4 convention pins (pandas SQL-rounding,
-    # trunc/sqrt/ß pins, rank-form invariant, octet-true multimodal
-    # oracles) + the X3 fn_json try_cast. ---
     "fn_cast",
     "fn_math",
     "fn_string",
@@ -274,50 +288,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_multimodal_frames",
     "ext_multimodal_resize",
     "ext_multimodal_aspect_buckets",
-    # --- slots 22-27: Family X3 try_cast idiom (events.props.k). ---
-    # --- slots 28-29: Family X2(b) decimal(38)/HUGEINT widenings. ---
     "ext_design_effect_icc",
     "ext_sax_symbols",
-    # --- slots 30-50: Families X1+X2(a) — the scorable-embedding gate
-    # (21 of 35; the remaining 14 sit at slots 51+ and front round 13,
-    # all sweep-green at r12 HEAD). ---
-    # --- slots 51-53: round-12-close thaw registrations (tranches 5-6,
-    # validated in tests/thaw_protos_r12.py at three SFs and all five
-    # audit modes before registration; front the round-13 window). ---
-    # --- slots 53-57: chaos-audit fixes landed at round-12 close (the
-    # r12 --chaos sweep's only 5 divergences; verification fronts round
-    # 13): NULL-value exclusion from histogram order statistics,
-    # decimal/HUGEINT TWAP widening, the epoch-0 watermark quarantine. ---
-    # --- slots 58-70: X1+X2(a) overflow (front the round-13 window). ---
-    # --- r11-verified keys not re-listed above rotate behind in their
-    # original order (the blocks below; duplicates of the keys above are
-    # inert — first occurrence wins). ---
-    #
-    # === ROUND-11 WINDOW (CORRECTNESS_r10 came back 50/50 green —
-    # cumulative 452/452, backlog ZERO — so every slot is conscious
-    # spending per ROADMAP_r11.md's pre-computed arithmetic: the
-    # NULL_AUDIT_r10.md fix batches, engine-raise classes first, plus the
-    # ADVICE-flagged ext_random_projection_jl sign-matrix re-front). ===
-    #
-    # --- slots 1-9: Family N2 (Python-worker None-crashes): None-guards
-    # in the UDF bodies, oracle pinned to the same choice in lockstep. ---
     "udf_python_scalar",
     "udf_arrow_scalar",
     "stream_stateful_user_profile",
-    # --- slots 10-13: Family N6 (NULL-induced zero denominators): the
-    # uniform Family-B try_divide/nullif shape; oracles untouched (all
-    # four already render NULL/NaN rows on the NULL fixtures). ---
     "ext_ks_two_sample",
     "ext_poisson_bootstrap_ci",
     "ext_spearman_corr",
     "ext_t_closeness_audit",
-    # --- slots 14-23: Family N3 (NULL embedding / NULL label gates):
-    # explicit IS NOT NULL on BOTH sides — a vector that failed to embed
-    # cannot be scored; lockstep oracle edits. ---
-    # --- slots 24-41: Family N1 (NULL-ordering defaults): pin the NULL
-    # position explicitly and identically on both sides
-    # (asc_nulls_last() <-> ASC NULLS LAST), or pre-filter NULLs where the
-    # statistic's semantics demand it; lockstep oracle edits. ---
     "win_row_number",
     "win_lag_lead",
     "win_running_sum_rows",
@@ -334,32 +313,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_calibration_ece",
     "ext_tukey_fences",
     "ext_equidepth_histogram",
-    # --- slots 42-44: Family N4 (multi-argument distinct/argmax NULL
-    # semantics): make NULLs explicit — sentinel or filter, both sides. ---
     "ext_functional_dependency",
     "agg_min_by_max_by",
     "agg_hll_native_union",
-    # --- slots 45-49: Family N5 (scalar string/array/map NULL
-    # semantics), the five highest-risk members incl. the fn_map_hof
-    # NULL_MAP_KEY raise; fn_struct and scan_text overflow to slots
-    # 51-52 and front the round-12 window. ---
     "fn_string_extras",
     "fn_array",
     "fn_map",
     "fn_map_hof",
-    # --- slot 50: the ADVICE medium — ext_random_projection_jl's
-    # degenerate LCG sign matrix (rank-1 projection) is replaced by a
-    # sign that varies with both i and j, Spark plan + oracle in
-    # lockstep. ---
-    # --- slots 51+: overflow fixes (front the round-12 window: the two
-    # mildest N5 value drifts, plus the 52nd audit key — the
-    # stream_foreach_batch_sink n_batches constant, a fixture-scale
-    # artifact fixed oracle-side) and any round-11 thaw registration
-    # (inserted here per the thaw rule as it lands). ---
-    # --- round-11 thaw registrations (the last r9-tranche candidate and
-    # an r8 deferral; one-commit rule each): ---
-    # --- r10-verified keys (50/50 green in CORRECTNESS_r10.json) rotate
-    # behind; earlier-round blocks keep their relative order after them. ---
     "ext_dedup_survivorship",
     "ext_dedup_threshold_curve",
     "ext_dedup_clusters",
@@ -604,40 +564,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ngram_novelty",
     "ext_dataset_diff",
     "ext_point_in_time_join",
-    "agg_approx_count_distinct",
-    "ext_exact_dedup",
-    "ext_near_dedup_simhash",
-    "ext_text_stats",
-    "ext_token_count",
-    "ext_quality_score",
-    "ext_langid",
-    "ext_tfidf_topterms",
-    "ext_fingerprint",
-    "ext_hash_split",
-    "ext_pii_scrub",
-    "ext_text_normalize",
-    "ext_sequence_packing",
-    "ext_decontamination",
-    "ext_validate_rules",
-    "ext_bm25",
-    "ext_stratified_sample",
-    "ext_multimodal_struct",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_watermark_late_drop",
-    "stream_static_join",
-    "stream_sink_files",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q10_returned_items",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_volume",
-    "ext_corpus_pipeline",
-    "stream_sink_catalog_table",
     "scan_python_stream_source",
     "sink_sorted_layout",
     "scan_csv",
@@ -668,22 +594,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_bitwise",
     "fn_hash",
     "fn_json_nested",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_percentile",
-    "agg_max_by_min_by",
-    "agg_filtered",
-    "agg_histogram",
-    "agg_mode",
-    "agg_bool_countif",
-    "win_rank_dense",
-    "win_ntile_first_last",
-    "win_cume_percent",
-    "win_session_gaps",
 )
 
 

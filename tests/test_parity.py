@@ -217,7 +217,37 @@ _R13_FIX_BATCH = frozenset({
     "ext_ann_ivf_nprobe_curve", "ext_mutual_knn_pairs", "ext_retrieval_auc",
     "ext_graph_degeneracy_core", "ext_hits_bounded",
 })
-_DELIBERATE_REFRONTS: frozenset[str] = _R13_FIX_BATCH
+
+# Round 14: CORRECTNESS_r13 came back 50/50 green (cumulative 459/462 —
+# the only unverified keys are the 3 tranche-7 registrations now at
+# slots 1-3, which need no entry here). The window is ROADMAP_r14.md's
+# pre-computed arithmetic: the 10-key Family-W re-front overflow (fixes
+# landed r13, sweep-green at r13 HEAD), the 27-key r1-staleness block
+# displaced from the r13 window, and 10 conscious staleness slots drawn
+# oldest-first from the 16-key r1-verified remainder. Every verified key
+# in the window is a deliberate staleness/overflow re-front.
+_R14_REFRESH = frozenset({
+    # Family-W overflow (slots 4-13)
+    "ext_hard_negatives", "ext_knn_label_agreement", "ext_kcenter_coreset",
+    "ext_ann_recall_eval", "ext_ann_recall_curve",
+    "ext_ann_ivf_nprobe_curve", "ext_mutual_knn_pairs", "ext_retrieval_auc",
+    "ext_graph_degeneracy_core", "ext_hits_bounded",
+    # 27-key r1-staleness block (slots 14-40)
+    "scan_parquet", "scan_projection_pushdown", "scan_filter_pushdown",
+    "count_star_fastpath", "project_expr", "filter_compound",
+    "filter_null_semantics", "filter_in_between_like",
+    "join_multi_key_chain", "join_inner_equi", "join_left_outer",
+    "join_right_outer", "join_full_outer", "join_left_semi",
+    "join_left_anti", "join_cross", "join_theta_range", "join_range_banded",
+    "join_broadcast_hint", "join_skew_salted", "join_bucketed_colocated",
+    "join_asof_time", "join_shuffle_hash_hint", "agg_hash_group",
+    "agg_global", "agg_count_distinct", "agg_multi_distinct",
+    # r1-staleness remainder, first 10 (slots 41-50)
+    "agg_having", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_pivot", "agg_unpivot", "agg_percentile", "agg_max_by_min_by",
+    "agg_filtered", "agg_histogram",
+})
+_DELIBERATE_REFRONTS: frozenset[str] = _R14_REFRESH
 
 
 def test_driver_window_has_no_silent_refronts():
