@@ -3597,10 +3597,11 @@ def ext_mips_cosine_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND len(a.embedding) = {EMB_DIM} AND len(b.embedding) = {EMB_DIM}
     ), proj AS (
       SELECT u, v,
-             list_sum(list_transform(range(1, 65), i -> diff[i] * diff[i]))
+             list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                     i -> diff[i] * diff[i]))
                AS orig_d2,
              list_transform(range(1, 17), j ->
-               list_sum(list_transform(range(1, 65), i ->
+               list_sum(list_transform(range(1, {EMB_DIM + 1}), i ->
                  CASE WHEN ((1103515245 * ((i - 1) * 16 + j) + 12345)
                             // 65536) % 2 = 0
                       THEN diff[i] ELSE -diff[i] END))) AS pvec
@@ -4098,7 +4099,13 @@ def ext_mrl_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HAM_C = 20  # Hamming candidate pool per query
-_HAM_BITS = 64  # sign bits packed into two 32-bit words; needs full width
+# Sign bits packed into two 32-bit words; needs the full declared width.
+# Derived from EMB_DIM (r13 ADVICE: an independent literal could drift),
+# but the two-word packing below (range(0,32) / range(32,64) in the
+# oracle, two element_at folds in the plan) is written for exactly 64
+# bits — so pin that assumption loudly rather than half-parameterize.
+_HAM_BITS = EMB_DIM
+assert _HAM_BITS == 64, "hamming pack/oracle are written for 64-bit words"
 
 # Interpolated from the same constants as the plan (N_QUERIES, _HAM_C,
 # TOP_K, the scorable gate — r12 ADVICE); the len() >= _HAM_BITS condition

@@ -63,6 +63,15 @@ def _customer(tmp, rows):
     )
 
 
+def _padded(vec):
+    """Zero-pad a toy vector to the declared width 64; an OVERSIZED
+    vector must fail loudly here (r13 ADVICE: the negative list-repeat
+    would silently no-op and the Family-W gate would then quarantine the
+    row, surfacing as a confusing empty result instead of this error)."""
+    assert len(vec) <= 64, f"toy embedding wider than EMB_DIM=64: {len(vec)}"
+    return vec + [0.0] * (64 - len(vec))
+
+
 def _embeddings(tmp, rows):
     """rows: (vec_id, [floats], label).
 
@@ -78,7 +87,7 @@ def _embeddings(tmp, rows):
             {
                 "vec_id": pa.array([r[0] for r in rows], pa.int64()),
                 "embedding": pa.array(
-                    [r[1] + [0.0] * (64 - len(r[1])) for r in rows],
+                    [_padded(r[1]) for r in rows],
                     pa.list_(pa.float32()),
                 ),
                 "label": pa.array([r[2] for r in rows], pa.int32()),
