@@ -27,6 +27,11 @@ Usage:
                                                       # ragged arrays, broken
                                                       # JSON, degenerate text
                                                       # (round-13 frontier)
+    python tests/degenerate_audit.py --ragged-chaos [...]  # SHAPE x NULL:
+                                                      # ragged rows with NULL
+                                                      # neighbors composed onto
+                                                      # the chaos tables
+                                                      # (round-14 frontier)
 
 Keys whose plan needs tables the degenerate set lacks, or that are
 streaming-only, report SKIP. Exit status 1 if any DIVERGE.
@@ -782,6 +787,85 @@ def build_ragged_fixtures(tmp: str) -> None:
     )
 
 
+def build_ragged_chaos_fixtures(tmp: str) -> None:
+    """SHAPE x NULL composed fixtures (round-14 frontier — the EIGHTH
+    audit dimension, promoted from the r13-close throwaway probe that
+    read 56/56 OK on the most-exposed keys): the chaos tables (NULL x
+    extreme x empty interactions) with ragged-shape rows APPENDED whose
+    NEIGHBORING cells are NULL — the one interaction class no prior mode
+    covers, since the ragged fixtures are deliberately all-non-NULL
+    (attribution discipline) and the chaos fixtures are all
+    shape-regular. Probes: a ragged vector beside a NULL label in the
+    same relation as a NULL vector, malformed JSON beside NULL event
+    columns, NUL-byte/whitespace text beside NULL lang/source/n_chars —
+    so a shape gate that accidentally keys on a NULL neighbor (or a NULL
+    gate that assumes regular shape) diverges here and nowhere else.
+    Expected near-zero findings: the width gate and json_valid
+    quarantine are NULL-safe by construction (len(NULL) = NULL fails the
+    gate on both engines). Contract identical to the other modes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_chaos_fixtures(tmp)
+
+    def append(name: str, rows: dict) -> None:
+        path = f"{tmp}/{name}.parquet"
+        t = pq.read_table(path)
+        extra = pa.table(
+            {f.name: pa.array(rows[f.name], f.type) for f in t.schema}
+        )
+        pq.write_table(pa.concat_tables([t, extra]), path)
+
+    # ragged widths (0, 1, 17, 63, 100) + one normal 64 — now beside
+    # NULL labels, in the same relation where chaos already planted a
+    # NULL embedding (vec_id 6) and a zero-norm vector (vec_id 5)
+    append(
+        "embeddings",
+        {
+            "vec_id": [7, 8, 9, 10, 11, 12],
+            "embedding": [
+                [],
+                [0.5],
+                [0.1 + 0.01 * i for i in range(17)],
+                [0.2 + 0.01 * i for i in range(63)],
+                [0.3 + 0.001 * i for i in range(100)],
+                [0.4 + 0.001 * i for i in range(64)],
+            ],
+            "label": [None, 1, None, 0, None, 2],
+        },
+    )
+    # degenerate text SHAPES beside NULL lang/source/n_chars, in the
+    # same relation as chaos's NULL text (doc_id 7)
+    append(
+        "documents",
+        {
+            "doc_id": [9, 10, 11],
+            "text": ["nul\x00byte inside this text ok", "      ", "x"],
+            "lang": [None, "en", "en"],
+            "source": ["web", None, "web"],
+            "n_chars": [28, 6, None],
+        },
+    )
+    # malformed JSON beside NULL event_type / NULL value, in the same
+    # relation as chaos's NULL props (event_id 7)
+    append(
+        "events",
+        {
+            "event_id": [8, 9, 10, 11],
+            "ts": [
+                dt.datetime(2024, 3, 1, 10),
+                dt.datetime(2024, 3, 1, 11),
+                dt.datetime(2024, 3, 1, 12),
+                dt.datetime(2024, 3, 1, 13),
+            ],
+            "user_id": [4, 4, 5, 5],
+            "event_type": [None, "purchase", "view", None],
+            "value": [1.0, None, 3.0, None],
+            "props": ['{"k": ', "not json", "[]", '{"K": "7"}'],
+        },
+    )
+
+
 def build_empty_fixtures(tmp: str) -> None:
     """ZERO-ROW versions of all ten fixture tables, byte-identical
     schemas (round-9 extension): at 100 TB an empty source is routine —
@@ -808,13 +892,15 @@ def main() -> int:
     null_mode = "--nulls" in args
     extreme_mode = "--extreme" in args
     chaos_mode = "--chaos" in args
-    ragged_mode = "--ragged" in args
-    if empty_mode or null_mode or extreme_mode or chaos_mode or ragged_mode:
+    ragged_chaos_mode = "--ragged-chaos" in args
+    ragged_mode = "--ragged" in args and not ragged_chaos_mode
+    if (empty_mode or null_mode or extreme_mode or chaos_mode
+            or ragged_mode or ragged_chaos_mode):
         args = [
             a
             for a in args
             if a not in ("--empty", "--nulls", "--extreme", "--chaos",
-                         "--ragged")
+                         "--ragged", "--ragged-chaos")
         ]
     if args[:1] == ["--protos"]:
         import importlib
@@ -842,6 +928,8 @@ def main() -> int:
         if chaos_mode
         else build_ragged_fixtures
         if ragged_mode
+        else build_ragged_chaos_fixtures
+        if ragged_chaos_mode
         else build_degenerate_fixtures
     )
     builder(tmp)
