@@ -1808,6 +1808,11 @@ def ext_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS cents
       FROM events WHERE event_type = 'purchase' GROUP BY 1
+      -- a day whose revenue sum is unknown (all values NULL) cannot form
+      -- slope pairs: its NULL slopes would sit at OPPOSITE ends of the
+      -- two engines' rank orders (Spark NULLS FIRST asc, DuckDB NULLS
+      -- LAST) and shift the median rank (ragged-chaos audit, r14)
+      HAVING SUM(CAST(round(value * 100) AS BIGINT)) IS NOT NULL
     ), slopes AS (
       SELECT CAST(round(1000000 * CAST(b.cents - a.cents AS DOUBLE)
                         / (b.t - a.t)) AS BIGINT) AS slope6
@@ -1843,7 +1848,7 @@ def ext_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")).alias("t")
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
-    )
+    ).filter(F.col("cents").isNotNull())  # lockstep with the oracle HAVING
     daily.cache()
     a = daily.select(F.col("t").alias("ta"), F.col("cents").alias("ca"))
     b = daily.select(F.col("t").alias("tb"), F.col("cents").alias("cb"))

@@ -756,6 +756,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
              o_orderkey AS vid
       FROM orders
+      -- a version whose effective date is unknown cannot be "current at
+      -- time t": under the merged as-of window it would sort BEFORE all
+      -- probes on Spark (NULLS FIRST asc) and AFTER them on DuckDB
+      -- (NULLS LAST) — quarantined on both sides instead (ragged-chaos
+      -- audit, r14; same contract as ext_scd2_versions)
+      WHERE o_orderdate IS NOT NULL
     ), probes AS (
       SELECT user_id % 1500 + 1 AS custkey, ts AS pts, event_id
       FROM events WHERE event_type = 'purchase'
@@ -803,7 +809,7 @@ def ext_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison reuses the version table's top-1 window."""
     orders = load(spark, sf_dir, "orders")
     ev = load(spark, sf_dir, "events")
-    versions = orders.select(
+    versions = orders.filter(F.col("o_orderdate").isNotNull()).select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderdate").alias("t"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),

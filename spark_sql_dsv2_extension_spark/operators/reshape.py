@@ -473,8 +473,12 @@ def ext_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY ts, event_id) AS nxt
       FROM events
     ), grams AS (
+      -- BOTH endpoints of a transition must be known: with a NULL
+      -- event_type, Spark's concat_ws SKIPS the NULL (gram "purchase")
+      -- while || yields NULL here — the two engines would build
+      -- different behavior sets (ragged-chaos audit, r14)
       SELECT DISTINCT user_id, event_type || '>' || nxt AS g
-      FROM seq WHERE nxt IS NOT NULL
+      FROM seq WHERE nxt IS NOT NULL AND event_type IS NOT NULL
     ), sizes AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY user_id
     ), inter AS (
@@ -519,9 +523,9 @@ def ext_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the extra (user_id, g) exchange would break the user_id partitioning
     # reuse between the lead() window and the groupBy (round-6 perf fix —
     # one full-width shuffle of the grams relation removed)
-    grams = seq.filter(F.col("nxt").isNotNull()).select(
-        "user_id", F.concat_ws(">", "event_type", "nxt").alias("g")
-    )
+    grams = seq.filter(
+        F.col("nxt").isNotNull() & F.col("event_type").isNotNull()
+    ).select("user_id", F.concat_ws(">", "event_type", "nxt").alias("g"))
     # users → profile key (hash of the sorted gram set)
     prof = grams.groupBy("user_id").agg(
         F.sort_array(F.collect_set("g")).alias("gs")

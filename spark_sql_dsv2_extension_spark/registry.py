@@ -174,7 +174,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_max_by_min_by",
     "agg_filtered",
     "agg_histogram",
-    # --- slots 51-56: the r1-staleness tail remainder (fronts round 15). ---
+    # --- slots 51-53: the ragged-chaos audit fixes (eighth fixture
+    # dimension, opened r14; NULL-neighbor interaction gates landed in
+    # lockstep) — conscious re-fronts, front round 15 first. ---
+    "ext_behavior_similarity",
+    "ext_theil_sen_slope",
+    "ext_point_in_time_join",
+    # --- slots 54-59: the r1-staleness tail remainder. ---
     "agg_mode",
     "agg_bool_countif",
     "win_rank_dense",
@@ -494,7 +500,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_cdc_chunking",
     "ext_inverted_index",
     "ext_bpe_apply_merge",
-    "ext_behavior_similarity",
     "ext_conversion_deciles",
     "win_range_frame",
     "ext_coverage_maximization",
@@ -513,7 +518,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_mann_kendall_trend",
     "ext_kaplan_meier_retention",
     "ext_entropy_rate_markov",
-    "ext_theil_sen_slope",
     "ext_walk_forward_splits",
     "ext_burrows_delta",
     "ext_srm_check",
@@ -563,7 +567,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_integrity_audit",
     "ext_ngram_novelty",
     "ext_dataset_diff",
-    "ext_point_in_time_join",
     "scan_python_stream_source",
     "sink_sorted_layout",
     "scan_csv",
