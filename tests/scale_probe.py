@@ -311,6 +311,28 @@ def probe_cc(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_end_to_end(spark, sf_dir: str) -> dict:
+    """End-to-end wall-time for the production-shaped composition
+    (ext_corpus_pipeline: normalize -> quality gate -> exact dedup ->
+    hash split in ONE plan) and the exact-dedup baseline — no staging,
+    these measure the composed-plan scaling the per-stage probes can't."""
+    from spark_sql_dsv2_extension_spark.extensions.dedup import (
+        ext_exact_dedup,
+    )
+    from spark_sql_dsv2_extension_spark.extensions.text import (
+        ext_corpus_pipeline,
+    )
+
+    out = {}
+    t, n = timed(ext_exact_dedup(spark, sf_dir).count)
+    out["exact_dedup"] = {"sec": round(t, 3), "rows": n}
+    spark.catalog.clearCache()
+    t, n = timed(ext_corpus_pipeline(spark, sf_dir).count)
+    out["corpus_pipeline"] = {"sec": round(t, 3), "rows": n}
+    spark.catalog.clearCache()
+    return out
+
+
 def fit_slope(ns: list[int], ts: list[float]) -> float:
     """Least-squares slope of log(t) vs log(n): t ~ n^slope."""
     xs = [math.log(n) for n in ns]
@@ -381,6 +403,7 @@ def main() -> None:
         spark.catalog.clearCache()
         point["cc"] = probe_cc(spark, d)
         spark.catalog.clearCache()
+        point["e2e"] = probe_end_to_end(spark, d)
         results["points"].append(point)
         print(f"sf{sf}: {json.dumps(point)}")
 
@@ -403,6 +426,10 @@ def main() -> None:
     for stage in pts[0]["cc"]["stages"]:
         slopes[f"cc.{stage}"] = fit_slope(
             docs_ns, [p["cc"]["stages"][stage] for p in pts]
+        )
+    for key in pts[0].get("e2e", {}):
+        slopes[f"e2e.{key}"] = fit_slope(
+            docs_ns, [p["e2e"][key]["sec"] for p in pts]
         )
     results["slopes"] = slopes
     print("slopes:", json.dumps(slopes, indent=2))
