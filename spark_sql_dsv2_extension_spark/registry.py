@@ -106,90 +106,30 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # === ROUND-14 WINDOW (CORRECTNESS_r13 came back 50/50 green —
-    # cumulative 459/462, backlog ZERO beyond the 3 driver-unverified
-    # tranche-7 registrations — so the window is exactly ROADMAP_r14.md's
-    # pre-computed arithmetic: the 40 queued keys at old slots 51-90
-    # (3 tranche-7 SHAPE-telemetry registrations, the 10-key Family-W
-    # re-front overflow, the 27-key r1-staleness block), then 10
-    # conscious staleness slots drawn oldest-first from the 16-key
-    # r1-verified remainder (agg_having .. agg_histogram). ===
+    # === ROUND-15 WINDOW (CORRECTNESS_r14 came back 50/50 green —
+    # cumulative coverage is 462/462, zero never-checked keys, zero
+    # latest-row failures; the window is ROADMAP_r15.md's pre-computed
+    # arithmetic exactly). All 50 slots are deliberate staleness /
+    # semantic re-fronts — every key in the registry is driver-verified,
+    # so the window's job is draining the staleness ledger oldest-first
+    # and re-verifying the keys whose SEMANTICS changed in round 14. ===
     #
-    # --- slots 1-3: round-13 tranche-7 registrations (SHAPE telemetry),
-    # driver-unverified by definition. ---
-    "ext_embedding_width_audit",
-    "ext_payload_shape_profile",
-    "ext_text_shape_audit",
-    # --- slots 4-13: Family-W re-front overflow (shared scorable-gate
-    # width condition landed r13; sweep-green at r13 HEAD). ---
-    "ext_hard_negatives",
-    "ext_knn_label_agreement",
-    "ext_kcenter_coreset",
-    "ext_ann_recall_eval",
-    "ext_ann_recall_curve",
-    "ext_ann_ivf_nprobe_curve",
-    "ext_mutual_knn_pairs",
-    "ext_retrieval_auc",
-    "ext_graph_degeneracy_core",
-    "ext_hits_bounded",
-    # --- slots 14-40: the 27-key staleness-refresh block (oldest
-    # driver-verified keys, newest CORRECTNESS row = round 1), displaced
-    # from the r13 window by the ragged re-fronts; untouched since. ---
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "scan_filter_pushdown",
-    "count_star_fastpath",
-    "project_expr",
-    "filter_compound",
-    "filter_null_semantics",
-    "filter_in_between_like",
-    "join_multi_key_chain",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_range_banded",
-    "join_broadcast_hint",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    "join_asof_time",
-    "join_shuffle_hash_hint",
-    "agg_hash_group",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_multi_distinct",
-    # --- slots 41-50: conscious staleness spending — the first 10 of the
-    # 16-key r1-verified remainder, registration order. ---
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_percentile",
-    "agg_max_by_min_by",
-    "agg_filtered",
-    "agg_histogram",
-    # --- slots 51-53: the ragged-chaos audit fixes (eighth fixture
-    # dimension, opened r14; NULL-neighbor interaction gates landed in
-    # lockstep) — conscious re-fronts, front round 15 first. ---
+    # --- slots 1-3: the ragged-chaos audit fixes (NULL-neighbor
+    # interaction gates landed r14 in lockstep with the eighth audit
+    # mode; semantics changed, fresh driver rows required). ---
     "ext_behavior_similarity",
     "ext_theil_sen_slope",
     "ext_point_in_time_join",
-    # --- slots 54-59: the r1-staleness tail remainder. ---
+    # --- slots 4-9: the r1-staleness tail remainder — retires round 1
+    # from the staleness ledger entirely. ---
     "agg_mode",
     "agg_bool_countif",
     "win_rank_dense",
     "win_ntile_first_last",
     "win_cume_percent",
     "win_session_gaps",
-    # --- slots 57-90: the full r2-staleness tail (streaming + §2C
-    # flagship + TPC-H head), oldest-first per the drain-to-r4 plan;
-    # pre-computed to front round 15 behind the r1 tail. ---
+    # --- slots 10-43: the full 34-key r2-staleness tail (streaming +
+    # §2C flagship + TPC-H head) — retires round 2 entirely. ---
     "agg_approx_count_distinct",
     "ext_exact_dedup",
     "ext_near_dedup_simhash",
@@ -224,8 +164,95 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_volume",
     "ext_corpus_pipeline",
     "stream_sink_catalog_table",
-    # --- the round-13 window (50/50 green in CORRECTNESS_r13.json)
-    # rotates directly behind the queued tails. ---
+    # --- slots 44-50: conscious staleness spending — the first 7 of the
+    # 30-key r3-staleness tail, oldest-first (r3 window order). ---
+    "scan_python_stream_source",
+    "sink_sorted_layout",
+    "scan_csv",
+    "scan_orc",
+    "scan_ignore_corrupt",
+    "udf_pandas_scalar",
+    "udtf_python",
+    # --- the 23-key r3-staleness remainder, queued in drain order to
+    # front the round-16 window (min last-checked reaches 4 at r16
+    # close, per ROADMAP_r15's honest arithmetic). ---
+    "subq_scalar",
+    "subq_in",
+    "subq_exists_correlated",
+    "subq_lateral",
+    "subq_not_in_null",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "set_union_by_name",
+    "set_intersect_all",
+    "distinct_rows",
+    "topk_limit",
+    "topk_per_group",
+    "win_fill_forward",
+    "fn_regex",
+    "fn_date",
+    "fn_conditional",
+    "fn_array_explode",
+    "fn_bitwise",
+    "fn_hash",
+    "fn_json_nested",
+    # --- verified backlog: newest-verified first (the r14 window, then
+    # the r13 window, then the remaining registry in its prior rotation
+    # order — per-round provenance lives in git history of this block
+    # and in the CORRECTNESS_r*.json artifacts). ---
+    "ext_embedding_width_audit",
+    "ext_payload_shape_profile",
+    "ext_text_shape_audit",
+    "ext_hard_negatives",
+    "ext_knn_label_agreement",
+    "ext_kcenter_coreset",
+    "ext_ann_recall_eval",
+    "ext_ann_recall_curve",
+    "ext_ann_ivf_nprobe_curve",
+    "ext_mutual_knn_pairs",
+    "ext_retrieval_auc",
+    "ext_graph_degeneracy_core",
+    "ext_hits_bounded",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "scan_filter_pushdown",
+    "count_star_fastpath",
+    "project_expr",
+    "filter_compound",
+    "filter_null_semantics",
+    "filter_in_between_like",
+    "join_multi_key_chain",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_range_banded",
+    "join_broadcast_hint",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "join_asof_time",
+    "join_shuffle_hash_hint",
+    "agg_hash_group",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_multi_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_percentile",
+    "agg_max_by_min_by",
+    "agg_filtered",
+    "agg_histogram",
     "ext_mrl_truncation_curve",
     "ext_knn_binary_hamming",
     "ext_minhash_jaccard_estimate",
@@ -276,8 +303,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_pq_adc_search",
     "ext_embedding_near_dup",
     "ext_embedding_quantize",
-    # --- remaining keys keep their relative order (r3+ verified blocks;
-    # see git history for the per-round window commentary). ---
     "fn_struct",
     "scan_text",
     "stream_foreach_batch_sink",
@@ -567,36 +592,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_integrity_audit",
     "ext_ngram_novelty",
     "ext_dataset_diff",
-    "scan_python_stream_source",
-    "sink_sorted_layout",
-    "scan_csv",
-    "scan_orc",
-    "scan_ignore_corrupt",
-    "udf_pandas_scalar",
-    "udtf_python",
-    "subq_scalar",
-    "subq_in",
-    "subq_exists_correlated",
-    "subq_lateral",
-    "subq_not_in_null",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_union_by_name",
-    "set_intersect_all",
-    "distinct_rows",
-    "topk_limit",
-    "topk_per_group",
-    "win_fill_forward",
-    "fn_regex",
-    "fn_date",
-    "fn_conditional",
-    "fn_array_explode",
-    "fn_bitwise",
-    "fn_hash",
-    "fn_json_nested",
 )
 
 

@@ -249,6 +249,42 @@ _R14_REFRESH = frozenset({
 })
 _DELIBERATE_REFRONTS: frozenset[str] = _R14_REFRESH
 
+# Round 15: CORRECTNESS_r14 came back 50/50 green — cumulative coverage
+# is literally 462/462 with zero never-checked keys and zero latest-row
+# failures, so EVERY key in the round-15 window is by definition a
+# deliberate re-front. The window is ROADMAP_r15.md's pre-computed
+# arithmetic: the 3 ragged-chaos semantic-fix re-fronts (fixes landed
+# r14 in lockstep with the eighth audit mode), the 6-key r1-staleness
+# tail (retires round 1 from the ledger), the full 34-key r2-staleness
+# tail (retires round 2), and the first 7 keys of the 30-key
+# r3-staleness tail in r3-window drain order.
+_R15_REFRESH = frozenset({
+    # ragged-chaos fix re-fronts (slots 1-3)
+    "ext_behavior_similarity", "ext_theil_sen_slope",
+    "ext_point_in_time_join",
+    # r1-staleness tail (slots 4-9)
+    "agg_mode", "agg_bool_countif", "win_rank_dense",
+    "win_ntile_first_last", "win_cume_percent", "win_session_gaps",
+    # r2-staleness tail (slots 10-43)
+    "agg_approx_count_distinct", "ext_exact_dedup", "ext_near_dedup_simhash",
+    "ext_text_stats", "ext_token_count", "ext_quality_score", "ext_langid",
+    "ext_tfidf_topterms", "ext_fingerprint", "ext_hash_split",
+    "ext_pii_scrub", "ext_text_normalize", "ext_sequence_packing",
+    "ext_decontamination", "ext_validate_rules", "ext_bm25",
+    "ext_stratified_sample", "ext_multimodal_struct", "stream_tumbling_agg",
+    "stream_sliding_agg", "stream_session_window",
+    "stream_watermark_late_drop", "stream_static_join", "stream_sink_files",
+    "stream_stream_join", "stream_stream_left_outer",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume", "tpch_q10_returned_items",
+    "tpch_q16_supplier_cnt", "tpch_q18_large_volume", "ext_corpus_pipeline",
+    "stream_sink_catalog_table",
+    # r3-staleness tail head (slots 44-50)
+    "scan_python_stream_source", "sink_sorted_layout", "scan_csv",
+    "scan_orc", "scan_ignore_corrupt", "udf_pandas_scalar", "udtf_python",
+})
+_DELIBERATE_REFRONTS = _R15_REFRESH
+
 
 def test_driver_window_has_no_silent_refronts():
     """Zero-stale-row discipline, testable: every key in the driver's
