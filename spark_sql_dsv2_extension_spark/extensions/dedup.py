@@ -792,13 +792,17 @@ def ext_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _est_eps(n_hashes: int) -> float:
     """5σ tolerance for the n-hash MinHash estimator: Ĵ is a mean of n
     Bernoulli(J) indicators, so σ(Ĵ) ≤ √(0.25/n) and 5·√(0.25/n) is
-    ~5σ at any n. Capped at the r12-registered 0.25 so the default-96
-    tolerance is bit-stable with the verified history (r13 ADVICE:
-    5·√(0.25/96) ≈ 0.2552 would silently widen an already-verified pass
-    band); deriving from n_hashes still keeps the tolerance honest when
-    a caller passes a smaller signature (r12 ADVICE: a fixed 0.25 at
-    n = 16 would be only ~2σ); Ĵ≈0 on a real J ≥ 0.8 pair still fails."""
-    return min(0.25, 5.0 * (0.25 / n_hashes) ** 0.5)
+    ~5σ at any n. At the default width ONLY, the tolerance is pinned to
+    the r12-registered 0.25 so the default-96 pass band is bit-stable
+    with the verified history (r13 ADVICE: 5·√(0.25/96) ≈ 0.2552 would
+    silently widen an already-verified band); every other width gets the
+    honest 5σ value (r12/r14 ADVICE: a blanket min(0.25, ·) cap clamped
+    ALL n < 100 to 0.25, reinstating the ~2σ band at n = 16 that the
+    derivation was meant to fix). Ĵ≈0 on a real J ≥ 0.8 pair still
+    fails at any width."""
+    if n_hashes == N_HASHES:
+        return 0.25
+    return 5.0 * (0.25 / n_hashes) ** 0.5
 
 
 @query(

@@ -4105,7 +4105,10 @@ _HAM_C = 20  # Hamming candidate pool per query
 # oracle, two element_at folds in the plan) is written for exactly 64
 # bits — so pin that assumption loudly rather than half-parameterize.
 _HAM_BITS = EMB_DIM
-assert _HAM_BITS == 64, "hamming pack/oracle are written for 64-bit words"
+# Explicit raise, not `assert`: the pin must survive `python -O`
+# (r14 ADVICE — a stripped assert silently un-pins the 64-bit packing).
+if _HAM_BITS != 64:
+    raise AssertionError("hamming pack/oracle are written for 64-bit words")
 
 # Interpolated from the same constants as the plan (N_QUERIES, _HAM_C,
 # TOP_K, the scorable gate — r12 ADVICE); the len() >= _HAM_BITS condition
