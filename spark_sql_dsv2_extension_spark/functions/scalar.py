@@ -710,6 +710,8 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey,
              o_orderkey || ',' || o_orderstatus || ',' || o_totalprice AS line
       FROM orders WHERE o_orderkey % 50 = 0
+        AND o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        AND o_totalprice IS NOT NULL
     )
     SELECT o_orderkey, line,
            CAST(string_split(line, ',')[1] AS BIGINT) AS csv_key,
@@ -723,8 +725,19 @@ def fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (log lines, legacy exports stuffed in a column) parsed into a
     typed struct by the same CSV parser the file reader uses — types
     asserted by schema, not regex guesswork. The oracle re-splits
-    textually; values are fixture-clean so both agree exactly."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    textually; values are fixture-clean so both agree exactly.
+
+    NULL-part lockstep (concat_ws rule, r14/r15 sweep): a NULL field
+    would make Spark's concat_ws emit a SHORTENED line (mis-aligning
+    from_csv's positional parse) while the oracle's || yields a NULL
+    line — a row can only be CSV-round-tripped when all its fields are
+    known, so NULL-field rows are filtered on both engines."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 50 == 0)
+        & F.col("o_orderkey").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     raw = o.select(
         "o_orderkey",
         F.concat_ws(
