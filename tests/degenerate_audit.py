@@ -32,6 +32,12 @@ Usage:
                                                       # neighbors composed onto
                                                       # the chaos tables
                                                       # (round-14 frontier)
+    python tests/degenerate_audit.py --lattice [...]  # NULL rows ON the
+                                                      # sampling lattice: ids
+                                                      # congruent to every
+                                                      # modulo-sampling filter
+                                                      # in the engine
+                                                      # (round-15 frontier)
 
 Keys whose plan needs tables the degenerate set lacks, or that are
 streaming-only, report SKIP. Exit status 1 if any DIVERGE.
@@ -49,6 +55,21 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MON = dt.datetime(2024, 1, 1)  # a Monday: ISO-week-truncation anchor
+
+# physical sort order of each fixture table (the id-sorted file contract
+# scan_file_metadata's row_index oracle depends on)
+_SORT_KEYS = {
+    "documents": ["doc_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+    "part": ["p_partkey"],
+    "embeddings": ["vec_id"],
+}
 
 
 def build_degenerate_fixtures(tmp: str) -> None:
@@ -866,6 +887,191 @@ def build_ragged_chaos_fixtures(tmp: str) -> None:
     )
 
 
+def build_lattice_fixtures(tmp: str) -> None:
+    """SAMPLING-LATTICE x NULL fixtures (round-15 frontier — the NINTH
+    audit dimension). Motivation: the r15 concat_ws sweep found a latent
+    NULL divergence in fn_from_csv that FOUR NULL-bearing modes had
+    missed, because the key samples `o_orderkey % 50 == 0` and every
+    prior fixture's ids live in 0..11 — the filter selects zero rows and
+    the key passes VACUOUSLY. This mode closes that blind spot
+    mechanically: the NULL fixtures plus appended NULL-payload rows
+    whose ids sit ON the engine's sampling lattice, so every
+    modulo-sampled key finally sees NULL-bearing rows. The lattice is
+    derived from a grep of the engine (see CONCAT_WS_AUDIT_r15.md /
+    LATTICE_AUDIT_r15.md): o_orderkey mod {2,3,5,10,11,13,20,25,32,40,
+    50,100}, doc_id mod {2,5,7,10(0 and 9),13,19,20} plus the <50 /
+    >=400 range splits, event_id mod {2,3(all residues),25,100},
+    l_orderkey mod {50,100}, user_id mod 50, c_custkey mod 97,
+    s_suppkey mod 2 (both parities). id 0 is on EVERY residue-0 class,
+    so each table plants its worst row (every nullable field NULL) at
+    id 0 and spreads single-field NULLs across the other lattice points.
+    Contract identical to the other modes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_null_fixtures(tmp)
+
+    def append(name: str, rows: dict) -> None:
+        path = f"{tmp}/{name}.parquet"
+        t = pq.read_table(path)
+        extra = pa.table(
+            {f.name: pa.array(rows[f.name], f.type) for f in t.schema}
+        )
+        # keep the fixture files ID-SORTED: every real sf*.parquet table
+        # and every prior mode's fixture is written in ascending id order,
+        # and scan_file_metadata's oracle reconstructs _metadata.row_index
+        # from that contract — lattice ids (0, 4800, ...) straddle the
+        # base ids, so an unsorted concat would break physical row order
+        pq.write_table(
+            pa.concat_tables([t, extra]).sort_by(
+                [(f, "ascending") for f in _SORT_KEYS[name]]
+            ),
+            path,
+        )
+
+    h = dt.timedelta(hours=1)
+    # doc 0: all nullable fields NULL, selected by every residue-0
+    # sampler AND the doc_id < 50 decontamination split. doc 9: the
+    # %10==9 residue. doc 20 / 91 / 247: single-field NULLs on the
+    # {2,5,10,20} / {7,13} / {13,19} classes. doc 700: even lattice
+    # point on the >=400 incremental-shard side with a NULL source.
+    append(
+        "documents",
+        {
+            "doc_id": [0, 9, 20, 91, 247, 700],
+            "text": [
+                None,
+                "nine residue words for the ten sampler",
+                "twenty lattice words appear here again ok",
+                "ninety one covers seven and thirteen fine",
+                "two forty seven covers thirteen nineteen",
+                "seven hundred sits on the crawl shard",
+            ],
+            "lang": [None, None, "en", None, "en", "en"],
+            "source": [None, "web", None, "web", "web", None],
+            "n_chars": [None, 39, 41, 42, 41, None],
+        },
+    )
+    # The PREDICATE-WINDOW half of the lattice: the TPC-H-shaped keys
+    # filter on 1995-1998 date windows (o_orderdate < 1995-03-15,
+    # l_shipdate <= 1998-09-02, [1996-01-01, 1996-04-01), ...), and
+    # every prior mode's fixtures use 2024 dates — so ALL of those keys
+    # passed the NULL/chaos modes vacuously on zero in-window rows.
+    # Lattice dates sit INSIDE the engine's predicate windows so the
+    # NULL-bearing rows actually flow through the TPC-H plans.
+    #
+    # order 0 (all fields NULL, custkey 0 joins the all-NULL customer
+    # 0); order 1 covers the odd-parity sampler with a NULL totalprice;
+    # 4800 = 2^6*3*5^2 covers {2,3,5,10,20,25,32,40,50,100}; 1430 =
+    # 2*5*11*13 covers {10,11,13}; order 50 is the CLEAN lattice row
+    # (every modulo-50 key sees one fully-parseable row) with an
+    # in-window 1995 date on the BUILDING customer.
+    # order 0 (all fields NULL, custkey 0 joins the all-NULL customer
+    # 0); order 1430 = 2*5*11*13 covers {10,11,13} (NULL date, NULL
+    # price, the %97 customer); order 4800 = 2^6*3*5^2 covers
+    # {2,3,5,10,20,25,32,40,50,100} and carries the 1996 q5-window date
+    # on the same-nation-ASIA chain; order 50 is the CLEAN mod-50 row
+    # (every modulo-50 key sees one fully-parseable row) on the
+    # BUILDING customer inside q3's order window; order 100 is the
+    # q18 large-volume order with a NULL o_totalprice IN the group key.
+    append(
+        "orders",
+        {
+            "o_orderkey": [0, 4800, 1430, 50, 100],
+            "o_custkey": [0, 97, 97, 1, 3],
+            "o_orderstatus": [None, None, "O", "F", "O"],
+            "o_totalprice": [None, 4800.0, None, 50.0, None],
+            "o_orderdate": [
+                None,
+                dt.datetime(1996, 2, 1),
+                None,
+                dt.datetime(1995, 2, 1),
+                dt.datetime(1996, 6, 1),
+            ],
+            "o_orderpriority": [
+                None, "3-MEDIUM", None, "1-URGENT", "2-HIGH",
+            ],
+        },
+    )
+    # lineitems joined to the lattice orders so the NULL rows FLOW
+    # through the order-line joins, with shipdates inside the TPC-H
+    # predicate windows: q1's <= 1998-09-02, q3's > 1997-03-15 (order
+    # 50's line), a [1996-01-01, 1996-04-01) revenue row, a returned-R
+    # line with a NULL discount that rides the ASIA chain into q5 (its
+    # revenue aggregate goes NULL), and the 301-qty line that puts
+    # order 100 over q18's 300 threshold.
+    append(
+        "lineitem",
+        {
+            "l_orderkey": [0, 4800, 4800, 50, 100],
+            "l_partkey": [0, 1, 0, 0, 1],
+            "l_suppkey": [0, 1, 2, 0, 0],
+            "l_linenumber": [1, 1, 2, 1, 1],
+            "l_quantity": [None, 7.0, 2.0, 3.0, 301.0],
+            "l_extendedprice": [70.0, None, 20.0, 30.0, 10.0],
+            "l_discount": [0.0, 0.05, None, 0.06, 0.0],
+            "l_tax": [None, 0.0, 0.01, 0.02, 0.0],
+            "l_returnflag": [None, "N", "R", "A", "N"],
+            "l_linestatus": ["O", None, "F", "F", "O"],
+            "l_shipdate": [
+                None,
+                dt.datetime(1996, 3, 1),
+                dt.datetime(1996, 11, 15),
+                dt.datetime(1997, 6, 30),
+                dt.datetime(1996, 6, 10),
+            ],
+        },
+    )
+    # the ASIA region chain q5 needs (no prior mode has an ASIA region,
+    # so the six-table star was vacuous in all of them): region 2 ASIA
+    # -> nation 2 with a NULL n_name (the NULL lands IN q5's group key)
+    # -> supplier 2 and customer 97 both in nation 2.
+    append("region", {"r_regionkey": [2], "r_name": ["ASIA"]})
+    append(
+        "nation",
+        {"n_nationkey": [2], "n_name": [None], "n_regionkey": [2]},
+    )
+    # events 100/200: the %25 and %100 classes finally carry NULLs;
+    # user ids 0 and 50 put NULL-bearing rows on the user_id%50 sampler
+    append(
+        "events",
+        {
+            "event_id": [100, 200],
+            "ts": [MON + 3 * h, MON + 4 * h],
+            "user_id": [0, 50],
+            "event_type": [None, "view"],
+            "value": [1.0, None],
+            "props": ["{}", None],
+        },
+    )
+    # customer 0: every nullable field NULL on the %97 residue-0 class
+    # (and the join target of order 0); customer 97 rides the ASIA
+    # chain (nation 2) so the sampler also sees a partially-NULL row
+    # that flows through the six-table star
+    append(
+        "customer",
+        {
+            "c_custkey": [0, 97],
+            "c_name": [None, "c97"],
+            "c_nationkey": [0, 2],
+            "c_mktsegment": [None, None],
+            "c_acctbal": [None, 97.0],
+        },
+    )
+    # supplier 2: the EVEN parity class gets its NULL-bearing row (the
+    # base fixture's only NULL supplier is odd id 1), in ASIA nation 2
+    # to complete q5's same-nation customer-supplier correlation
+    append(
+        "supplier",
+        {
+            "s_suppkey": [2],
+            "s_name": [None],
+            "s_nationkey": [2],
+            "s_acctbal": [None],
+        },
+    )
+
+
 def build_empty_fixtures(tmp: str) -> None:
     """ZERO-ROW versions of all ten fixture tables, byte-identical
     schemas (round-9 extension): at 100 TB an empty source is routine —
@@ -894,13 +1100,14 @@ def main() -> int:
     chaos_mode = "--chaos" in args
     ragged_chaos_mode = "--ragged-chaos" in args
     ragged_mode = "--ragged" in args and not ragged_chaos_mode
+    lattice_mode = "--lattice" in args
     if (empty_mode or null_mode or extreme_mode or chaos_mode
-            or ragged_mode or ragged_chaos_mode):
+            or ragged_mode or ragged_chaos_mode or lattice_mode):
         args = [
             a
             for a in args
             if a not in ("--empty", "--nulls", "--extreme", "--chaos",
-                         "--ragged", "--ragged-chaos")
+                         "--ragged", "--ragged-chaos", "--lattice")
         ]
     if args[:1] == ["--protos"]:
         import importlib
@@ -930,6 +1137,8 @@ def main() -> int:
         if ragged_mode
         else build_ragged_chaos_fixtures
         if ragged_chaos_mode
+        else build_lattice_fixtures
+        if lattice_mode
         else build_degenerate_fixtures
     )
     builder(tmp)
