@@ -5237,7 +5237,9 @@ def ext_anomaly_mad_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pw AS (
       SELECT l_returnflag, l_extendedprice AS p,
              CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wgt
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1, 2
     ), cum AS (
       SELECT l_returnflag, p, wgt,
              SUM(wgt) OVER (PARTITION BY l_returnflag ORDER BY p
@@ -5267,8 +5269,18 @@ def ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (by flag), so the unpartitioned-window guardrail stays at zero hits;
     if a value domain were ever unbounded, the quantiles.py two-level
     prefix sum is the drop-in replacement (see distributed_running_sum).
+
+    NULL (value, weight) pairs excluded in lockstep (LATTICE_AUDIT_r15:
+    the r14 order-statistics rule applied to the WEIGHTED median): a NULL
+    price is an order key — Spark sorts it FIRST, DuckDB LAST, shifting
+    every cumulative weight in the group — and a NULL weight poisons the
+    running sum differently under each ordering. A pair with an unknown
+    value or unknown weight cannot participate in a weighted order
+    statistic.
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     pw = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("p")).agg(
         F.sum(F.round("l_quantity").cast("long")).cast("long").alias("wgt")
     )

@@ -1737,7 +1737,13 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("out_toks", lambda t: t == "<extra_id>"))
         .cast("long")
         .alias("n_masked"),
-        F.concat_ws(" ", "out_toks").alias("masked_text"),
+        # NULL-array guard (LATTICE_AUDIT_r15.md): concat_ws over a NULL
+        # ARRAY yields '' on Spark (the NULL argument is skipped like any
+        # other) where the oracle's NULL token list renders NULL — a
+        # NULL-text document must keep a NULL masked_text on both engines.
+        F.when(
+            F.col("out_toks").isNotNull(), F.concat_ws(" ", "out_toks")
+        ).alias("masked_text"),
     )
 
 

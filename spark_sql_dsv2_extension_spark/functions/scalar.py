@@ -604,8 +604,10 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_printf_format",
     oracle="""
     SELECT o_orderkey,
-           printf('%06d|%.2f|%s', o_orderkey, o_totalprice, o_orderstatus)
-             AS formatted,
+           CASE WHEN o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+                THEN printf('%06d|%.2f|%s',
+                            o_orderkey, o_totalprice, o_orderstatus)
+           END AS formatted,
            printf('%x', o_orderkey) AS hex_key
     FROM orders WHERE o_orderkey % 20 = 0
     """,
@@ -614,12 +616,23 @@ def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """printf-style formatting (``format_string``): zero-padded ids, fixed
     2-decimal prices (exact: the prices carry two decimals, so %.2f is a
     representation, not a rounding), hex rendering. The formatted-export
-    projection pattern — all codegen'd, no Python."""
+    projection pattern — all codegen'd, no Python.
+
+    NULL arguments guarded in lockstep (LATTICE_AUDIT_r15.md): Spark's
+    format_string renders NULL args as Java-Formatter text ("null",
+    zero-width %d) where DuckDB's printf propagates NULL through the
+    whole result — a row with an unknown field has no well-defined
+    rendering, so both engines emit NULL for it (the hex key, built from
+    the never-NULL id, stays unconditional)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
     return o.select(
         "o_orderkey",
-        F.format_string(
-            "%06d|%.2f|%s", "o_orderkey", "o_totalprice", "o_orderstatus"
+        F.when(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderstatus").isNotNull(),
+            F.format_string(
+                "%06d|%.2f|%s", "o_orderkey", "o_totalprice", "o_orderstatus"
+            ),
         ).alias("formatted"),
         F.format_string("%x", "o_orderkey").alias("hex_key"),
     )

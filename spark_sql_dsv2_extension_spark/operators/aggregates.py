@@ -578,7 +578,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
              row_number() OVER (
                PARTITION BY o_orderstatus
-               ORDER BY count(*) DESC, o_orderpriority ASC) AS rk
+               ORDER BY count(*) DESC, o_orderpriority ASC NULLS LAST) AS rk
       FROM orders
       GROUP BY o_orderstatus, o_orderpriority
     )
@@ -590,13 +590,20 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic tie-break — count-then-rank, the distributed idiom for
     mode (a direct MODE() agg is nondeterministic on ties). Two shuffles:
     the count aggregate, then a tiny ranked window over (status, priority)
-    pairs."""
+    pairs.
+
+    Tie-break NULLS LAST, pinned on BOTH engines (LATTICE_AUDIT_r15.md):
+    a NULL priority with the same count as a real value must LOSE the
+    tie — Spark's bare asc is NULLS FIRST where DuckDB's is NULLS LAST,
+    so an unpinned tie elects a different mode per engine. (A NULL
+    priority with a strictly higher count still wins on both — NULL is a
+    legitimate modal value in this contract, it just can't win ties.)"""
     o = load(spark, sf_dir, "orders")
     counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+        F.col("cnt").desc(), F.col("o_orderpriority").asc_nulls_last()
     )
     return (
         counts.withColumn("rk", F.row_number().over(w))

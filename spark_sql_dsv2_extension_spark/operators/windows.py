@@ -204,15 +204,22 @@ def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist() OVER w, 6) AS cume,
            round(percent_rank() OVER w, 6) AS pct_rank
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC)
     """,
 )
 def win_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: cume_dist + percent_rank. Rounded to 6
     decimals — both are ratios of small integers, identical across engines
-    except for 1-ulp division differences."""
+    except for 1-ulp division differences.
+
+    Ordering pinned NULLS LAST on both engines (LATTICE_AUDIT_r15.md):
+    customers with an unknown balance sit at the TOP of the distribution
+    on both engines — Spark's bare asc is NULLS FIRST where DuckDB's is
+    NULLS LAST, which shifts every cume/pct value in a NULL-bearing
+    segment, not just the NULL rows'."""
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+        F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc()
     )
     return load(spark, sf_dir, "customer").select(
         "c_custkey",

@@ -306,10 +306,32 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the broadcast keys into the file index), so no driver-side
     # enumeration — safe even when the partition column is high-cardinality
     # (a date column at 100 TB).
+    #
+    # The NULL partition needs its own keep-branch (LATTICE_AUDIT_r15.md):
+    # an equality semi join can never match a NULL key, so when the CDC
+    # batch touches the NULL partition (__HIVE_DEFAULT_PARTITION__), the
+    # semi join silently drops that partition's NON-updated rows and the
+    # dynamic overwrite then rewrites the partition without them — data
+    # loss, found by the lattice audit. The NULL branch joins the
+    # (0-or-1-row) NULL-membership probe on an always-true condition:
+    # "keep the target's NULL-partition rows iff the batch touches the
+    # NULL partition", expressed inside the plan. The equality branch
+    # keeps its DPP-friendly form for the 100 TB common path.
     touched = upserts.select("o_orderstatus").distinct()
+    null_touched = touched.filter(F.col("o_orderstatus").isNull())
+    kept = target.join(
+        F.broadcast(touched.filter(F.col("o_orderstatus").isNotNull())),
+        "o_orderstatus",
+        "left_semi",
+    ).unionByName(
+        target.filter(F.col("o_orderstatus").isNull()).join(
+            F.broadcast(null_touched.select(F.lit(1).alias("_probe"))),
+            F.lit(True),
+            "left_semi",
+        )
+    )
     merged_parts = (
-        target.join(F.broadcast(touched), "o_orderstatus", "left_semi")
-        .join(upserts.select("o_orderkey"), "o_orderkey", "left_anti")
+        kept.join(upserts.select("o_orderkey"), "o_orderkey", "left_anti")
         .unionByName(upserts)
     )
     merged_parts.write.mode("overwrite").option(
