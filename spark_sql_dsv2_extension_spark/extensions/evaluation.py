@@ -776,7 +776,7 @@ PERM_P = 20  # sign-flip permutations
       SELECT CAST(round(value * 100) AS BIGINT) AS c,
              CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END
                AS grp
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), steps AS (
       SELECT c,
              CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
@@ -810,8 +810,15 @@ def ext_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct-value step counts (bounded by the value domain), one
     cumulative window over steps, one scalar aggregate — same shape as
-    ext_ks_two_sample, no per-row ranking shuffle."""
-    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ext_ks_two_sample, no per-row ranking shuffle.
+
+    NULL purchase values excluded in lockstep (LATTICE_AUDIT_r15, the
+    r14 order-statistics rule): a NULL value becomes a NULL rank step
+    that Spark's cumulative ordering places FIRST and DuckDB's LAST,
+    shifting every rank after it — an unknown value cannot be ranked."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
     v = ev.select(
         F.round(F.col("value") * 100).cast("long").alias("c"),
         F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),

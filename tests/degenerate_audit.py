@@ -935,21 +935,43 @@ def build_lattice_fixtures(tmp: str) -> None:
     # %10==9 residue. doc 20 / 91 / 247: single-field NULLs on the
     # {2,5,10,20} / {7,13} / {13,19} classes. doc 700: even lattice
     # point on the >=400 incremental-shard side with a NULL source.
+    # docs 300/305 (tranche 2): a NEAR-DUP PAIR on the lattice — 18
+    # shared words + one appended word (3-shingle jaccard 16/17 ≈ 0.94,
+    # above the 0.8 family threshold; identical first-16-word chunk for
+    # the paragraph grain), doc 305 carrying the NULL lang neighbor and
+    # a DIFFERENT source — so the whole minhash/simhash/ngram/paragraph/
+    # survivorship/cross-source dedup family, 0-row under every prior
+    # NULL mode, finally processes a qualifying pair beside NULLs.
+    _dup18 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma"
+    )
     append(
         "documents",
         {
-            "doc_id": [0, 9, 20, 91, 247, 700],
+            "doc_id": [0, 9, 20, 91, 247, 300, 305, 350, 700],
             "text": [
                 None,
                 "nine residue words for the ten sampler",
                 "twenty lattice words appear here again ok",
                 "ninety one covers seven and thirteen fine",
                 "two forty seven covers thirteen nineteen",
+                _dup18,
+                _dup18 + " tau",
+                # third near-dup at 350 = 2*5^2*7: the deterministic
+                # hash split puts 350 in the EVAL split while 300/305
+                # land in train, so decontamination finally finds a
+                # contaminated eval doc (>=5 shared 3-grams)
+                _dup18 + " upsilon",
                 "seven hundred sits on the crawl shard",
             ],
-            "lang": [None, None, "en", None, "en", "en"],
-            "source": [None, "web", None, "web", "web", None],
-            "n_chars": [None, 39, 41, 42, 41, None],
+            "lang": [None, None, "en", None, "en", "en", None, "en", "en"],
+            "source": [
+                None, "web", None, "web", "web", "web", "books", "web", None,
+            ],
+            "n_chars": [
+                None, 39, 41, 42, 41, len(_dup18), None, None, None,
+            ],
         },
     )
     # The PREDICATE-WINDOW half of the lattice: the TPC-H-shaped keys
@@ -1032,16 +1054,52 @@ def build_lattice_fixtures(tmp: str) -> None:
         {"n_nationkey": [2], "n_name": [None], "n_regionkey": [2]},
     )
     # events 100/200: the %25 and %100 classes finally carry NULLs;
-    # user ids 0 and 50 put NULL-bearing rows on the user_id%50 sampler
+    # user ids 0 and 50 put NULL-bearing rows on the user_id%50 sampler.
+    # events 300/400 (tranche 2): a click->purchase pair for user 0, 30
+    # minutes apart, with a NULL purchase value and NULL props — the
+    # attribution stream-stream join (0-row under every prior NULL mode)
+    # finally emits a match, and user 0's click>purchase transition gram
+    # is shared with base user 1 so behavior similarity forms a pair.
+    # events 500-1300 (tranche 2): a 9-day daily PURCHASE series for
+    # user 50 with one NULL value mid-series, feeding the rolling/
+    # seasonal/trend time-series keys that need multi-day purchase
+    # history (all 0-row under every prior NULL mode — no fixture had
+    # more than a 2-day span).
+    d = dt.timedelta(days=1)
     append(
         "events",
         {
-            "event_id": [100, 200],
-            "ts": [MON + 3 * h, MON + 4 * h],
-            "user_id": [0, 50],
-            "event_type": [None, "view"],
-            "value": [1.0, None],
-            "props": ["{}", None],
+            "event_id": [100, 200, 300, 400,
+                         500, 600, 700, 800, 900, 1000, 1100, 1200, 1300],
+            "ts": [
+                MON + 3 * h,
+                MON + 4 * h,
+                MON + 3 * h + dt.timedelta(minutes=30),
+                MON + 4 * h,
+                MON + 1 * d,
+                MON + 2 * d,
+                MON + 3 * d,
+                MON + 4 * d,
+                MON + 5 * d,
+                MON + 6 * d,
+                MON + 7 * d,
+                MON + 8 * d,
+                MON + 9 * d,
+            ],
+            "user_id": [0, 50, 0, 0, 50, 50, 50, 50, 50, 50, 50, 50, 50],
+            "event_type": [
+                None, "view", "click", "purchase",
+                "purchase", "purchase", "purchase", "purchase", "purchase",
+                "purchase", "purchase", "purchase", "purchase",
+            ],
+            "value": [
+                1.0, None, 2.0, None,
+                1.0, 2.0, None, 4.0, 5.0, 4.0, 3.0, 6.0, 7.0,
+            ],
+            "props": [
+                "{}", None, "{}", None,
+                "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}",
+            ],
         },
     )
     # customer 0: every nullable field NULL on the %97 residue-0 class

@@ -14,6 +14,7 @@ disjoint, so no dedup to one-per-family):
 - weighted order statistic NULLs:    ext_weighted_median
 - format_string vs printf on NULL:   fn_printf_format
 - id-sorted fixture-file contract:   scan_file_metadata
+- rank-statistic NULL step (t2):     ext_mann_whitney_u
 
 Contract identical to the audit: both engines equal under the
 driver-matched canonicalizer on the lattice fixtures.
@@ -37,6 +38,7 @@ _LATTICE_REPS = [
     "ext_weighted_median",
     "fn_printf_format",
     "scan_file_metadata",
+    "ext_mann_whitney_u",
 ]
 
 
