@@ -488,8 +488,12 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_max_by_min_by",
     oracle="""
     SELECT o_orderpriority,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
-           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           (max(CASE WHEN o_totalprice IS NOT NULL
+                     THEN {'p': o_totalprice, 'k': o_orderkey} END)).k
+             AS biggest_order,
+           (min(CASE WHEN o_totalprice IS NOT NULL
+                     THEN {'p': o_totalprice, 'k': o_orderkey} END)).k
+             AS smallest_order,
            max(o_totalprice) AS max_price,
            min(o_totalprice) AS min_price
     FROM orders
@@ -499,13 +503,23 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min):
     the key of the extreme row, not the extreme value — a one-shuffle
-    replacement for the join-back-after-max antipattern. Deterministic here
-    because o_totalprice values are unique within each group at fixture
-    scales (verified); ties would need a struct-ordering tie-break."""
+    replacement for the join-back-after-max antipattern.
+
+    TIE-BREAK PINNED (LATTICE_AUDIT_r15 tranche 3): bare max_by/arg_max
+    are engine-nondeterministic when two rows share the extreme value —
+    the lattice fixtures hit exactly that (two orders at the same price
+    in one priority group) and each engine elected a different row. Both
+    sides now take the extreme of the (price, key) STRUCT — lexicographic
+    on both engines — so ties resolve to the largest key for max and the
+    smallest for min. A NULL price yields a NULL struct, which both
+    engines' max/min skip (the prior arg_max NULL semantics, preserved);
+    an all-NULL group keeps its row with NULL args on both."""
     o = load(spark, sf_dir, "orders")
+    p, k = F.col("o_totalprice"), F.col("o_orderkey")
+    pk = F.when(p.isNotNull(), F.struct(p.alias("p"), k.alias("k")))
     return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max(pk)["k"].alias("biggest_order"),
+        F.min(pk)["k"].alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )

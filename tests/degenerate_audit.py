@@ -996,23 +996,42 @@ def build_lattice_fixtures(tmp: str) -> None:
     # (every modulo-50 key sees one fully-parseable row) on the
     # BUILDING customer inside q3's order window; order 100 is the
     # q18 large-volume order with a NULL o_totalprice IN the group key.
+    # order 200 (tranche 3, 200 = 2^3*5^2 on the {2,5,10,20,25,40,50,
+    # 100} classes): a status-F multi-supplier 1996-Q3 order on the
+    # NATION_2 customer — q4's date window, q7's cross-nation shipping
+    # pair, and q21's "multi-supplier order with >1 returning supplier"
+    # all become non-vacuous through it.
     append(
         "orders",
         {
-            "o_orderkey": [0, 4800, 1430, 50, 100],
-            "o_custkey": [0, 97, 97, 1, 3],
-            "o_orderstatus": [None, None, "O", "F", "O"],
-            "o_totalprice": [None, 4800.0, None, 50.0, None],
+            "o_orderkey": [0, 4800, 1430, 50, 100, 200]
+            + [1000 + 100 * i for i in range(12)],
+            "o_custkey": [0, 97, 97, 1, 3, 194] + [3] * 12,
+            "o_orderstatus": [None, None, "O", "F", "O", "F"]
+            + ["O", "F"] * 6,
+            # the 12-order block (ids 1000..2100, all on the %100 class,
+            # 1600 also on %32) makes customer 3 agg_having's >=12-order
+            # group; prices straddle the 100k thresholds the semi/merge/
+            # bloom join keys select on, with two NULLs in the block
+            "o_totalprice": [None, 4800.0, None, 50.0, None, 200.0]
+            + [150000.0, 120000.0, None, 110000.0, 130000.0, 105000.0,
+               500000.0, None, 101000.0, 140000.0, 115000.0, 125000.0],
             "o_orderdate": [
                 None,
                 dt.datetime(1996, 2, 1),
                 None,
                 dt.datetime(1995, 2, 1),
                 dt.datetime(1996, 6, 1),
-            ],
+                dt.datetime(1996, 8, 1),
+            ]
+            + [dt.datetime(1996, 1, 1) + dt.timedelta(days=30 * i)
+               for i in range(12)],
             "o_orderpriority": [
-                None, "3-MEDIUM", None, "1-URGENT", "2-HIGH",
-            ],
+                None, "3-MEDIUM", None, "1-URGENT", "2-HIGH", "2-HIGH",
+            ]
+            + ["3-MEDIUM", "5-LOW", "1-URGENT", None, "4-NOT SPECIFIED",
+               "3-MEDIUM", "2-HIGH", "5-LOW", "1-URGENT", "3-MEDIUM",
+               "2-HIGH", "4-NOT SPECIFIED"],
         },
     )
     # lineitems joined to the lattice orders so the NULL rows FLOW
@@ -1022,36 +1041,106 @@ def build_lattice_fixtures(tmp: str) -> None:
     # line with a NULL discount that rides the ASIA chain into q5 (its
     # revenue aggregate goes NULL), and the 301-qty line that puts
     # order 100 over q18's 300 threshold.
+    # tranche-3 lines: order 4800 gains the ECONOMY/"small red"/60-qty
+    # line on the NATION_1 supplier (q8 market share via the ASIA
+    # customer, q9 %red% profit, q15's [1996-01,1996-04) revenue
+    # window, q20's >50-qty promo threshold); order 100 gains the
+    # LARGE-part EUROPE/NATION_3 supply line (q2 min-cost, q11
+    # important stock); order 200 carries three suppliers with two
+    # returning — q21 anti-joins away orders where MORE than one
+    # supplier returned — and the NATION_1->NATION_2 shipping line (q7).
     append(
         "lineitem",
         {
-            "l_orderkey": [0, 4800, 4800, 50, 100],
-            "l_partkey": [0, 1, 0, 0, 1],
-            "l_suppkey": [0, 1, 2, 0, 0],
-            "l_linenumber": [1, 1, 2, 1, 1],
-            "l_quantity": [None, 7.0, 2.0, 3.0, 301.0],
-            "l_extendedprice": [70.0, None, 20.0, 30.0, 10.0],
-            "l_discount": [0.0, 0.05, None, 0.06, 0.0],
-            "l_tax": [None, 0.0, 0.01, 0.02, 0.0],
-            "l_returnflag": [None, "N", "R", "A", "N"],
-            "l_linestatus": ["O", None, "F", "F", "O"],
+            "l_orderkey": [0, 4800, 4800, 4800, 50, 100, 100,
+                           200, 200, 200, 1000, 1600, 1600],
+            "l_partkey": [0, 1, 0, 4, 0, 1, 6, 4, 0, 1, 10, 10, 4],
+            "l_suppkey": [0, 1, 2, 4, 0, 0, 6, 4, 0, 2, 6, 4, 6],
+            "l_linenumber": [1, 1, 2, 3, 1, 1, 2, 1, 2, 3, 1, 1, 2],
+            "l_quantity": [None, 7.0, 2.0, 60.0, 3.0, 301.0, 3.0,
+                           5.0, 1.0, 2.0, 4.0, 6.0, 8.0],
+            "l_extendedprice": [70.0, None, 20.0, 120.0, 30.0, 10.0, 45.0,
+                                50.0, 10.0, 20.0, 40.0, 60.0, 80.0],
+            "l_discount": [0.0, 0.05, None, 0.1, 0.06, 0.0, 0.0,
+                           0.0, 0.05, 0.0, 0.0, None, 0.02],
+            "l_tax": [None, 0.0, 0.01, 0.0, 0.02, 0.0, 0.01,
+                      None, 0.0, 0.0, 0.0, 0.0, 0.0],
+            "l_returnflag": [None, "N", "R", "N", "A", "N", "N",
+                             "R", "N", "N", "N", "N", "R"],
+            "l_linestatus": ["O", None, "F", "O", "F", "O", "O",
+                             "F", "O", "O", "O", "F", "O"],
+            # orders 1000/1600 get lines so the >100k-selective merge/
+            # bloom joins produce matches; 1600 (on the %32 class, od
+            # 1996-06-29) ships inside the +3-day band for the banded
+            # range join
             "l_shipdate": [
                 None,
                 dt.datetime(1996, 3, 1),
                 dt.datetime(1996, 11, 15),
+                dt.datetime(1996, 3, 15),
                 dt.datetime(1997, 6, 30),
                 dt.datetime(1996, 6, 10),
+                dt.datetime(1996, 6, 15),
+                dt.datetime(1996, 8, 15),
+                dt.datetime(1996, 8, 20),
+                dt.datetime(1996, 8, 25),
+                dt.datetime(1996, 1, 3),
+                dt.datetime(1996, 6, 30),
+                dt.datetime(1996, 7, 1),
             ],
         },
     )
     # the ASIA region chain q5 needs (no prior mode has an ASIA region,
     # so the six-table star was vacuous in all of them): region 2 ASIA
     # -> nation 2 with a NULL n_name (the NULL lands IN q5's group key)
-    # -> supplier 2 and customer 97 both in nation 2.
-    append("region", {"r_regionkey": [2], "r_name": ["ASIA"]})
+    # -> supplier 2 and customer 97 both in nation 2. Tranche 3 adds
+    # the EUROPE region and the named nations the q2/q7/q8/q11/q20
+    # predicates select: NATION_1 (region 0), NATION_2 (region 1),
+    # NATION_3 in EUROPE (one nation serves both q2's region cut and
+    # q11's nation cut).
+    append("region", {"r_regionkey": [2, 3], "r_name": ["ASIA", "EUROPE"]})
     append(
         "nation",
-        {"n_nationkey": [2], "n_name": [None], "n_regionkey": [2]},
+        {
+            "n_nationkey": [2, 3, 4, 5],
+            "n_name": [None, "NATION_1", "NATION_2", "NATION_3"],
+            "n_regionkey": [2, 0, 1, 3],
+        },
+    )
+    # tranche-3 dimension rows: part 4 serves three predicates at once
+    # (p_type ECONOMY for q8, name %red% for q9, 'small %' for q20);
+    # part 6 is q2's LARGE size-10..20 candidate. Supplier 4 (NATION_1,
+    # NULL acctbal — the NULL rides into q20's output) ships the promo
+    # volume; supplier 6 (NATION_3/EUROPE) is q2's min-cost and q11's
+    # single-nation supply. Customer 194 = 2*97 (on the %97 and parity
+    # classes) is q7's NATION_2 counterparty.
+    append(
+        "part",
+        {
+            "p_partkey": [4, 6, 10],
+            "p_name": [
+                "small red widget", "large blue thing",
+                "standard green case",
+            ],
+            "p_brand": ["Brand#1", "Brand#2", "Brand#3"],
+            "p_type": ["ECONOMY", "LARGE", "STANDARD"],
+            "p_size": [5, 15, 20],
+            # part 10 satisfies filter_in_between_like's triple
+            # conjunction (Brand#3, size 10..30, type LIKE 'S%') with a
+            # NULL retailprice neighbor
+            "p_retailprice": [10.0, 45.0, None],
+        },
+    )
+    append(
+        "customer",
+        {
+            "c_custkey": [194],
+            "c_name": ["c194"],
+            "c_nationkey": [4],
+            "c_mktsegment": [None],
+            # above the shuffle-hash hint key's >5000 acctbal cut
+            "c_acctbal": [9194.0],
+        },
     )
     # events 100/200: the %25 and %100 classes finally carry NULLs;
     # user ids 0 and 50 put NULL-bearing rows on the user_id%50 sampler.
@@ -1070,7 +1159,8 @@ def build_lattice_fixtures(tmp: str) -> None:
         "events",
         {
             "event_id": [100, 200, 300, 400,
-                         500, 600, 700, 800, 900, 1000, 1100, 1200, 1300],
+                         500, 600, 700, 800, 900, 1000, 1100, 1200, 1300,
+                         1400],
             "ts": [
                 MON + 3 * h,
                 MON + 4 * h,
@@ -1085,20 +1175,24 @@ def build_lattice_fixtures(tmp: str) -> None:
                 MON + 7 * d,
                 MON + 8 * d,
                 MON + 9 * d,
+                MON + 10 * d,
             ],
-            "user_id": [0, 50, 0, 0, 50, 50, 50, 50, 50, 50, 50, 50, 50],
+            "user_id": [0, 50, 0, 0,
+                        50, 50, 50, 50, 50, 50, 50, 50, 50, 50],
+            # day 10 makes user 50's purchase count 10 — fn_map_hof's
+            # count*10 >= 100 gate finally keeps an entry
             "event_type": [
                 None, "view", "click", "purchase",
                 "purchase", "purchase", "purchase", "purchase", "purchase",
-                "purchase", "purchase", "purchase", "purchase",
+                "purchase", "purchase", "purchase", "purchase", "purchase",
             ],
             "value": [
                 1.0, None, 2.0, None,
-                1.0, 2.0, None, 4.0, 5.0, 4.0, 3.0, 6.0, 7.0,
+                1.0, 2.0, None, 4.0, 5.0, 4.0, 3.0, 6.0, 7.0, 2.0,
             ],
             "props": [
                 "{}", None, "{}", None,
-                "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}",
+                "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}",
             ],
         },
     )
@@ -1116,16 +1210,43 @@ def build_lattice_fixtures(tmp: str) -> None:
             "c_acctbal": [None, 97.0],
         },
     )
+    # tranche-3 embeddings: the IVF/kNN family needs a CORPUS — queries
+    # are vec_id < 10 and the trained codebook wants >= 8 centroids, so
+    # no prior NULL-bearing fixture (4 vectors, 1 NULL) ever produced a
+    # hit. Queries 4-7 + corpus 10-25, all scorable (64-dim, non-zero,
+    # tame), deterministic values; 20/21 are a near-identical pair (the
+    # embedding near-dup gate), labels carry two NULLs.
+    append(
+        "embeddings",
+        {
+            "vec_id": [4, 5, 6, 7] + list(range(10, 26)),
+            "embedding": [
+                [0.1 + 0.001 * ((i * 7 + j) % 50) for j in range(64)]
+                for i in [4, 5, 6, 7]
+            ]
+            + [
+                [0.1 + 0.001 * ((i * 7 + j) % 50) for j in range(64)]
+                if i != 21
+                else [0.1 + 0.001 * ((20 * 7 + j) % 50) for j in range(63)]
+                + [0.1 + 0.001 * ((20 * 7 + 63) % 50) + 0.0001]
+                for i in range(10, 26)
+            ],
+            "label": [0, 1, 2, None,
+                      0, 1, 2, 0, 1, 2, 0, 1, 2, 0, None, 2, 0, 1, 2, 0],
+        },
+    )
     # supplier 2: the EVEN parity class gets its NULL-bearing row (the
     # base fixture's only NULL supplier is odd id 1), in ASIA nation 2
-    # to complete q5's same-nation customer-supplier correlation
+    # to complete q5's same-nation customer-supplier correlation.
+    # Suppliers 4 and 6 are the tranche-3 NATION_1 / NATION_3-EUROPE
+    # counterparties (see the dimension-row comment above).
     append(
         "supplier",
         {
-            "s_suppkey": [2],
-            "s_name": [None],
-            "s_nationkey": [2],
-            "s_acctbal": [None],
+            "s_suppkey": [2, 4, 6],
+            "s_name": [None, "s4", "s6"],
+            "s_nationkey": [2, 3, 5],
+            "s_acctbal": [None, None, 6.0],
         },
     )
 

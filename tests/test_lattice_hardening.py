@@ -15,6 +15,7 @@ disjoint, so no dedup to one-per-family):
 - format_string vs printf on NULL:   fn_printf_format
 - id-sorted fixture-file contract:   scan_file_metadata
 - rank-statistic NULL step (t2):     ext_mann_whitney_u
+- argmax/argmin tie-break (t3):      agg_max_by_min_by
 
 Contract identical to the audit: both engines equal under the
 driver-matched canonicalizer on the lattice fixtures.
@@ -39,6 +40,7 @@ _LATTICE_REPS = [
     "fn_printf_format",
     "scan_file_metadata",
     "ext_mann_whitney_u",
+    "agg_max_by_min_by",
 ]
 
 
