@@ -1509,7 +1509,7 @@ _HYBRID_TOP = 10
 
 
 _HYBRID_ORACLE = f"""
-    WITH dl AS (
+    WITH {_EMB_SCORABLE_CTE}, dl AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
       FROM documents
     ), stats AS (
@@ -1572,11 +1572,19 @@ def ext_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: stage 1 is the ext_bm25 plan (one token shuffle, tiny stats
     broadcast); stage 2 touches 20 rows. The embedding join is on the
-    (doc_id = vec_id) aligned fixture ids."""
+    (doc_id = vec_id) aligned fixture ids.
+
+    Scorable gate (LATTICE_AUDIT_r15 tranche 4): this was the ONE
+    Family-W key joining the RAW embeddings table on both sides — green
+    for 12 rounds only because no NULL-bearing fixture had BM25-matching
+    docs, so the rerank stage was vacuous. Once tranche 4 lit it up,
+    DuckDB's list_inner_product raised on the NULL-embedding row where
+    Spark scored past it. Both sides now apply the standard X1+X2+W
+    scorable gate, like every other scoring key."""
     from .text import ext_bm25
 
     top = ext_bm25(spark, sf_dir)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb_scorable(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )

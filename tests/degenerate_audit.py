@@ -949,11 +949,20 @@ def build_lattice_fixtures(tmp: str) -> None:
     append(
         "documents",
         {
-            "doc_id": [0, 9, 20, 91, 247, 300, 305, 350, 700],
+            # tranche 4: docs 10/25 carry the BM25 query terms AND sit
+            # on vec_ids with embeddings, so the lexical+vector hybrid
+            # retrieval / rank-fusion keys finally produce fused hits;
+            # 450/455 are the 4th/5th near-dup copies lifting the shared
+            # bigrams to PMI's support floor of 5; 910 is the per-source
+            # length outlier (|z| > 2 against web's mean n_chars).
+            "doc_id": [0, 9, 10, 20, 25, 91, 247, 300, 305, 350,
+                       450, 455, 700, 910],
             "text": [
                 None,
                 "nine residue words for the ten sampler",
+                "data query join data engine speed",
                 "twenty lattice words appear here again ok",
+                "query data join index scan cost",
                 "ninety one covers seven and thirteen fine",
                 "two forty seven covers thirteen nineteen",
                 _dup18,
@@ -963,14 +972,20 @@ def build_lattice_fixtures(tmp: str) -> None:
                 # land in train, so decontamination finally finds a
                 # contaminated eval doc (>=5 shared 3-grams)
                 _dup18 + " upsilon",
+                _dup18 + " phi",
+                _dup18 + " chi",
                 "seven hundred sits on the crawl shard",
+                " ".join(f"filler{i}" for i in range(50)),
             ],
-            "lang": [None, None, "en", None, "en", "en", None, "en", "en"],
+            "lang": [None, None, "en", "en", "en", None, "en", "en",
+                     None, "en", "en", None, "en", "en"],
             "source": [
-                None, "web", None, "web", "web", "web", "books", "web", None,
+                None, "web", "web", None, "web", "web", "web", "web",
+                "books", "web", "web", "web", None, "web",
             ],
             "n_chars": [
-                None, 39, 41, 42, 41, len(_dup18), None, None, None,
+                None, 39, 33, 41, 31, 42, 41, len(_dup18), None, None,
+                None, None, None, 396,
             ],
         },
     )
@@ -1160,7 +1175,8 @@ def build_lattice_fixtures(tmp: str) -> None:
         {
             "event_id": [100, 200, 300, 400,
                          500, 600, 700, 800, 900, 1000, 1100, 1200, 1300,
-                         1400],
+                         1400,
+                         1500, 1600, 1700, 1800, 1900, 2000],
             "ts": [
                 MON + 3 * h,
                 MON + 4 * h,
@@ -1176,23 +1192,38 @@ def build_lattice_fixtures(tmp: str) -> None:
                 MON + 8 * d,
                 MON + 9 * d,
                 MON + 10 * d,
+                MON + 11 * d,
+                MON + 11 * d + h,
+                MON + 11 * d + 2 * h,
+                MON + 11 * d + 3 * h,
+                MON + 11 * d + 4 * h,
+                MON + 11 * d + 5 * h,
             ],
             "user_id": [0, 50, 0, 0,
-                        50, 50, 50, 50, 50, 50, 50, 50, 50, 50],
+                        50, 50, 50, 50, 50, 50, 50, 50, 50, 50,
+                        1, 1, 2, 2, 50, 50],
             # day 10 makes user 50's purchase count 10 — fn_map_hof's
-            # count*10 >= 100 gate finally keeps an entry
+            # count*10 >= 100 gate finally keeps an entry; events
+            # 1500-2000 (tranche 4) give users 1, 2 and 50 the item pair
+            # {1, 2} in props.k — the co-occurrence/khop/link-prediction
+            # graph family needs pair support >= 3 users and no prior
+            # NULL-bearing fixture carried item payloads at all
             "event_type": [
                 None, "view", "click", "purchase",
                 "purchase", "purchase", "purchase", "purchase", "purchase",
                 "purchase", "purchase", "purchase", "purchase", "purchase",
+                "view", "view", "view", "view", "view", "view",
             ],
             "value": [
                 1.0, None, 2.0, None,
                 1.0, 2.0, None, 4.0, 5.0, 4.0, 3.0, 6.0, 7.0, 2.0,
+                1.0, 1.0, 1.0, None, 1.0, 1.0,
             ],
             "props": [
                 "{}", None, "{}", None,
                 "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}",
+                '{"k": 1}', '{"k": 2}', '{"k": 1}', '{"k": 2}',
+                '{"k": 1}', '{"k": 2}',
             ],
         },
     )

@@ -16,6 +16,7 @@ disjoint, so no dedup to one-per-family):
 - id-sorted fixture-file contract:   scan_file_metadata
 - rank-statistic NULL step (t2):     ext_mann_whitney_u
 - argmax/argmin tie-break (t3):      agg_max_by_min_by
+- missing scorable gate (t4):        ext_hybrid_retrieval
 
 Contract identical to the audit: both engines equal under the
 driver-matched canonicalizer on the lattice fixtures.
@@ -41,6 +42,7 @@ _LATTICE_REPS = [
     "scan_file_metadata",
     "ext_mann_whitney_u",
     "agg_max_by_min_by",
+    "ext_hybrid_retrieval",
 ]
 
 
