@@ -4711,9 +4711,15 @@ def _dtw_cells_sql() -> str:
              CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y
       FROM events GROUP BY 1
     ), wk AS MATERIALIZED (
+      -- NULL-day lockstep (LATTICE_AUDIT_r15 tranche 5): a day whose
+      -- every event value is NULL aggregates to a NULL y, which the
+      -- Spark DP's astype(int) REJECTS where this oracle's DP cells
+      -- silently go NULL — an unknown daily point cannot sit in a
+      -- warped profile, so it is excluded on both engines and a week
+      -- containing one is simply not FULL
       SELECT d, y, CAST(isodow(d) AS BIGINT) AS dow,
              date_trunc('week', d) AS w
-      FROM daily
+      FROM daily WHERE y IS NOT NULL
     ), full_weeks AS MATERIALIZED (
       SELECT w FROM wk GROUP BY w HAVING count(*) = 7
     ), pa AS MATERIALIZED (
@@ -4761,7 +4767,10 @@ def ext_dtw_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATERIALIZED CTE cells."""
     import pandas as pd
 
-    daily = _daily_value_milli(spark, sf_dir)
+    # NULL-day lockstep (LATTICE_AUDIT_r15 tranche 5, see the oracle's
+    # wk CTE): exclude days whose value sum is NULL before the weekly
+    # grouping — a week containing one is not FULL on either engine
+    daily = _daily_value_milli(spark, sf_dir).filter(F.col("y").isNotNull())
     wk = daily.select(
         "d",
         "y",

@@ -942,9 +942,13 @@ def build_lattice_fixtures(tmp: str) -> None:
     # a DIFFERENT source — so the whole minhash/simhash/ngram/paragraph/
     # survivorship/cross-source dedup family, 0-row under every prior
     # NULL mode, finally processes a qualifying pair beside NULLs.
+    # 22 words (tranche 5 widened it from 18): >= SPAN_W=20 so the
+    # shared-span dedup grain lights, with two stopwords ("the", "and",
+    # ratio 9% >= 5%) and ~110 chars so the corpus-pipeline quality
+    # gate admits the group
     _dup18 = (
-        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
-        "lambda mu nu xi omicron pi rho sigma"
+        "the alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma and tau omega"
     )
     append(
         "documents",
@@ -1072,16 +1076,20 @@ def build_lattice_fixtures(tmp: str) -> None:
             "l_partkey": [0, 1, 0, 4, 0, 1, 6, 4, 0, 1, 10, 10, 4],
             "l_suppkey": [0, 1, 2, 4, 0, 0, 6, 4, 0, 2, 6, 4, 6],
             "l_linenumber": [1, 1, 2, 3, 1, 1, 2, 1, 2, 3, 1, 1, 2],
+            # line 1600/2's qty sits in the python-datasource pushdown
+            # range [30, 45] (tranche 5)
             "l_quantity": [None, 7.0, 2.0, 60.0, 3.0, 301.0, 3.0,
-                           5.0, 1.0, 2.0, 4.0, 6.0, 8.0],
+                           5.0, 1.0, 2.0, 4.0, 6.0, 35.0],
             "l_extendedprice": [70.0, None, 20.0, 120.0, 30.0, 10.0, 45.0,
                                 50.0, 10.0, 20.0, 40.0, 60.0, 80.0],
             "l_discount": [0.0, 0.05, None, 0.1, 0.06, 0.0, 0.0,
                            0.0, 0.05, 0.0, 0.0, None, 0.02],
             "l_tax": [None, 0.0, 0.01, 0.0, 0.02, 0.0, 0.01,
                       None, 0.0, 0.0, 0.0, 0.0, 0.0],
+            # line 1600/2 is flag A + qty 35: the one row inside the
+            # python-datasource pushdown's (flag='A', qty in [30,45]) cut
             "l_returnflag": [None, "N", "R", "N", "A", "N", "N",
-                             "R", "N", "N", "N", "N", "R"],
+                             "R", "N", "N", "N", "N", "A"],
             "l_linestatus": ["O", None, "F", "O", "F", "O", "O",
                              "F", "O", "O", "O", "F", "O"],
             # orders 1000/1600 get lines so the >100k-selective merge/
@@ -1176,7 +1184,8 @@ def build_lattice_fixtures(tmp: str) -> None:
             "event_id": [100, 200, 300, 400,
                          500, 600, 700, 800, 900, 1000, 1100, 1200, 1300,
                          1400,
-                         1500, 1600, 1700, 1800, 1900, 2000],
+                         1500, 1600, 1700, 1800, 1900, 2000,
+                         2100, 2200, 2300, 2400, 2500, 2600, 2700, 2800],
             "ts": [
                 MON + 3 * h,
                 MON + 4 * h,
@@ -1198,32 +1207,59 @@ def build_lattice_fixtures(tmp: str) -> None:
                 MON + 11 * d + 3 * h,
                 MON + 11 * d + 4 * h,
                 MON + 11 * d + 5 * h,
+                MON + 8 * d,
+                MON + 11 * d + 6 * h,
+                MON + 11 * d + 7 * h,
+                MON + 11 * d + 8 * h,
+                MON + 11 * d + 9 * h,
+                MON + 12 * d,
+                MON + 13 * d,
+                MON + 3 * d + 2 * h,
             ],
             "user_id": [0, 50, 0, 0,
                         50, 50, 50, 50, 50, 50, 50, 50, 50, 50,
-                        1, 1, 2, 2, 50, 50],
+                        1, 1, 2, 2, 50, 50,
+                        1, 1, 50, 2, 50, 50, 50, 1],
             # day 10 makes user 50's purchase count 10 — fn_map_hof's
             # count*10 >= 100 gate finally keeps an entry; events
             # 1500-2000 (tranche 4) give users 1, 2 and 50 the item pair
             # {1, 2} in props.k — the co-occurrence/khop/link-prediction
             # graph family needs pair support >= 3 users and no prior
-            # NULL-bearing fixture carried item payloads at all
+            # NULL-bearing fixture carried item payloads at all.
+            # Tranche 5: event 2100 is the treated-arm POST purchase
+            # (users 0/1/2 hash to arm 1, user 50 to arm 0, the midpoint
+            # splits around day 5 — diff-in-diff needs all four
+            # arm x pre/post cells), and 2200/2300 give item 3 to users
+            # 1 and 50 only, and 2400 gives item 4 to user 2 only — the
+            # (3,4) pair never co-occurs but shares common neighbors
+            # 1 and 2, the non-edge candidate link prediction scores.
+            # Events 2500-2700 complete the SECOND full ISO week of
+            # daily purchases (Jan 12-14 beside the existing Jan 1-11)
+            # so the bounded-DTW weekly-profile key meets its
+            # n_full_weeks >= 2 gate; 2800 gives Jan 4 a non-NULL value
+            # beside event 700's NULL one, keeping week 1 FULL after the
+            # NULL-day exclusion the dtw fix adds.
             "event_type": [
                 None, "view", "click", "purchase",
                 "purchase", "purchase", "purchase", "purchase", "purchase",
                 "purchase", "purchase", "purchase", "purchase", "purchase",
                 "view", "view", "view", "view", "view", "view",
+                "purchase", "view", "view", "view",
+                "purchase", "purchase", "purchase", "view",
             ],
             "value": [
                 1.0, None, 2.0, None,
                 1.0, 2.0, None, 4.0, 5.0, 4.0, 3.0, 6.0, 7.0, 2.0,
                 1.0, 1.0, 1.0, None, 1.0, 1.0,
+                3.0, 1.0, 1.0, 1.0, 2.0, 5.0, 3.0, 1.5,
             ],
             "props": [
                 "{}", None, "{}", None,
                 "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}", "{}",
                 '{"k": 1}', '{"k": 2}', '{"k": 1}', '{"k": 2}',
                 '{"k": 1}', '{"k": 2}',
+                "{}", '{"k": 3}', '{"k": 3}', '{"k": 4}',
+                "{}", "{}", "{}", "{}",
             ],
         },
     )

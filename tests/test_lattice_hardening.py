@@ -17,6 +17,7 @@ disjoint, so no dedup to one-per-family):
 - rank-statistic NULL step (t2):     ext_mann_whitney_u
 - argmax/argmin tie-break (t3):      agg_max_by_min_by
 - missing scorable gate (t4):        ext_hybrid_retrieval
+- NULL daily point in DP (t5):       ext_dtw_bounded
 
 Contract identical to the audit: both engines equal under the
 driver-matched canonicalizer on the lattice fixtures.
@@ -43,6 +44,7 @@ _LATTICE_REPS = [
     "ext_mann_whitney_u",
     "agg_max_by_min_by",
     "ext_hybrid_retrieval",
+    "ext_dtw_bounded",
 ]
 
 
