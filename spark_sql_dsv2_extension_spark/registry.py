@@ -106,30 +106,85 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # === ROUND-15 WINDOW (CORRECTNESS_r14 came back 50/50 green —
-    # cumulative coverage is 462/462, zero never-checked keys, zero
-    # latest-row failures; the window is ROADMAP_r15.md's pre-computed
-    # arithmetic exactly). All 50 slots are deliberate staleness /
-    # semantic re-fronts — every key in the registry is driver-verified,
-    # so the window's job is draining the staleness ledger oldest-first
-    # and re-verifying the keys whose SEMANTICS changed in round 14. ===
+    # === ROUND-16 WINDOW (CORRECTNESS_r15 came back 50/50 green —
+    # cumulative coverage holds at 462/462, zero never-checked keys,
+    # zero latest-row failures; rounds 1-3 retire from the staleness
+    # ledger and the window is ROADMAP_r16.md's pre-computed
+    # arithmetic exactly). All 50 slots are deliberate re-fronts. ===
     #
-    # --- slots 1-3: the ragged-chaos audit fixes (NULL-neighbor
-    # interaction gates landed r14 in lockstep with the eighth audit
-    # mode; semantics changed, fresh driver rows required). ---
+    # --- slots 1-8: the eight lattice semantic-fix re-fronts (fixes
+    # landed r15 with the nine-mode ratchet; these keys' first DRIVER
+    # rows under the new semantics arrive here — agg_mode and
+    # win_cume_percent already re-verified inside the r15 window). ---
+    "sink_merge_upsert",
+    "ext_weighted_median",
+    "fn_printf_format",
+    "ext_span_corruption",
+    "ext_mann_whitney_u",
+    "agg_max_by_min_by",
+    "ext_hybrid_retrieval",
+    "ext_dtw_bounded",
+    # --- slots 9-31: the full 23-key r3-staleness remainder — retires
+    # round 3 from the staleness ledger entirely (min last-checked
+    # reaches 4 at r16 close). ---
+    "subq_scalar",
+    "subq_in",
+    "subq_exists_correlated",
+    "subq_lateral",
+    "subq_not_in_null",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "set_union_by_name",
+    "set_intersect_all",
+    "distinct_rows",
+    "topk_limit",
+    "topk_per_group",
+    "win_fill_forward",
+    "fn_regex",
+    "fn_date",
+    "fn_conditional",
+    "fn_array_explode",
+    "fn_bitwise",
+    "fn_hash",
+    "fn_json_nested",
+    # --- slots 32-50: conscious staleness spending — the first 19 of
+    # the r4-staleness tail, oldest-first in r4-window order. The
+    # 19-key r4 remainder drains in round 17. ---
+    "ext_hll_union",
+    "ext_cms_heavy_hitters",
+    "ext_bloom_probe",
+    "join_bloom_runtime",
+    "ext_bpe_pair_stats",
+    "ext_winnow_fingerprints",
+    "ext_perplexity_buckets",
+    "scan_file_metadata",
+    "fn_collation",
+    "ext_dsir_importance",
+    "ext_shard_manifest",
+    "ext_token_budget_trim",
+    "ext_temperature_mixture",
+    "ext_sentence_segmentation",
+    "join_asof_nearest",
+    "ext_quality_funnel",
+    "ext_ohlc_resample",
+    "ext_dataset_card",
+    "win_gap_islands",
+    # --- verified backlog: newest-verified first (the r15 window, then
+    # the r14 window, then the remaining registry in its prior rotation
+    # order — per-round provenance lives in git history of this block
+    # and in the CORRECTNESS_r*.json artifacts). ---
     "ext_behavior_similarity",
     "ext_theil_sen_slope",
     "ext_point_in_time_join",
-    # --- slots 4-9: the r1-staleness tail remainder — retires round 1
-    # from the staleness ledger entirely. ---
     "agg_mode",
     "agg_bool_countif",
     "win_rank_dense",
     "win_ntile_first_last",
     "win_cume_percent",
     "win_session_gaps",
-    # --- slots 10-43: the full 34-key r2-staleness tail (streaming +
-    # §2C flagship + TPC-H head) — retires round 2 entirely. ---
     "agg_approx_count_distinct",
     "ext_exact_dedup",
     "ext_near_dedup_simhash",
@@ -164,8 +219,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_volume",
     "ext_corpus_pipeline",
     "stream_sink_catalog_table",
-    # --- slots 44-50: conscious staleness spending — the first 7 of the
-    # 30-key r3-staleness tail, oldest-first (r3 window order). ---
     "scan_python_stream_source",
     "sink_sorted_layout",
     "scan_csv",
@@ -173,36 +226,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_ignore_corrupt",
     "udf_pandas_scalar",
     "udtf_python",
-    # --- the 23-key r3-staleness remainder, queued in drain order to
-    # front the round-16 window (min last-checked reaches 4 at r16
-    # close, per ROADMAP_r15's honest arithmetic). ---
-    "subq_scalar",
-    "subq_in",
-    "subq_exists_correlated",
-    "subq_lateral",
-    "subq_not_in_null",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_union_by_name",
-    "set_intersect_all",
-    "distinct_rows",
-    "topk_limit",
-    "topk_per_group",
-    "win_fill_forward",
-    "fn_regex",
-    "fn_date",
-    "fn_conditional",
-    "fn_array_explode",
-    "fn_bitwise",
-    "fn_hash",
-    "fn_json_nested",
-    # --- verified backlog: newest-verified first (the r14 window, then
-    # the r13 window, then the remaining registry in its prior rotation
-    # order — per-round provenance lives in git history of this block
-    # and in the CORRECTNESS_r*.json artifacts). ---
     "ext_embedding_width_audit",
     "ext_payload_shape_profile",
     "ext_text_shape_audit",
@@ -250,7 +273,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     "agg_unpivot",
     "agg_percentile",
-    "agg_max_by_min_by",
     "agg_filtered",
     "agg_histogram",
     "ext_mrl_truncation_curve",
@@ -373,7 +395,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_consistent_hash_ring",
     "scan_partition_prune",
     "sink_overwrite_dynamic",
-    "sink_merge_upsert",
     "sink_compaction",
     "sink_python_datasource",
     "join_dpp_partition_prune",
@@ -381,7 +402,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_python_datasource_pushdown",
     "ext_simpson_diversity",
     "ext_matrix_profile_daily",
-    "ext_dtw_bounded",
     "ext_holt_winters_seasonal",
     "stream_stream_full_outer",
     "ext_paragraph_dedup",
@@ -403,7 +423,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_from_csv",
     "fn_base_conv",
     "ext_bigram_logprob",
-    "ext_span_corruption",
     "agg_bitmap_distinct",
     "ext_join_skew_report",
     "ext_packing_efficiency",
@@ -413,7 +432,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_funnel_analysis",
     "ext_retention_cohorts",
     "ext_multimodal_meta_prune",
-    "ext_weighted_median",
     "ext_l_diversity_audit",
     "ext_bloom_size_planner",
     "udtf_arrow",
@@ -454,7 +472,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_grouping_id",
     "stream_restart_incremental",
     "ext_word_entropy",
-    "fn_printf_format",
     "scan_parquet_schema_evolution",
     "ext_source_quality_report",
     "tpch_q2_min_cost_supp",
@@ -537,7 +554,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_neyman_allocation",
     "win_cumulative_distinct",
     "ext_output_file_planner",
-    "ext_mann_whitney_u",
     "ext_permutation_test",
     "ext_incremental_agg_merge",
     "ext_mann_kendall_trend",
@@ -554,25 +570,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_psm_nearest_match",
     "ext_shuffle_quality_audit",
     "ext_bh_fdr",
-    "ext_hll_union",
-    "ext_cms_heavy_hitters",
-    "ext_bloom_probe",
-    "join_bloom_runtime",
-    "ext_bpe_pair_stats",
-    "ext_winnow_fingerprints",
-    "ext_perplexity_buckets",
-    "scan_file_metadata",
-    "fn_collation",
-    "ext_dsir_importance",
-    "ext_shard_manifest",
-    "ext_token_budget_trim",
-    "ext_temperature_mixture",
-    "ext_sentence_segmentation",
-    "join_asof_nearest",
-    "ext_quality_funnel",
-    "ext_ohlc_resample",
-    "ext_dataset_card",
-    "win_gap_islands",
     "ext_benford_audit",
     "sql_recursive_hierarchy",
     "sink_python_stream",
@@ -581,7 +578,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_sentiment_lexicon",
     "ext_intradoc_dedup",
     "ext_html_extract",
-    "ext_hybrid_retrieval",
     "ext_pagerank_bounded",
     "ext_distribution_drift",
     "ext_lsa_power_step",

@@ -285,6 +285,38 @@ _R15_REFRESH = frozenset({
 })
 _DELIBERATE_REFRONTS = _R15_REFRESH
 
+# Round 16: CORRECTNESS_r15 came back 50/50 green — cumulative coverage
+# holds at 462/462 (zero never-checked keys, zero latest-row failures),
+# so every key in the round-16 window is by definition a deliberate
+# re-front. The window is ROADMAP_r16.md's pre-computed arithmetic: the
+# eight lattice semantic-fix re-fronts (fixes landed r15 in lockstep
+# with the ninth audit mode; their first DRIVER rows under the new
+# semantics arrive this round), the full 23-key r3-staleness remainder
+# (retires round 3 from the ledger), and the first 19 keys of the
+# r4-staleness tail in r4-window drain order.
+_R16_REFRESH = frozenset({
+    # lattice semantic-fix re-fronts (slots 1-8)
+    "sink_merge_upsert", "ext_weighted_median", "fn_printf_format",
+    "ext_span_corruption", "ext_mann_whitney_u", "agg_max_by_min_by",
+    "ext_hybrid_retrieval", "ext_dtw_bounded",
+    # r3-staleness remainder (slots 9-31)
+    "subq_scalar", "subq_in", "subq_exists_correlated", "subq_lateral",
+    "subq_not_in_null", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "set_except_all", "set_union_by_name",
+    "set_intersect_all", "distinct_rows", "topk_limit", "topk_per_group",
+    "win_fill_forward", "fn_regex", "fn_date", "fn_conditional",
+    "fn_array_explode", "fn_bitwise", "fn_hash", "fn_json_nested",
+    # r4-staleness tail head (slots 32-50)
+    "ext_hll_union", "ext_cms_heavy_hitters", "ext_bloom_probe",
+    "join_bloom_runtime", "ext_bpe_pair_stats", "ext_winnow_fingerprints",
+    "ext_perplexity_buckets", "scan_file_metadata", "fn_collation",
+    "ext_dsir_importance", "ext_shard_manifest", "ext_token_budget_trim",
+    "ext_temperature_mixture", "ext_sentence_segmentation",
+    "join_asof_nearest", "ext_quality_funnel", "ext_ohlc_resample",
+    "ext_dataset_card", "win_gap_islands",
+})
+_DELIBERATE_REFRONTS = _R16_REFRESH
+
 
 def test_driver_window_has_no_silent_refronts():
     """Zero-stale-row discipline, testable: every key in the driver's
