@@ -800,7 +800,12 @@ def _est_eps(n_hashes: int) -> float:
     ALL n < 100 to 0.25, reinstating the ~2σ band at n = 16 that the
     derivation was meant to fix). Ĵ≈0 on a real J ≥ 0.8 pair still
     fails at any width."""
-    if n_hashes == N_HASHES:
+    if n_hashes >= N_HASHES:
+        # pin the whole >= default range, not just n == 96 (r15 ADVICE:
+        # an exact-equality pin made the band non-monotonic — n = 97..99
+        # got the honest 0.2539-0.2552, LOOSER than the default's 0.25);
+        # for n > 100 the 0.25 cap is conservative vs the honest 5σ,
+        # which only tightens the invariant.
         return 0.25
     return 5.0 * (0.25 / n_hashes) ** 0.5
 

@@ -744,7 +744,13 @@ def fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make Spark's concat_ws emit a SHORTENED line (mis-aligning
     from_csv's positional parse) while the oracle's || yields a NULL
     line — a row can only be CSV-round-tripped when all its fields are
-    known, so NULL-field rows are filtered on both engines."""
+    known, so NULL-field rows are filtered on both engines. The
+    ``o_orderkey IS NOT NULL`` conjunct is strictly redundant on both
+    engines (``o_orderkey % 50 = 0`` already rejects NULL keys) and kept
+    DELIBERATELY (r15 ADVICE adjudication): the three explicit
+    field-non-NULL conjuncts state the round-trippability contract as a
+    unit, so a future edit that swaps the modulo sampler for a
+    NULL-passing predicate cannot silently reopen the NULL-line split."""
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderkey") % 50 == 0)
         & F.col("o_orderkey").isNotNull()

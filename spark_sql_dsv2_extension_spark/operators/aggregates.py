@@ -488,10 +488,10 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_max_by_min_by",
     oracle="""
     SELECT o_orderpriority,
-           (max(CASE WHEN o_totalprice IS NOT NULL
+           (max(CASE WHEN o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
                      THEN {'p': o_totalprice, 'k': o_orderkey} END)).k
              AS biggest_order,
-           (min(CASE WHEN o_totalprice IS NOT NULL
+           (min(CASE WHEN o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
                      THEN {'p': o_totalprice, 'k': o_orderkey} END)).k
              AS smallest_order,
            max(o_totalprice) AS max_price,
@@ -513,10 +513,15 @@ def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines — so ties resolve to the largest key for max and the
     smallest for min. A NULL price yields a NULL struct, which both
     engines' max/min skip (the prior arg_max NULL semantics, preserved);
-    an all-NULL group keeps its row with NULL args on both."""
+    an all-NULL group keeps its row with NULL args on both. The guard
+    also requires a non-NULL KEY (r15 ADVICE): a NULL key under a
+    non-NULL price would build a struct with a NULL field, and Spark and
+    DuckDB order NULL struct FIELDS on opposite sides — excluding such
+    rows on both engines keeps the tie-break engine-agnostic even if a
+    future fixture NULLs the (currently never-NULL) o_orderkey."""
     o = load(spark, sf_dir, "orders")
     p, k = F.col("o_totalprice"), F.col("o_orderkey")
-    pk = F.when(p.isNotNull(), F.struct(p.alias("p"), k.alias("k")))
+    pk = F.when(p.isNotNull() & k.isNotNull(), F.struct(p.alias("p"), k.alias("k")))
     return o.groupBy("o_orderpriority").agg(
         F.max(pk)["k"].alias("biggest_order"),
         F.min(pk)["k"].alias("smallest_order"),

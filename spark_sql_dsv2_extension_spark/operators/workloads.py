@@ -900,7 +900,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_acctbal, s_name, n_name, p_partkey,
            cost_cents / 1e2 AS supplycost
     FROM cand WHERE cost_cents = min_cents
-    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    ORDER BY s_acctbal DESC, n_name NULLS LAST, s_name NULLS LAST, p_partkey
     LIMIT 100
     """,
 )
@@ -950,7 +950,10 @@ def tpch_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cost_cents") / F.lit(1e2)).alias("supplycost"),
         )
         .orderBy(
-            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc_nulls_last(),
+            F.col("s_name").asc_nulls_last(),
+            "p_partkey",
         )
         .limit(100)
     )

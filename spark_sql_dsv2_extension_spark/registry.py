@@ -172,6 +172,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ohlc_resample",
     "ext_dataset_card",
     "win_gap_islands",
+    # --- slot 51: r16 in-round overflow — the ORDERING_AUDIT_r15
+    # residual pin (n_name/s_name asc_nulls_last, oracle NULLS LAST in
+    # lockstep) landed this round; value-identical at every tested SF,
+    # driver re-verification fronts round 17. ---
+    "tpch_q2_min_cost_supp",
     # --- verified backlog: newest-verified first (the r15 window, then
     # the r14 window, then the remaining registry in its prior rotation
     # order — per-round provenance lives in git history of this block
@@ -474,7 +479,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_word_entropy",
     "scan_parquet_schema_evolution",
     "ext_source_quality_report",
-    "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
     "ext_zorder_layout",
     "ext_feature_hashing",

@@ -293,7 +293,11 @@ _DELIBERATE_REFRONTS = _R15_REFRESH
 # with the ninth audit mode; their first DRIVER rows under the new
 # semantics arrive this round), the full 23-key r3-staleness remainder
 # (retires round 3 from the ledger), and the first 19 keys of the
-# r4-staleness tail in r4-window drain order.
+# r4-staleness tail in r4-window drain order. One in-round overflow sits
+# at slot 51 and fronts round 17: tpch_q2_min_cost_supp (the
+# ORDERING_AUDIT_r15 residual — n_name/s_name asc_nulls_last pinned in
+# lockstep with the oracle's NULLS LAST; value-identical at every tested
+# SF).
 _R16_REFRESH = frozenset({
     # lattice semantic-fix re-fronts (slots 1-8)
     "sink_merge_upsert", "ext_weighted_median", "fn_printf_format",
