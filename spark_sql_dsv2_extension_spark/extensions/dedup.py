@@ -208,14 +208,42 @@ def ext_near_dedup_minhash(
         )
         .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
         .distinct()
+        # lazy localCheckpoint, not cache (r16): tiny (bucket collisions)
+        # with three consumers below — the checkpoint persists it once at
+        # first use AND truncates the lineage so downstream plans reference
+        # a LogicalRDD leaf instead of re-expanding the whole LSH subtree
+        # per consumer (the r10 equidepth discipline)
+        .localCheckpoint(eager=False)
     )
 
-    # exact verification on candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
+    # exact verification on candidates only — candidate-restricted (r16):
+    # the candidate relation is tiny (LSH-bucket collisions), so it is the
+    # broadcast build side, and the corpus-sized shingle stream is first
+    # PRUNED to candidate docs with a broadcast semi-join. The previous
+    # shape let the planner broadcast the WHOLE shingle stream into both
+    # verification joins (backwards at any scale; an OOM at 100 TB —
+    # guide §3.1/§3.2: broadcast the side that fits, semi-join-prune the
+    # big side). Sizes are aggregated over the pruned stream only: a
+    # candidate doc's full shingle set survives the semi-join, so its
+    # count is unchanged, and non-candidate docs' counts were discarded
+    # by the inner join anyway.
+    cand_docs = (
+        candidates.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+        .distinct()
+    )
+    # lazy localCheckpoint: candidate-doc-bounded (small); consumed by
+    # sizes + both sides of the intersection join — one pruning pass over
+    # sh, not three, and a LogicalRDD leaf in every consumer's plan
+    shc = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "leftsemi")
+        .localCheckpoint(eager=False)
+    )
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = shc.alias("s1")
+    s2 = shc.alias("s2")
     inter = (
-        candidates.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        F.broadcast(candidates)
+        .join(s1, F.col("d1") == F.col("s1.doc_id"))
         .join(
             s2,
             (F.col("d2") == F.col("s2.doc_id"))
@@ -227,8 +255,8 @@ def ext_near_dedup_minhash(
     n1 = sizes.alias("n1")
     n2 = sizes.alias("n2")
     jac = (
-        inter.join(n1, F.col("d1") == F.col("n1.doc_id"))
-        .join(n2, F.col("d2") == F.col("n2.doc_id"))
+        inter.join(F.broadcast(n1), F.col("d1") == F.col("n1.doc_id"))
+        .join(F.broadcast(n2), F.col("d2") == F.col("n2.doc_id"))
         .select(
             "d1",
             "d2",
@@ -451,9 +479,16 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
     execution — becomes the bottleneck (measured: 13 s/round at 250
     edges). Checkpointing keeps the plan constant-size per round.
     """
+    # Lazy checkpoints throughout the loop (r16): the plan is truncated to
+    # a LogicalRDD at .localCheckpoint() call time either way (that is
+    # what keeps Catalyst planning constant-size per round); eager=False
+    # defers the RDD's materialization into the round's ONE existing
+    # action (the convergence .first() below), halving the blocking jobs
+    # per round — eager=True ran a dedicated materialization job and THEN
+    # the convergence job over the same rows.
     edges = pairs.select(
         F.col("d1").alias("u"), F.col("d2").alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev: tuple[int, int] | None = None
     for _ in range(MAX_CC_ITERS):
         # -- large star: Γ from both directions, m = min(Γ(u) ∪ {u});
@@ -484,7 +519,7 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
             .filter(F.col("n") != F.col("m"))
             .distinct()
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # one action per round: edge count + order-independent checksum
         cnt, chk = small.agg(
@@ -536,7 +571,10 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE computing min reachable id per node over
     the exact-Jaccard pair graph.
     """
-    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2").cache()
+    # No cache on pairs (r16): it is consumed exactly once — by the CC
+    # loop's initial localCheckpoint, which itself persists the rows —
+    # so the cache only duplicated the same relation in memory.
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2")
     return _cc_large_small_star(pairs)
 
 
@@ -1673,7 +1711,15 @@ def ext_dup_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ext_near_dedup_minhash's exact oracle); BLEU is computed only on
     that tiny pair set, so the bigram joins ship pair-count × doc-bigram
     rows, never a corpus self-join."""
-    pairs = ext_near_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    # Lazy localCheckpoint (r16): the pair set is consumed twice below
+    # (pair_docs pruning + the broadcast join build) and is tiny; the
+    # checkpoint stops the LSH verification joins from re-running per
+    # consumer and keeps each consumer's plan a LogicalRDD leaf.
+    pairs = (
+        ext_near_dedup_minhash(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     bigrams = F.transform(
@@ -1689,17 +1735,29 @@ def ext_dup_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     bgc.cache()
-    totals = bgc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("t"))
-    x = bgc.select(
+    # Pair-restricted verification (r16, same shape as the minhash
+    # verifier): the pair set is tiny, so it is the broadcast build side
+    # and the corpus-sized per-doc bigram table is PRUNED to pair docs
+    # with a broadcast semi-join before any join or total — previously
+    # the planner broadcast the whole bigram-count relation (and the
+    # whole per-doc totals), which inverts build sides at any real scale.
+    # A pair doc's full bigram rows survive the semi-join, so its
+    # clipped-precision counts and totals are unchanged.
+    pair_docs = (
+        pairs.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
+    )
+    bgp = bgc.join(F.broadcast(pair_docs), "doc_id", "leftsemi")
+    totals = bgp.groupBy("doc_id").agg(F.sum("c").cast("long").alias("t"))
+    x = bgp.select(
         F.col("doc_id").alias("d1"), "bigram", F.col("c").alias("c1")
     )
-    y = bgc.select(
+    y = bgp.select(
         F.col("doc_id").alias("d2y"),
         F.col("bigram").alias("bigram2"),
         F.col("c").alias("c2"),
     )
     matched = (
-        pairs.join(x, "d1")
+        F.broadcast(pairs).join(x, "d1")
         .join(
             y,
             (F.col("d2") == F.col("d2y")) & (F.col("bigram") == F.col("bigram2")),

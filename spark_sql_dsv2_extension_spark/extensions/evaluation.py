@@ -1721,15 +1721,23 @@ def ext_coverage_maximization(spark: SparkSession, sf_dir: str) -> DataFrame:
         # provably a no-op.
         cand = dt if cov is None else dt.join(cov, "w", "left_anti")
         marg = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+        # Lazy checkpoints (r16): the plan truncates to a LogicalRDD at
+        # .localCheckpoint() call time either way (the property that keeps
+        # Catalyst planning constant per round); eager=True additionally
+        # ran TWO blocking driver jobs per round during plan construction.
+        # With eager=False the whole K-round lattice materializes inside
+        # the single final action — the per-round RDDs persist on first
+        # compute and later rounds read those blocks, so the sequential
+        # structure is preserved without K×2 job-scheduling round-trips.
         s = (
             marg.orderBy(F.desc("c"), "doc_id")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_cov = dt.join(s.select("doc_id"), "doc_id").select("w").distinct()
         cov = (
             new_cov if cov is None else cov.union(new_cov).distinct()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         row = (
             s.select(
                 F.lit(r).cast("long").alias("round"),
@@ -2043,8 +2051,14 @@ def ext_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") > 0
     )
+    # No cache on tf (r16): its three consumers (tot, top_terms, dense)
+    # all re-derive from the identical Exchange(source, w) subtree, which
+    # ReuseExchange dedupes into ONE shuffle within the single action —
+    # the cache only added an InMemoryRelation materialization boundary
+    # (measured: removing it cut the key ~1.5x at sf0.1) and broke
+    # whole-stage fusion around it (guide §5: cache only when recompute
+    # beats the memory pressure; here there is no recompute to avoid).
     tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
-    tf.cache()
     tot = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     top_terms = (
         tf.groupBy("w")
@@ -2863,20 +2877,30 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bins = spark.range(1, EQUIDEPTH_BINS + 1).select(F.col("id").alias("bin"))
-    edges = (
-        cum.join(F.broadcast(bins))
-        .groupBy("bin")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cm")
-                    >= F.expr(
-                        f"(bin * n + {EQUIDEPTH_BINS} - 1) div {EQUIDEPTH_BINS}"
-                    ),
-                    F.col("c"),
-                )
-            ).alias("hi")
+    # Edge extraction without the cum × bins fan-out (r16): the old shape
+    # replicated every cumulative row {EQUIDEPTH_BINS}× through a
+    # broadcast join just to test `cm >= ceil(bin*n/B)` per bin. Since cm
+    # is an integer, cm >= ceil(k*n/B) <=> cm >= k*n/B <=> B*cm >= k*n,
+    # so each row reaches exactly the targets k <= kmax = (B*cm) div n —
+    # one arithmetic column instead of a B-way fan-out. Grouping to
+    # min(c) per kmax (<= B+1 groups) and taking, per bin, the min over
+    # groups with kmax >= bin reproduces min{c : cm >= target(bin)}
+    # exactly; the only join left is bins × (<= B+1)-row aggregate.
+    mg = (
+        cum.select(
+            F.least(
+                F.lit(EQUIDEPTH_BINS),
+                F.expr(f"({EQUIDEPTH_BINS} * cm) div n"),
+            ).alias("kmax"),
+            "c",
         )
+        .groupBy("kmax")
+        .agg(F.min("c").alias("mc"))
+    )
+    edges = (
+        bins.join(F.broadcast(mg), F.col("kmax") >= F.col("bin"))
+        .groupBy("bin")
+        .agg(F.min("mc").alias("hi"))
     )
     vmin = hist.agg((F.min("c") - 1).alias("vm"))
     bounds = edges.join(F.broadcast(vmin)).select(

@@ -147,8 +147,12 @@ def ext_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("est_distinct")
     )
+    # words is already DISTINCT (source, w) with w non-null (length>0
+    # gate), so per-source distinct-w == plain count — skips the
+    # countDistinct expand pass (r16); the global union arm below still
+    # needs countDistinct because one w spans sources.
     exact = words.groupBy("source").agg(
-        F.countDistinct("w").alias("exact_distinct")
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     exact = exact.unionAll(
         words.agg(F.countDistinct("w").alias("exact_distinct")).select(

@@ -259,7 +259,20 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(docs)   # the count is metadata-cheap on the raw scan)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf (r16): tf already holds one row per distinct
+    # (doc_id, term), so count-per-term over it equals
+    # countDistinct(doc_id) over the raw token stream — minus the NULL
+    # doc_ids countDistinct skips, hence the explicit isNotNull gate
+    # (count(DISTINCT) is NULL-skipping on both engines). This removes
+    # the SECOND full tokenize+explode pass (tok fed two different
+    # aggregations whose exchanges could not be reused); now both
+    # relations share tf's Exchange(doc_id, term), which ReuseExchange
+    # dedupes into one token-stream shuffle.
+    df = (
+        tf.where(F.col("doc_id").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     scored = tf.join(df, "term").select(
         "doc_id",
         "term",
@@ -656,8 +669,12 @@ def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+    # one row per (doc, term) in tf already → count ≡ countDistinct(doc_id)
+    # (with the NULL gate countDistinct implies); shares tf's exchange
+    df_ = (
+        tf.where(F.col("doc_id").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
     )
     k1, b = _BM25_K1, _BM25_B
     term_score = (

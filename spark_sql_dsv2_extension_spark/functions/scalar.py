@@ -350,11 +350,19 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH engines (differently, so the driver can hash neither), while
     NULL-and-keep is the explicit, engine-agreed semantics."""
     ev = load(spark, sf_dir, "events")
+    # json_tuple (r16): one parse of props yields both top-level paths —
+    # the previous three get_json_object calls parsed the same document
+    # three times per row. json_tuple('k') ≡ get_json_object('$.k') for
+    # top-level keys, including the non-scalar (raw JSON text) and
+    # invalid-JSON (NULL) edge semantics; k_int is the same try_cast of
+    # the single extracted string.
     return ev.select(
+        "event_id", F.json_tuple("props", "k", "missing").alias("k_str", "missing")
+    ).select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
-        F.get_json_object("props", "$.missing").alias("missing"),
+        "k_str",
+        F.col("k_str").try_cast("int").alias("k_int"),
+        "missing",
     )
 
 

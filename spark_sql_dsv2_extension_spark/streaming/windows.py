@@ -46,6 +46,22 @@ SENTINEL_TS_NS = 4_000_000_000 * 10**9
 
 _EPOCH = _dt.datetime(1970, 1, 1)
 
+# Ephemeral stream scratch (r16): the file-stream source dirs, sink dirs
+# and checkpoint dirs built here hold a copied fixture plus the throwaway
+# state of a bounded availableNow replay — nothing durable. Put them on a
+# memory-backed filesystem when one exists so per-micro-batch state-store
+# and commit-log fsyncs don't pay rotating/virtualized-disk latency.
+# Override with $SPARK_GRAFT_STREAM_SCRATCH; production streams with
+# durability requirements keep their checkpoints on durable storage (this
+# helper is only used by the ephemeral verification replays).
+_SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or (
+    "/dev/shm" if os.path.isdir("/dev/shm") else None
+)
+
+
+def _scratch_dir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
 # Fixture-vintage adaptation: older driver fixtures store events.ts as
 # INT64 TIMESTAMP(NANOS) (read as a ns long under nanosAsLong), newer ones
 # as parquet timestamp[us] (read as TIMESTAMP_NTZ). One footer-only probe
@@ -100,7 +116,7 @@ def _stream_source(spark: SparkSession, sf_dir: str, with_sentinel: bool = False
     # nanosAsLong is required for ns-vintage fixtures (no-op otherwise)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="engine_stream_")
+    src_dir = _scratch_dir("engine_stream_")
     shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
     if with_sentinel:
         # one far-future row: advances the watermark past all real data so
@@ -123,6 +139,12 @@ def _run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        # explicit checkpoint on the memory-backed scratch root (r16):
+        # without it Spark builds the ephemeral checkpoint under
+        # java.io.tmpdir — disk-backed here, so every micro-batch's
+        # offset/commit/state files paid disk fsync for a replay whose
+        # durability is irrelevant by construction
+        .option("checkpointLocation", _scratch_dir("engine_stream_chk_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -326,7 +348,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute them identically."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="engine_late_")
+    src_dir = _scratch_dir("engine_late_")
     batch = spark.read.schema(_raw_schema(sf_dir)).parquet(
         table_path(sf_dir, "events")
     )
@@ -452,7 +474,7 @@ def stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     metastore's role, so a re-run after failure never double-counts a file.
     Append mode, no state — pure exactly-once transport."""
     ev = _stream_source(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="engine_stream_sink_")
+    root = _scratch_dir("engine_stream_sink_")
     out, chk = os.path.join(root, "data"), os.path.join(root, "chk")
     q = (
         ev.select("event_id", "user_id", "event_type", "value")
@@ -549,7 +571,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the watermark-plus-range horizon at any input rate."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="engine_stream_")
+    src_dir = _scratch_dir("engine_stream_")
     shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
     # Two sentinel files, strictly later mod-times: the watermark computed
     # from sentinel file N is *applied* while processing file N+1 (a
@@ -632,7 +654,7 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched rows in state — the left_outer lesson, doubled."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="engine_stream_")
+    src_dir = _scratch_dir("engine_stream_")
     shutil.copy(table_path(sf_dir, "events"), os.path.join(src_dir, "part-0.parquet"))
     for i, off in enumerate((0, 10**15)):
         spark.createDataFrame(
@@ -705,7 +727,7 @@ def stream_sink_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _stream_source(spark, sf_dir)
     cat_name = "streamcat_" + _uuid.uuid4().hex[:8]
-    cat = EngineCatalog(spark, cat_name, _tf.mkdtemp(prefix="engine_scat_"))
+    cat = EngineCatalog(spark, cat_name, _scratch_dir("engine_scat_"))
     cat.create_table(
         "default", "events_ingest",
         "event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING",
@@ -721,7 +743,7 @@ def stream_sink_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         ev.writeStream.foreachBatch(sink_batch)
         .option(
-            "checkpointLocation", _tf.mkdtemp(prefix="engine_scat_chk_")
+            "checkpointLocation", _scratch_dir("engine_scat_chk_")
         )
         .trigger(availableNow=True)
         .start()
@@ -758,7 +780,7 @@ def stream_document_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch transformation exactly, which is the oracle. At
     100 TB/day this scales with source parallelism; the gate prunes
     before any shuffle (there is none)."""
-    src_dir = tempfile.mkdtemp(prefix="engine_docstream_")
+    src_dir = _scratch_dir("engine_docstream_")
     shutil.copy(
         table_path(sf_dir, "documents"), os.path.join(src_dir, "part-0.parquet")
     )
@@ -797,8 +819,8 @@ def stream_restart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest play the reference's metastore⊕staging two-phase roles
     (HiveFileBatchWrite.scala:20-69)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="engine_restart_src_")
-    root = tempfile.mkdtemp(prefix="engine_restart_")
+    src_dir = _scratch_dir("engine_restart_src_")
+    root = _scratch_dir("engine_restart_")
     out, chk = os.path.join(root, "data"), os.path.join(root, "chk")
 
     batch = spark.read.schema(_raw_schema(sf_dir)).parquet(
@@ -888,8 +910,8 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     The batch function does a distributed write only — nothing
     driver-side."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="engine_feb_src_")
-    out_dir = tempfile.mkdtemp(prefix="engine_feb_out_")
+    src_dir = _scratch_dir("engine_feb_src_")
+    out_dir = _scratch_dir("engine_feb_out_")
 
     batch = spark.read.schema(_raw_schema(sf_dir)).parquet(
         table_path(sf_dir, "events")
