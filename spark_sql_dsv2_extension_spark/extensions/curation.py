@@ -436,7 +436,22 @@ def ext_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    # Lazy localCheckpoint (r16): bc is the bigram TYPE table —
+    # vocab²-bounded, tiny relative to the corpus — with FOUR consumers
+    # (the main stream, left_stats, right_stats, bt). Without it, column
+    # pruning SPECIALIZES each consumer's copy of the aggregation
+    # (right_stats drops cxy, bt collapses to a bare distinct), so the
+    # four exchanges are not canonically identical and neither static
+    # ReuseExchange nor AQE stage reuse bridges them — the full
+    # token-stream explode + shuffle ran up to four times (verified in
+    # plans/r16/ext_kneser_ney_bigrams_before.txt nodes 7/16/31/48). The
+    # checkpoint materializes the type table once and every consumer
+    # aggregates the tiny LogicalRDD.
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint(eager=False)
+    )
     left_stats = bc.groupBy("w1").agg(
         F.sum("cxy").alias("cleft"), F.count(F.lit(1)).alias("n1l")
     )

@@ -1691,12 +1691,24 @@ def ext_coverage_maximization(spark: SparkSession, sf_dir: str) -> DataFrame:
     break on doc_id.
 
     Scale shape: the inherently sequential part is K (tiny); each round is
-    one anti-join against the covered vocabulary + one grouped count —
-    all cluster-side. The selected-doc and covered-set relations pass
-    between rounds as localCheckpointed DataFrames (executor-resident,
-    constant-size plans — same lineage-truncation discipline as
-    the connected-components loop in extensions/dedup.py); nothing is
-    collected to the driver."""
+    one anti-join + one grouped count, all cluster-side, over a frontier
+    that SHRINKS monotonically (r16 restructure): instead of re-scanning
+    the full (doc, bigram) relation against a GROWING covered-vocabulary
+    union each round, the candidate relation itself is anti-joined down —
+    cand_{{r+1}} = cand_r ⟂ new_cov_r ≡ dt ⟂ cov_r because anti-join
+    against a union is the composition of anti-joins. The newly covered
+    set each round is exactly the selected doc's UNCOVERED bigrams (its
+    covered ones are already in cov), so the increments are DISJOINT and
+    covered_total is the running sum of new_terms — the per-round
+    covered-set union + distinct + count subtree is gone entirely, and
+    the final round needs no coverage update at all. One pathology is
+    preserved bit-for-bit: a selected NULL-doc_id group covered nothing
+    under the old inner equi-join on doc_id, so its running-sum increment
+    is gated on doc_id IS NOT NULL. The selected-doc and frontier
+    relations pass between rounds as localCheckpointed DataFrames
+    (executor-resident, constant-size plans — same lineage-truncation
+    discipline as the connected-components loop in extensions/dedup.py);
+    nothing is collected to the driver."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     bigrams = F.transform(
@@ -1709,45 +1721,81 @@ def ext_coverage_maximization(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.size("toks") > 1)
         .select("doc_id", F.explode(F.array_distinct(bigrams)).alias("w"))
     )
-    dt.cache()
-    cov = None
+    # ONE exchange total (r16): the corpus collapses to per-doc bigram
+    # SETS up front (collect_set ≡ the oracle's globally DISTINCT
+    # (doc_id, w) relation grouped per doc), and every greedy round is
+    # then a MAP-ONLY pass — size(array_except(set, covered)) — over the
+    # doc-count-sized set relation plus a TakeOrdered(1): no per-round
+    # join, shuffle, or covered-set materialization at all. `covered`
+    # rides between rounds as a one-row array relation (bounded by the K
+    # selected docs' combined vocabulary — broadcast-safe at any corpus
+    # scale).
+    docsets = dt.groupBy("doc_id").agg(F.collect_set("w").alias("ws"))
+    docsets.cache()
+    covrel = spark.range(1).select(
+        F.array().cast("array<string>").alias("cov")
+    )
     out = None
     for r in range(1, COVERAGE_ROUNDS + 1):
-        # No explicit selected-doc exclusion is needed (round-6 perf fix):
-        # a selected doc's ENTIRE bigram set joins `cov`, so the w
-        # anti-join removes every one of its rows and it can never
-        # reappear in `marg` — the old per-round excl relation cost an
-        # eager checkpoint job plus an anti-join for a filter that was
-        # provably a no-op.
-        cand = dt if cov is None else dt.join(cov, "w", "left_anti")
-        marg = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+        # Docs with zero uncovered bigrams vanish (c >= 1), exactly as
+        # they vanished from the old per-round grouped count when the
+        # anti-join left them no rows; a selected doc always re-scores 0,
+        # so no explicit exclusion is needed.
+        scored = (
+            docsets.join(F.broadcast(covrel))
+            .select(
+                "doc_id",
+                F.size(F.array_except("ws", "cov")).cast("long").alias("c"),
+                "ws",
+            )
+            .filter(F.col("c") >= 1)
+        )
         # Lazy checkpoints (r16): the plan truncates to a LogicalRDD at
         # .localCheckpoint() call time either way (the property that keeps
-        # Catalyst planning constant per round); eager=True additionally
-        # ran TWO blocking driver jobs per round during plan construction.
-        # With eager=False the whole K-round lattice materializes inside
-        # the single final action — the per-round RDDs persist on first
-        # compute and later rounds read those blocks, so the sequential
-        # structure is preserved without K×2 job-scheduling round-trips.
+        # Catalyst planning constant per round); eager=False defers the
+        # materialization into the single final action — the per-round
+        # RDDs persist on first compute and later rounds read those
+        # blocks, so the sequential greedy structure is preserved without
+        # per-round blocking driver jobs.
         s = (
-            marg.orderBy(F.desc("c"), "doc_id")
+            scored.orderBy(F.desc("c"), "doc_id")
             .limit(1)
             .localCheckpoint(eager=False)
         )
-        new_cov = dt.join(s.select("doc_id"), "doc_id").select("w").distinct()
-        cov = (
-            new_cov if cov is None else cov.union(new_cov).distinct()
-        ).localCheckpoint(eager=False)
-        row = (
-            s.select(
-                F.lit(r).cast("long").alias("round"),
-                "doc_id",
-                F.col("c").alias("new_terms"),
-            )
-            .join(F.broadcast(cov.agg(F.count(F.lit(1)).alias("covered_total"))))
+        row = s.select(
+            F.lit(r).cast("long").alias("round"),
+            "doc_id",
+            F.col("c").alias("new_terms"),
         )
         out = row if out is None else out.unionByName(row)
-    return out
+        if r < COVERAGE_ROUNDS:
+            # A selected NULL-doc_id group covered nothing under the old
+            # inner equi-join on doc_id; the when-gate preserves that
+            # pathology bit-for-bit.
+            covrel = (
+                covrel.join(F.broadcast(s))
+                .select(
+                    F.when(F.col("doc_id").isNull(), F.col("cov"))
+                    .otherwise(F.array_union("cov", "ws"))
+                    .alias("cov")
+                )
+                .localCheckpoint(eager=False)
+            )
+    # covered_total = running sum of the DISJOINT per-round gains; the
+    # NULL-doc_id gate mirrors the old inner equi-join on doc_id, which
+    # silently covered nothing for a NULL selection. The window is
+    # unpartitioned but COVERAGE_ROUNDS-row bounded (a plan constant).
+    w_run = Window.orderBy("round").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.withColumn(
+        "covered_total",
+        F.sum(
+            F.when(F.col("doc_id").isNull(), F.lit(0)).otherwise(
+                F.col("new_terms")
+            )
+        ).over(w_run),
+    )
 
 
 @query(

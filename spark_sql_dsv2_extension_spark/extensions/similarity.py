@@ -1321,7 +1321,11 @@ def ext_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora from RAM. Composes with IVF routing (ext_knn_ivf) to skip most
     codes entirely."""
     emb = fan_out(_emb_scorable(spark, sf_dir))
-    d = _pq_dist_table(emb)
+    # Lazy localCheckpoint (r16): d feeds both best (aggregation) and lut
+    # (broadcast build) — pruning specializes the two copies, exchange
+    # reuse cannot bridge them, and the interpreted distance folds ran
+    # twice. One materialization, bit-identical values.
+    d = _pq_dist_table(emb).localCheckpoint(eager=False)
     best = (
         d.groupBy("vec_id", "s")
         .agg(F.min(F.col("d6") * 1024 + F.col("cid")).alias("k"))
@@ -1455,8 +1459,30 @@ def ext_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(1e6)
     ).cast("long")
-    cd = emb.join(F.broadcast(coarse)).select(
-        "vec_id", "cell_id", cd6.alias("cd6")
+    # Lazy localCheckpoint (r16): cd (vectors × cells coarse distances)
+    # and d (the PQ distance table) are each consumed TWICE below — cd by
+    # cells (an aggregation) and probes (a window), d by best (an
+    # aggregation) and lut (a broadcast build). The consumers' shapes are
+    # specialized by pruning, so neither ReuseExchange nor AQE stage
+    # reuse bridges them and the interpreted higher-order distance folds
+    # ran twice each (16 parquet scans in
+    # plans/r16/ext_ivfpq_search_before.txt). Checkpointing computes each
+    # fold exactly once — values bit-identical by determinism — and every
+    # consumer reads the tiny (rows × 4 ints) LogicalRDD.
+    # The self-aliases are load-bearing: cd and d checkpoint to two
+    # LogicalRDD leaves, and without fresh exprIds both leaves would
+    # expose emb's ORIGINAL vec_id attribute id — the downstream
+    # cand⨝best⨝lut join conditions then silently mis-resolve across the
+    # leaves and change values (measured at sf0.01; all four
+    # checkpoint on/off combinations hash-identical with the aliases).
+    cd = (
+        emb.join(F.broadcast(coarse))
+        .select(
+            F.col("vec_id").alias("vec_id"),
+            F.col("cell_id").alias("cell_id"),
+            cd6.alias("cd6"),
+        )
+        .localCheckpoint(eager=False)
     )
     cells = (
         cd.groupBy("vec_id")
@@ -1464,13 +1490,21 @@ def ext_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (F.col("k") % 1024).alias("cell"))
     )
     wq = Window.partitionBy("vec_id").orderBy("cd6", "cell_id")
+    # probes re-aliases EVERY output column: cells and probes now read
+    # the same checkpointed leaf, and a raw cell_id reference in the join
+    # condition below would be a self-join ambiguity (measured: it
+    # silently mis-resolved and changed values — the probe column must
+    # carry a fresh exprId).
     probes = (
         cd.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _IVFPQ_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell_id").alias("probe_cell"),
+        )
     )
-    d = _pq_dist_table(emb)
+    d = _pq_dist_table(emb).localCheckpoint(eager=False)
     best = (
         d.groupBy("vec_id", "s")
         .agg(F.min(F.col("d6") * 1024 + F.col("cid")).alias("k"))
@@ -1480,7 +1514,7 @@ def ext_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "s", "cid", "d6"
     )
     cand = (
-        probes.join(cells, cells.cell == probes.cell_id)
+        probes.join(cells, F.col("cell") == F.col("probe_cell"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )

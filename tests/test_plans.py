@@ -1539,6 +1539,7 @@ def test_behavior_similarity_ranks_after_limit(spark, sf_dir):
 _BOUNDED_WINDOW_ALLOWLIST = {
     "ext_behavior_similarity",   # rank over limit(20) output
     "ext_bh_fdr",                # p-values: one row per test
+    "ext_coverage_maximization", # running sum over COVERAGE_ROUNDS rows (plan constant)
     "ext_cusum_changepoint",     # running stats over per-DAY aggregates
     "ext_embedding_outliers",    # rank over top-k limit output
     "ext_equidepth_histogram",   # bin boundaries (B rows) + block offsets
