@@ -168,37 +168,50 @@ def ext_near_dedup_minhash(
 
     # 96 minhashes as 96 wide MIN aggregates — every xxhash64 runs inside
     # whole-stage-codegen'd partial aggregation with zero array allocation
-    # (an array-of-arrays formulation was ~3× slower at sf0.1)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
+    # (an array-of-arrays formulation was ~3× slower at sf0.1). Built as
+    # ONE parsed SQL statement (r16): this key's cost is dominated by
+    # DRIVER-side plan construction, not execution (measured at sf0.1:
+    # build 1.8-2.2 s vs 0.5 s execute) — 96 Column-object expression
+    # trees cost ~600 py4j round-trips where one SQL string is a single
+    # call and a fast JVM parse, bit-identical by construction (hash-
+    # verified at sf0.1).
+    sig_cols = ", ".join(
+        f"min(xxhash64({i}, shingle)) AS h{i}" for i in range(n_hashes)
+    )
+    sig = spark.sql(
+        f"SELECT doc_id, {sig_cols} FROM {{sh}} GROUP BY doc_id", sh=sh
     )
 
     # 24 bands of 4 minhashes; signature = xxhash64 of the band's values.
     # Cached: the self-join below consumes it twice, and without the cache
     # the whole 96-hash signature aggregation would execute once per side.
     rows_per_band = n_hashes // n_bands
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"h{b * rows_per_band + j}")
-                            for j in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(n_bands)
-                ]
+    band_arr = (
+        "array("
+        + ", ".join(
+            "xxhash64("
+            + ", ".join(
+                f"h{b * rows_per_band + j}" for j in range(rows_per_band)
             )
-        ).alias("band", "band_sig"),
+            + ")"
+            for b in range(n_bands)
+        )
+        + ")"
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(F.expr(band_arr)).alias("band", "band_sig")
     ).cache()
+    # Lazy checkpoint LEAF on top of the cache (r16): every downstream
+    # Dataset operation re-analyzes its whole logical subtree, and with
+    # the raw cached relation that subtree carries the 96-column
+    # aggregate + band explode — the analyzer, not the executor, was the
+    # cost. The leaf truncates every consumer's plan to a LogicalRDD
+    # while the cache still feeds the checkpoint's one materialization
+    # per invocation.
+    bands_leaf = bands.localCheckpoint(eager=False)
 
-    left = bands.alias("l")
-    right = bands.alias("r")
+    left = bands_leaf.alias("l")
+    right = bands_leaf.alias("r")
     candidates = (
         left.join(
             right,
@@ -502,11 +515,15 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
             .agg(F.min("v").alias("mv"))
             .select("u", F.least("u", "mv").alias("m"))
         )
+        # No distinct here (r16): duplicate (v, m) rows cannot change
+        # mins2 (min is duplicate-insensitive) or `small` (it closes with
+        # its own distinct, which is what the convergence checksum reads),
+        # and large's row count is bounded by the edge count either way —
+        # the dedup exchange per round bought nothing.
         large = (
             nbr.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # -- small star: edges now oriented high→low; m = min(Γ_low(u) ∪
         #    {u}) = min neighbor; emit (v, m) for each low neighbor plus
@@ -802,7 +819,13 @@ def ext_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by dup volume, not corpus size."""
     from pyspark.sql.window import Window
 
-    clusters = ext_dedup_clusters(spark, sf_dir)
+    # Lazy checkpoint LEAVES (r16): the cluster relation is tiny (dup
+    # docs only) but its plan embeds the whole MinHash pipeline, and
+    # `ranked` is consumed TWICE below (keep + the join back) — without
+    # the leaves the final plan re-analyzes that pipeline twice and
+    # driver-side analysis, not execution, dominated the key (measured
+    # build 3.0-3.7 s vs 0.4 s execute at sf0.1).
+    clusters = ext_dedup_clusters(spark, sf_dir).localCheckpoint(eager=False)
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
@@ -814,6 +837,7 @@ def ext_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
         )
+        .localCheckpoint(eager=False)
     )
     keep = ranked.filter(F.col("rk") == 1).select(
         "cluster_id", F.col("doc_id").alias("kept_doc_id")
@@ -1746,8 +1770,20 @@ def ext_dup_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_docs = (
         pairs.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     )
-    bgp = bgc.join(F.broadcast(pair_docs), "doc_id", "leftsemi")
-    totals = bgp.groupBy("doc_id").agg(F.sum("c").cast("long").alias("t"))
+    # Lazy checkpoint leaves (r16): bgp is pair-doc-bounded (small) but
+    # consumed THREE times (totals, x, y) — without the leaf the pruning
+    # semi-join over the cached bigram table ran once per consumer and
+    # each consumer's plan re-analyzed the whole subtree. totals feeds
+    # TWO broadcast builds below, same argument.
+    bgp = (
+        bgc.join(F.broadcast(pair_docs), "doc_id", "leftsemi")
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        bgp.groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .localCheckpoint(eager=False)
+    )
     x = bgp.select(
         F.col("doc_id").alias("d1"), "bigram", F.col("c").alias("c1")
     )
