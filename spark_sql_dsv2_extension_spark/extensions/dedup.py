@@ -210,24 +210,23 @@ def ext_near_dedup_minhash(
     # per invocation.
     bands_leaf = bands.localCheckpoint(eager=False)
 
-    left = bands_leaf.alias("l")
-    right = bands_leaf.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
-        .distinct()
-        # lazy localCheckpoint, not cache (r16): tiny (bucket collisions)
-        # with three consumers below — the checkpoint persists it once at
-        # first use AND truncates the lineage so downstream plans reference
-        # a LogicalRDD leaf instead of re-expanding the whole LSH subtree
-        # per consumer (the r10 equidepth discipline)
-        .localCheckpoint(eager=False)
-    )
+    # One parsed SQL statement instead of ~8 Dataset ops (r16: the same
+    # driver-side-analysis economy as sig above; SQL aliasing also scopes
+    # the self-join cleanly). lazy localCheckpoint, not cache: tiny
+    # (bucket collisions) with three consumers below — the checkpoint
+    # persists it once at first use AND truncates the lineage so
+    # downstream plans reference a LogicalRDD leaf instead of
+    # re-expanding the whole LSH subtree per consumer (the r10 equidepth
+    # discipline)
+    candidates = spark.sql(
+        """
+        SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+        FROM {bands} l JOIN {bands} r
+          ON l.band = r.band AND l.band_sig = r.band_sig
+         AND l.doc_id < r.doc_id
+        """,
+        bands=bands_leaf,
+    ).localCheckpoint(eager=False)
 
     # exact verification on candidates only — candidate-restricted (r16):
     # the candidate relation is tiny (LSH-bucket collisions), so it is the
@@ -240,45 +239,48 @@ def ext_near_dedup_minhash(
     # candidate doc's full shingle set survives the semi-join, so its
     # count is unchanged, and non-candidate docs' counts were discarded
     # by the inner join anyway.
-    cand_docs = (
-        candidates.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
-        .distinct()
-    )
     # lazy localCheckpoint: candidate-doc-bounded (small); consumed by
     # sizes + both sides of the intersection join — one pruning pass over
     # sh, not three, and a LogicalRDD leaf in every consumer's plan
-    shc = (
-        sh.join(F.broadcast(cand_docs), "doc_id", "leftsemi")
-        .localCheckpoint(eager=False)
+    shc = spark.sql(
+        """
+        SELECT /*+ BROADCAST(cd) */ s.*
+        FROM {sh} s
+        LEFT SEMI JOIN (
+          SELECT DISTINCT explode(array(d1, d2)) AS doc_id FROM {cands}
+        ) cd ON s.doc_id = cd.doc_id
+        """,
+        sh=sh,
+        cands=candidates,
+    ).localCheckpoint(eager=False)
+    # sizes + intersection + Jaccard in one parsed statement (the `D`
+    # suffix keeps the 1.0 literal a DOUBLE, matching the old Python
+    # float lit — SQL's bare 1.0 would be DECIMAL and change the result
+    # type). Broadcast hints pin the same physical shape as before: the
+    # tiny candidate set and sizes are the build sides.
+    jac = spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(n1), BROADCAST(n2) */
+               inter.d1, inter.d2,
+               i * 1.0D / (n1.n + n2.n - i) AS jaccard
+        FROM (
+          SELECT /*+ BROADCAST(c) */ c.d1, c.d2, count(1) AS i
+          FROM {{cands}} c
+          JOIN {{shc}} s1 ON c.d1 = s1.doc_id
+          JOIN {{shc}} s2 ON c.d2 = s2.doc_id
+                         AND s1.shingle = s2.shingle
+          GROUP BY c.d1, c.d2
+        ) inter
+        JOIN (SELECT doc_id, count(1) AS n FROM {{shc}} GROUP BY doc_id) n1
+          ON inter.d1 = n1.doc_id
+        JOIN (SELECT doc_id, count(1) AS n FROM {{shc}} GROUP BY doc_id) n2
+          ON inter.d2 = n2.doc_id
+        WHERE i * 1.0D / (n1.n + n2.n - i) >= {threshold}
+        """,
+        cands=candidates,
+        shc=shc,
     )
-    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = shc.alias("s1")
-    s2 = shc.alias("s2")
-    inter = (
-        F.broadcast(candidates)
-        .join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(
-            s2,
-            (F.col("d2") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    n1 = sizes.alias("n1")
-    n2 = sizes.alias("n2")
-    jac = (
-        inter.join(F.broadcast(n1), F.col("d1") == F.col("n1.doc_id"))
-        .join(F.broadcast(n2), F.col("d2") == F.col("n2.doc_id"))
-        .select(
-            "d1",
-            "d2",
-            (F.col("i") * 1.0 / (F.col("n1.n") + F.col("n2.n") - F.col("i"))).alias(
-                "jaccard"
-            ),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= threshold)
+    return jac
 
 
 @query(
@@ -499,45 +501,49 @@ def _cc_large_small_star(pairs: DataFrame) -> DataFrame:
     # action (the convergence .first() below), halving the blocking jobs
     # per round — eager=True ran a dedicated materialization job and THEN
     # the convergence job over the same rows.
+    spark = pairs.sparkSession
     edges = pairs.select(
         F.col("d1").alias("u"), F.col("d2").alias("v")
     ).localCheckpoint(eager=False)
     prev: tuple[int, int] | None = None
     for _ in range(MAX_CC_ITERS):
-        # -- large star: Γ from both directions, m = min(Γ(u) ∪ {u});
-        #    emit (v, m) for every neighbor v > u (never a self-loop since
-        #    m ≤ u < v)
-        nbr = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = (
-            nbr.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("u", "mv").alias("m"))
-        )
-        # No distinct here (r16): duplicate (v, m) rows cannot change
-        # mins2 (min is duplicate-insensitive) or `small` (it closes with
-        # its own distinct, which is what the convergence checksum reads),
-        # and large's row count is bounded by the edge count either way —
-        # the dedup exchange per round bought nothing.
-        large = (
-            nbr.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # -- small star: edges now oriented high→low; m = min(Γ_low(u) ∪
-        #    {u}) = min neighbor; emit (v, m) for each low neighbor plus
-        #    (u, m), dropping self-loops
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(mins2, "u")
-            .select(F.col("v").alias("n"), "m")
-            .union(mins2.select(F.col("u").alias("n"), "m"))
-            .filter(F.col("n") != F.col("m"))
-            .distinct()
-            .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .localCheckpoint(eager=False)
-        )
+        # Both star passes in ONE parsed SQL statement per round (r16):
+        # the per-round cost here is driver-side plan construction over a
+        # tiny checkpointed edge leaf, so ~14 Dataset calls per round are
+        # replaced by a single parse. large-star: every node links its
+        # strictly LARGER neighbors to the minimum of its closed
+        # neighborhood (no distinct — duplicate (v, m) rows cannot change
+        # the small-star mins, and `small` closes with its own DISTINCT,
+        # which is what the convergence checksum reads). small-star: with
+        # edges oriented high→low, every node links its smaller neighbors
+        # (and itself) to that minimum, dropping self-loops.
+        small = spark.sql(
+            """
+            WITH nbr AS (
+              SELECT u, v FROM {e}
+              UNION ALL
+              SELECT v AS u, u AS v FROM {e}
+            ),
+            mins AS (
+              SELECT u, least(u, min(v)) AS m FROM nbr GROUP BY u
+            ),
+            large AS (
+              SELECT nbr.v AS u, mins.m AS v
+              FROM nbr JOIN mins ON nbr.u = mins.u
+              WHERE nbr.v > nbr.u
+            ),
+            mins2 AS (
+              SELECT u, min(v) AS m FROM large GROUP BY u
+            )
+            SELECT DISTINCT n AS u, m AS v FROM (
+              SELECT large.v AS n, mins2.m AS m
+              FROM large JOIN mins2 ON large.u = mins2.u
+              UNION ALL
+              SELECT u AS n, m FROM mins2
+            ) WHERE n != m
+            """,
+            e=edges,
+        ).localCheckpoint(eager=False)
         # one action per round: edge count + order-independent checksum
         cnt, chk = small.agg(
             F.count(F.lit(1)), F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(10**9)))
