@@ -2903,75 +2903,67 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 452-key sweep, while a checkpointed lineage is released with the
     # RDD reference
     hist = hist.withColumn("blk", blk).localCheckpoint(eager=False)
-    wblk = (
-        Window.partitionBy("blk")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    btot = hist.groupBy("blk").agg(F.sum("cnt").cast("long").alias("bt"))
-    woff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    boff = btot.select(
-        "blk",
-        F.coalesce(F.sum("bt").over(woff), F.lit(0)).cast("long").alias("off"),
-    )
-    ntot = btot.agg(F.sum("bt").cast("long").alias("n"))
-    cum = (
-        hist.join(F.broadcast(boff), "blk")
-        .join(F.broadcast(ntot))
-        .select(
-            "c",
-            (F.sum("cnt").over(wblk) + F.col("off")).cast("long").alias("cm"),
-            "n",
-        )
-    )
-    bins = spark.range(1, EQUIDEPTH_BINS + 1).select(F.col("id").alias("bin"))
-    # Edge extraction without the cum × bins fan-out (r16): the old shape
-    # replicated every cumulative row {EQUIDEPTH_BINS}× through a
-    # broadcast join just to test `cm >= ceil(bin*n/B)` per bin. Since cm
-    # is an integer, cm >= ceil(k*n/B) <=> cm >= k*n/B <=> B*cm >= k*n,
-    # so each row reaches exactly the targets k <= kmax = (B*cm) div n —
-    # one arithmetic column instead of a B-way fan-out. Grouping to
-    # min(c) per kmax (<= B+1 groups) and taking, per bin, the min over
-    # groups with kmax >= bin reproduces min{c : cm >= target(bin)}
-    # exactly; the only join left is bins × (<= B+1)-row aggregate.
-    mg = (
-        cum.select(
-            F.least(
-                F.lit(EQUIDEPTH_BINS),
-                F.expr(f"({EQUIDEPTH_BINS} * cm) div n"),
-            ).alias("kmax"),
-            "c",
-        )
-        .groupBy("kmax")
-        .agg(F.min("c").alias("mc"))
-    )
-    edges = (
-        bins.join(F.broadcast(mg), F.col("kmax") >= F.col("bin"))
-        .groupBy("bin")
-        .agg(F.min("mc").alias("hi"))
-    )
-    vmin = hist.agg((F.min("c") - 1).alias("vm"))
-    bounds = edges.join(F.broadcast(vmin)).select(
-        "bin",
-        "hi",
-        F.coalesce(F.lag("hi").over(Window.orderBy("bin")), F.col("vm")).alias(
-            "lo"
+    # Everything after the one corpus pass is ONE parsed SQL statement
+    # (r16): the ~18 Dataset calls it replaces cost ~1 s of driver-side
+    # construction/analysis per invocation — more than the execution of
+    # the tiny post-histogram relations. Shapes preserved exactly:
+    # - two-level distributed prefix sum (in-block partitioned window +
+    #   broadcast cumulative block offsets) — no global single-task
+    #   window over the value domain;
+    # - edge extraction without the cum × bins fan-out: cm is an integer,
+    #   so cm >= ceil(k*n/B) <=> B*cm >= k*n, i.e. each row reaches
+    #   exactly the targets k <= kmax = (B*cm) div n; grouping min(c) per
+    #   kmax (<= B+1 groups) and per-bin min over kmax >= bin reproduces
+    #   min{c : cm >= target(bin)};
+    # - per-bin counts off the histogram, not the base: sum(cnt) == base
+    #   row count and count(1) == base distinct count within (lo, hi].
+    B = EQUIDEPTH_BINS
+    return spark.sql(
+        f"""
+        WITH btot AS (
+          SELECT blk, CAST(sum(cnt) AS BIGINT) AS bt FROM {{hist}} GROUP BY blk
         ),
-    )
-    # per-bin counts off the histogram, not the base: hist holds one row
-    # per distinct c, so sum(cnt) == base row count and count(*) == base
-    # distinct count within each (lo, hi] bin — no second corpus scan,
-    # and the countDistinct expand disappears from the plan
-    return (
-        hist.join(
-            F.broadcast(bounds),
-            (F.col("c") > F.col("lo")) & (F.col("c") <= F.col("hi")),
+        boff AS (
+          SELECT blk,
+                 CAST(coalesce(sum(bt) OVER (ORDER BY blk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS off
+          FROM btot
+        ),
+        ntot AS (SELECT CAST(sum(bt) AS BIGINT) AS n FROM btot),
+        cum AS (
+          SELECT /*+ BROADCAST(b) */
+                 h.c,
+                 CAST(sum(h.cnt) OVER (PARTITION BY h.blk ORDER BY h.c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      + b.off AS BIGINT) AS cm,
+                 n.n
+          FROM {{hist}} h JOIN boff b ON h.blk = b.blk CROSS JOIN ntot n
+        ),
+        mg AS (
+          SELECT least({B}, ({B} * cm) div n) AS kmax, min(c) AS mc
+          FROM cum GROUP BY 1
+        ),
+        edges AS (
+          SELECT /*+ BROADCAST(mg) */ bins.bin, min(mg.mc) AS hi
+          FROM (SELECT id AS bin FROM range(1, {B + 1})) bins
+          JOIN mg ON mg.kmax >= bins.bin
+          GROUP BY bins.bin
+        ),
+        vmin AS (SELECT min(c) - 1 AS vm FROM {{hist}}),
+        bounds AS (
+          SELECT bin, hi,
+                 coalesce(lag(hi) OVER (ORDER BY bin), vm) AS lo
+          FROM edges CROSS JOIN vmin
         )
-        .groupBy("bin", "lo", "hi")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_rows"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        )
+        SELECT /*+ BROADCAST(bo) */
+               bo.bin, bo.lo, bo.hi,
+               CAST(sum(h.cnt) AS BIGINT) AS n_rows,
+               CAST(count(1) AS BIGINT) AS n_distinct
+        FROM {{hist}} h JOIN bounds bo ON h.c > bo.lo AND h.c <= bo.hi
+        GROUP BY bo.bin, bo.lo, bo.hi
+        """,
+        hist=hist,
     )
 
 

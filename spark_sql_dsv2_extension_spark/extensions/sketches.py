@@ -116,10 +116,18 @@ def ext_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     token. Error ~1.04/sqrt(64) ≈ 13% — the fixed price of fixed memory,
     reported per row as rel_err against the exact count."""
     docs = fan_out(load(spark, sf_dir, "documents"))
+    # Lazy localCheckpoint (r16): words is the per-source VOCABULARY —
+    # tiny (sources × distinct tokens) relative to the token stream that
+    # produces it — with THREE consumers below (the sketch hash, the
+    # per-source exact counts, the global exact count). Pruning
+    # specializes each consumer's copy of the distinct, so exchange reuse
+    # does not bridge them and the corpus explode+distinct ran three
+    # times. Same for regs (sources × 64 registers, two union arms).
     words = (
         docs.select("source", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") > 0)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     h = (F.lit(1103515245) * _word_poly(F.col("w")) + F.lit(12345)) % _MOD
     hashed = words.select("source", "w", h.alias("h"))
@@ -131,6 +139,7 @@ def ext_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.select("source", (F.col("h") % _HLL_M).alias("r"), rho.alias("rho_i"))
         .groupBy("source", "r")
         .agg(F.max("rho_i").alias("rho"))
+        .localCheckpoint(eager=False)
     )
     union_regs = regs.unionAll(
         regs.groupBy("r").agg(F.max("rho").alias("rho")).select(
