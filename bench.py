@@ -335,7 +335,9 @@ def main(update_local: bool = False) -> None:
         # is extinct.
         "stderr_note": (
             "WindowExec no-partition warnings = quantiles.py P-row "
-            "offsets branch (bounded by shuffle.partitions); benign"
+            "offsets branch (bounded by shuffle.partitions) + r16 "
+            "plan-constant windows (coverage K-row running sum, "
+            "equidepth B-row bounds); all allowlisted-bounded; benign"
         ),
     }
     # Watch-item adjudication (r7 verdict asks #4b/#4c): baselines live in
