@@ -106,16 +106,84 @@ _loaded = False
 # New keys are inserted immediately after the current driver window so
 # they front the next round without displacing queued coverage.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # === ROUND-16 WINDOW (CORRECTNESS_r15 came back 50/50 green —
+    # === ROUND-17 WINDOW (CORRECTNESS_r16 came back 50/50 green —
     # cumulative coverage holds at 462/462, zero never-checked keys,
-    # zero latest-row failures; rounds 1-3 retire from the staleness
-    # ledger and the window is ROADMAP_r16.md's pre-computed
-    # arithmetic exactly). All 50 slots are deliberate re-fronts. ===
+    # zero latest-row failures; rounds 1-3 stay retired and round 4
+    # retires at r17 close. All 50 slots are deliberate re-fronts,
+    # per the r16 optimization verdict ask #2 + the staleness
+    # arithmetic continuing ROADMAP_r16.md. ===
     #
-    # --- slots 1-8: the eight lattice semantic-fix re-fronts (fixes
-    # landed r15 with the nine-mode ratchet; these keys' first DRIVER
-    # rows under the new semantics arrive here — agg_mode and
-    # win_cume_percent already re-verified inside the r15 window). ---
+    # --- slots 1-16: the sixteen r16-restructured keys (r16 verdict
+    # ask #2 verbatim): only winnow + hll of the ~16 restructured
+    # keys sat in the r16 driver window, so the driver re-verifies
+    # every restructured key here (they ARE all covered by the
+    # 462-key pytest parity sweep each round; this is the scheduled
+    # driver-row refresh). tpch_q2 carries the r16-build ordering pin
+    # (was slot 51 overflow). ---
+    "ext_near_dedup_minhash",
+    "ext_dedup_clusters",
+    "ext_dedup_survivorship",
+    "ext_dedup_cascade_report",
+    "ext_dup_pair_bleu",
+    "ext_coverage_maximization",
+    "ext_kneser_ney_bigrams",
+    "ext_equidepth_histogram",
+    "ext_ivfpq_search",
+    "ext_pq_adc_search",
+    "ext_burrows_delta",
+    "ext_tfidf_topterms",
+    "ext_bm25",
+    "ext_hll_union",
+    "fn_json",
+    "tpch_q2_min_cost_supp",
+    # --- slot 17: ext_behavior_similarity — restructure target of the
+    # r16 verdict ask #6 (heaviest untouched exec-bound key); its
+    # fresh driver row under any r17 change lands here. ---
+    "ext_behavior_similarity",
+    # --- slots 18-35: the full 18-key r4-staleness remainder —
+    # retires round 4 from the staleness ledger entirely (min
+    # last-checked reaches 5 at r17 close). ---
+    "ext_ab_test_lift",
+    "ext_benford_audit",
+    "ext_dataset_diff",
+    "ext_distribution_drift",
+    "ext_forget_cascade",
+    "ext_html_extract",
+    "ext_integrity_audit",
+    "ext_intradoc_dedup",
+    "ext_lsa_power_step",
+    "ext_negative_sampling_table",
+    "ext_ngram_novelty",
+    "ext_pagerank_bounded",
+    "ext_sentiment_lexicon",
+    "ext_session_bounce_rate",
+    "ext_split_doc_detect",
+    "fn_xml",
+    "sink_python_stream",
+    "sql_recursive_hierarchy",
+    # --- slots 36-50: conscious staleness spending — the first 15 of
+    # the 22-key r5-staleness tail, oldest-first in r5-window drain
+    # order (ext_burrows_delta left this tail for slot 11). The 7-key
+    # r5 remainder drains in round 18. ---
+    "ext_ndcg_eval",
+    "ext_mrr_eval",
+    "ext_doc_prefix_dedup",
+    "ext_ngram_overlap_diversity",
+    "ext_neyman_allocation",
+    "win_cumulative_distinct",
+    "ext_output_file_planner",
+    "ext_permutation_test",
+    "ext_incremental_agg_merge",
+    "ext_mann_kendall_trend",
+    "ext_kaplan_meier_retention",
+    "ext_entropy_rate_markov",
+    "ext_walk_forward_splits",
+    "ext_srm_check",
+    "ext_shapley_attribution",
+    # --- verified backlog: newest-verified first (the r16 window,
+    # then the r15 window, then the remaining registry in its prior
+    # rotation order — per-round provenance lives in git history of
+    # this block and in the CORRECTNESS_r*.json artifacts). ---
     "sink_merge_upsert",
     "ext_weighted_median",
     "fn_printf_format",
@@ -124,9 +192,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_max_by_min_by",
     "ext_hybrid_retrieval",
     "ext_dtw_bounded",
-    # --- slots 9-31: the full 23-key r3-staleness remainder — retires
-    # round 3 from the staleness ledger entirely (min last-checked
-    # reaches 4 at r16 close). ---
     "subq_scalar",
     "subq_in",
     "subq_exists_correlated",
@@ -150,10 +215,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_bitwise",
     "fn_hash",
     "fn_json_nested",
-    # --- slots 32-50: conscious staleness spending — the first 19 of
-    # the r4-staleness tail, oldest-first in r4-window order. The
-    # 19-key r4 remainder drains in round 17. ---
-    "ext_hll_union",
     "ext_cms_heavy_hitters",
     "ext_bloom_probe",
     "join_bloom_runtime",
@@ -172,16 +233,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ohlc_resample",
     "ext_dataset_card",
     "win_gap_islands",
-    # --- slot 51: r16 in-round overflow — the ORDERING_AUDIT_r15
-    # residual pin (n_name/s_name asc_nulls_last, oracle NULLS LAST in
-    # lockstep) landed this round; value-identical at every tested SF,
-    # driver re-verification fronts round 17. ---
-    "tpch_q2_min_cost_supp",
-    # --- verified backlog: newest-verified first (the r15 window, then
-    # the r14 window, then the remaining registry in its prior rotation
-    # order — per-round provenance lives in git history of this block
-    # and in the CORRECTNESS_r*.json artifacts). ---
-    "ext_behavior_similarity",
     "ext_theil_sen_slope",
     "ext_point_in_time_join",
     "agg_mode",
@@ -197,7 +248,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_token_count",
     "ext_quality_score",
     "ext_langid",
-    "ext_tfidf_topterms",
     "ext_fingerprint",
     "ext_hash_split",
     "ext_pii_scrub",
@@ -205,7 +255,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_sequence_packing",
     "ext_decontamination",
     "ext_validate_rules",
-    "ext_bm25",
     "ext_stratified_sample",
     "ext_multimodal_struct",
     "stream_tumbling_agg",
@@ -307,8 +356,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_embedding_centroid_drift",
     "ext_random_projection_jl",
     "ext_good_turing",
-    "ext_kneser_ney_bigrams",
-    "fn_json",
     "fn_variant_extract",
     "scan_json",
     "ext_item_cooccurrence_lift",
@@ -325,9 +372,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_knn_ivf_trained",
     "ext_kmeans_train",
     "ext_semdedup",
-    "ext_ivfpq_search",
     "ext_product_quantize",
-    "ext_pq_adc_search",
     "ext_embedding_near_dup",
     "ext_embedding_quantize",
     "fn_struct",
@@ -335,8 +380,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_foreach_batch_sink",
     "ext_bpe_train_k_rounds",
     "sink_compression_roundtrip",
-    "ext_near_dedup_minhash",
-    "ext_dedup_cascade_report",
     "agg_kll_quantile_invariant",
     "fn_cast",
     "fn_math",
@@ -370,7 +413,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_wasserstein_1d",
     "ext_calibration_ece",
     "ext_tukey_fences",
-    "ext_equidepth_histogram",
     "ext_functional_dependency",
     "agg_min_by_max_by",
     "agg_hll_native_union",
@@ -378,11 +420,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_array",
     "fn_map",
     "fn_map_hof",
-    "ext_dedup_survivorship",
     "ext_dedup_threshold_curve",
-    "ext_dedup_clusters",
     "ext_dup_transitivity_audit",
-    "ext_dup_pair_bleu",
     "ext_minhash_fidelity",
     "ext_minhash_band_tuning",
     "ext_ngram_jaccard",
@@ -548,25 +587,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bpe_apply_merge",
     "ext_conversion_deciles",
     "win_range_frame",
-    "ext_coverage_maximization",
     "ext_file_skip_effectiveness",
     "ext_knee_point",
-    "ext_ndcg_eval",
-    "ext_mrr_eval",
-    "ext_doc_prefix_dedup",
-    "ext_ngram_overlap_diversity",
-    "ext_neyman_allocation",
-    "win_cumulative_distinct",
-    "ext_output_file_planner",
-    "ext_permutation_test",
-    "ext_incremental_agg_merge",
-    "ext_mann_kendall_trend",
-    "ext_kaplan_meier_retention",
-    "ext_entropy_rate_markov",
-    "ext_walk_forward_splits",
-    "ext_burrows_delta",
-    "ext_srm_check",
-    "ext_shapley_attribution",
     "ext_ablation_leave_one_source",
     "subq_quantified_all",
     "join_interval_overlap_banded",
@@ -574,24 +596,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_psm_nearest_match",
     "ext_shuffle_quality_audit",
     "ext_bh_fdr",
-    "ext_benford_audit",
-    "sql_recursive_hierarchy",
-    "sink_python_stream",
-    "ext_negative_sampling_table",
-    "fn_xml",
-    "ext_sentiment_lexicon",
-    "ext_intradoc_dedup",
-    "ext_html_extract",
-    "ext_pagerank_bounded",
-    "ext_distribution_drift",
-    "ext_lsa_power_step",
-    "ext_split_doc_detect",
-    "ext_session_bounce_rate",
-    "ext_ab_test_lift",
-    "ext_forget_cascade",
-    "ext_integrity_audit",
-    "ext_ngram_novelty",
-    "ext_dataset_diff",
 )
 
 

@@ -321,6 +321,48 @@ _R16_REFRESH = frozenset({
 })
 _DELIBERATE_REFRONTS = _R16_REFRESH
 
+# Round 17 (second optimization round): CORRECTNESS_r16 came back 50/50
+# green — cumulative coverage holds at 462/462 (zero never-checked keys,
+# zero latest-row failures), so every key in the round-17 window is by
+# definition a deliberate re-front. Composition is the r16 optimization
+# verdict's ask #2 plus the staleness arithmetic: the sixteen
+# r16-restructured keys (only winnow + hll of them sat in the r16 driver
+# window; the rest get their scheduled driver-row refresh here, tpch_q2
+# carrying the r16-build ordering pin from its slot-51 overflow), the r17
+# restructure target ext_behavior_similarity (r16 verdict ask #6), the
+# full 18-key r4-staleness remainder (retires round 4 from the ledger),
+# and the first 15 keys of the 22-key r5-staleness tail in r5-window
+# drain order (ext_burrows_delta left that tail for the restructured
+# block).
+_R17_REFRESH = frozenset({
+    # r16-restructured re-fronts (slots 1-16)
+    "ext_near_dedup_minhash", "ext_dedup_clusters", "ext_dedup_survivorship",
+    "ext_dedup_cascade_report", "ext_dup_pair_bleu",
+    "ext_coverage_maximization", "ext_kneser_ney_bigrams",
+    "ext_equidepth_histogram", "ext_ivfpq_search", "ext_pq_adc_search",
+    "ext_burrows_delta", "ext_tfidf_topterms", "ext_bm25", "ext_hll_union",
+    "fn_json", "tpch_q2_min_cost_supp",
+    # r17 restructure target (slot 17)
+    "ext_behavior_similarity",
+    # r4-staleness remainder (slots 18-35)
+    "ext_ab_test_lift", "ext_benford_audit", "ext_dataset_diff",
+    "ext_distribution_drift", "ext_forget_cascade", "ext_html_extract",
+    "ext_integrity_audit", "ext_intradoc_dedup", "ext_lsa_power_step",
+    "ext_negative_sampling_table", "ext_ngram_novelty",
+    "ext_pagerank_bounded", "ext_sentiment_lexicon",
+    "ext_session_bounce_rate", "ext_split_doc_detect", "fn_xml",
+    "sink_python_stream", "sql_recursive_hierarchy",
+    # r5-staleness tail head (slots 36-50)
+    "ext_ndcg_eval", "ext_mrr_eval", "ext_doc_prefix_dedup",
+    "ext_ngram_overlap_diversity", "ext_neyman_allocation",
+    "win_cumulative_distinct", "ext_output_file_planner",
+    "ext_permutation_test", "ext_incremental_agg_merge",
+    "ext_mann_kendall_trend", "ext_kaplan_meier_retention",
+    "ext_entropy_rate_markov", "ext_walk_forward_splits", "ext_srm_check",
+    "ext_shapley_attribution",
+})
+_DELIBERATE_REFRONTS = _R17_REFRESH
+
 
 def test_driver_window_has_no_silent_refronts():
     """Zero-stale-row discipline, testable: every key in the driver's
