@@ -275,7 +275,7 @@ def ext_near_dedup_minhash(
           ON inter.d1 = n1.doc_id
         JOIN (SELECT doc_id, count(1) AS n FROM {{shc}} GROUP BY doc_id) n2
           ON inter.d2 = n2.doc_id
-        WHERE i * 1.0D / (n1.n + n2.n - i) >= {threshold}
+        WHERE i * 1.0D / (n1.n + n2.n - i) >= {threshold!r}D
         """,
         cands=candidates,
         shc=shc,

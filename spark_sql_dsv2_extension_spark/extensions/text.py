@@ -258,16 +258,23 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # scalar dimension, embedded as a literal (pre-fan_out:
     docs = fan_out(docs)   # the count is metadata-cheap on the raw scan)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df derived FROM tf (r16): tf already holds one row per distinct
     # (doc_id, term), so count-per-term over it equals
     # countDistinct(doc_id) over the raw token stream — minus the NULL
     # doc_ids countDistinct skips, hence the explicit isNotNull gate
-    # (count(DISTINCT) is NULL-skipping on both engines). This removes
-    # the SECOND full tokenize+explode pass (tok fed two different
-    # aggregations whose exchanges could not be reused); now both
-    # relations share tf's Exchange(doc_id, term), which ReuseExchange
-    # dedupes into one token-stream shuffle.
+    # (count(DISTINCT) is NULL-skipping on both engines). r16 intended
+    # the two relations to share tf's Exchange via ReuseExchange, but
+    # the pushed-down NULL gate SPECIALIZED the df branch's scan — the
+    # committed after-plan still held two full scan→explode→aggregate
+    # subtrees (r16 verdict item 12). r17: lazy localCheckpoint leaf on
+    # tf (the kneser-ney pattern) — the tokenize+explode+shuffle runs
+    # once per invocation and both df and scored read the (#docs × terms
+    # per doc)-bounded LogicalRDD.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df = (
         tf.where(F.col("doc_id").isNotNull())
         .groupBy("term")
@@ -656,21 +663,33 @@ def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     of anything large."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    # dl leaf (r17): consumed by stats AND the scored join — without it
+    # each consumer re-scans + re-splits the corpus text. One row per doc
+    # (doc_id, double), far smaller than the text it summarizes.
+    dl = toks.select(
+        "doc_id", F.size("toks").cast("double").alias("dl")
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum(F.col("dl").cast("long")).cast("double") / F.count(F.lit(1))).alias(
             "avgdl"
         ),
     )
+    # Lazy localCheckpoint leaf (r17): the r16 "shares tf's exchange"
+    # claim did not survive planning — the pushed-down NULL gate
+    # specialized df_'s branch and the tokenize ran twice (r16 verdict
+    # item 12; same failure as tfidf). tf is tiny (#docs × |query terms|
+    # ≤ a handful of rows per doc), so the leaf costs one small
+    # materialization and both consumers read the LogicalRDD.
     tf = (
         toks.select("doc_id", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     # one row per (doc, term) in tf already → count ≡ countDistinct(doc_id)
-    # (with the NULL gate countDistinct implies); shares tf's exchange
+    # (with the NULL gate countDistinct implies); reads the tf leaf
     df_ = (
         tf.where(F.col("doc_id").isNotNull())
         .groupBy("term")
