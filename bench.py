@@ -275,6 +275,14 @@ def main(update_local: bool = False) -> None:
     # and the per-key run spread.
     runs: dict[str, list[float]] = {}
     for _run in range(2):
+        # Cache hygiene between passes (r16 verdict ask #4): Spark's
+        # CacheManager matches on plan identity, so without this, pass 2
+        # silently reused pass 1's InMemoryRelations and the min
+        # undercounted every key's cache-fill cost. Each pass now starts
+        # cache-clean; in-pass caching stays, because it is part of the
+        # operator's own single-invocation design.
+        if _run > 0:
+            spark.catalog.clearCache()
         for key in HEADLINE:
             spec = specs.get(key)
             if spec is None:
@@ -289,6 +297,7 @@ def main(update_local: bool = False) -> None:
     # one extra steady-state sample makes the min noise-robust at a cost
     # of ~a second total. Threshold is on the CURRENT min so a key that
     # regressed past 1 s still shows the regression.
+    spark.catalog.clearCache()  # third-run sweep starts cache-clean too
     for key, v in runs.items():
         if min(v) < 1.0:
             spec = specs[key]
@@ -322,6 +331,13 @@ def main(update_local: bool = False) -> None:
         "value": total,
         "unit": "sec",
         "headline_version": HEADLINE_VERSION,
+        # r17 measurement-hygiene flag (additive): passes 2+ start with
+        # spark.catalog.clearCache(), so the per-key min no longer reuses
+        # an earlier pass's InMemoryRelations (r16 verdict ask #4). Makes
+        # per-key minima slightly HIGHER than r16-vintage payloads for
+        # cache-reliant keys — that is the honest cache-fill cost, not a
+        # regression; cold_total_wall is methodology-identical to r16.
+        "cache_cleared_between_passes": True,
         "total_v1": total_v1,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
