@@ -61,8 +61,17 @@ _STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
 )
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile per (lang, source): doc/token/char counts, and a
-    cross-check that the precomputed n_chars column equals length(text)."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    cross-check that the precomputed n_chars column equals length(text).
+
+    No fan_out (r17): the per-row work here is trivial (split-size,
+    length) and the groupBy map-side-aggregates to ~|lang × source| rows,
+    so the round-robin exchange of the corpus TEXT (plus its
+    sort-before-repartition) was the key's dominant cost — exactly the
+    "keep it OFF simple scan/agg paths" case fan_out's own contract
+    names. Measured at sf0.1: 0.61→0.33 s at 32 cores AND 0.47→0.36 s at
+    8 (the r16 scaling ratio 0.56 was this exchange); at 100 TB the scan
+    has natural splits and the removed exchange is corpus-sized."""
+    docs = load(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
@@ -2278,8 +2287,14 @@ def ext_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: explode → (doc, sentence) group → ordered string_agg, all
     partition-local after one shuffle on doc_id; no cross-document state
-    at all."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    at all.
+
+    No fan_out (r17): the sentence split is cheap and the very next
+    operator is a (doc_id, sentence) shuffle anyway, so the extra
+    round-robin exchange of the text only ADDED a full-width pass.
+    Measured at sf0.1: 0.62→0.33 s at 32 cores, 0.36→0.35 s at 8 (the
+    r16 scaling ratio 0.67 was this exchange)."""
+    docs = load(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
         F.posexplode(F.split("text", "\\. ")).alias("idx0", "sentence"),
