@@ -164,27 +164,30 @@ def ext_near_dedup_minhash(
     inherits the gate.
     """
     docs = load(spark, sf_dir, "documents")
+    # sh stays a .cache(), NOT a checkpoint leaf (r17, measured): a leaf
+    # would truncate sig's and shc's analyzed plans, but it stores
+    # deserialized object rows where the cache stores compressed columnar
+    # batches, and the verification joins re-read the full shingle stream
+    # — the leaf variant read 0.2-0.4 s SLOWER on the composites
+    # (survivorship A/B) despite a small win on this key alone.
     sh = _shingles(docs).cache()
 
     # 96 minhashes as 96 wide MIN aggregates — every xxhash64 runs inside
     # whole-stage-codegen'd partial aggregation with zero array allocation
-    # (an array-of-arrays formulation was ~3× slower at sf0.1). Built as
-    # ONE parsed SQL statement (r16): this key's cost is dominated by
-    # DRIVER-side plan construction, not execution (measured at sf0.1:
-    # build 1.8-2.2 s vs 0.5 s execute) — 96 Column-object expression
-    # trees cost ~600 py4j round-trips where one SQL string is a single
-    # call and a fast JVM parse, bit-identical by construction (hash-
-    # verified at sf0.1).
+    # (an array-of-arrays formulation was ~3× slower at sf0.1, and an r17
+    # numpy/mapInArrow vectorization A/B'd 1.8× SLOWER steady-state than
+    # this codegen'd form — see OPTIMIZATION_r17.md). Signature AND the
+    # 24-band explode are ONE parsed SQL statement ending in the leaf
+    # (r17; they were two statements + a cache+leaf pair in r16): this
+    # key's cost is dominated by DRIVER-side plan construction/analysis,
+    # not execution, and fusing them drops one full analysis pass over
+    # the 96-column aggregate (alternating A/B at sf0.1: key mean 2.13 →
+    # 1.93 s, min 1.82 → 1.70, values bit-identical; the bands cache was
+    # redundant under the leaf's own persistence — the self-join reads
+    # ONE materialization either way).
     sig_cols = ", ".join(
         f"min(xxhash64({i}, shingle)) AS h{i}" for i in range(n_hashes)
     )
-    sig = spark.sql(
-        f"SELECT doc_id, {sig_cols} FROM {{sh}} GROUP BY doc_id", sh=sh
-    )
-
-    # 24 bands of 4 minhashes; signature = xxhash64 of the band's values.
-    # Cached: the self-join below consumes it twice, and without the cache
-    # the whole 96-hash signature aggregation would execute once per side.
     rows_per_band = n_hashes // n_bands
     band_arr = (
         "array("
@@ -198,17 +201,14 @@ def ext_near_dedup_minhash(
         )
         + ")"
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(F.expr(band_arr)).alias("band", "band_sig")
-    ).cache()
-    # Lazy checkpoint LEAF on top of the cache (r16): every downstream
-    # Dataset operation re-analyzes its whole logical subtree, and with
-    # the raw cached relation that subtree carries the 96-column
-    # aggregate + band explode — the analyzer, not the executor, was the
-    # cost. The leaf truncates every consumer's plan to a LogicalRDD
-    # while the cache still feeds the checkpoint's one materialization
-    # per invocation.
-    bands_leaf = bands.localCheckpoint(eager=False)
+    bands_leaf = spark.sql(
+        f"""
+        SELECT doc_id, band, band_sig
+        FROM (SELECT doc_id, {sig_cols} FROM {{sh}} GROUP BY doc_id)
+        LATERAL VIEW posexplode({band_arr}) t AS band, band_sig
+        """,
+        sh=sh,
+    ).localCheckpoint(eager=False)
 
     # One parsed SQL statement instead of ~8 Dataset ops (r16: the same
     # driver-side-analysis economy as sig above; SQL aliasing also scopes
